@@ -1,0 +1,302 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.engine.{EventFrame, EventLog, EventStore, Tables}
+import graft.ops.{Dedup, Multimodal, Sessionize, Similarity, TextOps}
+
+/** The declared query set (SURVEY.md §2.11): every esdb-parity operator
+  * plus the training-data-pipeline extensions, each as a
+  * `(SparkSession, sfDir) => DataFrame` with — where ANSI-SQL can
+  * express it — a DuckDB oracle over the same parquet files.
+  *
+  * Oracle-match rules (driver hashes values after sorting columns by
+  * name): aliases are identical on both sides; timestamps are exported
+  * as integer micros (`ts_us` — Spark truncates parquet nanos → Long,
+  * DuckDB truncates to TIMESTAMP, both floor to micros); money/doubles
+  * are aggregated in integer cents so float summation order can't
+  * change results; every query ends in a deterministic total ORDER BY.
+  */
+object Queries {
+
+  /** Filter constants — chosen non-empty at every scale factor. */
+  val Space = "click"
+  val Grouping = "7"
+  val IdxName = "k"
+  val IdxValue = "42"
+  val ResumeOffset = 500L
+  val ScanLimit = 500
+
+  final case class QuerySpec(name: String,
+                             run: (SparkSession, String) => DataFrame,
+                             oracle: Option[String])
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    EventFrame.fromEvents(Tables.events(s, dir))
+
+  /** DuckDB-side equivalents of the canonical event columns. */
+  private val evSql =
+    """SELECT event_type AS space, CAST(user_id AS VARCHAR) AS grouping,
+      |       epoch_us(ts) AS ts_us, event_id, value, props AS payload,
+      |       regexp_extract(props, '"k":\s*(\d+)', 1) AS attr_k
+      |FROM events""".stripMargin
+
+  val all: Seq[QuerySpec] = Seq(
+
+    // ---- batch parity: S2-S6 (esdb.go, space.go) -------------------------
+
+    QuerySpec("db_iterate_spaces",
+      (s, d) => EventStore.iterateSpaces(ev(s, d)),
+      Some("SELECT DISTINCT event_type AS space FROM events ORDER BY space")),
+
+    QuerySpec("space_iterate_groupings",
+      (s, d) => EventStore.iterateGroupings(ev(s, d), Space),
+      Some(s"""SELECT DISTINCT CAST(user_id AS VARCHAR) AS grouping FROM events
+              |WHERE event_type = '$Space' ORDER BY grouping""".stripMargin)),
+
+    QuerySpec("space_scan_grouping",
+      (s, d) => EventStore.scan(ev(s, d), Space, Grouping)
+        .select("event_id", "ts_us", "value", "payload"),
+      Some(s"""SELECT event_id, epoch_us(ts) AS ts_us, value, props AS payload
+              |FROM events WHERE event_type = '$Space' AND user_id = $Grouping
+              |ORDER BY ts_us DESC, event_id""".stripMargin)),
+
+    QuerySpec("space_scan_grouping_limit",
+      (s, d) => EventStore.scan(ev(s, d), Space, Grouping, Some(ScanLimit))
+        .select("event_id", "ts_us", "value", "payload"),
+      Some(s"""SELECT event_id, epoch_us(ts) AS ts_us, value, props AS payload
+              |FROM events WHERE event_type = '$Space' AND user_id = $Grouping
+              |ORDER BY ts_us DESC, event_id LIMIT $ScanLimit""".stripMargin)),
+
+    QuerySpec("space_scan_index",
+      (s, d) => EventStore.scanIndex(ev(s, d), Space, IdxName, IdxValue)
+        .select("event_id", "ts_us", "grouping", "value", "payload"),
+      Some(s"""SELECT event_id, epoch_us(ts) AS ts_us, CAST(user_id AS VARCHAR) AS grouping,
+              |       value, props AS payload
+              |FROM events WHERE event_type = '$Space'
+              |  AND regexp_extract(props, '"$IdxName":\\s*(\\d+)', 1) = '$IdxValue'
+              |ORDER BY ts_us DESC, event_id""".stripMargin)),
+
+    QuerySpec("space_scan_index_limit",
+      (s, d) => EventStore.scanIndex(ev(s, d), Space, IdxName, IdxValue, Some(ScanLimit))
+        .select("event_id", "ts_us", "grouping", "value", "payload"),
+      Some(s"""SELECT event_id, epoch_us(ts) AS ts_us, CAST(user_id AS VARCHAR) AS grouping,
+              |       value, props AS payload
+              |FROM events WHERE event_type = '$Space'
+              |  AND regexp_extract(props, '"$IdxName":\\s*(\\d+)', 1) = '$IdxValue'
+              |ORDER BY ts_us DESC, event_id LIMIT $ScanLimit""".stripMargin)),
+
+    // ---- stream parity (stream/stream.go, open_stream.go, merge.go) ------
+
+    QuerySpec("stream_iterate",
+      (s, d) => EventLog.iterate(ev(s, d))
+        .select("event_id", "ts_us", "space", "grouping", "value", "payload"),
+      Some("""SELECT event_id, epoch_us(ts) AS ts_us, event_type AS space,
+             |       CAST(user_id AS VARCHAR) AS grouping, value, props AS payload
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    QuerySpec("stream_iterate_resume",
+      (s, d) => EventLog.iterate(ev(s, d), ResumeOffset)
+        .select("event_id", "ts_us", "space", "grouping", "value", "payload"),
+      Some(s"""SELECT event_id, epoch_us(ts) AS ts_us, event_type AS space,
+              |       CAST(user_id AS VARCHAR) AS grouping, value, props AS payload
+              |FROM events WHERE event_id >= $ResumeOffset ORDER BY event_id""".stripMargin)),
+
+    QuerySpec("stream_scan_index",
+      (s, d) => EventLog.scanIndex(ev(s, d), IdxName, IdxValue)
+        .select("event_id", "ts_us", "space", "grouping", "value", "payload"),
+      Some(s"""SELECT event_id, epoch_us(ts) AS ts_us, event_type AS space,
+              |       CAST(user_id AS VARCHAR) AS grouping, value, props AS payload
+              |FROM events
+              |WHERE regexp_extract(props, '"$IdxName":\\s*(\\d+)', 1) = '$IdxValue'
+              |ORDER BY event_id DESC""".stripMargin)),
+
+    QuerySpec("stream_first",
+      (s, d) => EventLog.first(ev(s, d), IdxName, IdxValue),
+      Some(s"""SELECT max(event_id) AS head_event_id FROM events
+              |WHERE regexp_extract(props, '"$IdxName":\\s*(\\d+)', 1) = '$IdxValue'""".stripMargin)),
+
+    QuerySpec("stream_tails",
+      (s, d) => EventLog.tails(ev(s, d), IdxName),
+      Some(s"""SELECT regexp_extract(props, '"$IdxName":\\s*(\\d+)', 1) AS attr,
+              |       max(event_id) AS tail_event_id
+              |FROM events
+              |WHERE regexp_extract(props, '"$IdxName":\\s*(\\d+)', 1) <> ''
+              |GROUP BY attr ORDER BY attr""".stripMargin)),
+
+    QuerySpec("stream_merge",
+      (s, d) => {
+        val e = ev(s, d)
+        val even = e.where(pmod(col("grouping").cast("long"), lit(2)) === 0)
+        val odd = e.where(pmod(col("grouping").cast("long"), lit(2)) === 1)
+        EventLog.merge(s, Seq(
+          even.select("event_id", "grouping", "value"),
+          odd.select("event_id", "grouping", "value")))
+          .select("new_event_id", "src", "src_event_id", "grouping", "value")
+          .orderBy("new_event_id")
+      },
+      Some("""SELECT row_number() OVER (ORDER BY src, src_event_id) AS new_event_id,
+             |       src, src_event_id, grouping, value
+             |FROM (SELECT user_id % 2 AS src, event_id AS src_event_id,
+             |             CAST(user_id AS VARCHAR) AS grouping, value FROM events) t
+             |ORDER BY new_event_id""".stripMargin)),
+
+    // ---- aggregation / window / join capability --------------------------
+
+    QuerySpec("agg_space_stats",
+      (s, d) => ev(s, d).groupBy("space")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("grouping")).as("n_groupings"),
+          sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+        .orderBy("space"),
+      Some("""SELECT event_type AS space, count(*) AS n_events,
+             |       count(DISTINCT CAST(user_id AS VARCHAR)) AS n_groupings,
+             |       sum(CAST(round(value*100) AS BIGINT)) AS sum_cents
+             |FROM events GROUP BY space ORDER BY space""".stripMargin)),
+
+    QuerySpec("topk_groupings_by_value",
+      (s, d) => {
+        val sums = ev(s, d).groupBy("space", "grouping")
+          .agg(sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+        val w = Window.partitionBy(col("space")).orderBy(col("sum_cents").desc, col("grouping").asc)
+        sums.withColumn("rk", row_number().over(w).cast("long"))
+          .where(col("rk") <= 3)
+          .orderBy("space", "rk")
+      },
+      Some("""SELECT space, grouping, sum_cents, rk FROM (
+             |  SELECT event_type AS space, CAST(user_id AS VARCHAR) AS grouping,
+             |         sum(CAST(round(value*100) AS BIGINT)) AS sum_cents,
+             |         row_number() OVER (PARTITION BY event_type
+             |           ORDER BY sum(CAST(round(value*100) AS BIGINT)) DESC,
+             |                    CAST(user_id AS VARCHAR)) AS rk
+             |  FROM events GROUP BY 1, 2) t
+             |WHERE rk <= 3 ORDER BY space, rk""".stripMargin)),
+
+    QuerySpec("q1_lineitem_agg",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(round(col("l_quantity") * 100).cast("long")).as("sum_qty_x100"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_base_x100"),
+          sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100).cast("long")).as("sum_disc_x100"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  sum(CAST(round(l_quantity*100) AS BIGINT)) AS sum_qty_x100,
+             |  sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS sum_base_x100,
+             |  sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS sum_disc_x100,
+             |  count(*) AS count_order
+             |FROM lineitem GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    QuerySpec("join_orders_customer",
+      (s, d) => Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("rev_cents"))
+        .orderBy("c_mktsegment"),
+      Some("""SELECT c_mktsegment, count(*) AS n_orders,
+             |       sum(CAST(round(o_totalprice*100) AS BIGINT)) AS rev_cents
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    QuerySpec("events_sessionize",
+      (s, d) => Sessionize.sessions(ev(s, d)),
+      Some(s"""WITH t AS (SELECT CAST(user_id AS VARCHAR) AS grouping, epoch_us(ts) AS ts_us, event_id FROM events),
+              |l AS (SELECT *, lag(ts_us) OVER (PARTITION BY grouping ORDER BY ts_us, event_id) AS prev_ts FROM t),
+              |m AS (SELECT *, CASE WHEN prev_ts IS NULL OR ts_us - prev_ts > ${Sessionize.DefaultGapUs} THEN 1 ELSE 0 END AS is_new FROM l),
+              |sq AS (SELECT *, sum(is_new) OVER (PARTITION BY grouping ORDER BY ts_us, event_id
+              |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq FROM m)
+              |SELECT grouping, session_seq, count(*) AS n_events,
+              |       min(ts_us) AS start_us, max(ts_us) AS end_us
+              |FROM sq GROUP BY grouping, session_seq
+              |ORDER BY grouping, session_seq""".stripMargin)),
+
+    // ---- training-data extensions: dedup ---------------------------------
+
+    QuerySpec("dedup_exact",
+      (s, d) => Dedup.exact(Tables.documents(s, d)),
+      Some("""SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
+             |FROM documents GROUP BY md5(text) ORDER BY keep_doc_id""".stripMargin)),
+
+    QuerySpec("dedup_minhash",
+      (s, d) => Dedup.minhashNearDups(Tables.documents(s, d), 0.8), None),
+
+    QuerySpec("dedup_simhash",
+      (s, d) => Dedup.simhashNearDups(Tables.documents(s, d), 3), None),
+
+    QuerySpec("dedup_ngram_jaccard",
+      (s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d), 0.5), None),
+
+    // threshold/bits tuned to the testdata's cosine range (max ≈ 0.51):
+    // wider buckets (6 bits) keep recall usable at moderate thresholds
+    QuerySpec("dedup_embedding",
+      (s, d) => Dedup.embeddingNearDups(Tables.embeddings(s, d), 0.35,
+        tables = 8, bitsPerTable = 6), None),
+
+    // ---- training-data extensions: similarity search ---------------------
+
+    QuerySpec("similarity_topk",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        Similarity.bruteTopK(e, e.where(col("vec_id") < 10), 10)
+      }, None),
+
+    QuerySpec("similarity_ann_lsh",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        Similarity.annTopK(e, e.where(col("vec_id") < 10), 10)
+      }, None),
+
+    // ---- training-data extensions: text analysis -------------------------
+
+    QuerySpec("text_tokens",
+      (s, d) => TextOps.tokenCounts(Tables.documents(s, d)),
+      Some("""SELECT doc_id, length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+             |       length(text) AS n_chars
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    QuerySpec("text_quality",
+      (s, d) => TextOps.qualityScore(Tables.documents(s, d)),
+      Some("""SELECT doc_id,
+             |  length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+             |  (length(replace(text, ' ', '')) * 100) // (length(text) - length(replace(text, ' ', '')) + 1) AS avg_tok_len_x100,
+             |  (length(text) - length(replace(text, 'the', ''))) // 3 AS hits_the,
+             |  least(1000, ((length(text) - length(replace(text, 'the', ''))) // 3) * 1000
+             |        // (length(text) - length(replace(text, ' ', '')) + 1)) AS quality_x1000
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    QuerySpec("text_lang_id",
+      (s, d) => TextOps.langId(Tables.documents(s, d)), None),
+
+    QuerySpec("doc_fingerprint",
+      (s, d) => TextOps.fingerprint(Tables.documents(s, d)),
+      Some("SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id")),
+
+    QuerySpec("doc_rolling_fingerprint",
+      (s, d) => TextOps.rollingFingerprint(Tables.documents(s, d)), None),
+
+    // ---- training-data extensions: multimodal ----------------------------
+
+    QuerySpec("multimodal_manifest",
+      (s, d) => Multimodal.manifest(Tables.documents(s, d))
+        .select(col("doc_id"), octet_length(col("media")).cast("long").as("n_bytes"),
+          col("media_type"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, strlen(text) AS n_bytes, 'text/plain' AS media_type
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    QuerySpec("multimodal_features",
+      (s, d) => Multimodal.extractFeatures(s, Multimodal.manifest(Tables.documents(s, d)))
+        .toDF().orderBy("doc_id"), None)
+  )
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.run).toMap
+
+  def oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+}

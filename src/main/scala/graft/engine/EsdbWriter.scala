@@ -1,0 +1,77 @@
+package graft.engine
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Write path: the Spark-native equivalent of the reference's
+  * write-once `.esdb` file (writer.go) and sealable append log
+  * (stream/open_stream.go).
+  *
+  * Layout choices mirror the reference's physical design at
+  * Spark/parquet granularity (SURVEY.md §3.2):
+  *  - `partitionBy("space")` — one directory per space ≡ the file-level
+  *    SSTable mapping space → byte extent (writer.go:101-130); gives
+  *    partition pruning on `space ==` predicates.
+  *  - `repartition($"space")` — all of one space's events in one task ≡
+  *    the per-space contiguous extent; at cluster scale this is the
+  *    only shuffle in the write.
+  *  - `sortWithinPartitions(grouping, ts_us desc, event_id)` — events of
+  *    a grouping contiguous and ts-descending in file order ≡ the
+  *    grouped, stable ts-desc block layout (space_writer.go:104-130,
+  *    event_block_writer.go:14-34). Parquet row-group min/max stats on
+  *    (grouping, ts_us) then replace the space-level SSTable for data
+  *    skipping.
+  *  - snappy-compressed parquet ≡ the 4KB snappy block codec
+  *    (blocks/writer.go:70-108) — built-in.
+  *  - `SaveMode.ErrorIfExists` ≡ O_EXCL create (writer.go:27) and the
+  *    re-Add-after-Write error (writer.go:44-46): immutability is the
+  *    format's contract.
+  */
+object EsdbWriter {
+
+  val SealMarker = "_CLOSED"
+
+  /** Write a canonical [[EventFrame]] as an immutable store. */
+  def write(ev: DataFrame, path: String): Unit =
+    ev.repartition(col("space"))
+      .sortWithinPartitions(col("grouping"), col("ts_us").desc, col("event_id").asc)
+      .write
+      .mode(SaveMode.ErrorIfExists)
+      .partitionBy("space")
+      .parquet(path)
+
+  /** Append a batch to a (still-open) log directory. Refuses when sealed —
+    * the reference errors writes after Close (stream/closed_stream.go:48-50).
+    */
+  def append(ev: DataFrame, path: String): Unit = {
+    require(!isSealed(path), s"stream at $path is closed (reference: closed_stream.go:48-50)")
+    ev.repartition(col("space"))
+      .sortWithinPartitions(col("grouping"), col("ts_us").desc, col("event_id").asc)
+      .write
+      .mode(SaveMode.Append)
+      .partitionBy("space")
+      .parquet(path)
+  }
+
+  /** Seal: reference `Close()` writes the tails SSTable + footer magic
+    * (stream/open_stream.go:146-201). Here: a `_CLOSED` marker plus a
+    * tails sidecar so readers get O(1) heads without scanning.
+    */
+  def seal(spark: SparkSession, path: String, indexName: String): Unit = {
+    val ev = read(spark, path)
+    EventLog.tails(ev, indexName).write.mode(SaveMode.Overwrite).parquet(s"$path/$SealMarker.tails")
+    Files.createFile(Paths.get(path, SealMarker))
+  }
+
+  def isSealed(path: String): Boolean = Files.exists(Paths.get(path, SealMarker))
+
+  /** Open a written store; `basePath` keeps the `space` partition column. */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    GraftSession.tune(spark)
+    spark.read.option("basePath", path)
+      .parquet(path)
+      .select("space", "grouping", "ts_us", "event_id", "value", "payload")
+  }
+}

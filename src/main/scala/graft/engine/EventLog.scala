@@ -1,0 +1,70 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Stream-side esdb query surface (SURVEY.md §2.9, §3.3) — the
+  * reference `stream` package's append-log reads, re-expressed over a
+  * canonical [[EventFrame]] whose `event_id` is the logical offset
+  * (reference offsets are byte positions, stream/stream.go:92-124; the
+  * contract kept is monotone + resumable, not the byte values).
+  */
+object EventLog {
+
+  /** Reference `Stream.Iterate(offset, fn)` (stream/stream.go:92-124):
+    * insertion-order scan from a resumption offset.
+    */
+  def iterate(ev: DataFrame, fromOffset: Long = 0L): DataFrame =
+    ev.where(col("event_id") >= fromOffset).orderBy("event_id")
+
+  /** Reference `Stream.ScanIndex` (stream/stream.go:74-90): follow an
+    * index's backward linked list — newest → oldest over matching events.
+    */
+  def scanIndex(ev: DataFrame, name: String, value: String): DataFrame =
+    ev.where(EventFrame.attr(name) === value).orderBy(col("event_id").desc)
+
+  /** Reference `First(name, value)` (stream/open_stream.go:107-115):
+    * head of one index list = max event_id among matches.
+    */
+  def first(ev: DataFrame, name: String, value: String): DataFrame =
+    ev.where(EventFrame.attr(name) === value)
+      .agg(max("event_id").as("head_event_id"))
+
+  /** Reference `populate` tails rebuild (stream/open_stream.go:219-241):
+    * per index value, the newest event's offset. A map-side-combinable
+    * argmax — one partial-agg shuffle, no sort of the raw events.
+    */
+  def tails(ev: DataFrame, name: String): DataFrame =
+    ev.select(EventFrame.attr(name).as("attr"), col("event_id"))
+      .where(col("attr").isNotNull && col("attr") =!= "")
+      .groupBy("attr")
+      .agg(max("event_id").as("tail_event_id"))
+      .orderBy("attr")
+
+  /** Reference `stream.Merge` (stream/merge.go:7-34): concatenate
+    * streams in argument order, preserving each stream's insertion
+    * order, assigning fresh contiguous offsets.
+    *
+    * Scale note: a naive `row_number() OVER (ORDER BY ...)` forces the
+    * whole dataset through one partition. Instead we range-partition on
+    * (src, src_event_id) — partitions are then globally ordered — sort
+    * within partitions, and assign ids with `zipWithIndex` (one extra
+    * count job, no single-partition bottleneck). Deterministic: range
+    * boundaries are sampled with fixed seeds and the total order has no
+    * ties.
+    */
+  def merge(spark: SparkSession, srcs: Seq[DataFrame]): DataFrame = {
+    require(srcs.nonEmpty, "merge of zero streams")
+    val tagged = srcs.zipWithIndex.map { case (df, i) =>
+      df.withColumnRenamed("event_id", "src_event_id").withColumn("src", lit(i.toLong))
+    }
+    val u = tagged.reduce(_ unionByName _)
+    val ordered = u
+      .repartitionByRange(col("src"), col("src_event_id"))
+      .sortWithinPartitions(col("src"), col("src_event_id"))
+    val schema = StructType(ordered.schema.fields :+ StructField("new_event_id", LongType, nullable = false))
+    val rows = ordered.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ (i + 1L)) }
+    spark.createDataFrame(rows, schema)
+  }
+}

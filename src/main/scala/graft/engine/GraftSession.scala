@@ -1,0 +1,21 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+
+/** Session-level knobs the engine needs regardless of who built the
+  * SparkSession (the verify/bench harnesses build their own sessions).
+  *
+  * `nanosAsLong`: the test datasets carry parquet TIMESTAMP(NANOS)
+  * columns, which Spark 4 refuses to map to TimestampType
+  * ([PARQUET_TYPE_ILLEGAL]). Reading them as raw Long (nanos since
+  * epoch) is lossless; the engine then normalizes to explicit
+  * micros-since-epoch (`ts_us`) columns, matching DuckDB's
+  * truncate-to-micros read of the same files.
+  */
+object GraftSession {
+  def tune(spark: SparkSession): SparkSession = {
+    try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    catch { case _: Exception => () } // conf locked down: proceed, reads may still work
+    spark
+  }
+}

@@ -1,0 +1,173 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Deduplication operators for training-data pipelines, over the
+  * `documents` table.
+  *
+  * Scale design: every variant is
+  *   per-row signature (one scan)
+  *   → explode small blocking keys
+  *   → self-equi-join on the blocking key (shuffle on key, AQE-skew-safe)
+  *   → exact verify on the candidate pairs only.
+  * No O(n²) step ever materializes; candidate volume is controlled by
+  * the band/bit parameters.
+  *
+  * Execution note: signature computation (shingling, 64-permutation
+  * MinHash, SimHash bit-voting) is per-partition imperative Scala
+  * ([[DedupKernels]]) rather than nested `transform`/`aggregate`
+  * column lambdas. Spark's higher-order functions are interpreted
+  * (CodegenFallback) and Catalyst inlines the tokenizer into every
+  * lambda element access, re-splitting the document once per array
+  * element — measured quadratic blowup. A JIT-compiled per-partition
+  * loop over xxhash64 is the idiomatic Spark escape hatch for exactly
+  * this case; results stay deterministic (fixed hash seeds, no RNG).
+  */
+object Dedup {
+
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+  // --- exact --------------------------------------------------------------
+
+  /** Exact dedup: group by content hash (md5), keep the smallest doc_id.
+    * Hash-grouping shuffles 16-byte keys, not document bodies — the
+    * difference between shuffling 100 TB and shuffling ~2 GB per 10^10
+    * docs. (Collision risk of md5 on non-adversarial data ≪ task noise.)
+    */
+  def exact(docs: DataFrame): DataFrame =
+    docs.select(md5(col("text")).as("fp"), col("doc_id"))
+      .groupBy("fp")
+      .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"))
+      .select("keep_doc_id", "n_copies")
+      .orderBy("keep_doc_id")
+
+  // --- MinHash + LSH ------------------------------------------------------
+
+  /** (doc_id, shash array<long>, bands array<long>): distinct shingle
+    * hashes + LSH band keys per document, one pass, JIT-compiled.
+    */
+  def minhashSignatures(docs: DataFrame, bands: Int = 16, rowsPerBand: Int = 4,
+                        shingleLen: Int = 3): DataFrame = {
+    val sp = docs.sparkSession
+    import sp.implicits._
+    spread(docs.select(col("doc_id"), col("text")))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val sh = DedupKernels.shingleHashes(text, shingleLen)
+          val sig = DedupKernels.minhashSig(sh, bands * rowsPerBand)
+          (id, sh, DedupKernels.bandKeys(sig, bands, rowsPerBand))
+        }
+      }
+      .toDF("doc_id", "shash", "bands")
+  }
+
+  /** Candidate pairs (a < b) sharing at least one LSH band. The
+    * self-join's two sides share one canonical plan, so the exchange is
+    * computed once and reused; P(candidate) ≈ 1-(1-j^r)^b for Jaccard j.
+    */
+  private def bandCandidates(sigs: DataFrame): DataFrame = {
+    val buckets = sigs.select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "bkey")))
+    val l = buckets.as("l")
+    val r = buckets.as("r")
+    l.join(r, col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
+      col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard over shingle-hash sets for candidate pairs only. */
+  private def verifyJaccard(cand: DataFrame, sigs: DataFrame, threshold: Double): DataFrame = {
+    val sh = sigs.select("doc_id", "shash")
+    cand
+      .join(sh.withColumnRenamed("doc_id", "a").withColumnRenamed("shash", "sh_a"), "a")
+      .join(sh.withColumnRenamed("doc_id", "b").withColumnRenamed("shash", "sh_b"), "b")
+      .withColumn("jaccard_x1000",
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("long") * 1000
+          / size(array_union(col("sh_a"), col("sh_b")))).cast("long"))
+      .where(col("jaccard_x1000") >= (threshold * 1000).toLong)
+      .select(col("a"), col("b"), col("jaccard_x1000"))
+      .orderBy("a", "b")
+  }
+
+  /** MinHash+LSH near-dup pairs at a Jaccard threshold. Signatures are
+    * persisted across the candidate and verify stages (computed once).
+    */
+  def minhashNearDups(docs: DataFrame, threshold: Double = 0.8,
+                      bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val sigs = minhashSignatures(docs, bands, rowsPerBand)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    verifyJaccard(bandCandidates(sigs), sigs, threshold)
+  }
+
+  /** Exact n-gram Jaccard pairs above `threshold`: LSH proposes, exact
+    * verification disposes. Lower thresholds widen the band config
+    * (more, shorter bands) instead of falling back to a cross join.
+    */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val (bands, rows) = if (threshold >= 0.7) (16, 4) else (32, 2)
+    minhashNearDups(docs, threshold, bands, rows)
+  }
+
+  // --- SimHash ------------------------------------------------------------
+
+  /** (doc_id, sig): 64-bit SimHash signatures, one pass per partition. */
+  def simhashSignatures(docs: DataFrame): DataFrame = {
+    val sp = docs.sparkSession
+    import sp.implicits._
+    spread(docs.select(col("doc_id"), col("text")))
+      .as[(Long, String)]
+      .mapPartitions(it => it.map { case (id, text) => (id, DedupKernels.simhash(text)) })
+      .toDF("doc_id", "sig")
+  }
+
+  /** SimHash near-dup pairs with Hamming distance <= maxHamming, using
+    * 4x16-bit chunk blocking (pigeonhole: any pair within Hamming 3
+    * agrees on at least one 16-bit chunk).
+    */
+  def simhashNearDups(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sigs = simhashSignatures(docs)
+    val chunkArr = array((0 until 4).map(c =>
+      shiftright(col("sig"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)
+    val chunks = sigs.select(col("doc_id"), col("sig"),
+      posexplode(chunkArr).as(Seq("chunk", "ckey")))
+    val l = chunks.as("l")
+    val r = chunks.as("r")
+    l.join(r, col("l.chunk") === col("r.chunk") && col("l.ckey") === col("r.ckey") &&
+      col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
+        bit_count(col("l.sig").bitwiseXOR(col("r.sig"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+      .orderBy("a", "b")
+  }
+
+  // --- embedding near-dup -------------------------------------------------
+
+  /** Embedding-cosine near-duplicates: pairs with cosine >= threshold.
+    * Candidates from random-hyperplane LSH buckets, exact cosine verify
+    * on candidates only.
+    */
+  def embeddingNearDups(embs: DataFrame, threshold: Double = 0.9,
+                        tables: Int = 8, bitsPerTable: Int = 8, dims: Int = 64): DataFrame = {
+    val b = Similarity.withBuckets(embs.select(col("vec_id"), col("embedding")), tables, bitsPerTable, dims)
+      .drop("embedding")
+    val l = b.as("l")
+    val r = b.as("r")
+    val cand = l.join(r, col("l.t") === col("r.t") && col("l.bucket") === col("r.bucket") &&
+        col("l.vec_id") < col("r.vec_id"))
+      .select(col("l.vec_id").as("a"), col("r.vec_id").as("b"))
+      .distinct()
+    val vecs = embs.select(col("vec_id"), col("embedding"))
+    cand
+      .join(vecs.withColumnRenamed("vec_id", "a").withColumnRenamed("embedding", "va"), "a")
+      .join(vecs.withColumnRenamed("vec_id", "b").withColumnRenamed("embedding", "vb"), "b")
+      .withColumn("cos", Similarity.cosine(col("va"), col("vb")))
+      .where(col("cos") >= threshold)
+      .select(col("a"), col("b"), (col("cos") * 1000000).cast("long").as("cos_x1e6"))
+      .orderBy("a", "b")
+  }
+}

@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: treat image/audio/video payloads as
+  * opaque `binary` columns with typed metadata, processed per-partition
+  * in batches.
+  *
+  * The container has no codec libraries, so [[decodeStub]] is a
+  * clearly-marked deterministic FAKE decoder; everything around it —
+  * schema, binary column handling, partition-batched execution shape,
+  * metadata extraction — is the real Spark plumbing a production
+  * pipeline would keep, swapping only the decoder body.
+  */
+object Multimodal {
+
+  /** One media object: id + raw bytes + declared mime type. */
+  case class MediaRow(doc_id: Long, media: Array[Byte], media_type: String)
+
+  /** Extracted features; width/height/duration are decoder outputs. */
+  case class MediaFeatures(doc_id: Long, n_bytes: Long, media_type: String,
+                           width: Int, height: Int, checksum: Long)
+
+  /** Manifest: the binary-column view of a corpus. For testdata the
+    * "media" is the UTF-8 text payload; in production this column holds
+    * image/audio bytes (or object-store pointers resolved per batch).
+    */
+  def manifest(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("media"),
+      lit("text/plain").as("media_type"))
+
+  /** STUB DECODER — deterministic fake. A real deployment replaces this
+    * with an image/audio codec call (per-partition, so codec init cost
+    * amortizes over a whole batch, the same shape mapInPandas gives
+    * Python pipelines).
+    */
+  private def decodeStub(bytes: Array[Byte]): (Int, Int) = {
+    var h = 1125899906842597L // FNV-ish deterministic fold of the bytes
+    var i = 0
+    while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
+    val w = 64 + math.floorMod(h, 1024).toInt
+    val ht = 64 + math.floorMod(h >>> 32, 1024).toInt
+    (w, ht)
+  }
+
+  /** Per-partition batched feature extraction over the binary column. */
+  def extractFeatures(spark: SparkSession, mf: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    mf.as[MediaRow].mapPartitions { it =>
+      // per-partition init would go here (codec handles, model weights…)
+      it.map { m =>
+        val (w, h) = decodeStub(m.media)
+        var cs = 0L
+        var i = 0
+        while (i < m.media.length) { cs += m.media(i) & 0xffL; i += 1 }
+        MediaFeatures(m.doc_id, m.media.length.toLong, m.media_type, w, h, cs)
+      }
+    }
+  }
+}

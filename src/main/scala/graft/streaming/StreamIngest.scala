@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.engine.EventFrame
+
+/** Structured Streaming parity for the reference's append-only stream
+  * (SURVEY.md §2.9): the reference `stream` package is a storage-level
+  * append log whose only derived state is `tails` (newest offset per
+  * index value, stream/open_stream.go:219-241). Here the same log is a
+  * streaming DataFrame of canonical events, and each reference read
+  * becomes a standard streaming transform:
+  *
+  *  - append ingest (`Stream.Write`)   → `writeStream format(parquet) outputMode(append)`
+  *  - tails recovery (`populate`)      → [[runningTails]] (update-mode groupBy-max)
+  *  - index scan (`ScanIndex`)         → [[indexFilter]] (stateless where)
+  *
+  * Beyond parity, the event-time operators the reference lacks entirely
+  * (it has no event-time at all): watermarked tumbling windows and
+  * session windows — both built-ins, exposed here so the engine's
+  * streaming surface matches its batch sessionize.
+  */
+object StreamIngest {
+
+  /** Running per-index-value head offset: update-mode incremental
+    * argmax, the streaming form of `EventLog.tails`.
+    */
+  def runningTails(events: DataFrame, indexName: String): DataFrame =
+    events.select(EventFrame.attr(indexName).as("attr"), col("event_id"))
+      .where(col("attr").isNotNull && col("attr") =!= "")
+      .groupBy("attr")
+      .agg(max("event_id").as("tail_event_id"))
+
+  /** Stateless secondary-index filter on the stream. */
+  def indexFilter(events: DataFrame, indexName: String, value: String): DataFrame =
+    events.where(EventFrame.attr(indexName) === value)
+
+  /** Watermarked tumbling-window event counts per space. Expects a
+    * TimestampType `ts` column (`timestamp_micros(ts_us)`).
+    */
+  def windowedCounts(events: DataFrame, window_ : String = "10 minutes",
+                     watermark: String = "1 hour"): DataFrame =
+    events.withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("space"))
+      .agg(count(lit(1)).as("n_events"))
+
+  /** Session windows (30 min gap) per grouping — streaming analog of
+    * the batch [[graft.ops.Sessionize]].
+    */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+                    watermark: String = "1 hour"): DataFrame =
+    events.withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("grouping"))
+      .agg(count(lit(1)).as("n_events"))
+}

@@ -1,0 +1,68 @@
+package graft
+
+import graft.ops.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def doc(id: Long, text: String) = (id, text)
+
+  private lazy val docs = Seq(
+    doc(1, "the quick brown fox jumps over the lazy dog again and again today"),
+    doc(2, "the quick brown fox jumps over the lazy dog again and again today"), // exact dup of 1
+    doc(3, "the quick brown fox jumps over the lazy dog again and again tomorrow"), // near-dup of 1
+    doc(4, "completely different content about spark query engines and distributed joins"),
+    doc(5, "another unrelated document mentioning streams windows and watermarks only")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts, keeps min doc_id") {
+    val got = rowsOf(Dedup.exact(docs))
+    assert(got.contains(Seq(1L, 2L))) // docs 1+2 collapse
+    assert(got.size == 4)
+  }
+
+  test("minhash LSH finds exact and near duplicates, not unrelated pairs") {
+    val pairs = Dedup.minhashNearDups(docs, 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)))
+    assert(!pairs.exists { case (a, b) => b == 4L || b == 5L || a == 4L })
+  }
+
+  test("exact jaccard values: identical pair scores 1000") {
+    val j = Dedup.minhashNearDups(docs, 0.5)
+      .where($"a" === 1L && $"b" === 2L)
+      .select("jaccard_x1000").as[Long].collect()
+    assert(j.sameElements(Array(1000L)))
+  }
+
+  test("simhash finds near-duplicates within hamming budget") {
+    val pairs = Dedup.simhashNearDups(docs, 12)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((4L, 5L)))
+  }
+
+  test("simhash of identical docs is identical (hamming 0)") {
+    val h = Dedup.simhashNearDups(docs, 0).where($"a" === 1L && $"b" === 2L)
+      .select("hamming").as[Long].collect()
+    assert(h.sameElements(Array(0L)))
+  }
+
+  test("ngram jaccard threshold excludes sub-threshold pairs") {
+    val hi = Dedup.ngramJaccardPairs(docs, 0.95)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(hi == Set((1L, 2L))) // only the exact dup survives 0.95
+  }
+
+  test("embedding near-dups: duplicate vectors found at high threshold") {
+    val embs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.5f, -0.25f)),
+      (2L, Seq(1.0f, 0.0f, 0.5f, -0.25f)),  // exact dup of 1
+      (3L, Seq(-1.0f, 0.2f, -0.5f, 0.25f))  // far away
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDups(embs, 0.99, tables = 4, bitsPerTable = 2, dims = 4)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+}

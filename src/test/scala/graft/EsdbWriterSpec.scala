@@ -1,0 +1,62 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SaveMode
+
+import graft.engine.{EsdbWriter, EventLog, EventStore}
+
+/** Write-path contracts mirroring the reference's immutability tests
+  * (writer_test.go:49-70 re-Add-after-Write errors; writer.go:27 O_EXCL;
+  * stream/open_stream_test.go:487-514 writes-after-close error).
+  */
+class EsdbWriterSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(): String = {
+    val d = Files.createTempDirectory("esdbw").toFile
+    d.delete()
+    d.getAbsolutePath
+  }
+
+  private lazy val ev = Seq(
+    ("a", "g", 2L, 1L, 0.0, """{"i": "i1"}"""),
+    ("b", "h", 3L, 2L, 0.0, """{"i": "i2"}"""),
+    ("a", "g", 1L, 3L, 0.0, """{"i": "i1"}""")
+  ).toDF("space", "grouping", "ts_us", "event_id", "value", "payload")
+
+  test("write + read roundtrip preserves data and scan order") {
+    val dir = freshDir()
+    EsdbWriter.write(ev, dir)
+    val back = EsdbWriter.read(spark, dir)
+    assert(back.count() == 3)
+    assert(EventStore.scan(back, "a", "g").select("event_id").as[Long].collect().toSeq == Seq(1L, 3L))
+  }
+
+  test("write refuses to overwrite an existing store (writer.go:27)") {
+    val dir = freshDir()
+    EsdbWriter.write(ev, dir)
+    intercept[Exception] { EsdbWriter.write(ev, dir) }
+  }
+
+  test("seal blocks appends (closed_stream.go:48-50) and persists tails") {
+    val dir = freshDir()
+    EsdbWriter.write(ev, dir)
+    EsdbWriter.seal(spark, dir, "i")
+    assert(EsdbWriter.isSealed(dir))
+    intercept[IllegalArgumentException] { EsdbWriter.append(ev, dir) }
+    val tails = spark.read.parquet(s"$dir/${EsdbWriter.SealMarker}.tails")
+    assert(rowsOf(tails.orderBy("attr")) == Seq(Seq("i1", 3L), Seq("i2", 2L)))
+  }
+
+  test("append before seal accumulates (open_stream.go:77-105)") {
+    val dir = freshDir()
+    EsdbWriter.write(ev, dir)
+    val more = Seq(("a", "g", 9L, 9L, 0.0, """{"i": "i1"}"""))
+      .toDF("space", "grouping", "ts_us", "event_id", "value", "payload")
+    EsdbWriter.append(more, dir)
+    val back = EsdbWriter.read(spark, dir)
+    assert(EventLog.iterate(back).count() == 4)
+    assert(EventLog.first(back, "i", "i1").as[Long].collect().toSeq == Seq(9L))
+  }
+}

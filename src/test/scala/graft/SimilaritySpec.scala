@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+
+import graft.engine.Tables
+import graft.ops.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
+  private lazy val queries = embs.where(col("vec_id") < 5)
+
+  test("brute top-k: k rows per query, ranks contiguous, cos descending") {
+    val got = Similarity.bruteTopK(embs, queries, 5)
+      .select("query_id", "rank", "cos_x1e6").as[(Long, Int, Long)].collect()
+    assert(got.length == 25)
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted.sameElements(Array(1, 2, 3, 4, 5)))
+      val sims = rows.sortBy(_._2).map(_._3)
+      assert(sims.zip(sims.tail).forall { case (x, y) => x >= y })
+    }
+  }
+
+  test("self-similarity: a duplicated vector is its own nearest neighbor") {
+    val dup = embs.where(col("vec_id") === 0)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"), col("label"))
+    val corpus = embs.unionByName(dup)
+    val top1 = Similarity.bruteTopK(corpus, corpus.where(col("vec_id") === 100000), 1)
+      .select("neighbor_id", "cos_x1e6").as[(Long, Long)].collect()
+    assert(top1.length == 1)
+    assert(top1(0)._1 == 0L)
+    assert(top1(0)._2 >= 999999L)
+  }
+
+  test("ANN recall vs brute force is usable (>= 0.5 on sf0.001)") {
+    val k = 10
+    val brute = Similarity.bruteTopK(embs, queries, k)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ann = Similarity.annTopK(embs, queries, k)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & ann).size.toDouble / brute.size
+    assert(recall >= 0.5, s"ANN recall $recall too low")
+  }
+}

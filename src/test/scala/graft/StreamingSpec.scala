@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.StreamIngest
+
+/** Streaming parity: the reference's incremental `tails` state
+  * (stream/open_stream.go:77-105 updates tails on each Write) must hold
+  * under incremental micro-batch execution, not just batch recompute.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  case class Ev(space: String, grouping: String, ts_us: Long, event_id: Long, payload: String)
+
+  test("runningTails tracks per-index heads across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamIngest.runningTails(mem.toDF(), "i")
+      .writeStream.format("memory").queryName("tails_t").outputMode(OutputMode.Complete())
+      .start()
+    try {
+      mem.addData(Ev("s", "u1", 1L, 1L, """{"i": "a"}"""), Ev("s", "u2", 2L, 2L, """{"i": "b"}"""))
+      q.processAllAvailable()
+      val r1 = spark.table("tails_t").as[(String, Long)].collect().toMap
+      assert(r1 == Map("a" -> 1L, "b" -> 2L))
+
+      mem.addData(Ev("s", "u1", 3L, 3L, """{"i": "a"}"""))
+      q.processAllAvailable()
+      val r2 = spark.table("tails_t").as[(String, Long)].collect().toMap
+      assert(r2 == Map("a" -> 3L, "b" -> 2L))
+    } finally q.stop()
+  }
+
+  test("windowed counts aggregate by tumbling event-time windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamIngest.windowedCounts(mem.toDF(), "10 minutes", "1 hour")
+      .writeStream.format("memory").queryName("wins_t").outputMode(OutputMode.Complete())
+      .start()
+    try {
+      val min = 60L * 1000000
+      mem.addData(
+        Ev("click", "u1", 1 * min, 1L, "{}"),
+        Ev("click", "u1", 5 * min, 2L, "{}"),
+        Ev("click", "u1", 15 * min, 3L, "{}"))
+      q.processAllAvailable()
+      val counts = spark.table("wins_t").select("n_events").as[Long].collect().sorted
+      assert(counts.sameElements(Array(1L, 2L)))
+    } finally q.stop()
+  }
+}

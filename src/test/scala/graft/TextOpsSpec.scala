@@ -1,0 +1,57 @@
+package graft
+
+import graft.ops.{Sessionize, TextOps}
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the cat sat on the mat"),
+    (2L, "spark"),
+    (3L, "a b c d e")
+  ).toDF("doc_id", "text")
+
+  test("token counts") {
+    assert(rowsOf(TextOps.tokenCounts(docs)) == Seq(
+      Seq(1L, 6L, 22L), Seq(2L, 1L, 5L), Seq(3L, 5L, 9L)))
+  }
+
+  test("quality score integer formulas") {
+    val got = rowsOf(TextOps.qualityScore(docs).where($"doc_id" === 1L))
+    // "the cat sat on the mat": 6 tokens, 17 non-space chars,
+    // avg_tok_len_x100 = 1700/6 = 283, hits_the = 2, quality = 2000/6 = 333
+    assert(got == Seq(Seq(1L, 6L, 283L, 2L, 333L)))
+  }
+
+  test("lang id is deterministic and scores stopword hits") {
+    val got = rowsOf(TextOps.langId(docs).where($"doc_id" === 1L))
+    assert(got.head(1) == "en") // "the" ×2 + "a" absent → en profile wins
+  }
+
+  test("md5 fingerprint matches JVM md5") {
+    val fp = TextOps.fingerprint(docs).where($"doc_id" === 2L)
+      .select("fp").as[String].collect().head
+    val jvm = java.security.MessageDigest.getInstance("MD5")
+      .digest("spark".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(fp == jvm)
+  }
+
+  test("rolling fingerprint: equal docs equal, different docs differ") {
+    val d2 = Seq((1L, "the cat sat on the mat"), (2L, "the cat sat on the hat"))
+      .toDF("doc_id", "text")
+    val fps = TextOps.rollingFingerprint(d2).select("rolling_fp").as[Long].collect()
+    assert(fps.distinct.length == 2)
+    val again = TextOps.rollingFingerprint(d2).select("rolling_fp").as[Long].collect()
+    assert(fps.sameElements(again))
+  }
+
+  test("sessionize splits on gaps > 30min") {
+    val ev = Seq(
+      ("u1", 0L, 1L), ("u1", 60L * 1000000, 2L),                  // session 1: 0s, 60s
+      ("u1", 10L * 60 * 60 * 1000000L, 3L),                       // session 2: 10h
+      ("u2", 0L, 4L)                                              // u2 session 1
+    ).toDF("grouping", "ts_us", "event_id")
+    val got = rowsOf(Sessionize.sessions(ev).select("grouping", "session_seq", "n_events"))
+    assert(got == Seq(Seq("u1", 1L, 2L), Seq("u1", 2L, 1L), Seq("u2", 1L, 1L)))
+  }
+}
