@@ -161,11 +161,13 @@ object Dedup {
         col("l.vec_id") < col("r.vec_id"))
       .select(col("l.vec_id").as("a"), col("r.vec_id").as("b"))
       .distinct()
+    // norms precomputed per vector so each candidate pair costs one vec_dot
     val vecs = embs.select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", Similarity.norm(col("embedding")))
     cand
-      .join(vecs.withColumnRenamed("vec_id", "a").withColumnRenamed("embedding", "va"), "a")
-      .join(vecs.withColumnRenamed("vec_id", "b").withColumnRenamed("embedding", "vb"), "b")
-      .withColumn("cos", Similarity.cosine(col("va"), col("vb")))
+      .join(vecs.select(col("vec_id").as("a"), col("embedding").as("va"), col("nrm").as("na")), "a")
+      .join(vecs.select(col("vec_id").as("b"), col("embedding").as("vb"), col("nrm").as("nb")), "b")
+      .withColumn("cos", Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .where(col("cos") >= threshold)
       .select(col("a"), col("b"), (col("cos") * 1000000).cast("long").as("cos_x1e6"))
       .orderBy("a", "b")
