@@ -1,0 +1,187 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.{EsdbWriter, EventLog, EventStore}
+
+/** One event as the callback API surfaces it. */
+case class Event(space: String, grouping: String, ts_us: Long, event_id: Long,
+                 value: Double, payload: String)
+
+/** Drop-in-shaped façade mirroring the reference's Go API so existing
+  * call sites port 1:1:
+  *
+  *   reference (Go)                      here (Scala)
+  *   esdb.Open(path)                     Esdb.open(spark, path)
+  *   db.Find(space)                      db.find(space)
+  *   db.Iterate(func(space) bool)        db.iterate(space => bool)
+  *   space.Scan(grouping, scanner)       space.scan(grouping)(event => bool)
+  *   space.ScanIndex(name, val, scanner) space.scanIndex(name, value)(event => bool)
+  *   space.Iterate(func(grouping) bool)  space.iterate(grouping => bool)
+  *
+  * Scanner semantics (reference space.go:14: return false to stop):
+  * results stream to the driver via `toLocalIterator`, so an early
+  * `false` stops fetching; for `scan`/`scanIndex` the plan underneath is
+  * the distributed ts-desc sort — bounded variants (`scanN`) push the
+  * limit into the plan (`TakeOrderedAndProject`) and are what
+  * reference callers using count-based early exit should use.
+  *
+  * The bulk/analytic surface stays on DataFrames ([[graft.engine.EventStore]],
+  * [[graft.engine.EventLog]]); this façade is the migration shim.
+  */
+class Db private[api] (val events: DataFrame) {
+
+  /** Reference `Db.Find` (esdb.go:41-60): None when the space has no events. */
+  def find(space: String): Option[Space] = {
+    val s = new Space(events, space)
+    if (s.frame.limit(1).isEmpty) None else Some(s)
+  }
+
+  /** Reference `Db.Iterate` (esdb.go:63-76): sorted spaces, early exit. */
+  def iterate(fn: String => Boolean): Unit =
+    consume(EventStore.iterateSpaces(events).select("space"), fn)
+
+  def spaces: Seq[String] =
+    EventStore.iterateSpaces(events).collect().toSeq.map(_.getString(0))
+
+  private def consume(df: DataFrame, fn: String => Boolean): Unit = {
+    val it = df.toLocalIterator()
+    var go = true
+    while (go && it.hasNext) go = fn(it.next().getString(0))
+  }
+}
+
+class Space private[api] (all: DataFrame, val space: String) {
+
+  private[api] val frame: DataFrame = all.where(col("space") === space)
+
+  /** Reference `Space.Iterate` (space.go:45-60): sorted groupings. */
+  def iterate(fn: String => Boolean): Unit = {
+    val it = EventStore.iterateGroupings(all, space).toLocalIterator()
+    var go = true
+    while (go && it.hasNext) go = fn(it.next().getString(0))
+  }
+
+  def groupings: Seq[String] =
+    EventStore.iterateGroupings(all, space).collect().toSeq.map(_.getString(0))
+
+  /** Reference `Space.Scan` (space.go:62-77): ts-desc stable, early exit. */
+  def scan(grouping: String)(fn: Event => Boolean): Unit =
+    consumeEvents(EventStore.scan(all, space, grouping), fn)
+
+  /** Bounded scan: limit pushed into the plan (TakeOrderedAndProject). */
+  def scanN(grouping: String, n: Int)(fn: Event => Boolean): Unit =
+    consumeEvents(EventStore.scan(all, space, grouping, Some(n)), fn)
+
+  /** Reference `Space.ScanIndex` (space.go:79-108). */
+  def scanIndex(name: String, value: String)(fn: Event => Boolean): Unit =
+    consumeEvents(EventStore.scanIndex(all, space, name, value), fn)
+
+  def scanIndexN(name: String, value: String, n: Int)(fn: Event => Boolean): Unit =
+    consumeEvents(EventStore.scanIndex(all, space, name, value, Some(n)), fn)
+
+  private def consumeEvents(df: DataFrame, fn: Event => Boolean): Unit = {
+    val sp = df.sparkSession
+    import sp.implicits._
+    val it = df.select("space", "grouping", "ts_us", "event_id", "value", "payload")
+      .as[Event].toLocalIterator()
+    var go = true
+    while (go && it.hasNext) go = fn(it.next())
+  }
+}
+
+object Esdb {
+
+  /** Reference `esdb.Open` (esdb.go:23-38) over a written store directory. */
+  def open(spark: SparkSession, path: String): Db =
+    new Db(EsdbWriter.read(spark, path))
+
+  /** Open over any canonical event frame (e.g. an adapted table). */
+  def fromFrame(events: DataFrame): Db = new Db(events)
+
+  /** Reference `esdb.New → Add* → Write` (writer.go): the buffered
+    * builder is a DataFrame; `write` freezes it into an immutable store.
+    */
+  def write(events: DataFrame, path: String): Unit = EsdbWriter.write(events, path)
+}
+
+/** Stream façade mirroring the reference `stream` package
+  * (stream/stream.go): offset-resumable iteration, newest→oldest index
+  * scans, first/tails, seal lifecycle, merge.
+  */
+class EventStream private[api] (val spark: SparkSession, val path: String) {
+
+  def frame: DataFrame = EsdbWriter.read(spark, path)
+
+  def isClosed: Boolean = EsdbWriter.isSealed(path)
+
+  /** Reference `Stream.Write` (open_stream.go:77-105): append a batch. */
+  def write(events: DataFrame): Unit = EsdbWriter.append(events, path)
+
+  /** Reference `Stream.Iterate(offset, fn)` (stream.go:92-124): returns
+    * the next offset for resumption.
+    */
+  def iterate(offset: Long = 0L)(fn: Event => Boolean): Long = {
+    val sp = spark
+    import sp.implicits._
+    val it = EventLog.iterate(frame, offset)
+      .select("space", "grouping", "ts_us", "event_id", "value", "payload")
+      .as[Event].toLocalIterator()
+    var last = offset
+    var go = true
+    while (go && it.hasNext) {
+      val e = it.next()
+      go = fn(e)
+      last = e.event_id + 1
+    }
+    last
+  }
+
+  /** Reference `Stream.ScanIndex` (stream.go:74-90): newest → oldest. */
+  def scanIndex(name: String, value: String)(fn: Event => Boolean): Unit = {
+    val sp = spark
+    import sp.implicits._
+    val it = EventLog.scanIndex(frame, name, value)
+      .select("space", "grouping", "ts_us", "event_id", "value", "payload")
+      .as[Event].toLocalIterator()
+    var go = true
+    while (go && it.hasNext) go = fn(it.next())
+  }
+
+  /** Reference `First` (open_stream.go:107-115). */
+  def first(name: String, value: String): Option[Long] = {
+    val r = EventLog.first(frame, name, value).collect()(0)
+    if (r.isNullAt(0)) None else Some(r.getLong(0))
+  }
+
+  /** Reference `populate`/closed tails (open_stream.go:219-241). */
+  def tails(name: String): Map[String, Long] =
+    EventLog.tails(frame, name).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  /** Reference `Close()` (open_stream.go:146-201). */
+  def close(indexName: String): Unit = EsdbWriter.seal(spark, path, indexName)
+}
+
+object EventStream {
+
+  /** Reference `stream.New` / `stream.Open` (stream.go:45-72). */
+  def create(spark: SparkSession, path: String, first: DataFrame): EventStream = {
+    EsdbWriter.write(first, path)
+    new EventStream(spark, path)
+  }
+
+  def open(spark: SparkSession, path: String): EventStream = new EventStream(spark, path)
+
+  /** Reference `stream.Merge` (merge.go:7-34): concatenate source
+    * streams into a new stream with fresh contiguous offsets.
+    */
+  def merge(spark: SparkSession, dst: String, srcs: Seq[EventStream]): EventStream = {
+    val merged = EventLog.merge(spark, srcs.map(s =>
+        EventLog.iterate(s.frame).select("space", "grouping", "ts_us", "event_id", "value", "payload")))
+      .withColumnRenamed("new_event_id", "event_id")
+      .select("space", "grouping", "ts_us", "event_id", "value", "payload")
+    EsdbWriter.write(merged, dst)
+    new EventStream(spark, dst)
+  }
+}

@@ -12,6 +12,29 @@ object Tables {
   }
 
   def events(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "events")
+
+  /** Ingest the reference's `visits` CSV fixture shape
+    * (testdata/build.go:15-59: `type,host,city,visitor,timestamp`, no
+    * header, Unix-seconds timestamps) into the canonical event frame:
+    * space=type, grouping=host, secondary indexes city/visitor carried
+    * as JSON payload attrs, event_id = line position (via a window over
+    * the natural order key, ts then insertion column order).
+    */
+  def visitsCsv(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    GraftSession.tune(spark)
+    val raw = spark.read
+      .schema("type STRING, host STRING, city STRING, visitor STRING, timestamp LONG")
+      .csv(path)
+    raw.select(
+      col("type").as("space"),
+      col("host").as("grouping"),
+      (col("timestamp") * 1000000L).as("ts_us"),
+      row_number().over(Window.orderBy("timestamp", "host", "visitor")).cast("long").as("event_id"),
+      lit(0.0d).as("value"),
+      to_json(struct(col("city"), col("visitor"))).as("payload"))
+  }
   def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
   def lineitem(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "lineitem")
