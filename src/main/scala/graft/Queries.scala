@@ -215,6 +215,41 @@ object Queries {
               |FROM sq GROUP BY grouping, session_seq
               |ORDER BY grouping, session_seq""".stripMargin)),
 
+    QuerySpec("agg_time_windows",
+      (s, d) => ev(s, d)
+        .groupBy(expr("ts_us div 3600000000").as("hour_bucket"), col("space"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+        .orderBy("hour_bucket", "space"),
+      Some("""SELECT epoch_us(ts) // 3600000000 AS hour_bucket, event_type AS space,
+             |       count(*) AS n_events,
+             |       sum(CAST(round(value*100) AS BIGINT)) AS sum_cents
+             |FROM events GROUP BY hour_bucket, space
+             |ORDER BY hour_bucket, space""".stripMargin)),
+
+    QuerySpec("agg_value_stats",
+      (s, d) => ev(s, d).groupBy("space")
+        .agg(min("value").as("min_value"), max("value").as("max_value"),
+          sum(round(col("value") * 100).cast("long")).as("sum_cents"),
+          count(lit(1)).as("n_events"))
+        .orderBy("space"),
+      Some("""SELECT event_type AS space, min(value) AS min_value, max(value) AS max_value,
+             |       sum(CAST(round(value*100) AS BIGINT)) AS sum_cents, count(*) AS n_events
+             |FROM events GROUP BY space ORDER BY space""".stripMargin)),
+
+    // HLL sketch + approximate quantiles: engine-deterministic but not
+    // bit-identical across engines → rows-only checks
+    QuerySpec("agg_approx_distinct",
+      (s, d) => ev(s, d).groupBy("space")
+        .agg(approx_count_distinct(col("grouping")).as("approx_groupings"))
+        .orderBy("space"), None),
+
+    QuerySpec("agg_value_quantiles",
+      (s, d) => ev(s, d).groupBy("space")
+        .agg(percentile_approx(col("value"), array(lit(0.5), lit(0.95), lit(0.99)), lit(10000))
+          .as("p50_p95_p99"))
+        .orderBy("space"), None),
+
     // ---- training-data extensions: dedup ---------------------------------
 
     QuerySpec("dedup_exact",

@@ -13,6 +13,19 @@ object Tables {
 
   def events(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "events")
 
+  /** Ingest JSON-lines events (the reference's payloads are JSON in
+    * practice — README.md:85-99 marshals a map) with the canonical
+    * field names; extra JSON fields are preserved inside `payload`.
+    */
+  def eventsJson(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    GraftSession.tune(spark)
+    spark.read
+      .schema("space STRING, grouping STRING, ts_us LONG, event_id LONG, value DOUBLE, payload STRING")
+      .json(path)
+      .select("space", "grouping", "ts_us", "event_id", "value", "payload")
+  }
+
   /** Ingest the reference's `visits` CSV fixture shape
     * (testdata/build.go:15-59: `type,host,city,visitor,timestamp`, no
     * header, Unix-seconds timestamps) into the canonical event frame:

@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.engine.EventFrame
 
@@ -31,6 +32,32 @@ object StreamIngest {
       .where(col("attr").isNotNull && col("attr") =!= "")
       .groupBy("attr")
       .agg(max("event_id").as("tail_event_id"))
+
+  /** One tail record as emitted by the stateful variant. */
+  case class Tail(attr: String, tail_event_id: Long)
+
+  /** [[runningTails]] via explicit custom state
+    * (`mapGroupsWithState`): the streaming-native form of the
+    * reference's in-memory `tails` map that `Stream.Write` maintains
+    * per append (stream/open_stream.go:77-105) — each micro-batch
+    * folds its events into per-key state and emits the new head.
+    * Use when tails state must live alongside richer per-key state
+    * (the agg-based [[runningTails]] is the simpler default).
+    */
+  def statefulTails(spark: SparkSession, events: DataFrame, indexName: String): Dataset[Tail] = {
+    import spark.implicits._
+    events.select(EventFrame.attr(indexName).as("attr"), col("event_id"))
+      .where(col("attr").isNotNull && col("attr") =!= "")
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (attr: String, batch: Iterator[(String, Long)], state: GroupState[Long]) =>
+          val batchMax = batch.map(_._2).max
+          val head = if (state.exists) math.max(state.get, batchMax) else batchMax
+          state.update(head)
+          Tail(attr, head)
+      }
+  }
 
   /** Stateless secondary-index filter on the stream. */
   def indexFilter(events: DataFrame, indexName: String, value: String): DataFrame =

@@ -33,6 +33,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("statefulTails (mapGroupsWithState) tracks heads incrementally") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamIngest.statefulTails(spark, mem.toDF(), "i")
+      .writeStream.format("memory").queryName("stails_t").outputMode(OutputMode.Update())
+      .start()
+    try {
+      mem.addData(Ev("s", "u1", 1L, 1L, """{"i": "a"}"""), Ev("s", "u2", 2L, 7L, """{"i": "a"}"""))
+      q.processAllAvailable()
+      val r1 = spark.table("stails_t").as[(String, Long)].collect().toMap
+      assert(r1 == Map("a" -> 7L))
+
+      mem.addData(Ev("s", "u1", 3L, 3L, """{"i": "a"}"""), Ev("s", "u3", 4L, 9L, """{"i": "b"}"""))
+      q.processAllAvailable()
+      // update mode: latest emit per key wins
+      val r2 = spark.table("stails_t").as[(String, Long)].collect()
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+      assert(r2 == Map("a" -> 7L, "b" -> 9L))
+    } finally q.stop()
+  }
+
+  test("extensions install vec_dot for SQL text queries") {
+    graft.functions.VectorFunctions.register(spark)
+    val got = spark.sql(
+      "SELECT vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d")
+      .as[Double].collect()
+    assert(got.sameElements(Array(11.0)))
+    // the cluster-deployment path wires the same builder
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.engine.GraftExtensions().apply(ext)
+  }
+
   test("windowed counts aggregate by tumbling event-time windows") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
