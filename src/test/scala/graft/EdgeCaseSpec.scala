@@ -1,0 +1,58 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.engine.{EsdbWriter, EventStore}
+import graft.ops.{Dedup, TextOps}
+
+/** Edge cases mirroring the reference's (esdb_test.go:112-154 big
+  * event spanning blocks; empty/missing lookups; plus unicode payloads
+  * the byte-oriented reference stores opaquely).
+  */
+class EdgeCaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("big payload (~64 KB) roundtrips through write + scan") {
+    val big = "x" * 65536
+    val dir = { val d = Files.createTempDirectory("esdbbig").toFile; d.delete(); d.getAbsolutePath }
+    val ev = Seq(("a", "g", 1L, 1L, 0.0, big))
+      .toDF("space", "grouping", "ts_us", "event_id", "value", "payload")
+    EsdbWriter.write(ev, dir)
+    val back = EventStore.scan(EsdbWriter.read(spark, dir), "a", "g")
+      .select("payload").as[String].collect()
+    assert(back.length == 1 && back(0) == big)
+  }
+
+  test("unicode payloads and text ops") {
+    val docs = Seq((1L, "héllo wörld 你好 世界"), (2L, "ascii only text here"))
+      .toDF("doc_id", "text")
+    val counts = TextOps.tokenCounts(docs).select("doc_id", "n_tokens").as[(Long, Long)].collect().toMap
+    assert(counts == Map(1L -> 4L, 2L -> 4L)) // codepoint-aware split
+    val fps = TextOps.fingerprint(docs).select("fp").as[String].collect()
+    assert(fps.distinct.length == 2)
+    // minhash kernel handles multi-byte chars deterministically
+    val a = graft.ops.DedupKernels.shingleHashes("你好 世界 你好 世界 再见", 3)
+    val b = graft.ops.DedupKernels.shingleHashes("你好 世界 你好 世界 再见", 3)
+    assert(a.sameElements(b))
+  }
+
+  test("empty inputs: scans, tails, dedup on zero rows") {
+    val empty = Seq.empty[(String, String, Long, Long, Double, String)]
+      .toDF("space", "grouping", "ts_us", "event_id", "value", "payload")
+    assert(EventStore.scan(empty, "a", "g").isEmpty)
+    assert(graft.engine.EventLog.tails(empty, "i").isEmpty)
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.exact(emptyDocs).isEmpty)
+    assert(Dedup.minhashNearDups(emptyDocs, 0.8).isEmpty)
+  }
+
+  test("single-token and single-char documents survive the dedup pipeline") {
+    val docs = Seq((1L, "a"), (2L, "a"), (3L, "b c"), (4L, "")).toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDups(docs, 0.9)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    val sims = Dedup.simhashNearDups(docs, 0)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(sims.contains((1L, 2L)))
+  }
+}
