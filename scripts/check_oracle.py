@@ -6,9 +6,11 @@ output for the query, sort columns by name, and compare values.
 Usage: python3 scripts/check_oracle.py <sfDir> <verifyOutDir>
 """
 import json
+import os
 import sys
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -17,13 +19,32 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
-    # canonicalize dtypes for comparison
     for c in df.columns:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = df[c].astype("int64") // 1000  # ns -> us
-        elif pd.api.types.is_float_dtype(df[c]):
-            df[c] = df[c].round(9)
     return df.reset_index(drop=True)
+
+
+def compare(got: pd.DataFrame, want: pd.DataFrame) -> str | None:
+    """None if equal; else a description. Integers exact; floats within
+    1e-12 relative (do NOT round large floats — x*1e9 overflows the
+    53-bit mantissa and manufactures differences)."""
+    if list(got.columns) != list(want.columns):
+        return f"columns {list(got.columns)} != {list(want.columns)}"
+    if len(got) != len(want):
+        return f"rows {len(got)} != {len(want)}"
+    for c in got.columns:
+        g, w = got[c], want[c]
+        if pd.api.types.is_float_dtype(g) or pd.api.types.is_float_dtype(w):
+            ok = np.isclose(g.astype("float64"), w.astype("float64"),
+                            rtol=1e-12, atol=1e-12, equal_nan=True).all()
+        else:
+            ok = g.equals(w) or (g.astype(str) == w.astype(str)).all()
+        if not ok:
+            bad = (g.astype(str) != w.astype(str))
+            i = int(np.argmax(bad.values)) if bad.any() else 0
+            return f"column {c} differs, e.g. row {i}: {g.iloc[i]!r} != {w.iloc[i]!r}"
+    return None
 
 
 def main(sf_dir: str, out_dir: str) -> int:
@@ -46,22 +67,17 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"FAIL {name}: oracle SQL error: {e}")
             n_bad += 1
             continue
-        if list(got.columns) != list(want.columns):
-            print(f"FAIL {name}: columns {list(got.columns)} != {list(want.columns)}")
+        # flag dtype drift the driver's schema/hash compare could trip on
+        dtype_note = ""
+        for c in got.columns:
+            if str(got[c].dtype) != str(want[c].dtype):
+                dtype_note = f"  [dtype drift: {c} {got[c].dtype} vs {want[c].dtype}]"
+        err = compare(got, want)
+        if err:
+            print(f"FAIL {name}: {err}")
             n_bad += 1
-            continue
-        if len(got) != len(want):
-            print(f"FAIL {name}: rows {len(got)} != {len(want)}")
-            n_bad += 1
-            continue
-        try:
-            pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
-            print(f"OK   {name} ({len(got)} rows)")
-        except AssertionError as e:
-            print(f"FAIL {name}: value mismatch: {str(e)[:500]}")
-            n_bad += 1
-    # rows-only queries (no oracle)
-    import os
+        else:
+            print(f"OK   {name} ({len(got)} rows){dtype_note}")
     for name in sorted(os.listdir(out_dir)):
         p = os.path.join(out_dir, name)
         if os.path.isdir(p) and name not in oracles:
@@ -71,7 +87,7 @@ def main(sf_dir: str, out_dir: str) -> int:
             except Exception as e:
                 print(f"FAIL {name}: unreadable rows-only output: {e}")
                 n_bad += 1
-    print(f"{'ALL OK' if n_bad == 0 else f'{n_bad} FAILURES'}")
+    print("ALL OK" if n_bad == 0 else f"{n_bad} FAILURES")
     return 1 if n_bad else 0
 
 

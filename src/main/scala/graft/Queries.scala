@@ -153,7 +153,7 @@ object Queries {
         .orderBy("space"),
       Some("""SELECT event_type AS space, count(*) AS n_events,
              |       count(DISTINCT CAST(user_id AS VARCHAR)) AS n_groupings,
-             |       sum(CAST(round(value*100) AS BIGINT)) AS sum_cents
+             |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
              |FROM events GROUP BY space ORDER BY space""".stripMargin)),
 
     QuerySpec("topk_groupings_by_value",
@@ -165,9 +165,9 @@ object Queries {
           .where(col("rk") <= 3)
           .orderBy("space", "rk")
       },
-      Some("""SELECT space, grouping, sum_cents, rk FROM (
+      Some("""SELECT space, grouping, CAST(sum_cents AS BIGINT) AS sum_cents, rk FROM (
              |  SELECT event_type AS space, CAST(user_id AS VARCHAR) AS grouping,
-             |         sum(CAST(round(value*100) AS BIGINT)) AS sum_cents,
+             |         CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents,
              |         row_number() OVER (PARTITION BY event_type
              |           ORDER BY sum(CAST(round(value*100) AS BIGINT)) DESC,
              |                    CAST(user_id AS VARCHAR)) AS rk
@@ -184,9 +184,9 @@ object Queries {
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus"),
       Some("""SELECT l_returnflag, l_linestatus,
-             |  sum(CAST(round(l_quantity*100) AS BIGINT)) AS sum_qty_x100,
-             |  sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS sum_base_x100,
-             |  sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS sum_disc_x100,
+             |  CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_x100,
+             |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_x100,
+             |  CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS sum_disc_x100,
              |  count(*) AS count_order
              |FROM lineitem GROUP BY l_returnflag, l_linestatus
              |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
@@ -199,7 +199,7 @@ object Queries {
           sum(round(col("o_totalprice") * 100).cast("long")).as("rev_cents"))
         .orderBy("c_mktsegment"),
       Some("""SELECT c_mktsegment, count(*) AS n_orders,
-             |       sum(CAST(round(o_totalprice*100) AS BIGINT)) AS rev_cents
+             |       CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS rev_cents
              |FROM orders JOIN customer ON o_custkey = c_custkey
              |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
 
@@ -210,7 +210,7 @@ object Queries {
               |m AS (SELECT *, CASE WHEN prev_ts IS NULL OR ts_us - prev_ts > ${Sessionize.DefaultGapUs} THEN 1 ELSE 0 END AS is_new FROM l),
               |sq AS (SELECT *, sum(is_new) OVER (PARTITION BY grouping ORDER BY ts_us, event_id
               |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq FROM m)
-              |SELECT grouping, session_seq, count(*) AS n_events,
+              |SELECT grouping, CAST(session_seq AS BIGINT) AS session_seq, count(*) AS n_events,
               |       min(ts_us) AS start_us, max(ts_us) AS end_us
               |FROM sq GROUP BY grouping, session_seq
               |ORDER BY grouping, session_seq""".stripMargin)),
@@ -223,7 +223,7 @@ object Queries {
         .orderBy("hour_bucket", "space"),
       Some("""SELECT epoch_us(ts) // 3600000000 AS hour_bucket, event_type AS space,
              |       count(*) AS n_events,
-             |       sum(CAST(round(value*100) AS BIGINT)) AS sum_cents
+             |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
              |FROM events GROUP BY hour_bucket, space
              |ORDER BY hour_bucket, space""".stripMargin)),
 
@@ -234,7 +234,7 @@ object Queries {
           count(lit(1)).as("n_events"))
         .orderBy("space"),
       Some("""SELECT event_type AS space, min(value) AS min_value, max(value) AS max_value,
-             |       sum(CAST(round(value*100) AS BIGINT)) AS sum_cents, count(*) AS n_events
+             |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents, count(*) AS n_events
              |FROM events GROUP BY space ORDER BY space""".stripMargin)),
 
     // HLL sketch + approximate quantiles: engine-deterministic but not
