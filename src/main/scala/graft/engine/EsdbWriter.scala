@@ -67,6 +67,22 @@ object EsdbWriter {
 
   def isSealed(path: String): Boolean = Files.exists(Paths.get(path, SealMarker))
 
+  /** Bucketed layout: hash-bucket by `grouping`, sorted by (ts_us desc,
+    * event_id) inside each bucket. Joins and aggregations keyed on
+    * `grouping` between tables bucketed the same way are then
+    * co-located — Catalyst plans them with NO exchange on either side,
+    * which at 100 TB is the difference between a full-corpus shuffle
+    * and a local merge. (Bucketing requires the table catalog, hence
+    * `saveAsTable` rather than a bare path write.)
+    */
+  def writeBucketed(ev: DataFrame, tableName: String, numBuckets: Int = 64): Unit =
+    ev.write
+      .mode(SaveMode.ErrorIfExists)
+      .bucketBy(numBuckets, "grouping")
+      .sortBy("grouping", "ts_us", "event_id")
+      .format("parquet")
+      .saveAsTable(tableName)
+
   /** Open a written store; `basePath` keeps the `space` partition column. */
   def read(spark: SparkSession, path: String): DataFrame = {
     GraftSession.tune(spark)

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Plan-shape regression tests: the physical properties that make these
+  * operators viable at 100 TB (SCALE.md) are asserted here so a
+  * refactor cannot silently trade them away.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    Queries.queries(name)(spark, dir).queryExecution.explainString(FormattedMode)
+
+  test("index scan + limit is a true top-k with storage pushdown") {
+    val p = plan("space_scan_index_limit")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange"), "top-k must not shuffle the filtered data\n" + p)
+    assert(p.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,click)]"), p)
+  }
+
+  test("tails pre-aggregates map-side before its shuffle") {
+    val p = plan("stream_tails")
+    assert(p.contains("partial_max"), "tails must partial-aggregate before the exchange\n" + p)
+  }
+
+  test("orders-customer join broadcasts the small side") {
+    val p = plan("join_orders_customer")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("join scans prune to the referenced columns only") {
+    val p = plan("join_orders_customer")
+    assert(p.contains("ReadSchema: struct<o_custkey:bigint,o_totalprice:double>"), p)
+    assert(p.contains("ReadSchema: struct<c_custkey:bigint,c_mktsegment:string>"), p)
+  }
+
+  test("sessionize reuses one partitioning for lag, running sum, and aggregate") {
+    val p = plan("events_sessionize")
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).length
+    assert(exchanges == 2, s"expected data shuffle + presentation sort only, got $exchanges\n" + p)
+  }
+
+  test("similarity scoring has no cartesian product and broadcasts queries") {
+    val p = plan("similarity_topk")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("dedup pipelines never plan a cartesian product") {
+    Seq("dedup_minhash", "dedup_simhash", "dedup_embedding").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cross join\n" + p)
+    }
+  }
+
+  test("bucketed tables join co-located: no exchange on either side") {
+    import spark.implicits._
+    val ev = (1 to 100).map(i => ("s", s"u${i % 10}", i.toLong, i.toLong, 0.0, "{}"))
+      .toDF("space", "grouping", "ts_us", "event_id", "value", "payload")
+    graft.engine.EsdbWriter.writeBucketed(ev, "bucketed_a", 4)
+    graft.engine.EsdbWriter.writeBucketed(ev, "bucketed_b", 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the shuffle-join path
+      val j = spark.table("bucketed_a").groupBy("grouping").count()
+        .join(spark.table("bucketed_b").groupBy("grouping").count(), "grouping")
+      j.collect()
+      val p = j.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), "bucketed join/agg must not shuffle\n" + p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("vec_dot is a codegen expression in the scoring projection") {
+    // not a CodegenFallback: doGenCode emits the primitive loop
+    assert(!classOf[org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback]
+      .isAssignableFrom(classOf[graft.functions.VecDot]))
+    val df: DataFrame = Queries.queries("similarity_topk")(spark, dir)
+    df.collect() // force AQE to finalize
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("vec_dot"), executed)
+    // "*(n)" prefixes mark whole-stage-codegen'd operators in the final plan
+    assert("""\*\(\d+\) Project""".r.findFirstIn(executed).isDefined, executed)
+  }
+}
