@@ -54,6 +54,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source ingest: appended batches flow into running tails") {
+    // the real append-log shape: a directory of parquet batches read as
+    // a stream (reference: open_stream.go appends + lazy populate)
+    val dir = java.nio.file.Files.createTempDirectory("gstream").toString
+    val batch1 = Seq(
+      ("s", "u1", 1L, 1L, 0.0, """{"i": "a"}"""),
+      ("s", "u2", 2L, 2L, 0.0, """{"i": "b"}"""))
+      .toDF("space", "grouping", "ts_us", "event_id", "value", "payload")
+    batch1.write.mode("append").parquet(dir)
+    val stream = spark.readStream.schema(batch1.schema).parquet(dir)
+    val q = StreamIngest.runningTails(stream, "i")
+      .writeStream.format("memory").queryName("ftails_t").outputMode(OutputMode.Complete())
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("ftails_t").as[(String, Long)].collect().toMap == Map("a" -> 1L, "b" -> 2L))
+      Seq(("s", "u1", 3L, 5L, 0.0, """{"i": "a"}"""))
+        .toDF("space", "grouping", "ts_us", "event_id", "value", "payload")
+        .write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      assert(spark.table("ftails_t").as[(String, Long)].collect().toMap == Map("a" -> 5L, "b" -> 2L))
+    } finally q.stop()
+  }
+
   test("extensions install vec_dot for SQL text queries") {
     graft.functions.VectorFunctions.register(spark)
     val got = spark.sql(
