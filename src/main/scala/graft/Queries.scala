@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.engine.{EventFrame, EventLog, EventStore, Tables}
-import graft.ops.{Dedup, Multimodal, Sessionize, Similarity, TextOps}
+import graft.ops.{AsofJoin, Dedup, Multimodal, Sessionize, Similarity, TextOps}
 
 /** The declared query set (SURVEY.md §2.11): every esdb-parity operator
   * plus the training-data-pipeline extensions, each as a
@@ -249,6 +249,69 @@ object Queries {
         .agg(percentile_approx(col("value"), array(lit(0.5), lit(0.95), lit(0.99)), lit(10000))
           .as("p50_p95_p99"))
         .orderBy("space"), None),
+
+    // asof: each click joined to the user's most recent prior-or-same-time
+    // purchase (DuckDB has native ASOF JOIN; ours is the union-window plan)
+    QuerySpec("events_asof_join",
+      (s, d) => {
+        val e = ev(s, d)
+        AsofJoin.leftAsof(e.where(col("space") === "click"), e.where(col("space") === "purchase"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT l.grouping, l.ts_us, l.event_id AS event_id,
+             |       r.event_id AS asof_event_id, r.ts_us AS asof_ts_us
+             |FROM (SELECT CAST(user_id AS VARCHAR) AS grouping, epoch_us(ts) AS ts_us, event_id
+             |      FROM events WHERE event_type = 'click') l
+             |ASOF LEFT JOIN (SELECT CAST(user_id AS VARCHAR) AS grouping, epoch_us(ts) AS ts_us, event_id
+             |      FROM events WHERE event_type = 'purchase') r
+             |  ON l.grouping = r.grouping AND l.ts_us >= r.ts_us
+             |ORDER BY l.event_id""".stripMargin)),
+
+    // set operations (absent in the reference; free in Spark — SURVEY §2.7)
+    // (grouping, attr) pairs so both directions are non-trivial at every SF
+    QuerySpec("set_click_not_purchase",
+      (s, d) => {
+        val e = ev(s, d).select(col("grouping"), EventFrame.attr(IdxName).as("attr_k"), col("space"))
+        e.where(col("space") === "click").select("grouping", "attr_k").distinct()
+          .except(e.where(col("space") === "purchase").select("grouping", "attr_k").distinct())
+          .orderBy("grouping", "attr_k")
+      },
+      Some(s"""SELECT * FROM (
+              |  SELECT DISTINCT CAST(user_id AS VARCHAR) AS grouping,
+              |         regexp_extract(props, '"$IdxName":\\s*(\\d+)', 1) AS attr_k
+              |  FROM events WHERE event_type='click'
+              |  EXCEPT
+              |  SELECT DISTINCT CAST(user_id AS VARCHAR) AS grouping,
+              |         regexp_extract(props, '"$IdxName":\\s*(\\d+)', 1) AS attr_k
+              |  FROM events WHERE event_type='purchase') t
+              |ORDER BY grouping, attr_k""".stripMargin)),
+
+    QuerySpec("set_click_and_error",
+      (s, d) => {
+        val e = ev(s, d).select(col("grouping"), EventFrame.attr(IdxName).as("attr_k"), col("space"))
+        e.where(col("space") === "click").select("grouping", "attr_k").distinct()
+          .intersect(e.where(col("space") === "error").select("grouping", "attr_k").distinct())
+          .orderBy("grouping", "attr_k")
+      },
+      Some(s"""SELECT * FROM (
+              |  SELECT DISTINCT CAST(user_id AS VARCHAR) AS grouping,
+              |         regexp_extract(props, '"$IdxName":\\s*(\\d+)', 1) AS attr_k
+              |  FROM events WHERE event_type='click'
+              |  INTERSECT
+              |  SELECT DISTINCT CAST(user_id AS VARCHAR) AS grouping,
+              |         regexp_extract(props, '"$IdxName":\\s*(\\d+)', 1) AS attr_k
+              |  FROM events WHERE event_type='error') t
+              |ORDER BY grouping, attr_k""".stripMargin)),
+
+    // rollup / grouping sets (Spark built-in; NULL subtotal rows coalesced
+    // to 'ALL' so the representation is engine-neutral)
+    QuerySpec("rollup_space_counts",
+      (s, d) => ev(s, d).rollup("space")
+        .agg(count(lit(1)).as("n_events"))
+        .select(coalesce(col("space"), lit("ALL")).as("space"), col("n_events"))
+        .orderBy("space"),
+      Some("""SELECT coalesce(event_type, 'ALL') AS space, count(*) AS n_events
+             |FROM events GROUP BY ROLLUP(event_type) ORDER BY space""".stripMargin)),
 
     // ---- training-data extensions: dedup ---------------------------------
 
