@@ -33,21 +33,38 @@ object EsdbWriter {
 
   val SealMarker = "_CLOSED"
 
-  /** Write a canonical [[EventFrame]] as an immutable store. */
-  def write(ev: DataFrame, path: String): Unit =
-    ev.repartition(col("space"))
+  /** Write a canonical [[EventFrame]] as an immutable store.
+    *
+    * `indexAttrs` is the write-time analog of the reference's secondary
+    * index construction (space_writer.go:47-49 builds `"i"+name+":"+
+    * value` location lists while writing): each named payload attr is
+    * materialized as a real `idx_<name>` column, so index-scan
+    * predicates hit parquet column stats / dictionary filters instead
+    * of parsing JSON per row per scan. Readers fall back to JSON
+    * extraction for attrs that were not declared at write time —
+    * exactly the reference's behavior (no index → full scan).
+    */
+  def write(ev: DataFrame, path: String, indexAttrs: Seq[String] = Nil): Unit = {
+    val indexed = indexAttrs.foldLeft(ev) { (df, name) =>
+      df.withColumn(s"idx_$name", EventFrame.attr(name))
+    }
+    indexed.repartition(col("space"))
       .sortWithinPartitions(col("grouping"), col("ts_us").desc, col("event_id").asc)
       .write
       .mode(SaveMode.ErrorIfExists)
       .partitionBy("space")
       .parquet(path)
+  }
 
   /** Append a batch to a (still-open) log directory. Refuses when sealed —
     * the reference errors writes after Close (stream/closed_stream.go:48-50).
     */
-  def append(ev: DataFrame, path: String): Unit = {
+  def append(ev: DataFrame, path: String, indexAttrs: Seq[String] = Nil): Unit = {
     require(!isSealed(path), s"stream at $path is closed (reference: closed_stream.go:48-50)")
-    ev.repartition(col("space"))
+    val indexed = indexAttrs.foldLeft(ev) { (df, name) =>
+      df.withColumn(s"idx_$name", EventFrame.attr(name))
+    }
+    indexed.repartition(col("space"))
       .sortWithinPartitions(col("grouping"), col("ts_us").desc, col("event_id").asc)
       .write
       .mode(SaveMode.Append)
@@ -83,11 +100,15 @@ object EsdbWriter {
       .format("parquet")
       .saveAsTable(tableName)
 
-  /** Open a written store; `basePath` keeps the `space` partition column. */
+  /** Open a written store; `basePath` keeps the `space` partition
+    * column. Materialized `idx_*` columns (write-time secondary
+    * indexes) are preserved for [[EventStore.scanIndex]] to use.
+    */
   def read(spark: SparkSession, path: String): DataFrame = {
     GraftSession.tune(spark)
-    spark.read.option("basePath", path)
-      .parquet(path)
-      .select("space", "grouping", "ts_us", "event_id", "value", "payload")
+    val df = spark.read.option("basePath", path).parquet(path)
+    val idxCols = df.columns.filter(_.startsWith("idx_")).toSeq
+    df.select(("space" +: "grouping" +: "ts_us" +: "event_id" +: "value" +: "payload" +: idxCols)
+      .map(col): _*)
   }
 }

@@ -45,8 +45,14 @@ object EventStore {
     */
   def scanIndex(ev: DataFrame, space: String, name: String, value: String,
                 limit: Option[Int] = None): DataFrame = {
+    // prefer a write-time materialized index column (EsdbWriter
+    // indexAttrs): the predicate then reaches parquet column stats
+    // instead of re-parsing JSON per row — the reference's index-vs-scan
+    // distinction (space.go:79-108 vs 62-77) at plan level
+    val pred = if (ev.columns.contains(s"idx_$name")) col(s"idx_$name") === value
+               else EventFrame.attr(name) === value
     val base = ev
-      .where(col("space") === space && EventFrame.attr(name) === value)
+      .where(col("space") === space && pred)
       .orderBy(col("ts_us").desc, col("event_id").asc)
     limit.fold(base)(base.limit)
   }
