@@ -323,6 +323,9 @@ object Queries {
     QuerySpec("dedup_minhash",
       (s, d) => Dedup.minhashNearDups(Tables.documents(s, d), 0.8), None),
 
+    QuerySpec("dedup_clusters",
+      (s, d) => Dedup.dedupClusters(Tables.documents(s, d), 0.7), None),
+
     QuerySpec("dedup_simhash",
       (s, d) => Dedup.simhashNearDups(Tables.documents(s, d), 3), None),
 

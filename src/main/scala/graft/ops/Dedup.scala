@@ -145,6 +145,63 @@ object Dedup {
       .orderBy("a", "b")
   }
 
+  // --- clustering: pairs → connected components → keep list ---------------
+
+  /** Connected components over an undirected pair list (`a`, `b`) by
+    * iterative min-label propagation: every node's label converges to
+    * the smallest doc_id reachable from it. Each round is one
+    * edge-join + min-aggregate (all shuffles on the node key); rounds
+    * needed = graph diameter, which for near-dup clusters is tiny
+    * (clusters are cliques or near-cliques from LSH banding). The loop
+    * driver-side checks only a changed-count, never collects data.
+    *
+    * Output: (doc_id, cluster_id) with cluster_id = min doc_id of the
+    * component. Nodes appearing in no pair are not listed (they are
+    * their own singleton cluster by definition).
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a").as("x"), col("b").as("y"))
+      .union(pairs.select(col("b"), col("a")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.groupBy(col("x").as("doc_id"))
+      .agg(min("y").as("m"))
+      .select(col("doc_id"), least(col("doc_id"), col("m")).as("cluster_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val propagated = edges
+        .join(labels.withColumnRenamed("doc_id", "y").withColumnRenamed("cluster_id", "nl"), "y")
+        .groupBy(col("x").as("doc_id"))
+        .agg(min("nl").as("neighbor_min"))
+      val next = labels.join(propagated, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("neighbor_min"), col("cluster_id"))).as("cluster_id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
+        .where(col("cluster_id") =!= col("old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Full near-dup dedup decision: MinHash pairs → components → keep
+    * the smallest doc_id per cluster. Output one row per clustered doc:
+    * (doc_id, cluster_id, keep) — the keep-list a training pipeline
+    * joins against to drop duplicates.
+    */
+  def dedupClusters(docs: DataFrame, threshold: Double = 0.7): DataFrame = {
+    val pairs = minhashNearDups(docs, threshold).select("a", "b")
+    connectedComponents(pairs)
+      .withColumn("keep", col("doc_id") === col("cluster_id"))
+      .orderBy("cluster_id", "doc_id")
+  }
+
   // --- embedding near-dup -------------------------------------------------
 
   /** Embedding-cosine near-duplicates: pairs with cosine >= threshold.

@@ -55,6 +55,26 @@ class DedupSpec extends SparkSpec {
     assert(hi == Set((1L, 2L))) // only the exact dup survives 0.95
   }
 
+  test("connected components: chains collapse to one cluster, min id wins") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 3L)).toDF("a", "b")
+    val cc = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("dedupClusters keep-list: one keeper per cluster") {
+    val keep = Dedup.dedupClusters(docs, 0.5)
+      .select("doc_id", "cluster_id", "keep").as[(Long, Long, Boolean)].collect()
+    val byCluster = keep.groupBy(_._2)
+    byCluster.foreach { case (cid, rows) =>
+      assert(rows.count(_._3) == 1)
+      assert(rows.find(_._3).get._1 == cid)
+      assert(rows.map(_._1).min == cid)
+    }
+    // docs 1,2,3 are one near-dup cluster at 0.5
+    assert(byCluster(1L).map(_._1).toSet == Set(1L, 2L, 3L))
+  }
+
   test("embedding near-dups: duplicate vectors found at high threshold") {
     val embs = Seq(
       (1L, Seq(1.0f, 0.0f, 0.5f, -0.25f)),
