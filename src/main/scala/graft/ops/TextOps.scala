@@ -54,24 +54,33 @@ object TextOps {
     "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "pour", "dans"),
     "zh" -> Seq("de", "shi", "le", "zai", "you", "wo", "ta"))
 
-  /** N-gram/stopword-heuristic language ID: per language, count tokens
-    * hitting its profile; argmax via lexicographic struct max
-    * (score, then language code) — fully deterministic, no UDF.
+  /** Stopword-profile language ID: per language, count tokens hitting
+    * its profile; argmax with deterministic tie-break (higher score,
+    * then lexicographically larger code — matching struct-max order).
+    * Runs as a per-partition kernel: profile sets are built once per
+    * partition and probed per token, instead of interpreted
+    * array_contains per (token × profile).
     */
   def langId(docs: DataFrame): DataFrame = {
-    // stage the token array: HOF lambdas re-evaluate repeated
-    // sub-expressions per element, so tokenization must be a projection
-    val scored = array(langProfiles.map { case (langCode, words) =>
-      val profile = typedlit(words)
-      struct(
-        size(filter(col("toks"), t => array_contains(profile, t))).as("score"),
-        lit(langCode).as("lang"))
-    }: _*)
-    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(
-        col("doc_id"),
-        array_max(scored).getField("lang").as("lang_pred"),
-        (array_max(scored).getField("score") * 1000 / size(col("toks"))).cast("long").as("score_x1000"))
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val profiles = langProfiles.map { case (code, words) => code -> words.toSet }
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val toks = text.split(' ')
+          var bestLang = ""
+          var bestScore = -1
+          profiles.foreach { case (code, set) =>
+            var s = 0
+            var i = 0
+            while (i < toks.length) { if (set.contains(toks(i))) s += 1; i += 1 }
+            if (s > bestScore || (s == bestScore && code > bestLang)) { bestScore = s; bestLang = code }
+          }
+          (id, bestLang, bestScore.toLong * 1000 / math.max(toks.length, 1))
+        }
+      }
+      .toDF("doc_id", "lang_pred", "score_x1000")
       .orderBy("doc_id")
   }
 
