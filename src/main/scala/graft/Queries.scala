@@ -36,13 +36,6 @@ object Queries {
   private def ev(s: SparkSession, dir: String): DataFrame =
     EventFrame.fromEvents(Tables.events(s, dir))
 
-  /** DuckDB-side equivalents of the canonical event columns. */
-  private val evSql =
-    """SELECT event_type AS space, CAST(user_id AS VARCHAR) AS grouping,
-      |       epoch_us(ts) AS ts_us, event_id, value, props AS payload,
-      |       regexp_extract(props, '"k":\s*(\d+)', 1) AS attr_k
-      |FROM events""".stripMargin
-
   val all: Seq[QuerySpec] = Seq(
 
     // ---- batch parity: S2-S6 (esdb.go, space.go) -------------------------

@@ -60,4 +60,50 @@ object Multimodal {
       }
     }
   }
+
+  /** One resized media object; `media` holds the re-encoded bytes. */
+  case class ResizedRow(doc_id: Long, media: Array[Byte], media_type: String,
+                        width: Int, height: Int)
+
+  /** STUB RESIZE — a real deployment decodes, scales to (w, h), and
+    * re-encodes inside the partition loop. The stub keeps the byte
+    * plumbing honest: output bytes are a deterministic function of the
+    * input bytes and target dims, sized ∝ w×h (so downstream size
+    * accounting is exercised).
+    */
+  def resize(spark: SparkSession, mf: DataFrame, w: Int, h: Int): Dataset[ResizedRow] = {
+    import spark.implicits._
+    mf.as[MediaRow].mapPartitions { it =>
+      it.map { m =>
+        val n = math.max(1, math.min(m.media.length, (w * h) / 64))
+        val out = new Array[Byte](n)
+        var i = 0
+        while (i < n) { out(i) = (m.media(i % m.media.length) ^ (w + h)).toByte; i += 1 }
+        ResizedRow(m.doc_id, out, m.media_type, w, h)
+      }
+    }
+  }
+
+  /** One sampled frame of a (video) media object. */
+  case class FrameRow(doc_id: Long, frame_no: Int, frame: Array[Byte])
+
+  /** STUB FRAME-SAMPLE — every `everyN`-th fixed-size chunk of the
+    * payload stands in for a decoded video frame; real codecs replace
+    * the chunking, the explode shape (one row per sampled frame,
+    * partition-local, no shuffle) is the production plumbing.
+    */
+  def frameSample(spark: SparkSession, mf: DataFrame, everyN: Int = 10,
+                  frameBytes: Int = 256): Dataset[FrameRow] = {
+    import spark.implicits._
+    mf.as[MediaRow].mapPartitions { it =>
+      it.flatMap { m =>
+        val nFrames = math.max(1, m.media.length / frameBytes)
+        (0 until nFrames by everyN).iterator.map { f =>
+          val start = f * frameBytes
+          val end = math.min(start + frameBytes, m.media.length)
+          FrameRow(m.doc_id, f, java.util.Arrays.copyOfRange(m.media, start, end))
+        }
+      }
+    }
+  }
 }

@@ -63,6 +63,20 @@ object StreamIngest {
   def indexFilter(events: DataFrame, indexName: String, value: String): DataFrame =
     events.where(EventFrame.attr(indexName) === value)
 
+  /** Append-mode parquet sink: the streaming form of the reference's
+    * `Stream.Write` append path — each micro-batch lands as immutable
+    * parquet in the log directory, with exactly-once via the
+    * checkpoint + file-sink commit log.
+    */
+  def appendSink(events: DataFrame, path: String,
+                 checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .start()
+
   /** Watermarked tumbling-window event counts per space. Expects a
     * TimestampType `ts` column (`timestamp_micros(ts_us)`).
     */

@@ -14,6 +14,39 @@ class MultimodalSpec extends SparkSpec {
     assert(new String(bytes, "UTF-8") == "hello world")
   }
 
+  test("resize re-encodes deterministically at target dims") {
+    val r1 = Multimodal.resize(spark, Multimodal.manifest(docs), 128, 128).collect().sortBy(_.doc_id)
+    val r2 = Multimodal.resize(spark, Multimodal.manifest(docs), 128, 128).collect().sortBy(_.doc_id)
+    assert(r1.zip(r2).forall { case (a, b) => a.media.sameElements(b.media) })
+    assert(r1.forall(r => r.width == 128 && r.height == 128 && r.media.nonEmpty))
+  }
+
+  test("frame sampling explodes one row per sampled frame, no shuffle") {
+    val big = Seq((1L, "x" * 4096)).toDF("doc_id", "text")
+    val frames = Multimodal.frameSample(spark, Multimodal.manifest(big), everyN = 4)
+    val rows = frames.collect()
+    assert(rows.map(_.frame_no).toSeq == Seq(0, 4, 8, 12)) // 16 chunks, every 4th
+    assert(rows.forall(_.frame.length == 256))
+    val plan = frames.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("streaming append sink lands micro-batches as parquet") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("gsink").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamIngest.appendSink(
+      mem.toDF().toDF("event_id", "payload"), s"$dir/data", s"$dir/ckpt")
+    try {
+      mem.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      mem.addData((3L, "c"))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$dir/data").count() == 3)
+    } finally q.stop()
+  }
+
   test("feature extraction is deterministic and byte-accurate") {
     val f1 = Multimodal.extractFeatures(spark, Multimodal.manifest(docs)).collect().sortBy(_.doc_id)
     val f2 = Multimodal.extractFeatures(spark, Multimodal.manifest(docs)).collect().sortBy(_.doc_id)
