@@ -210,23 +210,25 @@ object Dedup {
     */
   def embeddingNearDups(embs: DataFrame, threshold: Double = 0.9,
                         tables: Int = 8, bitsPerTable: Int = 8, dims: Int = 64): DataFrame = {
+    // embeddings (with precomputed norms) ride through the bucket
+    // explode, so the pair is scored INSIDE the self-join and filtered
+    // before any dedup: the threshold filter — a codegen'd vec_dot —
+    // sees the 10^5-scale candidate stream, while distinct handles only
+    // the survivors. (The alternative — distinct pairs first, then
+    // re-join vectors twice — moves every candidate through three
+    // shuffles and was measured ~3× slower.)
     val b = Similarity.withBuckets(embs.select(col("vec_id"), col("embedding")), tables, bitsPerTable, dims)
-      .drop("embedding")
+      .withColumn("nrm", Similarity.norm(col("embedding")))
     val l = b.as("l")
     val r = b.as("r")
-    val cand = l.join(r, col("l.t") === col("r.t") && col("l.bucket") === col("r.bucket") &&
+    l.join(r, col("l.t") === col("r.t") && col("l.bucket") === col("r.bucket") &&
         col("l.vec_id") < col("r.vec_id"))
-      .select(col("l.vec_id").as("a"), col("r.vec_id").as("b"))
-      .distinct()
-    // norms precomputed per vector so each candidate pair costs one vec_dot
-    val vecs = embs.select(col("vec_id"), col("embedding"))
-      .withColumn("nrm", Similarity.norm(col("embedding")))
-    cand
-      .join(vecs.select(col("vec_id").as("a"), col("embedding").as("va"), col("nrm").as("na")), "a")
-      .join(vecs.select(col("vec_id").as("b"), col("embedding").as("vb"), col("nrm").as("nb")), "b")
-      .withColumn("cos", Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .select(col("l.vec_id").as("a"), col("r.vec_id").as("b"),
+        (Similarity.dot(col("l.embedding"), col("r.embedding"))
+          / (col("l.nrm") * col("r.nrm"))).as("cos"))
       .where(col("cos") >= threshold)
       .select(col("a"), col("b"), (col("cos") * 1000000).cast("long").as("cos_x1e6"))
+      .distinct()
       .orderBy("a", "b")
   }
 }
