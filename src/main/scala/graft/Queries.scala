@@ -345,6 +345,12 @@ object Queries {
         Similarity.annTopK(e, e.where(col("vec_id") < 10), 10)
       }, None),
 
+    QuerySpec("similarity_ivf",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        graft.ops.Ivf.ivfTopK(e, e.where(col("vec_id") < 10), 10)
+      }, None),
+
     // ---- training-data extensions: text analysis -------------------------
 
     QuerySpec("text_tokens",

@@ -33,6 +33,19 @@ class SimilaritySpec extends SparkSpec {
     assert(top1(0)._2 >= 999999L)
   }
 
+  test("IVF recall vs brute force is usable and deterministic") {
+    val k = 10
+    val brute = Similarity.bruteTopK(embs, queries, k)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf1 = graft.ops.Ivf.ivfTopK(embs, queries, k)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf2 = graft.ops.Ivf.ivfTopK(embs, queries, k)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(ivf1 == ivf2) // fixed kmeans seed → same index, same answers
+    val recall = (brute & ivf1).size.toDouble / brute.size
+    assert(recall >= 0.4, s"IVF recall $recall too low")
+  }
+
   test("ANN recall vs brute force is usable (>= 0.5 on sf0.001)") {
     val k = 10
     val brute = Similarity.bruteTopK(embs, queries, k)
