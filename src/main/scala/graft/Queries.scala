@@ -359,6 +359,11 @@ object Queries {
              |       length(text) AS n_chars
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    QuerySpec("text_tokens_bpe",
+      (s, d) => TextOps.subwordCounts(Tables.documents(s, d)),
+      Some(s"""SELECT doc_id, len(regexp_extract_all(text, '${TextOps.SubwordPattern}')) AS n_subtokens
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
     QuerySpec("text_quality",
       (s, d) => TextOps.qualityScore(Tables.documents(s, d)),
       Some("""SELECT doc_id,

@@ -27,6 +27,19 @@ object TextOps {
       length(col("text")).cast("long").as("n_chars"))
       .orderBy("doc_id")
 
+  /** BPE-ish subword token count: runs of letters, runs of digits, and
+    * single non-alphanumeric marks — the pre-merge atom stream a BPE
+    * tokenizer would start from. The regex is deliberately RE2/Java
+    * compatible so DuckDB counts identically for the oracle.
+    */
+  val SubwordPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+  def subwordCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      expr(s"CAST(size(regexp_extract_all(text, '$SubwordPattern', 0)) AS LONG)").as("n_subtokens"))
+      .orderBy("doc_id")
+
   /** Quality scoring: length / avg-token-length / stopword-density
     * signals, in fixed-point integers. Columns:
     *  - n_tokens
