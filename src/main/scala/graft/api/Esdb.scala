@@ -155,9 +155,15 @@ class EventStream private[api] (val spark: SparkSession, val path: String) {
     if (r.isNullAt(0)) None else Some(r.getLong(0))
   }
 
-  /** Reference `populate`/closed tails (open_stream.go:219-241). */
-  def tails(name: String): Map[String, Long] =
-    EventLog.tails(frame, name).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  /** Reference `populate` (open) / tails SSTable (closed): a sealed
+    * stream serves tails from the seal-time sidecar without scanning
+    * (open_stream.go:219-241, closed_stream.go:52-67).
+    */
+  def tails(name: String): Map[String, Long] = {
+    val df = EsdbWriter.sealedTails(spark, path, name)
+      .getOrElse(EventLog.tails(frame, name))
+    df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
 
   /** Reference `Close()` (open_stream.go:146-201). */
   def close(indexName: String): Unit = EsdbWriter.seal(spark, path, indexName)

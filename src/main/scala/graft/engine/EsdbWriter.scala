@@ -78,8 +78,24 @@ object EsdbWriter {
     */
   def seal(spark: SparkSession, path: String, indexName: String): Unit = {
     val ev = read(spark, path)
-    EventLog.tails(ev, indexName).write.mode(SaveMode.Overwrite).parquet(s"$path/$SealMarker.tails")
+    EventLog.tails(ev, indexName)
+      .withColumn("index_name", org.apache.spark.sql.functions.lit(indexName))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/$SealMarker.tails")
     Files.createFile(Paths.get(path, SealMarker))
+  }
+
+  /** Tails of a sealed store, served from the seal-time sidecar — the
+    * closed-stream read path (reference closed_stream.go:52-67 reads
+    * the tails SSTable instead of scanning). None when the store is
+    * open or was sealed on a different index.
+    */
+  def sealedTails(spark: SparkSession, path: String, indexName: String): Option[DataFrame] = {
+    if (!isSealed(path)) return None
+    val side = spark.read.parquet(s"$path/$SealMarker.tails")
+    if (!side.columns.contains("index_name")) return None
+    val forIndex = side.where(org.apache.spark.sql.functions.col("index_name") === indexName)
+      .select("attr", "tail_event_id")
+    if (forIndex.limit(1).isEmpty) None else Some(forIndex)
   }
 
   def isSealed(path: String): Boolean = Files.exists(Paths.get(path, SealMarker))

@@ -73,6 +73,8 @@ class EsdbApiSpec extends SparkSpec {
     s.close("i")
     assert(s.isClosed)
     intercept[IllegalArgumentException] { s.write(more) }
+    // closed stream still serves tails (from the seal sidecar)
+    assert(s.tails("i") == Map("i1" -> 5L, "i2" -> 4L))
   }
 
   test("merge matches the reference ordering contract (merge_stream_test.go:59)") {

@@ -46,7 +46,13 @@ class EsdbWriterSpec extends SparkSpec {
     assert(EsdbWriter.isSealed(dir))
     intercept[IllegalArgumentException] { EsdbWriter.append(ev, dir) }
     val tails = spark.read.parquet(s"$dir/${EsdbWriter.SealMarker}.tails")
-    assert(rowsOf(tails.orderBy("attr")) == Seq(Seq("i1", 3L), Seq("i2", 2L)))
+    assert(rowsOf(tails.select("attr", "tail_event_id").orderBy("attr")) ==
+      Seq(Seq("i1", 3L), Seq("i2", 2L)))
+    // the closed-stream read path serves tails from the sidecar
+    val fromSidecar = EsdbWriter.sealedTails(spark, dir, "i")
+    assert(fromSidecar.isDefined)
+    assert(rowsOf(fromSidecar.get.orderBy("attr")) == Seq(Seq("i1", 3L), Seq("i2", 2L)))
+    assert(EsdbWriter.sealedTails(spark, dir, "other_index").isEmpty) // wrong index → recompute path
   }
 
   test("append before seal accumulates (open_stream.go:77-105)") {
