@@ -27,19 +27,26 @@ object Bench {
     // best-of-2 per query: the second run reuses JIT'd codegen classes
     // and the OS page cache, which is the steady-state a long-lived
     // cluster sees; the min damps local-mode scheduler noise.
+    // a run that throws contributes NO time (a query failing in
+    // milliseconds must not masquerade as a fast one); queries with no
+    // successful run report -1 and are listed under "failed"
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).queryExecution.toRdd.count() }
-        catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          fn(spark, sfDir).queryExecution.toRdd.count()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case _: Throwable => None }
       }
-      name -> times.min
+      graft.ops.Caches.clear() // release operator-persisted frames between queries
+      name -> times
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val failed = results.collect { case (name, ts) if ts.isEmpty => name }
+    val qs = results.map { case (k, ts) => "\"" + k + "\":" + ts.minOption.getOrElse(-1.0) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.flatMap(_._2.minOption).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -237,11 +237,35 @@ object Queries {
         .agg(approx_count_distinct(col("grouping")).as("approx_groupings"))
         .orderBy("space"), None),
 
+    // three scalar columns (not one array column) so rows-only tooling
+    // can sort/read the output; sketch values stay engine-specific
     QuerySpec("agg_value_quantiles",
       (s, d) => ev(s, d).groupBy("space")
         .agg(percentile_approx(col("value"), array(lit(0.5), lit(0.95), lit(0.99)), lit(10000))
-          .as("p50_p95_p99"))
+          .as("ps"))
+        .select(col("space"),
+          element_at(col("ps"), 1).as("p50"),
+          element_at(col("ps"), 2).as("p95"),
+          element_at(col("ps"), 3).as("p99"))
         .orderBy("space"), None),
+
+    // exact interpolated percentiles are engine-neutral (both engines
+    // use linear interpolation at p*(n-1)); fixed-point floor guards the
+    // hash compare against last-ulp drift. The approx variant above is
+    // the 100 TB path; this is its oracle-checkable exact twin.
+    QuerySpec("agg_value_quantiles_exact",
+      (s, d) => ev(s, d).groupBy("space")
+        .agg(expr("percentile(value, array(0.5D, 0.95D, 0.99D))").as("ps"))
+        .select(col("space"),
+          floor(element_at(col("ps"), 1) * 1000000).cast("long").as("p50_x1e6"),
+          floor(element_at(col("ps"), 2) * 1000000).cast("long").as("p95_x1e6"),
+          floor(element_at(col("ps"), 3) * 1000000).cast("long").as("p99_x1e6"))
+        .orderBy("space"),
+      Some("""SELECT event_type AS space,
+             |  CAST(floor(quantile_cont(value, 0.5)*1000000) AS BIGINT) AS p50_x1e6,
+             |  CAST(floor(quantile_cont(value, 0.95)*1000000) AS BIGINT) AS p95_x1e6,
+             |  CAST(floor(quantile_cont(value, 0.99)*1000000) AS BIGINT) AS p99_x1e6
+             |FROM events GROUP BY space ORDER BY space""".stripMargin)),
 
     // asof: each click joined to the user's most recent prior-or-same-time
     // purchase (DuckDB has native ASOF JOIN; ours is the union-window plan)
@@ -333,11 +357,27 @@ object Queries {
 
     // ---- training-data extensions: similarity search ---------------------
 
+    // oracle-checkable: both sides accumulate the dot product
+    // sequentially in doubles over the identical float inputs, so the
+    // cosines are bit-identical and fixed-point floor + the
+    // neighbor_id tiebreak make ranks deterministic across engines
     QuerySpec("similarity_topk",
       (s, d) => {
         val e = Tables.embeddings(s, d)
         Similarity.bruteTopK(e, e.where(col("vec_id") < 10), 10)
-      }, None),
+      },
+      Some("""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+             |           FROM embeddings WHERE vec_id < 10),
+             |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+             |s AS (SELECT query_id, neighbor_id,
+             |        list_inner_product(qv, cv)
+             |          / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv))) AS cos
+             |      FROM q, c WHERE query_id <> neighbor_id),
+             |r AS (SELECT query_id, neighbor_id, cos,
+             |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+             |      FROM s)
+             |SELECT query_id, rank, neighbor_id, CAST(floor(cos*1000000) AS BIGINT) AS cos_x1e6
+             |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
 
     QuerySpec("similarity_ann_lsh",
       (s, d) => {
@@ -375,7 +415,8 @@ object Queries {
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     QuerySpec("text_lang_id",
-      (s, d) => TextOps.langId(Tables.documents(s, d)), None),
+      (s, d) => TextOps.langId(Tables.documents(s, d)),
+      Some(TextOps.langIdOracleSql)),
 
     QuerySpec("doc_fingerprint",
       (s, d) => TextOps.fingerprint(Tables.documents(s, d)),

@@ -32,6 +32,7 @@ object Verify {
     }
     tasks.foreach(_.get())
     pool.shutdown()
+    graft.ops.Caches.clear() // release operator-persisted frames (dedup sigs, CC labels)
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

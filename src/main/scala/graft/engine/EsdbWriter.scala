@@ -77,6 +77,10 @@ object EsdbWriter {
     * tails sidecar so readers get O(1) heads without scanning.
     */
   def seal(spark: SparkSession, path: String, indexName: String): Unit = {
+    // refuse before mutating anything: a re-seal must not overwrite the
+    // existing tails sidecar as a side effect of a failed operation
+    // (reference: closed streams refuse writes, closed_stream.go:48-50)
+    require(!isSealed(path), s"stream at $path is already sealed")
     val ev = read(spark, path)
     EventLog.tails(ev, indexName)
       .withColumn("index_name", org.apache.spark.sql.functions.lit(indexName))

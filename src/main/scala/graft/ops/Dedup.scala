@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for training-data pipelines, over the
   * `documents` table.
@@ -94,12 +93,13 @@ object Dedup {
   }
 
   /** MinHash+LSH near-dup pairs at a Jaccard threshold. Signatures are
-    * persisted across the candidate and verify stages (computed once).
+    * persisted across the candidate and verify stages (computed once)
+    * and registered in [[Caches]] — callers release them via
+    * `Caches.clear()` after materializing the result.
     */
   def minhashNearDups(docs: DataFrame, threshold: Double = 0.8,
                       bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
-    val sigs = minhashSignatures(docs, bands, rowsPerBand)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sigs = Caches.persist(minhashSignatures(docs, bands, rowsPerBand))
     verifyJaccard(bandCandidates(sigs), sigs, threshold)
   }
 
@@ -125,13 +125,26 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs with Hamming distance <= maxHamming, using
-    * 4x16-bit chunk blocking (pigeonhole: any pair within Hamming 3
-    * agrees on at least one 16-bit chunk).
+    * (maxHamming+1)-chunk blocking: by pigeonhole, any pair within the
+    * requested Hamming radius agrees bit-for-bit on at least one chunk,
+    * so recall is guaranteed for every maxHamming, not just the default
+    * (a fixed 4-chunk split would silently miss pairs at radius >= 4).
     */
-  def simhashNearDups(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sigs = simhashSignatures(docs)
-    val chunkArr = array((0 until 4).map(c =>
-      shiftright(col("sig"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)
+  def simhashNearDups(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    simhashPairs(simhashSignatures(docs), maxHamming)
+
+  /** Blocking + verify over precomputed (doc_id, sig) rows. */
+  def simhashPairs(sigs: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 32,
+      s"maxHamming must be in [0, 32) so each of the ${maxHamming + 1} chunks has >= 2 bits")
+    val nChunks = maxHamming + 1
+    val bounds = (0 to nChunks).map(c => c * 64 / nChunks)
+    val chunkArr = array((0 until nChunks).map { c =>
+      val start = bounds(c)
+      val width = bounds(c + 1) - start
+      val mask = if (width >= 64) -1L else (1L << width) - 1 // 1L<<64 would wrap
+      shiftrightunsigned(col("sig"), start).bitwiseAND(lit(mask))
+    }: _*)
     val chunks = sigs.select(col("doc_id"), col("sig"),
       posexplode(chunkArr).as(Seq("chunk", "ckey")))
     val l = chunks.as("l")
@@ -160,14 +173,21 @@ object Dedup {
     * their own singleton cluster by definition).
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("a").as("x"), col("b").as("y"))
-      .union(pairs.select(col("b"), col("a")))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.groupBy(col("x").as("doc_id"))
-      .agg(min("y").as("m"))
-      .select(col("doc_id"), least(col("doc_id"), col("m")).as("cluster_id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val edges = Caches.persist(
+      pairs.select(col("a").as("x"), col("b").as("y"))
+        .union(pairs.select(col("b"), col("a")))
+        .distinct())
+    var labels = Caches.persist(
+      edges.groupBy(col("x").as("doc_id"))
+        .agg(min("y").as("m"))
+        .select(col("doc_id"), least(col("doc_id"), col("m")).as("cluster_id")))
+    // convergence test: labels only ever decrease, so sum(cluster_id)
+    // strictly decreases on any change — one cheap scan of the cached
+    // `next` replaces a join-against-previous per round. decimal(38,0)
+    // so the sum is exact even at 10^10 docs with 63-bit ids.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head().getDecimal(0)
+    var checksum = labelSum(labels)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -175,19 +195,21 @@ object Dedup {
         .join(labels.withColumnRenamed("doc_id", "y").withColumnRenamed("cluster_id", "nl"), "y")
         .groupBy(col("x").as("doc_id"))
         .agg(min("nl").as("neighbor_min"))
-      val next = labels.join(propagated, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("cluster_id"), coalesce(col("neighbor_min"), col("cluster_id"))).as("cluster_id"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
-        .where(col("cluster_id") =!= col("old")).limit(1).count()
+      val next = Caches.persist(
+        labels.join(propagated, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("cluster_id"), coalesce(col("neighbor_min"), col("cluster_id"))).as("cluster_id")))
+      val nextChecksum = labelSum(next)
       labels.unpersist()
+      Caches.untrack(labels)
       labels = next
-      converged = changed == 0
+      converged = nextChecksum == checksum
+      checksum = nextChecksum
       iter += 1
     }
     edges.unpersist()
-    labels
+    Caches.untrack(edges)
+    labels // remains tracked in Caches; released at the caller's clear()
   }
 
   /** Full near-dup dedup decision: MinHash pairs → components → keep

@@ -75,10 +75,12 @@ object Similarity {
 
   private def topK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
+    // floor (not cast-truncation, which rounds toward zero on negative
+    // cosines) so the fixed-point value is engine-neutral for the oracle
+    scored.withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
-        (col("cos") * 1000000).cast("long").as("cos_x1e6"))
+        floor(col("cos") * 1000000).cast("long").as("cos_x1e6"))
       .orderBy("query_id", "rank")
   }
 

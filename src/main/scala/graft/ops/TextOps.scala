@@ -67,6 +67,28 @@ object TextOps {
     "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "pour", "dans"),
     "zh" -> Seq("de", "shi", "le", "zai", "you", "wo", "ta"))
 
+  /** DuckDB rendering of [[langId]], generated from [[langProfiles]] so
+    * the two can't drift: per-profile hit counts via list_filter, argmax
+    * via struct-max over (score, code) — the same (higher score, then
+    * lexicographically larger code) tie order as the kernel.
+    */
+  def langIdOracleSql: String = {
+    val scoreCols = langProfiles.map { case (code, words) =>
+      val lst = words.map(w => s"'$w'").mkString("[", ",", "]")
+      s"  len(list_filter(toks, x -> list_contains($lst, x))) AS s_$code"
+    }.mkString(",\n")
+    val structs = langProfiles.map { case (code, _) => s"{'s': s_$code, 'c': '$code'}" }
+      .mkString("[", ", ", "]")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |s AS (SELECT doc_id, len(toks) AS n,
+       |$scoreCols
+       | FROM t),
+       |m AS (SELECT doc_id, n, list_aggregate($structs, 'max') AS best FROM s)
+       |SELECT doc_id, best.c AS lang_pred,
+       |       CAST(best.s * 1000 // greatest(n, 1) AS BIGINT) AS score_x1000
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
   /** Stopword-profile language ID: per language, count tokens hitting
     * its profile; argmax with deterministic tie-break (higher score,
     * then lexicographically larger code — matching struct-max order).

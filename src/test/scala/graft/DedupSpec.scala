@@ -43,6 +43,22 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((4L, 5L)))
   }
 
+  test("simhash blocking covers radius >= 4 (pigeonhole chunks track maxHamming)") {
+    // a pair at hamming 5 whose differing bits hit ALL four of the old
+    // fixed 16-bit chunks: 4x16 blocking would never propose it, the
+    // derived (maxHamming+1)-chunk blocking must
+    val base = 0x123456789abcdef0L
+    val flipped = base ^ 0x8000400020001001L // bits 63, 46, 29, 12, 0 → 5 flips
+    assert(java.lang.Long.bitCount(base ^ flipped) == 5)
+    val sigs = Seq((1L, base), (2L, flipped)).toDF("doc_id", "sig")
+    val got = Dedup.simhashPairs(sigs, 5).select("a", "b", "hamming")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 5L)))
+    // and below the radius it is correctly filtered out
+    assert(Dedup.simhashPairs(sigs, 4).count() == 0)
+    intercept[IllegalArgumentException] { Dedup.simhashPairs(sigs, 40) }
+  }
+
   test("simhash of identical docs is identical (hamming 0)") {
     val h = Dedup.simhashNearDups(docs, 0).where($"a" === 1L && $"b" === 2L)
       .select("hamming").as[Long].collect()

@@ -53,6 +53,10 @@ class EsdbWriterSpec extends SparkSpec {
     assert(fromSidecar.isDefined)
     assert(rowsOf(fromSidecar.get.orderBy("attr")) == Seq(Seq("i1", 3L), Seq("i2", 2L)))
     assert(EsdbWriter.sealedTails(spark, dir, "other_index").isEmpty) // wrong index → recompute path
+    // re-seal refuses up front and must NOT clobber the existing sidecar
+    intercept[IllegalArgumentException] { EsdbWriter.seal(spark, dir, "other_index") }
+    assert(rowsOf(EsdbWriter.sealedTails(spark, dir, "i").get.orderBy("attr")) ==
+      Seq(Seq("i1", 3L), Seq("i2", 2L)))
   }
 
   test("append before seal accumulates (open_stream.go:77-105)") {

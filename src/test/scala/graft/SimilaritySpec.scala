@@ -13,10 +13,10 @@ class SimilaritySpec extends SparkSpec {
 
   test("brute top-k: k rows per query, ranks contiguous, cos descending") {
     val got = Similarity.bruteTopK(embs, queries, 5)
-      .select("query_id", "rank", "cos_x1e6").as[(Long, Int, Long)].collect()
+      .select("query_id", "rank", "cos_x1e6").as[(Long, Long, Long)].collect()
     assert(got.length == 25)
     got.groupBy(_._1).foreach { case (_, rows) =>
-      assert(rows.map(_._2).sorted.sameElements(Array(1, 2, 3, 4, 5)))
+      assert(rows.map(_._2).sorted.sameElements(Array(1L, 2L, 3L, 4L, 5L)))
       val sims = rows.sortBy(_._2).map(_._3)
       assert(sims.zip(sims.tail).forall { case (x, y) => x >= y })
     }
