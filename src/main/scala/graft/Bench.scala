@@ -20,10 +20,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JVM/codegen warmup on the smallest SF so per-query numbers measure
-    // the engine, not first-call JIT + classload.
-    try SparkEntry.entry(spark).queryExecution.toRdd.count()
-    catch { case _: Throwable => () }
+    // JVM/codegen warmup: run EVERY query once at the smallest SF so the
+    // timed runs measure the engine, not first-call JIT + classload +
+    // janino compilation of each query's generated code (the warmup set
+    // is ~1% of the timed SF, so this costs seconds and removes the
+    // dominant cold-start noise from per-query numbers).
+    val warmDir = "/root/testdata/sf0.001"
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+      try fn(spark, warmDir).queryExecution.toRdd.count()
+      catch { case _: Throwable => () }
+    }
+    graft.ops.Caches.clear()
     // best-of-2 per query: the second run reuses JIT'd codegen classes
     // and the OS page cache, which is the steady-state a long-lived
     // cluster sees; the min damps local-mode scheduler noise.

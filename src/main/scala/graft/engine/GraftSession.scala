@@ -14,7 +14,14 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
   def tune(spark: SparkSession): SparkSession = {
-    try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // let AQE re-plan shuffles above cached (persisted) frames: the
+      // iterative dedup/clustering operators persist small intermediates,
+      // and without this flag every shuffle over them keeps the static
+      // partition count (32 near-empty tasks) instead of coalescing
+      spark.conf.set("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+    }
     catch { case _: Exception => () } // conf locked down: proceed, reads may still work
     spark
   }

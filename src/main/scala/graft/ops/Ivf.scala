@@ -30,7 +30,10 @@ object Ivf {
     VectorFunctions.register(sp)
     val withVec = corpus.select(col("vec_id"), col("embedding"))
       .withColumn("fv", array_to_vector(transform(col("embedding"), x => x.cast("double"))))
-    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(10)
+    // 5 Lloyd iterations: the coarse quantizer only needs rough cells
+    // (recall comes from nProbe, not centroid polish), and each KMeans
+    // iteration is a full RDD pass — the dominant cost of index build
+    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(5)
       .setFeaturesCol("fv").setPredictionCol("list")
       .fit(withVec)
     val assigned = model.transform(withVec).select(col("vec_id"), col("embedding"), col("list"))

@@ -57,20 +57,43 @@ object Similarity {
       if ((splitmix64(table.toLong * 1000003 + bit.toLong * 8191 + i) & 1L) == 0L) 1.0f else -1.0f
     }
 
-  /** Bucket id for one LSH table: `bits` sign-bits of hyperplane dots. */
-  private def bucketExpr(vec: Column, table: Int, bits: Int, dims: Int): Column =
-    (0 until bits).map { b =>
-      when(dot(vec, typedlit(plane(table, b, dims))) >= 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
-
-  /** (vec_id, embedding, t, bucket) rows across `tables` LSH tables. */
+  /** (vec_id, embedding, t, bucket) rows across `tables` LSH tables.
+    *
+    * Runs as a per-partition kernel with the hyperplanes precomputed in
+    * the task closure: the expression form (tables × bits typedlit
+    * float-array literals, each under a vec_dot + when) made every
+    * plan carry ~50 embedded 64-float constants, and Catalyst's
+    * per-query analysis/canonicalization of those trees dominated the
+    * runtime of the small-query case. The kernel math is identical
+    * (sequential double accumulation, sign bit per plane).
+    */
   def withBuckets(embs: DataFrame, tables: Int = 8, bits: Int = 8, dims: Int = 64): DataFrame = {
-    VectorFunctions.register(embs.sparkSession)
-    val buckets = array((0 until tables).map { t =>
-      struct(lit(t).as("t"), bucketExpr(col("embedding"), t, bits, dims).as("bucket"))
-    }: _*)
-    spread(embs).select(col("vec_id"), col("embedding"), explode(buckets).as("tb"))
-      .select(col("vec_id"), col("embedding"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+    val sp = embs.sparkSession
+    VectorFunctions.register(sp)
+    import sp.implicits._
+    val planes: Array[Array[Float]] =
+      Array.tabulate(tables * bits)(i => plane(i / bits, i % bits, dims).toArray)
+    spread(embs.select(col("vec_id"), col("embedding")))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, vec) =>
+          (0 until tables).iterator.map { t =>
+            var bucket = 0L
+            var b = 0
+            while (b < bits) {
+              val p = planes(t * bits + b)
+              val n = math.min(vec.length, p.length)
+              var acc = 0.0d
+              var i = 0
+              while (i < n) { acc += vec(i).toDouble * p(i).toDouble; i += 1 }
+              if (acc >= 0) bucket |= (1L << b)
+              b += 1
+            }
+            (id, vec, t, bucket)
+          }
+        }
+      }
+      .toDF("vec_id", "embedding", "t", "bucket")
   }
 
   private def topK(scored: DataFrame, k: Int): DataFrame = {
