@@ -349,11 +349,26 @@ object Queries {
     QuerySpec("dedup_ngram_jaccard",
       (s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d), 0.5), None),
 
-    // threshold/bits tuned to the testdata's cosine range (max ≈ 0.51):
-    // wider buckets (6 bits) keep recall usable at moderate thresholds
+    // threshold tuned to the testdata's cosine range (max ≈ 0.51).
+    // (tables, bits) trade recall vs candidate volume: at cos 0.35,
+    // P(bit agrees) ≈ 0.61, so 16 tables × 4 bits ≈ 0.91 recall vs the
+    // exact twin below. bits should grow ~log2(n) at scale so bucket
+    // occupancy (and thus candidates ∝ n²/2^bits) stays bounded.
     QuerySpec("dedup_embedding",
       (s, d) => Dedup.embeddingNearDups(Tables.embeddings(s, d), 0.35,
-        tables = 8, bitsPerTable = 6), None),
+        tables = 16, bitsPerTable = 4), None),
+
+    // exact ground truth for the LSH variant — oracle-checked (cosines
+    // are bit-identical across engines, see similarity_topk)
+    QuerySpec("dedup_embedding_exact",
+      (s, d) => Dedup.embeddingNearDupsExact(Tables.embeddings(s, d), 0.35),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |p AS (SELECT a.vec_id AS a, b.vec_id AS b,
+             |        list_inner_product(a.v, b.v)
+             |          / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) AS cos
+             |      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+             |SELECT a, b, CAST(floor(cos*1000000) AS BIGINT) AS cos_x1e6
+             |FROM p WHERE cos >= 0.35 ORDER BY a, b""".stripMargin)),
 
     // ---- training-data extensions: similarity search ---------------------
 
@@ -423,7 +438,14 @@ object Queries {
       Some("SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id")),
 
     QuerySpec("doc_rolling_fingerprint",
-      (s, d) => TextOps.rollingFingerprint(Tables.documents(s, d)), None),
+      (s, d) => TextOps.rollingFingerprint(Tables.documents(s, d)),
+      Some(s"""SELECT doc_id,
+              |  list_reduce(
+              |    list_prepend(0::BIGINT,
+              |      list_transform(string_split(text, ' '),
+              |        t -> ('0x' || substr(md5(t), 1, 14))::BIGINT)),
+              |    (acc, h) -> (acc*31 + h) % ${TextOps.RollingMod}) AS rolling_fp
+              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // ---- training-data extensions: multimodal ----------------------------
 
@@ -435,9 +457,17 @@ object Queries {
       Some("""SELECT doc_id, strlen(text) AS n_bytes, 'text/plain' AS media_type
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // decode stub derives fake dims from md5 of the media bytes and the
+    // checksum is a plain byte sum, so the whole row is recomputable in
+    // SQL (documents.text is ASCII: code points == bytes)
     QuerySpec("multimodal_features",
       (s, d) => Multimodal.extractFeatures(s, Multimodal.manifest(Tables.documents(s, d)))
-        .toDF().orderBy("doc_id"), None)
+        .toDF().orderBy("doc_id"),
+      Some("""SELECT doc_id, strlen(text) AS n_bytes, 'text/plain' AS media_type,
+             |  CAST(64 + ('0x' || substr(md5(text), 1, 8))::BIGINT % 1024 AS INTEGER) AS width,
+             |  CAST(64 + ('0x' || substr(md5(text), 9, 8))::BIGINT % 1024 AS INTEGER) AS height,
+             |  CAST(list_aggregate(list_transform(string_split(text, ''), x -> unicode(x)), 'sum') AS BIGINT) AS checksum
+             |FROM documents ORDER BY doc_id""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -226,6 +226,28 @@ object Dedup {
 
   // --- embedding near-dup -------------------------------------------------
 
+  /** Exact embedding-cosine pairs (cosine >= threshold) — the brute
+    * ground truth the LSH variant approximates. One side is broadcast
+    * into a nested-loop join, so the corpus streams once with no
+    * shuffle; cost is O(n·m) dot products. At 100 TB this is the
+    * recall-audit tool you run on a sample (broadcast side bounded),
+    * not the production path — [[embeddingNearDups]] is that.
+    */
+  def embeddingNearDupsExact(embs: DataFrame, threshold: Double): DataFrame = {
+    graft.functions.VectorFunctions.register(embs.sparkSession)
+    val e = embs.select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", Similarity.norm(col("embedding")))
+    val l = spread(e).as("l")
+    val r = broadcast(e).as("r")
+    l.join(r, col("l.vec_id") < col("r.vec_id"))
+      .select(col("l.vec_id").as("a"), col("r.vec_id").as("b"),
+        (Similarity.dot(col("l.embedding"), col("r.embedding"))
+          / (col("l.nrm") * col("r.nrm"))).as("cos"))
+      .where(col("cos") >= threshold)
+      .select(col("a"), col("b"), floor(col("cos") * 1000000).cast("long").as("cos_x1e6"))
+      .orderBy("a", "b")
+  }
+
   /** Embedding-cosine near-duplicates: pairs with cosine >= threshold.
     * Candidates from random-hyperplane LSH buckets, exact cosine verify
     * on candidates only.
@@ -249,7 +271,7 @@ object Dedup {
         (Similarity.dot(col("l.embedding"), col("r.embedding"))
           / (col("l.nrm") * col("r.nrm"))).as("cos"))
       .where(col("cos") >= threshold)
-      .select(col("a"), col("b"), (col("cos") * 1000000).cast("long").as("cos_x1e6"))
+      .select(col("a"), col("b"), floor(col("cos") * 1000000).cast("long").as("cos_x1e6"))
       .distinct()
       .orderBy("a", "b")
   }

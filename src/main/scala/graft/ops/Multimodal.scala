@@ -35,24 +35,26 @@ object Multimodal {
   /** STUB DECODER — deterministic fake. A real deployment replaces this
     * with an image/audio codec call (per-partition, so codec init cost
     * amortizes over a whole batch, the same shape mapInPandas gives
-    * Python pipelines).
+    * Python pipelines). Fake dims derive from the md5 of the payload
+    * bytes — deterministic AND reproducible outside the JVM, so the
+    * whole feature row is cross-engine oracle-checkable.
     */
-  private def decodeStub(bytes: Array[Byte]): (Int, Int) = {
-    var h = 1125899906842597L // FNV-ish deterministic fold of the bytes
-    var i = 0
-    while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
-    val w = 64 + math.floorMod(h, 1024).toInt
-    val ht = 64 + math.floorMod(h >>> 32, 1024).toInt
-    (w, ht)
+  private def decodeStub(md: java.security.MessageDigest, bytes: Array[Byte]): (Int, Int) = {
+    val d = md.digest(bytes)
+    def be32(off: Int): Long = // unsigned big-endian 32-bit = 8 hex digits of the md5
+      ((d(off) & 0xffL) << 24) | ((d(off + 1) & 0xffL) << 16) |
+        ((d(off + 2) & 0xffL) << 8) | (d(off + 3) & 0xffL)
+    (64 + (be32(0) % 1024).toInt, 64 + (be32(4) % 1024).toInt)
   }
 
   /** Per-partition batched feature extraction over the binary column. */
   def extractFeatures(spark: SparkSession, mf: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
     mf.as[MediaRow].mapPartitions { it =>
-      // per-partition init would go here (codec handles, model weights…)
+      // per-partition init (codec handles, model weights… here: digest)
+      val md = java.security.MessageDigest.getInstance("MD5")
       it.map { m =>
-        val (w, h) = decodeStub(m.media)
+        val (w, h) = decodeStub(md, m.media)
         var cs = 0L
         var i = 0
         while (i < m.media.length) { cs += m.media(i) & 0xffL; i += 1 }

@@ -123,22 +123,36 @@ object TextOps {
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), md5(col("text")).as("fp")).orderBy("doc_id")
 
-  /** Order-sensitive rolling 64-bit fingerprint: chained xxhash64 over
-    * the token stream (acc → hash(token) folded into acc). Unlike md5 of
-    * the raw string it is whitespace-normalization-invariant. Runs as a
-    * per-partition kernel — the aggregate-lambda form is interpreted and
-    * measured ~50× slower per token.
+  /** Order-sensitive rolling fingerprint: polynomial fold of per-token
+    * hashes, `acc = (31*acc + h(token)) mod 2^56`. Unlike md5 of the raw
+    * string it is whitespace-normalization-invariant. Token hash = first
+    * 56 bits of the token's md5, and the modulus keeps every step in
+    * exact int64 range — both choices make the value reproducible in any
+    * engine (the DuckDB oracle recomputes it with list_reduce). A
+    * production pipeline would swap md5 for xxhash64 per token (~5×
+    * faster, same shape); run as a per-partition kernel either way —
+    * the aggregate-lambda form is interpreted and ~50× slower per token.
     */
+  val RollingMod: Long = 1L << 56
+
   def rollingFingerprint(docs: DataFrame): DataFrame = {
     val sp = docs.sparkSession
     import sp.implicits._
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
-      .mapPartitions(it => it.map { case (id, text) =>
-        var acc = 0L
-        text.split(' ').foreach(t => acc = org.apache.spark.sql.catalyst.expressions.XXH64
-          .hashLong(graft.ops.DedupKernels.hashStr(t), acc))
-        (id, acc)
-      })
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text) =>
+          var acc = 0L
+          text.split(' ').foreach { t =>
+            val d = md.digest(t.getBytes("UTF-8"))
+            var h = 0L
+            var i = 0
+            while (i < 7) { h = (h << 8) | (d(i) & 0xffL); i += 1 } // 7 bytes = 56 bits
+            acc = (acc * 31 + h) % RollingMod
+          }
+          (id, acc)
+        }
+      }
       .toDF("doc_id", "rolling_fp")
       .orderBy("doc_id")
   }

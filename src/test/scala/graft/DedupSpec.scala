@@ -1,5 +1,6 @@
 package graft
 
+import graft.engine.Tables
 import graft.ops.Dedup
 
 class DedupSpec extends SparkSpec {
@@ -89,6 +90,19 @@ class DedupSpec extends SparkSpec {
     }
     // docs 1,2,3 are one near-dup cluster at 0.5
     assert(byCluster(1L).map(_._1).toSet == Set(1L, 2L, 3L))
+  }
+
+  test("embedding LSH pairs are a subset of the exact ground truth, with usable recall") {
+    val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val exact = Dedup.embeddingNearDupsExact(embs, 0.35)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.embeddingNearDups(embs, 0.35, tables = 16, bitsPerTable = 4)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact)) // verify stage guarantees no false positives
+    if (exact.nonEmpty) {
+      val recall = (lsh & exact).size.toDouble / exact.size
+      assert(recall >= 0.7, s"LSH recall $recall too low (exact=${exact.size}, lsh=${lsh.size})")
+    }
   }
 
   test("embedding near-dups: duplicate vectors found at high threshold") {
