@@ -46,6 +46,24 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Dedup.minhashNearDups(emptyDocs, 0.8).isEmpty)
   }
 
+  test("uncommitted junk in a store directory is invisible to readers") {
+    // the reference tolerates a torn trailing event on recovery
+    // (open_stream_test.go:549-571); the parquet commit protocol's
+    // analog is that only committed part-files are data — _temporary
+    // task dirs and dot-prefixed in-progress files must be ignored
+    val dir = { val d = Files.createTempDirectory("esdbjunk").toFile; d.delete(); d.getAbsolutePath }
+    val ev = Seq(("a", "g", 1L, 1L, 0.0, "{}"), ("a", "g", 2L, 2L, 0.0, "{}"))
+      .toDF("space", "grouping", "ts_us", "event_id", "value", "payload")
+    EsdbWriter.write(ev, dir)
+    val spaceDir = java.nio.file.Paths.get(dir, "space=a")
+    Files.createDirectories(spaceDir.resolve("_temporary/0"))
+    Files.write(spaceDir.resolve("_temporary/0/part-torn.parquet"), Array[Byte](1, 2, 3))
+    Files.write(spaceDir.resolve(".part-inflight.parquet.crc"), Array[Byte](9))
+    val back = EsdbWriter.read(spark, dir)
+    assert(back.count() == 2)
+    assert(EventStore.scan(back, "a", "g").select("event_id").as[Long].collect().toSeq == Seq(2L, 1L))
+  }
+
   test("single-token and single-char documents survive the dedup pipeline") {
     val docs = Seq((1L, "a"), (2L, "a"), (3L, "b c"), (4L, "")).toDF("doc_id", "text")
     val pairs = Dedup.minhashNearDups(docs, 0.9)

@@ -57,6 +57,30 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("exact embedding pairs broadcast one side — nested loop, not cartesian") {
+    val p = plan("dedup_embedding_exact")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("store reads prune partitions on space predicates") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("esdbprune").toFile
+    dir.delete()
+    val ev = (1 to 50).map(i => (s"s${i % 5}", "g", i.toLong, i.toLong, 0.0, "{}"))
+      .toDF("space", "grouping", "ts_us", "event_id", "value", "payload")
+    graft.engine.EsdbWriter.write(ev, dir.getAbsolutePath)
+    val q = graft.engine.EventStore.scan(
+      graft.engine.EsdbWriter.read(spark, dir.getAbsolutePath), "s3", "g")
+    val p = q.queryExecution.explainString(FormattedMode)
+    // the space predicate must land in PartitionFilters (directory
+    // pruning — the reference's file-level SSTable lookup), not in the
+    // post-scan Filter
+    assert(p.contains("PartitionFilters: [isnotnull(space"), p)
+    assert(p.contains("space") && p.contains("= s3"), p)
+    assert(q.select("event_id").as[Long].collect().sorted.forall(_ % 5 == 3))
+  }
+
   test("bucketed tables join co-located: no exchange on either side") {
     import spark.implicits._
     val ev = (1 to 100).map(i => ("s", s"u${i % 10}", i.toLong, i.toLong, 0.0, "{}"))

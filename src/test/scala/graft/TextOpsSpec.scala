@@ -45,6 +45,20 @@ class TextOpsSpec extends SparkSpec {
     assert(fps.sameElements(again))
   }
 
+  test("rolling fingerprint matches an independent BigInt reference fold") {
+    // guards the mod-2^56 long arithmetic against overflow mistakes:
+    // recompute with arbitrary-precision integers and md5 hex parsing
+    val text = "the quick brown fox jumps over the lazy dog"
+    val got = TextOps.rollingFingerprint(Seq((1L, text)).toDF("doc_id", "text"))
+      .select("rolling_fp").as[Long].head()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val want = text.split(' ').foldLeft(BigInt(0)) { (acc, t) =>
+      val hex = md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(14)
+      (acc * 31 + BigInt(hex, 16)) % BigInt(TextOps.RollingMod)
+    }
+    assert(BigInt(got) == want)
+  }
+
   test("sessionize splits on gaps > 30min") {
     val ev = Seq(
       ("u1", 0L, 1L), ("u1", 60L * 1000000, 2L),                  // session 1: 0s, 60s
