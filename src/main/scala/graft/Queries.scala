@@ -433,6 +433,40 @@ object Queries {
       (s, d) => TextOps.langId(Tables.documents(s, d)),
       Some(TextOps.langIdOracleSql)),
 
+    // generator family (§2.10): explode tokens → global frequency top-k
+    QuerySpec("text_vocab_topk",
+      (s, d) => Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc)
+        .limit(100),
+      Some("""SELECT token, count(*) AS n
+             |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+             |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin)),
+
+    // end-to-end curation: dedup keep-list × language × quality — the
+    // composition a training pipeline runs; each stage reuses the
+    // operator (and oracle fragment) verified on its own above
+    QuerySpec("corpus_clean",
+      (s, d) => graft.ops.Corpus.cleanCorpus(Tables.documents(s, d)),
+      Some(s"""WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+              |lang AS (SELECT doc_id, lang_pred FROM (${TextOps.langIdOracleSql.replace("\n", " ")})
+              |         WHERE lang_pred = 'en'),
+              |qual AS (SELECT doc_id, quality_x1000 FROM (
+              |           SELECT doc_id, least(1000,
+              |             ((length(text) - length(replace(text, 'the', ''))) // 3) * 1000
+              |               // (length(text) - length(replace(text, ' ', '')) + 1)) AS quality_x1000
+              |           FROM documents) q
+              |         WHERE quality_x1000 >= 25)
+              |SELECT d.doc_id, length(d.text) AS n_chars, lang.lang_pred,
+              |       CAST(qual.quality_x1000 AS BIGINT) AS quality_x1000
+              |FROM documents d
+              |JOIN keep ON d.doc_id = keep.doc_id
+              |JOIN lang ON d.doc_id = lang.doc_id
+              |JOIN qual ON d.doc_id = qual.doc_id
+              |ORDER BY d.doc_id""".stripMargin)),
+
     QuerySpec("doc_fingerprint",
       (s, d) => TextOps.fingerprint(Tables.documents(s, d)),
       Some("SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id")),
