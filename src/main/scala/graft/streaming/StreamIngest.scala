@@ -63,6 +63,45 @@ object StreamIngest {
   def indexFilter(events: DataFrame, indexName: String, value: String): DataFrame =
     events.where(EventFrame.attr(indexName) === value)
 
+  /** Streaming exact dedup: drop payload-identical events, keyed by
+    * content hash so state stores 16-byte keys, never payloads — the
+    * streaming form of [[graft.ops.Dedup.exact]]. The watermark bounds
+    * state: duplicates arriving later than `watermark` after the
+    * original are not deduplicated (and state older than that is
+    * evicted), which is the standard unbounded-stream tradeoff.
+    */
+  def dedupExact(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withColumn("ts", timestamp_micros(col("ts_us")))
+      .withColumn("fp", md5(col("payload")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("fp")
+      .drop("fp")
+
+  /** Stream-stream interval join: each left event enriched with right
+    * events of the same grouping whose time falls in
+    * [left.ts - lookback, left.ts] — the streaming analog of the batch
+    * [[graft.ops.AsofJoin]] (bounded-interval rather than newest-prior,
+    * because unbounded "most recent ever" state cannot be evicted on an
+    * infinite stream). Watermarks on BOTH sides plus the time-bound
+    * join condition let Spark drop buffered rows once they can no
+    * longer match.
+    */
+  def enrichInterval(left: DataFrame, right: DataFrame,
+                     lookback: String = "1 hour",
+                     watermark: String = "1 hour"): DataFrame = {
+    val l = left.withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", watermark)
+      .select(col("grouping"), col("ts").as("l_ts"), col("event_id").as("l_event_id"))
+    val r = right.withColumn("r_ts", timestamp_micros(col("ts_us")))
+      .withWatermark("r_ts", watermark)
+      .select(col("grouping").as("r_grouping"), col("r_ts"), col("event_id").as("r_event_id"))
+    l.join(r,
+      col("grouping") === col("r_grouping") &&
+        col("r_ts") <= col("l_ts") &&
+        col("r_ts") >= col("l_ts") - expr(s"INTERVAL $lookback"))
+      .select("grouping", "l_event_id", "r_event_id", "l_ts", "r_ts")
+  }
+
   /** Append-mode parquet sink: the streaming form of the reference's
     * `Stream.Write` append path — each micro-batch lands as immutable
     * parquet in the log directory, with exactly-once via the

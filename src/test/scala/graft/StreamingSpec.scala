@@ -89,6 +89,48 @@ class StreamingSpec extends SparkSpec {
     new graft.engine.GraftExtensions().apply(ext)
   }
 
+  test("streaming exact dedup drops payload duplicates within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamIngest.dedupExact(mem.toDF(), "1 hour")
+      .writeStream.format("memory").queryName("dedup_t").outputMode(OutputMode.Append())
+      .start()
+    try {
+      mem.addData(
+        Ev("s", "u1", 1L, 1L, """{"p": "same"}"""),
+        Ev("s", "u2", 2L, 2L, """{"p": "same"}"""), // duplicate payload
+        Ev("s", "u3", 3L, 3L, """{"p": "other"}"""))
+      q.processAllAvailable()
+      mem.addData(Ev("s", "u4", 4L, 4L, """{"p": "same"}""")) // late duplicate, still in watermark
+      q.processAllAvailable()
+      val ids = spark.table("dedup_t").select("event_id").as[Long].collect().sorted
+      assert(ids.length == 2) // one survivor per distinct payload
+      assert(ids.contains(3L))
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join enriches within the lookback window") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val buys = MemoryStream[Ev]
+    val min = 60L * 1000000
+    val q = StreamIngest.enrichInterval(clicks.toDF(), buys.toDF(), "30 minutes", "2 hours")
+      .writeStream.format("memory").queryName("enrich_t").outputMode(OutputMode.Append())
+      .start()
+    try {
+      buys.addData(Ev("purchase", "u1", 10 * min, 100L, "{}"),
+        Ev("purchase", "u1", 50 * min, 101L, "{}"))
+      clicks.addData(
+        Ev("click", "u1", 20 * min, 1L, "{}"),  // joins purchase@10m (within 30m lookback)
+        Ev("click", "u1", 60 * min, 2L, "{}"),  // joins purchase@50m only (10m is 50m back)
+        Ev("click", "u2", 20 * min, 3L, "{}"))  // no purchases for u2 → no row (inner join)
+      q.processAllAvailable()
+      val got = spark.table("enrich_t").select("l_event_id", "r_event_id")
+        .as[(Long, Long)].collect().toSet
+      assert(got == Set((1L, 100L), (2L, 101L)))
+    } finally q.stop()
+  }
+
   test("windowed counts aggregate by tumbling event-time windows") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
