@@ -54,7 +54,15 @@ object EventFrame {
       col("props").as("payload"))
 
   /** Secondary-index attribute accessor: esdb `name:value` index ≡
-    * JSON key lookup on the payload (space.go:123-143).
+    * JSON key lookup on the payload (space.go:123-143). Uses the native
+    * [[graft.functions.JsonAttr]] byte-scanner — `get_json_object` is a
+    * CodegenFallback that builds a Jackson parser per row, which would
+    * dominate every index-scan at scale. Registration is idempotent and
+    * guarded here so ad-hoc frames work without a Tables/tune call.
     */
-  def attr(name: String): Column = get_json_object(col("payload"), "$." + name)
+  def attr(name: String): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.functions.JsonFunctions.register)
+    call_function("json_attr", col("payload"), lit(name))
+  }
 }

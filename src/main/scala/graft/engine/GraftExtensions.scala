@@ -23,6 +23,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (exprs: Seq[Expression]) => VecDot(exprs.head, exprs(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("json_attr"),
+      new ExpressionInfo(classOf[graft.functions.JsonAttr].getName, "json_attr"),
+      (exprs: Seq[Expression]) => graft.functions.JsonAttr(exprs.head, exprs(1))))
   }
 }
 

@@ -23,6 +23,11 @@ object GraftSession {
       spark.conf.set("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
     }
     catch { case _: Exception => () } // conf locked down: proceed, reads may still work
+    // engine-native functions available on every session the engine
+    // touches (GraftExtensions covers cluster deploys; this covers
+    // sessions built by harnesses/tests)
+    graft.functions.VectorFunctions.register(spark)
+    graft.functions.JsonFunctions.register(spark)
     spark
   }
 }

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.JsonFast
+
+/** `json_attr` must be drop-in compatible with `get_json_object` for
+  * `$.key` paths — the oracle-checked queries depend on it.
+  */
+class JsonAttrSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val cases = Seq(
+    """{"k": 42}""",
+    """{"k": 42, "m": "x"}""",
+    """{"m": "x", "k": "hello world"}""",
+    """{"k": -3.25e2}""",
+    """{"k": true}""",
+    """{"k": false}""",
+    """{"k": null}""",
+    """{"m": 1}""", // missing key
+    """{}""",
+    """{"k": "with \"escaped\" quotes"}""",
+    """{"k": "tab\there"}""",
+    """{"a": "decoy \"k\": 7 inside a string", "k": 8}""",
+    """{"a": {"k": 1}, "k": 2}""", // nested object contains the key
+    """{"a": [1, {"k": 9}], "k": 3}""",
+    """{"kk": 1, "k": 2}""", // key-prefix collision
+    """{"k ": 1, "k": 2}""",
+    """{ "k" : 42 }""", // whitespace everywhere
+    """{"k": "héllo 世界"}""", // multi-byte neighbors
+    """{"漢": 1, "k": 5}""",
+    """[1, 2, 3]""", // non-object roots
+    """42""",
+    """""",
+    """not json at all""",
+    """{"k": 1""" // truncated
+  )
+
+  test("json_attr matches get_json_object on scalar/edge cases") {
+    graft.functions.JsonFunctions.register(spark)
+    val df = cases.toDF("j")
+      .select(
+        col("j"),
+        call_function("json_attr", col("j"), lit("k")).as("fast"),
+        get_json_object(col("j"), "$.k").as("builtin"))
+    df.collect().foreach { r =>
+      assert(r.get(1) == r.get(2), s"payload <${r.getString(0)}>: fast=${r.get(1)} builtin=${r.get(2)}")
+    }
+  }
+
+  test("interpreted eval matches the byte scanner (no codegen)") {
+    cases.foreach { j =>
+      val interp = JsonFast.attr(UTF8String.fromString(j), UTF8String.fromString("k"))
+      val viaDf = Seq(j).toDF("j")
+        .select(get_json_object(col("j"), "$.k")).collect()(0).getString(0)
+      val got = if (interp == null) null else interp.toString
+      assert(got == viaDf, s"payload <$j>: scanner=$got builtin=$viaDf")
+    }
+  }
+
+  test("nested values take the jackson path and match the builtin") {
+    graft.functions.JsonFunctions.register(spark)
+    val nested = Seq("""{"k": {"a": 1, "b": [2, 3]}}""", """{"k": [1, {"x": "y"}]}""")
+    val df = nested.toDF("j").select(
+      call_function("json_attr", col("j"), lit("k")).as("fast"),
+      get_json_object(col("j"), "$.k").as("builtin"))
+    df.collect().foreach(r => assert(r.get(0) == r.get(1), r.toString))
+  }
+}

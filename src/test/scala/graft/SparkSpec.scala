@@ -29,6 +29,7 @@ object SparkSpec {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    graft.engine.GraftSession.tune(s)
     s
   }
 }
