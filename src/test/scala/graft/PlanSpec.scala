@@ -57,6 +57,13 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("no declared query plans a cartesian product") {
+    Queries.all.foreach { q =>
+      val p = Queries.queries(q.name)(spark, dir).queryExecution.explainString(FormattedMode)
+      assert(!p.contains("CartesianProduct"), s"${q.name} plans a cartesian product\n" + p)
+    }
+  }
+
   test("exact embedding pairs broadcast one side — nested loop, not cartesian") {
     val p = plan("dedup_embedding_exact")
     assert(p.contains("BroadcastNestedLoopJoin"), p)
