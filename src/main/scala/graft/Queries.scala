@@ -467,6 +467,13 @@ object Queries {
               |JOIN qual ON d.doc_id = qual.doc_id
               |ORDER BY d.doc_id""".stripMargin)),
 
+    QuerySpec("text_normalize_scrub",
+      (s, d) => TextOps.normalizeScrub(Tables.documents(s, d)),
+      Some("""SELECT doc_id,
+             |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), '  +', ' ', 'g')) AS norm_text,
+             |  regexp_replace(regexp_replace(text, '[A-Za-z0-9.]+@[A-Za-z0-9.]+', '<email>', 'g'), '[0-9]+', '<num>', 'g') AS scrubbed
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     QuerySpec("doc_fingerprint",
       (s, d) => TextOps.fingerprint(Tables.documents(s, d)),
       Some("SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id")),

@@ -119,6 +119,23 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Normalization + PII scrubbing — the cleanup pass a training
+    * pipeline runs before tokenization. Pure codegen'd string
+    * expressions (regexp_replace), single pass, no shuffle:
+    *  - norm_text: lowercase, punctuation → space, whitespace collapsed
+    *  - scrubbed: emails masked `<email>`, digit runs masked `<num>`
+    * Patterns are deliberately RE2/Java-common so the DuckDB oracle
+    * replays them verbatim (with its explicit 'g' flag).
+    */
+  def normalizeScrub(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), "  +", " "))
+        .as("norm_text"),
+      regexp_replace(regexp_replace(col("text"), "[A-Za-z0-9.]+@[A-Za-z0-9.]+", "<email>"),
+        "[0-9]+", "<num>").as("scrubbed"))
+      .orderBy("doc_id")
+
   /** Content fingerprint (md5 of the text) — the exact-dedup key. */
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), md5(col("text")).as("fp")).orderBy("doc_id")

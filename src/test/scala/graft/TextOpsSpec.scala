@@ -59,6 +59,14 @@ class TextOpsSpec extends SparkSpec {
     assert(BigInt(got) == want)
   }
 
+  test("normalize + scrub masks PII and canonicalizes whitespace/case") {
+    val d = Seq((1L, "Call Bob at 555-1234, mail bob.x@corp.example NOW!"))
+      .toDF("doc_id", "text")
+    val r = TextOps.normalizeScrub(d).collect()(0)
+    assert(r.getString(1) == "call bob at 555 1234 mail bob x corp example now")
+    assert(r.getString(2) == "Call Bob at <num>-<num>, mail <email> NOW!")
+  }
+
   test("sessionize splits on gaps > 30min") {
     val ev = Seq(
       ("u1", 0L, 1L), ("u1", 60L * 1000000, 2L),                  // session 1: 0s, 60s
