@@ -196,6 +196,31 @@ object Queries {
              |FROM orders JOIN customer ON o_custkey = c_custkey
              |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
 
+    // TPC-H Q5-shaped 6-table star join: fact table scanned once, dims
+    // broadcast (supplier/nation/region explicitly; customer via AQE) —
+    // the revenue-per-nation plan shape Catalyst should produce at any
+    // scale: no fact-table shuffle except the final tiny aggregation
+    QuerySpec("q5_region_revenue",
+      (s, d) => Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey") && col("r_name") === "ASIA")
+        .groupBy("n_name")
+        .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100).cast("long"))
+          .as("revenue_cents"))
+        .orderBy(col("revenue_cents").desc, col("n_name")),
+      Some("""SELECT n_name,
+             |  CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents
+             |FROM customer, orders, lineitem, supplier, nation, region
+             |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+             |  AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey
+             |  AND n_regionkey = r_regionkey AND r_name = 'ASIA'
+             |GROUP BY n_name ORDER BY revenue_cents DESC, n_name""".stripMargin)),
+
     QuerySpec("events_sessionize",
       (s, d) => Sessionize.sessions(ev(s, d)),
       Some(s"""WITH t AS (SELECT CAST(user_id AS VARCHAR) AS grouping, epoch_us(ts) AS ts_us, event_id FROM events),
