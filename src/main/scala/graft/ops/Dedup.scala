@@ -172,11 +172,46 @@ object Dedup {
     * component. Nodes appearing in no pair are not listed (they are
     * their own singleton cluster by definition).
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+                          localThreshold: Long = 1000000L): DataFrame = {
     val edges = Caches.persist(
       pairs.select(col("a").as("x"), col("b").as("y"))
         .union(pairs.select(col("b"), col("a")))
         .distinct())
+    // size-aware strategy switch (same idea as broadcast-vs-shuffle
+    // joins): near-dup pair graphs are a small fraction of the corpus
+    // even at 100 TB, so below `localThreshold` edges a driver-side
+    // union-find replaces the whole iterative job sequence — one
+    // collect of (long, long) pairs instead of diameter-many
+    // join+aggregate rounds. Above it, distributed min-label
+    // propagation takes over unchanged.
+    if (edges.count() / 2 <= localThreshold) {
+      val sp = pairs.sparkSession
+      import sp.implicits._
+      // collect from the cached symmetric edge set (one direction)
+      val es = edges.where(col("x") < col("y")).as[(Long, Long)].collect()
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val next = parent(c); parent(c) = r; c = next }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a)
+        parent.getOrElseUpdate(b, b)
+        val ra = find(a)
+        val rb = find(b)
+        // union-by-min: the smaller root always wins, so each tree's
+        // root converges to the component minimum
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val labels = parent.keys.toSeq.sorted.map(k => (k, find(k)))
+      edges.unpersist()
+      Caches.untrack(edges)
+      return labels.toDF("doc_id", "cluster_id")
+    }
     var labels = Caches.persist(
       edges.groupBy(col("x").as("doc_id"))
         .agg(min("y").as("m"))

@@ -79,6 +79,18 @@ class DedupSpec extends SparkSpec {
     assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 6L -> 5L))
   }
 
+  test("distributed and local connected-components strategies agree") {
+    // chains (diameter > 1), a clique, and singleton-free pairs
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L),
+      (11L, 12L), (10L, 12L), (20L, 21L)).toDF("a", "b")
+    val local = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    val distributed = Dedup.connectedComponents(pairs, localThreshold = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(local == distributed)
+    assert(local == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("dedupClusters keep-list: one keeper per cluster") {
     val keep = Dedup.dedupClusters(docs, 0.5)
       .select("doc_id", "cluster_id", "keep").as[(Long, Long, Boolean)].collect()
