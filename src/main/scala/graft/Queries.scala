@@ -221,6 +221,19 @@ object Queries {
              |  AND n_regionkey = r_regionkey AND r_name = 'ASIA'
              |GROUP BY n_name ORDER BY revenue_cents DESC, n_name""".stripMargin)),
 
+    // calendar bucketing over a real timestamp column (UTC session TZ
+    // on both engines keeps month boundaries identical)
+    QuerySpec("orders_by_month",
+      (s, d) => Tables.orders(s, d)
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("rev_cents"))
+        .orderBy("month"),
+      Some("""SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+             |       count(*) AS n_orders,
+             |       CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS rev_cents
+             |FROM orders GROUP BY month ORDER BY month""".stripMargin)),
+
     QuerySpec("events_sessionize",
       (s, d) => Sessionize.sessions(ev(s, d)),
       Some(s"""WITH t AS (SELECT CAST(user_id AS VARCHAR) AS grouping, epoch_us(ts) AS ts_us, event_id FROM events),
