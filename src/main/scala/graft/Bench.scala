@@ -25,11 +25,17 @@ object Bench {
     // janino compilation of each query's generated code (the warmup set
     // is ~1% of the timed SF, so this costs seconds and removes the
     // dominant cold-start noise from per-query numbers).
-    val warmDir = "/root/testdata/sf0.001"
+    val warmDir = {
+      val sibling = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
+      if (sibling.isDirectory) sibling.getAbsolutePath else sfDir
+    }
+    var warmFailures = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
       try fn(spark, warmDir).queryExecution.toRdd.count()
-      catch { case _: Throwable => () }
+      catch { case _: Throwable => warmFailures += 1 }
     }
+    if (warmFailures == SparkEntry.queries.size)
+      System.err.println(s"[bench] WARMUP NEVER RAN ($warmDir unusable) — timed runs include cold JIT")
     graft.ops.Caches.clear()
     // best-of-2 per query: the second run reuses JIT'd codegen classes
     // and the OS page cache, which is the steady-state a long-lived
@@ -52,7 +58,9 @@ object Bench {
     val qs = results.map { case (k, ts) => "\"" + k + "\":" + ts.minOption.getOrElse(-1.0) }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.flatMap(_._2.minOption).sum
+    // any failure makes the headline incomparable-by-construction:
+    // a broken slow query must not read as a round-over-round speedup
+    val total = if (failed.nonEmpty) -1.0 else results.flatMap(_._2.minOption).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -545,7 +545,7 @@ object Queries {
       Some("""SELECT doc_id, strlen(text) AS n_bytes, 'text/plain' AS media_type,
              |  CAST(64 + ('0x' || substr(md5(text), 1, 8))::BIGINT % 1024 AS INTEGER) AS width,
              |  CAST(64 + ('0x' || substr(md5(text), 9, 8))::BIGINT % 1024 AS INTEGER) AS height,
-             |  CAST(list_aggregate(list_transform(string_split(text, ''), x -> unicode(x)), 'sum') AS BIGINT) AS checksum
+             |  CAST(coalesce(list_aggregate(list_transform(string_split(text, ''), x -> unicode(x)), 'sum'), 0) AS BIGINT) AS checksum
              |FROM documents ORDER BY doc_id""".stripMargin))
   )
 

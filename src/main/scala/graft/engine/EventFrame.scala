@@ -57,8 +57,11 @@ object EventFrame {
     * JSON key lookup on the payload (space.go:123-143). Uses the native
     * [[graft.functions.JsonAttr]] byte-scanner — `get_json_object` is a
     * CodegenFallback that builds a Jackson parser per row, which would
-    * dominate every index-scan at scale. Registration is idempotent and
-    * guarded here so ad-hoc frames work without a Tables/tune call.
+    * dominate every index-scan at scale. Registration is idempotent;
+    * the active-session guard covers ad-hoc frames built on the
+    * calling thread — multi-session JVMs should install
+    * [[graft.engine.GraftExtensions]] or call `GraftSession.tune` on
+    * each session (the registry is per-session state).
     */
   def attr(name: String): Column = {
     org.apache.spark.sql.SparkSession.getActiveSession

@@ -37,8 +37,9 @@ object JsonFast {
     * boundaries).
     */
   private def slice(s: UTF8String, from: Int, until: Int): UTF8String = {
-    val all = s.getBytes
-    UTF8String.fromBytes(all, from, until - from)
+    // copy ONLY the slice: fromBytes(getBytes, from, len) would retain
+    // the whole payload-sized array for the result's lifetime
+    UTF8String.fromBytes(java.util.Arrays.copyOfRange(s.getBytes, from, until))
   }
 
   private def bytesMatch(s: UTF8String, from: Int, key: UTF8String): Boolean = {
@@ -65,11 +66,16 @@ object JsonFast {
     // (a truncated tail returns null), so early return would diverge
     var found = false
     var result: UTF8String = null
+    var anyField = false
     while (i < n) {
       while (i < n && isWs(json.getByte(i))) i += 1
       if (i >= n) return null
       val c = json.getByte(i)
-      if (c == '}') return (if (found) result else null)
+      if (c == '}') {
+        // `{"a":1,}` — trailing comma: let Jackson judge the document
+        if (expectKey && anyField) return fallback(json, key)
+        return (if (found) result else null)
+      }
       else if (c == ',') { i += 1; expectKey = true }
       else if (!expectKey) return fallback(json, key) // malformed: two values in a row
       else {
@@ -86,7 +92,10 @@ object JsonFast {
           else ke += 1
         }
         if (!closed) return null
-        val isMatch = !keyEsc && (ke - ks == key.numBytes) && bytesMatch(json, ks, key)
+        // a key containing escapes needs unescaping before comparison —
+        // Jackson territory (e.g. {"id": …} matches key "id")
+        if (keyEsc) return fallback(json, key)
+        val isMatch = (ke - ks == key.numBytes) && bytesMatch(json, ks, key)
         i = ke + 1
         while (i < n && isWs(json.getByte(i))) i += 1
         if (i >= n || json.getByte(i) != ':') return fallback(json, key)
@@ -172,6 +181,7 @@ object JsonFast {
           i = ve
         }
         expectKey = false
+        anyField = true
       }
     }
     null
@@ -189,11 +199,18 @@ object JsonFast {
     val parser = factory.createParser(json.toString)
     try {
       if (parser.nextToken() != JsonToken.START_OBJECT) return null
-      while (parser.nextToken() == JsonToken.FIELD_NAME) {
+      var result: UTF8String = null
+      var found = false
+      var tok = parser.nextToken()
+      // capture the first match but keep parsing to END_OBJECT: a
+      // document that fails to parse after the match must yield null,
+      // exactly like the fast scanner (and the built-in on truncation)
+      while (tok == JsonToken.FIELD_NAME) {
         val name = parser.currentName()
         val v = parser.nextToken()
-        if (name == want) {
-          return v match {
+        if (name == want && !found) {
+          found = true
+          result = v match {
             case JsonToken.VALUE_NULL => null
             case JsonToken.VALUE_STRING => // built-in writes leaf strings raw (unquoted)
               UTF8String.fromString(parser.getText)
@@ -213,8 +230,10 @@ object JsonFast {
         } else if (v == JsonToken.START_OBJECT || v == JsonToken.START_ARRAY) {
           parser.skipChildren()
         }
+        tok = parser.nextToken()
       }
-      null
+      if (tok != JsonToken.END_OBJECT) return null
+      result
     } catch {
       case _: Exception => null
     } finally parser.close()

@@ -103,7 +103,10 @@ object TextOps {
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
-          val toks = text.split(' ')
+          // limit -1 keeps trailing empty tokens — matching SQL split /
+          // DuckDB string_split, so the oracle denominator agrees even
+          // on trailing-space documents
+          val toks = text.split(" ", -1)
           var bestLang = ""
           var bestScore = -1
           profiles.foreach { case (code, set) =>
@@ -160,7 +163,8 @@ object TextOps {
         val md = java.security.MessageDigest.getInstance("MD5")
         it.map { case (id, text) =>
           var acc = 0L
-          text.split(' ').foreach { t =>
+          // limit -1: trailing empty tokens fold like string_split's
+          text.split(" ", -1).foreach { t =>
             val d = md.digest(t.getBytes("UTF-8"))
             var h = 0L
             var i = 0

@@ -31,6 +31,13 @@ class JsonAttrSpec extends SparkSpec {
     """{ "k" : 42 }""", // whitespace everywhere
     """{"k": "héllo 世界"}""", // multi-byte neighbors
     """{"漢": 1, "k": 5}""",
+    // literal backslash-u escaped KEY spelling "k" (string-concat dodges
+    // Scala's unicode-escape preprocessing in source literals)
+    "{\"\\" + """u006b": 11}""",
+    """{"a": 1,}""", // trailing comma
+    """{"k": "v", "m": """, // truncated AFTER the match
+    """{"k": 1, "k": 2}""", // duplicate keys
+    """{"k": "a\"b", "m""", // escaped value then truncation
     """[1, 2, 3]""", // non-object roots
     """42""",
     """""",

@@ -52,7 +52,7 @@ class TextOpsSpec extends SparkSpec {
     val got = TextOps.rollingFingerprint(Seq((1L, text)).toDF("doc_id", "text"))
       .select("rolling_fp").as[Long].head()
     val md = java.security.MessageDigest.getInstance("MD5")
-    val want = text.split(' ').foldLeft(BigInt(0)) { (acc, t) =>
+    val want = text.split(" ", -1).foldLeft(BigInt(0)) { (acc, t) =>
       val hex = md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(14)
       (acc * 31 + BigInt(hex, 16)) % BigInt(TextOps.RollingMod)
     }
