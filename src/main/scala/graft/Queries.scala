@@ -234,6 +234,30 @@ object Queries {
              |       CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS rev_cents
              |FROM orders GROUP BY month ORDER BY month""".stripMargin)),
 
+    // TPC-H Q14-shaped: date-range filter pushed to the fact scan,
+    // broadcast part dim, conditional aggregation (promo revenue share)
+    QuerySpec("q14_promo_share",
+      (s, d) => Tables.lineitem(s, d)
+        .where(col("l_shipdate") >= lit("1995-06-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1995-09-01").cast("timestamp"))
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_name").like("red%"),
+            round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100).cast("long"))
+            .otherwise(0L)).as("promo_cents"),
+          sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100).cast("long"))
+            .as("total_cents"),
+          count(lit(1)).as("n_items")),
+      Some("""SELECT
+             |  CAST(sum(CASE WHEN p_name LIKE 'red%'
+             |           THEN CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)
+             |           ELSE 0 END) AS BIGINT) AS promo_cents,
+             |  CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS total_cents,
+             |  count(*) AS n_items
+             |FROM lineitem, part
+             |WHERE l_partkey = p_partkey
+             |  AND l_shipdate >= TIMESTAMP '1995-06-01' AND l_shipdate < TIMESTAMP '1995-09-01'""".stripMargin)),
+
     QuerySpec("events_sessionize",
       (s, d) => Sessionize.sessions(ev(s, d)),
       Some(s"""WITH t AS (SELECT CAST(user_id AS VARCHAR) AS grouping, epoch_us(ts) AS ts_us, event_id FROM events),

@@ -105,6 +105,16 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("json_attr is a codegen expression inside the index-scan stage") {
+    assert(!classOf[org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback]
+      .isAssignableFrom(classOf[graft.functions.JsonAttr]))
+    val df = Queries.queries("stream_tails")(spark, dir)
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("json_attr"), executed)
+    assert("""\*\(\d+\)""".r.findFirstIn(executed).isDefined, executed) // whole-stage codegen spans exist
+  }
+
   test("vec_dot is a codegen expression in the scoring projection") {
     // not a CodegenFallback: doGenCode emits the primitive loop
     assert(!classOf[org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback]

@@ -131,6 +131,16 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("SQL text surface: views + engine functions compose in spark.sql") {
+    graft.engine.GraftViews.register(spark, "/root/testdata/sf0.001")
+    val got = spark.sql(
+      """SELECT grouping, count(*) AS n FROM event_frame
+        |WHERE space = 'click' AND json_attr(payload, 'k') = '42'
+        |GROUP BY grouping ORDER BY n DESC, grouping LIMIT 3""".stripMargin).collect()
+    assert(got.nonEmpty)
+    assert(got.forall(_.getLong(1) >= 1L))
+  }
+
   test("windowed counts aggregate by tumbling event-time windows") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
