@@ -346,6 +346,63 @@ object Queries {
              |  ON l.grouping = r.grouping AND l.ts_us >= r.ts_us
              |ORDER BY l.event_id""".stripMargin)),
 
+    // running window frame: per-grouping cumulative value in event order
+    // (rows between unbounded preceding and current row)
+    QuerySpec("events_running_total",
+      (s, d) => {
+        val w = Window.partitionBy(col("grouping"))
+          .orderBy(col("ts_us"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev(s, d).where(col("space") === "purchase")
+          .select(col("grouping"), col("ts_us"), col("event_id"),
+            sum(round(col("value") * 100).cast("long")).over(w).as("running_cents"))
+          .orderBy("grouping", "ts_us", "event_id")
+      },
+      Some("""SELECT CAST(user_id AS VARCHAR) AS grouping, epoch_us(ts) AS ts_us, event_id,
+             |  CAST(sum(CAST(round(value*100) AS BIGINT)) OVER (
+             |    PARTITION BY CAST(user_id AS VARCHAR) ORDER BY epoch_us(ts), event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents
+             |FROM events WHERE event_type = 'purchase'
+             |ORDER BY grouping, ts_us, event_id""".stripMargin)),
+
+    // left anti join on (grouping, attr) pairs: clicked with attr k but
+    // never errored with the same attr — the join-form complement of
+    // the EXCEPT set query below
+    QuerySpec("events_anti_join",
+      (s, d) => {
+        val e = ev(s, d).select(col("grouping"), EventFrame.attr(IdxName).as("attr_k"), col("space"))
+        e.where(col("space") === "click").select("grouping", "attr_k").distinct()
+          .join(e.where(col("space") === "error").select("grouping", "attr_k").distinct(),
+            Seq("grouping", "attr_k"), "left_anti")
+          .orderBy("grouping", "attr_k")
+      },
+      Some(s"""SELECT DISTINCT CAST(user_id AS VARCHAR) AS grouping,
+              |       regexp_extract(props, '"$IdxName":\\s*(\\d+)', 1) AS attr_k
+              |FROM events e WHERE event_type = 'click' AND NOT EXISTS (
+              |  SELECT 1 FROM events x
+              |  WHERE x.event_type = 'error'
+              |    AND CAST(x.user_id AS VARCHAR) = CAST(e.user_id AS VARCHAR)
+              |    AND regexp_extract(x.props, '"$IdxName":\\s*(\\d+)', 1)
+              |        = regexp_extract(e.props, '"$IdxName":\\s*(\\d+)', 1))
+              |ORDER BY grouping, attr_k""".stripMargin)),
+
+    // pivot: spaces as columns, one row per hour bucket (Spark pivot →
+    // conditional aggregation; the oracle spells the same CASE sums)
+    QuerySpec("pivot_space_by_hour",
+      (s, d) => ev(s, d)
+        .groupBy(expr("ts_us div 3600000000").as("hour_bucket"))
+        .pivot("space", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("hour_bucket"),
+      Some("""SELECT epoch_us(ts) // 3600000000 AS hour_bucket,
+             |  count(*) FILTER (event_type = 'click') AS click,
+             |  count(*) FILTER (event_type = 'error') AS error,
+             |  count(*) FILTER (event_type = 'purchase') AS purchase,
+             |  count(*) FILTER (event_type = 'signup') AS signup,
+             |  count(*) FILTER (event_type = 'view') AS view
+             |FROM events GROUP BY hour_bucket ORDER BY hour_bucket""".stripMargin)),
+
     // set operations (absent in the reference; free in Spark — SURVEY §2.7)
     // (grouping, attr) pairs so both directions are non-trivial at every SF
     QuerySpec("set_click_not_purchase",

@@ -174,7 +174,9 @@ object JsonFast {
                 json.getByte(i + 2) == 'u' && json.getByte(i + 3) == 'e') ||
               (t == 5 && json.getByte(i) == 'f' && json.getByte(i + 1) == 'a' &&
                 json.getByte(i + 2) == 'l' && json.getByte(i + 3) == 's' && json.getByte(i + 4) == 'e')
-            if (isNull) { found = true; result = null }
+            // a JSON null writes no output in the built-in, so a LATER
+            // duplicate key may still match — do not latch `found`
+            if (isNull) { /* keep scanning */ }
             else if (rawSafeInt || isBool) { found = true; result = slice(json, i, ve) }
             else return fallback(json, key)
           }
@@ -208,10 +210,11 @@ object JsonFast {
       while (tok == JsonToken.FIELD_NAME) {
         val name = parser.currentName()
         val v = parser.nextToken()
-        if (name == want && !found) {
+        if (name == want && !found && v != JsonToken.VALUE_NULL) {
+          // (a VALUE_NULL match writes no output — later duplicates may
+          // still match, mirroring the built-in)
           found = true
           result = v match {
-            case JsonToken.VALUE_NULL => null
             case JsonToken.VALUE_STRING => // built-in writes leaf strings raw (unquoted)
               UTF8String.fromString(parser.getText)
             case JsonToken.START_OBJECT | JsonToken.START_ARRAY =>

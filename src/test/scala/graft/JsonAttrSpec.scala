@@ -67,6 +67,33 @@ class JsonAttrSpec extends SparkSpec {
     }
   }
 
+  test("fuzz: random flat/nested/escaped documents always match the builtin") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val keyGen = Gen.oneOf("k", "kk", "a", "key with space", "漢字", "x.y")
+    val scalarGen: Gen[String] = Gen.oneOf(
+      Gen.choose(-99999L, 99999L).map(_.toString),
+      Gen.choose(-1000.0, 1000.0).map(_.toString),
+      Gen.oneOf("true", "false", "null"),
+      Gen.alphaNumStr.map(s => "\"" + s + "\""),
+      Gen.oneOf("\"with \\\"quote\\\"\"", "\"tab\\tchar\"", "\"uni \\u0041 esc\"",
+        "\"ends with k\\\": 5\"", "[1, 2, {\"k\": 9}]", "{\"inner\": \"v\"}"))
+    val docGen: Gen[String] = for {
+      n <- Gen.choose(0, 5)
+      ks <- Gen.listOfN(n, keyGen)
+      vs <- Gen.listOfN(n, scalarGen)
+      ws <- Gen.oneOf("", " ")
+    } yield ks.zip(vs).map { case (k, v) => s""""$k":$ws$v""" }.mkString("{" + ws, "," + ws, ws + "}")
+    val docs = (1 to 300).flatMap(i => docGen.apply(Gen.Parameters.default, Seed(i.toLong)))
+    graft.functions.JsonFunctions.register(spark)
+    val rows = docs.toDF("j").select(
+      col("j"),
+      call_function("json_attr", col("j"), lit("k")).as("fast"),
+      get_json_object(col("j"), "$.k").as("builtin")).collect()
+    rows.foreach(r => assert(r.get(1) == r.get(2),
+      s"payload <${r.getString(0)}>: fast=${r.get(1)} builtin=${r.get(2)}"))
+  }
+
   test("nested values take the jackson path and match the builtin") {
     graft.functions.JsonFunctions.register(spark)
     val nested = Seq("""{"k": {"a": 1, "b": [2, 3]}}""", """{"k": [1, {"x": "y"}]}""")
