@@ -441,6 +441,20 @@ object Queries {
 
     // rollup / grouping sets (Spark built-in; NULL subtotal rows coalesced
     // to 'ALL' so the representation is engine-neutral)
+    // full grouping-sets lattice over (space, grouping); NULL subtotal
+    // markers coalesced so the representation is engine-neutral
+    QuerySpec("cube_space_grouping",
+      (s, d) => ev(s, d).cube("space", "grouping")
+        .agg(count(lit(1)).as("n_events"))
+        .select(coalesce(col("space"), lit("ALL")).as("space"),
+          coalesce(col("grouping"), lit("ALL")).as("grouping"), col("n_events"))
+        .orderBy("space", "grouping"),
+      Some("""SELECT coalesce(event_type, 'ALL') AS space,
+             |       coalesce(CAST(user_id AS VARCHAR), 'ALL') AS grouping,
+             |       count(*) AS n_events
+             |FROM events GROUP BY CUBE(event_type, CAST(user_id AS VARCHAR))
+             |ORDER BY space, grouping""".stripMargin)),
+
     QuerySpec("rollup_space_counts",
       (s, d) => ev(s, d).rollup("space")
         .agg(count(lit(1)).as("n_events"))
