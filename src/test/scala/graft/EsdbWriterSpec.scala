@@ -59,6 +59,25 @@ class EsdbWriterSpec extends SparkSpec {
       Seq(Seq("i1", 3L), Seq("i2", 2L)))
   }
 
+  test("sf0.001 roundtrip: store reads equal raw-frame reads on every operator") {
+    val dir = freshDir()
+    val raw = graft.engine.EventFrame.fromEvents(
+      graft.engine.Tables.events(spark, "/root/testdata/sf0.001"))
+    EsdbWriter.write(raw, dir, indexAttrs = Seq("k"))
+    val store = EsdbWriter.read(spark, dir)
+    assert(store.count() == raw.count())
+    // scan: same rows in the same order through the partitioned store
+    assert(rowsOf(EventStore.scan(store, "click", "7").select("event_id")) ==
+      rowsOf(EventStore.scan(raw, "click", "7").select("event_id")))
+    // index scan via the materialized idx_k column == JSON-path scan
+    assert(rowsOf(EventStore.scanIndex(store, "click", "k", "42").select("event_id")) ==
+      rowsOf(EventStore.scanIndex(raw, "click", "k", "42").select("event_id")))
+    // stream reads
+    assert(rowsOf(EventLog.tails(store, "k")) == rowsOf(EventLog.tails(raw, "k")))
+    assert(rowsOf(EventLog.iterate(store, 500L).select("event_id").limit(50)) ==
+      rowsOf(EventLog.iterate(raw, 500L).select("event_id").limit(50)))
+  }
+
   test("append before seal accumulates (open_stream.go:77-105)") {
     val dir = freshDir()
     EsdbWriter.write(ev, dir)
