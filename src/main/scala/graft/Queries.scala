@@ -607,6 +607,29 @@ object Queries {
              |  regexp_replace(regexp_replace(text, '[A-Za-z0-9.]+@[A-Za-z0-9.]+', '<email>', 'g'), '[0-9]+', '<num>', 'g') AS scrubbed
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // deterministic corpus sampling: k smallest md5-derived hashes per
+    // group via the custom min_k_by_key aggregate — map-side partial
+    // combine shuffles k rows per group per task instead of the whole
+    // corpus (the window-function form sorts every row)
+    QuerySpec("sample_per_source",
+      (s, d) => {
+        graft.functions.SampleFunctions.register(s)
+        Tables.documents(s, d)
+          .select(col("source"),
+            expr("CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT)").as("h"),
+            col("doc_id"))
+          .groupBy("source")
+          .agg(call_function("min_k_by_key", col("h"), col("doc_id"), lit(5)).as("sample"))
+          .select(col("source"), posexplode(col("sample")).as(Seq("i", "doc_id")))
+          .select(col("source"), (col("i") + 1).cast("long").as("rk"), col("doc_id"))
+          .orderBy("source", "rk")
+      },
+      Some("""WITH h AS (SELECT source, doc_id, ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+             |           FROM documents),
+             |r AS (SELECT source, doc_id,
+             |        row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk FROM h)
+             |SELECT source, rk, doc_id FROM r WHERE rk <= 5 ORDER BY source, rk""".stripMargin)),
+
     QuerySpec("doc_fingerprint",
       (s, d) => TextOps.fingerprint(Tables.documents(s, d)),
       Some("SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id")),

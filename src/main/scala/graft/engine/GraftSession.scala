@@ -28,6 +28,7 @@ object GraftSession {
     // sessions built by harnesses/tests)
     graft.functions.VectorFunctions.register(spark)
     graft.functions.JsonFunctions.register(spark)
+    graft.functions.SampleFunctions.register(spark)
     spark
   }
 }

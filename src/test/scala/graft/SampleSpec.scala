@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** min_k_by_key: deterministic k-sampling aggregate contracts. */
+class SampleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def registered() = { graft.functions.SampleFunctions.register(spark); () }
+
+  test("picks the k smallest (key, payload) pairs, sorted") {
+    registered()
+    val df = Seq(("g", 50L, 1L), ("g", 10L, 2L), ("g", 30L, 3L), ("g", 20L, 4L), ("g", 40L, 5L))
+      .toDF("grp", "h", "id")
+    val got = df.groupBy("grp")
+      .agg(call_function("min_k_by_key", col("h"), col("id"), lit(3)).as("s"))
+      .select("s").as[Seq[Long]].head()
+    assert(got == Seq(2L, 4L, 3L)) // ids of h=10,20,30
+  }
+
+  test("result is independent of partitioning and row order") {
+    registered()
+    val rows = (1 to 500).map(i => ("g" + (i % 3), (i.toLong * 2654435761L) % 10000, i.toLong))
+    val a = rows.toDF("grp", "h", "id").repartition(13)
+    val b = scala.util.Random.shuffle(rows).toDF("grp", "h", "id").repartition(1)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("grp").agg(call_function("min_k_by_key", col("h"), col("id"), lit(7)).as("s"))
+        .orderBy("grp").select("grp", "s").as[(String, Seq[Long])].collect().toSeq
+    assert(run(a) == run(b))
+  }
+
+  test("aggregates with map-side partial combine (no full-row shuffle)") {
+    registered()
+    val df = (1 to 100).map(i => ("g", i.toLong, i.toLong)).toDF("grp", "h", "id")
+      .groupBy("grp").agg(call_function("min_k_by_key", col("h"), col("id"), lit(5)).as("s"))
+    val plan = df.queryExecution.executedPlan.toString
+    // TypedImperativeAggregate plans as ObjectHashAggregate with a
+    // partial phase before the exchange
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(plan.contains("partial_min_k_by_key") || plan.contains("partial min_k_by_key")
+      || plan.toLowerCase.contains("partial"), plan)
+  }
+
+  test("handles groups smaller than k and null keys") {
+    registered()
+    val df = Seq(("g", Some(5L), 1L), ("g", None, 2L), ("h", Some(1L), 3L))
+      .toDF("grp", "h", "id")
+    val got = df.groupBy("grp")
+      .agg(call_function("min_k_by_key", col("h"), col("id"), lit(10)).as("s"))
+      .orderBy("grp").select("grp", "s").as[(String, Seq[Long])].collect().toSeq
+    assert(got == Seq(("g", Seq(1L)), ("h", Seq(3L)))) // null key skipped
+  }
+}
