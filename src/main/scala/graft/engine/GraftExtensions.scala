@@ -27,6 +27,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("json_attr"),
       new ExpressionInfo(classOf[graft.functions.JsonAttr].getName, "json_attr"),
       (exprs: Seq[Expression]) => graft.functions.JsonAttr(exprs.head, exprs(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("min_k_by_key"),
+      new ExpressionInfo(classOf[graft.functions.MinKByKey].getName, "min_k_by_key"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.MinKByKey(exprs.head, exprs(1), exprs(2)).toAggregateExpression()))
   }
 }
 
