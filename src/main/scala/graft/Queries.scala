@@ -370,7 +370,11 @@ object Queries {
     // the EXCEPT set query below
     QuerySpec("events_anti_join",
       (s, d) => {
+        // attr-present events only on BOTH sides: json_attr yields NULL
+        // for a missing key while regexp_extract yields '' — filtering
+        // keeps the anti-join's row set engine-neutral
         val e = ev(s, d).select(col("grouping"), EventFrame.attr(IdxName).as("attr_k"), col("space"))
+          .where(col("attr_k").isNotNull)
         e.where(col("space") === "click").select("grouping", "attr_k").distinct()
           .join(e.where(col("space") === "error").select("grouping", "attr_k").distinct(),
             Seq("grouping", "attr_k"), "left_anti")
@@ -378,9 +382,12 @@ object Queries {
       },
       Some(s"""SELECT DISTINCT CAST(user_id AS VARCHAR) AS grouping,
               |       regexp_extract(props, '"$IdxName":\\s*(\\d+)', 1) AS attr_k
-              |FROM events e WHERE event_type = 'click' AND NOT EXISTS (
+              |FROM events e WHERE event_type = 'click'
+              |  AND regexp_extract(props, '"$IdxName":\\s*(\\d+)', 1) <> ''
+              |  AND NOT EXISTS (
               |  SELECT 1 FROM events x
               |  WHERE x.event_type = 'error'
+              |    AND regexp_extract(x.props, '"$IdxName":\\s*(\\d+)', 1) <> ''
               |    AND CAST(x.user_id AS VARCHAR) = CAST(e.user_id AS VARCHAR)
               |    AND regexp_extract(x.props, '"$IdxName":\\s*(\\d+)', 1)
               |        = regexp_extract(e.props, '"$IdxName":\\s*(\\d+)', 1))
@@ -615,6 +622,7 @@ object Queries {
       (s, d) => {
         graft.functions.SampleFunctions.register(s)
         Tables.documents(s, d)
+          .where(col("text").isNotNull) // aggregate skips null keys; make both sides explicit
           .select(col("source"),
             expr("CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT)").as("h"),
             col("doc_id"))
@@ -625,7 +633,7 @@ object Queries {
           .orderBy("source", "rk")
       },
       Some("""WITH h AS (SELECT source, doc_id, ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
-             |           FROM documents),
+             |           FROM documents WHERE text IS NOT NULL),
              |r AS (SELECT source, doc_id,
              |        row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk FROM h)
              |SELECT source, rk, doc_id FROM r WHERE rk <= 5 ORDER BY source, rk""".stripMargin)),

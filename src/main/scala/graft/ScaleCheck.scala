@@ -66,8 +66,9 @@ object ScaleCheck {
     def time(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).queryExecution.toRdd.count()
-      ops.Caches.clear()
-      (System.nanoTime() - t0) / 1e9
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      ops.Caches.clear() // harness housekeeping stays outside the measurement
+      elapsed
     }
 
     // warm both paths once so JIT/codegen is steady before measuring

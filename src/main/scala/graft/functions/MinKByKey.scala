@@ -41,10 +41,14 @@ case class MinKByKey(
   }
 
   override def checkInputDataTypes(): TypeCheckResult =
-    (keyExpr.dataType, payloadExpr.dataType) match {
-      case (LongType, LongType) if kExpr.foldable => TypeCheckResult.TypeCheckSuccess
+    (keyExpr.dataType, payloadExpr.dataType, kExpr.dataType) match {
+      case (LongType, LongType, IntegerType | LongType) if kExpr.foldable =>
+        val kv = kExpr.eval(InternalRow.empty)
+        if (kv == null || kv.asInstanceOf[Number].longValue() < 1)
+          TypeCheckResult.TypeCheckFailure(s"k must be a positive integer literal, got $kv")
+        else TypeCheckResult.TypeCheckSuccess
       case _ => TypeCheckResult.TypeCheckFailure(
-        "min_k_by_key requires (bigint key, bigint payload, integer literal k)")
+        "min_k_by_key requires (bigint key, bigint payload, positive integer literal k)")
     }
 
   override def children: Seq[Expression] = Seq(keyExpr, payloadExpr, kExpr)
@@ -52,17 +56,21 @@ case class MinKByKey(
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "min_k_by_key"
 
+  // hoisted: Ordering.Tuple2 builds a fresh instance per call — never
+  // allocate in the per-row add() path
+  @transient private lazy val ord: Ordering[(Long, Long)] = Ordering.Tuple2[Long, Long]
+
   // max-heap ordered by (key, payload): the root is the WORST kept pair,
   // evicted when a smaller one arrives
   private def newHeap() =
-    scala.collection.mutable.PriorityQueue.empty[(Long, Long)](Ordering.Tuple2[Long, Long])
+    scala.collection.mutable.PriorityQueue.empty[(Long, Long)](ord)
 
   override def createAggregationBuffer(): scala.collection.mutable.PriorityQueue[(Long, Long)] =
     newHeap()
 
   private def add(buf: scala.collection.mutable.PriorityQueue[(Long, Long)], p: (Long, Long)): Unit =
     if (buf.size < k) buf.enqueue(p)
-    else if (Ordering.Tuple2[Long, Long].lt(p, buf.head)) { buf.dequeue(); buf.enqueue(p) }
+    else if (ord.lt(p, buf.head)) { buf.dequeue(); buf.enqueue(p) }
 
   override def update(buf: scala.collection.mutable.PriorityQueue[(Long, Long)],
                       input: InternalRow): scala.collection.mutable.PriorityQueue[(Long, Long)] = {
@@ -80,7 +88,7 @@ case class MinKByKey(
   }
 
   override def eval(buf: scala.collection.mutable.PriorityQueue[(Long, Long)]): Any =
-    new GenericArrayData(buf.toArray.sorted(Ordering.Tuple2[Long, Long]).map(_._2))
+    new GenericArrayData(buf.toArray.sorted(ord).map(_._2))
 
   override def serialize(buf: scala.collection.mutable.PriorityQueue[(Long, Long)]): Array[Byte] = {
     val bb = ByteBuffer.allocate(4 + buf.size * 16)

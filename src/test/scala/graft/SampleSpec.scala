@@ -37,8 +37,18 @@ class SampleSpec extends SparkSpec {
     // TypedImperativeAggregate plans as ObjectHashAggregate with a
     // partial phase before the exchange
     assert(plan.contains("ObjectHashAggregate"), plan)
-    assert(plan.contains("partial_min_k_by_key") || plan.contains("partial min_k_by_key")
-      || plan.toLowerCase.contains("partial"), plan)
+    assert(plan.contains("partial_min_k_by_key"), plan)
+  }
+
+  test("non-positive or non-integer k fails analysis, not executors") {
+    registered()
+    val df = Seq(("g", 1L, 1L)).toDF("grp", "h", "id")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.groupBy("grp").agg(call_function("min_k_by_key", col("h"), col("id"), lit(0))).collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.groupBy("grp").agg(call_function("min_k_by_key", col("h"), col("id"), lit("x"))).collect()
+    }
   }
 
   test("handles groups smaller than k and null keys") {
