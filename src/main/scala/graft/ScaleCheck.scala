@@ -79,6 +79,27 @@ object ScaleCheck {
       val t10 = math.min(time(n, bigDir), time(n, bigDir))
       println(f"$n%-24s $t1%8.2f $t10%8.2f ${t10 / t1}%5.1f")
     }
+
+    // write path: the reference's own benchmark shapes are bulk writes
+    // (writer_test.go: 10k/100k/1M events) — time the full store write
+    // (repartition by space + within-partition sort + partitioned
+    // parquet + index materialization) at 1x (~100k) and 10x (~1M)
+    def timeWrite(src: String, out: String): Double = {
+      val dir = new java.io.File(out)
+      if (dir.exists()) { // fresh target: the store write is create-once
+        import scala.reflect.io.Directory
+        new Directory(dir).deleteRecursively()
+      }
+      val evFrame = engine.EventFrame.fromEvents(
+        spark.read.option("basePath", src).parquet(s"$src/events.parquet"))
+      val t0 = System.nanoTime()
+      engine.EsdbWriter.write(evFrame, out, indexAttrs = Seq("k"))
+      (System.nanoTime() - t0) / 1e9
+    }
+    timeWrite(sfDir, "/tmp/graft_scale/store_warm") // warm the write path
+    val w1 = timeWrite(sfDir, "/tmp/graft_scale/store_1x")
+    val w10 = timeWrite(bigDir, "/tmp/graft_scale/store_10x")
+    println(f"${"esdb_write"}%-24s $w1%8.2f $w10%8.2f ${w10 / w1}%5.1f")
     spark.stop()
   }
 }
