@@ -48,12 +48,19 @@ object EsdbWriter {
     val indexed = indexAttrs.foldLeft(ev) { (df, name) =>
       df.withColumn(s"idx_$name", EventFrame.attr(name))
     }
-    indexed.repartition(col("space"))
+    val writer = indexed.repartition(col("space"))
       .sortWithinPartitions(col("grouping"), col("ts_us").desc, col("event_id").asc)
       .write
       .mode(SaveMode.ErrorIfExists)
       .partitionBy("space")
-      .parquet(path)
+    // parquet bloom filters on the secondary-index columns: min/max
+    // stats can't skip row groups for high-cardinality point lookups
+    // (values interleave across the sort order), blooms can — this is
+    // the storage-level analog of the reference's per-index location
+    // lists (space_writer.go:47-49), built by parquet instead of us
+    indexAttrs.foldLeft(writer) { (w, name) =>
+      w.option(s"parquet.bloom.filter.enabled#idx_$name", "true")
+    }.parquet(path)
   }
 
   /** Append a batch to a (still-open) log directory. Refuses when sealed —
@@ -64,12 +71,14 @@ object EsdbWriter {
     val indexed = indexAttrs.foldLeft(ev) { (df, name) =>
       df.withColumn(s"idx_$name", EventFrame.attr(name))
     }
-    indexed.repartition(col("space"))
+    val writer = indexed.repartition(col("space"))
       .sortWithinPartitions(col("grouping"), col("ts_us").desc, col("event_id").asc)
       .write
       .mode(SaveMode.Append)
       .partitionBy("space")
-      .parquet(path)
+    indexAttrs.foldLeft(writer) { (w, name) =>
+      w.option(s"parquet.bloom.filter.enabled#idx_$name", "true")
+    }.parquet(path)
   }
 
   /** Seal: reference `Close()` writes the tails SSTable + footer magic

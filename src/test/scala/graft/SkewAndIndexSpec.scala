@@ -49,4 +49,26 @@ class SkewAndIndexSpec extends SparkSpec {
       .select("event_id").as[Long].collect().toSeq
     assert(viaJson == Seq(3L))
   }
+
+  test("declared index columns carry parquet bloom filters") {
+    val dir = { val d = Files.createTempDirectory("esdbbloom").toFile; d.delete(); d.getAbsolutePath }
+    val ev = (1 to 500).map(i => ("a", "g", i.toLong, i.toLong, 0.0, s"""{"city": "c$i"}"""))
+      .toDF("space", "grouping", "ts_us", "event_id", "value", "payload")
+    EsdbWriter.write(ev, dir, indexAttrs = Seq("city"))
+    val part = new java.io.File(s"$dir/space=a").listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(new org.apache.hadoop.fs.Path(part.getAbsolutePath), conf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val cols = reader.getFooter.getBlocks.get(0).getColumns
+      import scala.jdk.CollectionConverters._
+      val byPath = cols.asScala.map(c => c.getPath.toDotString -> c).toMap
+      assert(byPath("idx_city").getBloomFilterOffset >= 0,
+        "declared index column must carry a bloom filter")
+      assert(byPath("value").getBloomFilterOffset < 0,
+        "non-index columns must not pay bloom overhead")
+    } finally reader.close()
+  }
 }
