@@ -115,10 +115,15 @@ case class MinKByKey(
 
 object SampleFunctions {
 
-  /** Register `min_k_by_key` on the session (idempotent). */
-  def register(spark: SparkSession): Unit =
+  /** Register `min_k_by_key` + `top_k_by_score` on the session (idempotent). */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "min_k_by_key",
       exprs => MinKByKey(exprs.head, exprs(1), exprs(2)).toAggregateExpression(),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "top_k_by_score",
+      exprs => TopKByScore(exprs.head, exprs(1), exprs(2)).toAggregateExpression(),
+      "built-in")
+  }
 }

@@ -65,11 +65,6 @@ object Ivf {
       .where(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         (Similarity.dot(col("qv"), col("embedding")) / (col("qn") * col("cn"))).as("cos"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        (col("cos") * 1000000).cast("long").as("cos_x1e6"))
-      .orderBy("query_id", "rank")
+    Similarity.topK(scored, k) // heap aggregate, not a window sort
   }
 }

@@ -96,14 +96,23 @@ object Similarity {
       .toDF("vec_id", "embedding", "t", "bucket")
   }
 
-  private def topK(scored: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
-    // floor (not cast-truncation, which rounds toward zero on negative
-    // cosines) so the fixed-point value is engine-neutral for the oracle
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        floor(col("cos") * 1000000).cast("long").as("cos_x1e6"))
+  /** Per-query top-k of scored candidates via the [[graft.functions.TopKByScore]]
+    * heap aggregate: map-side partial combine keeps k candidates per
+    * query per task, where the window-function form
+    * (`row_number() OVER (... ORDER BY cos DESC)`) shuffles and sorts
+    * every scored pair. Selection and tie order ((cos desc,
+    * neighbor_id asc)) are identical; floor (not cast-truncation,
+    * which rounds toward zero on negative cosines) keeps the
+    * fixed-point value engine-neutral for the oracle.
+    */
+  private[ops] def topK(scored: DataFrame, k: Int): DataFrame = {
+    graft.functions.SampleFunctions.register(scored.sparkSession)
+    scored.groupBy("query_id")
+      .agg(call_function("top_k_by_score", col("cos"), col("neighbor_id"), lit(k)).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("i", "t")))
+      .select(col("query_id"), (col("i") + 1).cast("long").as("rank"),
+        col("t.payload").as("neighbor_id"),
+        floor(col("t.score") * 1000000).cast("long").as("cos_x1e6"))
       .orderBy("query_id", "rank")
   }
 
