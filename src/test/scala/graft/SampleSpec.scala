@@ -51,6 +51,38 @@ class SampleSpec extends SparkSpec {
     }
   }
 
+  test("top_k_by_score matches a brute-force reference on random data, any partitioning") {
+    registered()
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 400).map { i =>
+      ("g" + (i % 4), rnd.nextDouble() * 2 - 1, i.toLong) // scores in [-1, 1)
+    }
+    val expected = rows.groupBy(_._1).map { case (g, rs) =>
+      g -> rs.map(r => (r._2, r._3)).sortBy { case (s, p) => (-s, p) }.take(6).map(_._2)
+    }
+    Seq(1, 7).foreach { parts =>
+      val got = rows.toDF("grp", "score", "id").repartition(parts)
+        .groupBy("grp")
+        .agg(call_function("top_k_by_score", col("score"), col("id"), lit(6)).as("t"))
+        .select(col("grp"), col("t.payload").as("ids"))
+        .as[(String, Seq[Long])].collect().toMap
+      assert(got.view.mapValues(_.toSeq).toMap == expected, s"parts=$parts")
+    }
+  }
+
+  test("top_k_by_score: ties break by payload, negatives and k>group handled") {
+    registered()
+    val df = Seq(("g", 0.5, 9L), ("g", 0.5, 2L), ("g", -0.75, 1L)).toDF("grp", "s", "id")
+    val got = df.groupBy("grp")
+      .agg(call_function("top_k_by_score", col("s"), col("id"), lit(10)).as("t"))
+      .select(col("t.payload"), col("t.score")).as[(Seq[Long], Seq[Double])].head()
+    assert(got._1 == Seq(2L, 9L, 1L)) // equal scores → smaller payload first
+    assert(got._2 == Seq(0.5, 0.5, -0.75))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.groupBy("grp").agg(call_function("top_k_by_score", col("s"), col("id"), lit(-1))).collect()
+    }
+  }
+
   test("handles groups smaller than k and null keys") {
     registered()
     val df = Seq(("g", Some(5L), 1L), ("g", None, 2L), ("h", Some(1L), 3L))
