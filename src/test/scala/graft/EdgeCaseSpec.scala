@@ -36,6 +36,32 @@ class EdgeCaseSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("approx sketches stay within tolerance of their exact twins") {
+    val dir = "/root/testdata/sf0.01"
+    val q = Queries.queries
+    val approxD = q("agg_approx_distinct")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactD = q("agg_space_stats")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap // n_groupings
+    exactD.foreach { case (space, n) =>
+      val a = approxD(space).toDouble
+      assert(math.abs(a - n) / n <= 0.05, s"$space: approx $a vs exact $n")
+    }
+    val approxQ = q("agg_value_quantiles")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val exactQ = q("agg_value_quantiles_exact")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    exactQ.foreach { case (space, (p50, p95, p99)) =>
+      val (a50, a95, a99) = approxQ(space)
+      // percentile_approx picks a REAL value near the exact interpolated
+      // one; tail quantiles sit in sparse territory where neighboring
+      // values are far apart, so tolerance widens with the percentile
+      assert(math.abs(a50 * 1e6 - p50) <= 0.10 * math.abs(p50).max(1L), s"$space p50")
+      assert(math.abs(a95 * 1e6 - p95) <= 0.25 * math.abs(p95).max(1L), s"$space p95")
+      assert(math.abs(a99 * 1e6 - p99) <= 0.60 * math.abs(p99).max(1L), s"$space p99")
+    }
+  }
+
   test("empty inputs: scans, tails, dedup on zero rows") {
     val empty = Seq.empty[(String, String, Long, Long, Double, String)]
       .toDF("space", "grouping", "ts_us", "event_id", "value", "payload")
