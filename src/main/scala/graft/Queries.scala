@@ -638,6 +638,22 @@ object Queries {
              |        row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk FROM h)
              |SELECT source, rk, doc_id FROM r WHERE rk <= 5 ORDER BY source, rk""".stripMargin)),
 
+    // decontamination: docs sharing any 8-gram with the "benchmark"
+    // set (doc_id < 20 stands in for an eval suite)
+    QuerySpec("text_contamination",
+      (s, d) => TextOps.contaminationReport(Tables.documents(s, d), col("doc_id") < 20),
+      Some("""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+             |g AS (SELECT doc_id,
+             |        CASE WHEN len(t) < 8 THEN [array_to_string(t, ' ')]
+             |             ELSE list_transform(range(1, len(t) - 6),
+             |                    i -> array_to_string(list_slice(t, i, i + 7), ' ')) END AS grams
+             |      FROM toks),
+             |bench AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id < 20),
+             |probe AS (SELECT DISTINCT doc_id, unnest(grams) AS gram FROM g WHERE doc_id >= 20)
+             |SELECT p.doc_id, count(DISTINCT p.gram) AS n_hits
+             |FROM probe p JOIN bench b ON p.gram = b.gram
+             |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin)),
+
     QuerySpec("doc_fingerprint",
       (s, d) => TextOps.fingerprint(Tables.documents(s, d)),
       Some("SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id")),

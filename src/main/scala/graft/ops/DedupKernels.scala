@@ -44,6 +44,32 @@ object DedupKernels {
     out.toArray
   }
 
+  /** Distinct lowercase word n-gram STRINGS (not hashes) — for
+    * operators whose oracle must rebuild the shingles in SQL. Same
+    * shape as [[shingleHashes]]: whole text as one shingle when
+    * shorter than `n` tokens; split keeps trailing empties to match
+    * SQL string_split.
+    */
+  def shingleStrings(text: String, n: Int): Array[String] = {
+    val toks = text.toLowerCase.split(" ", -1)
+    if (toks.length < n) return Array(toks.mkString(" "))
+    val seen = new java.util.LinkedHashSet[String]()
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    seen.toArray(new Array[String](seen.size))
+  }
+
   /** `perms`-permutation MinHash: sig(p) = min over shingles of
     * xxhash64(shingleHash, p).
     */

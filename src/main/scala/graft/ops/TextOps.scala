@@ -139,6 +139,31 @@ object TextOps {
         "[0-9]+", "<num>").as("scrubbed"))
       .orderBy("doc_id")
 
+  /** Benchmark decontamination: probe documents that share at least one
+    * word `n`-gram with a benchmark/eval set — the standard pre-training
+    * hygiene pass. Per-doc shingling is a kernel pass; the benchmark
+    * gram set is tiny relative to the corpus, so the containment join
+    * broadcasts it and the corpus streams once with no shuffle of
+    * document content. Output: (doc_id, n_hits) for contaminated docs.
+    */
+  def contaminationReport(docs: DataFrame, benchPred: Column, n: Int = 8): DataFrame = {
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val grams = docs.select(col("doc_id"), col("text"), benchPred.as("is_bench"))
+      .as[(Long, String, Boolean)]
+      .mapPartitions(it => it.map { case (id, text, b) =>
+        (id, b, DedupKernels.shingleStrings(text, n))
+      })
+      .toDF("doc_id", "is_bench", "grams")
+      .select(col("doc_id"), col("is_bench"), explode(col("grams")).as("gram"))
+    val bench = grams.where(col("is_bench")).select("gram").distinct()
+    grams.where(!col("is_bench"))
+      .join(broadcast(bench), "gram")
+      .groupBy("doc_id")
+      .agg(countDistinct("gram").as("n_hits"))
+      .orderBy("doc_id")
+  }
+
   /** Content fingerprint (md5 of the text) — the exact-dedup key. */
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), md5(col("text")).as("fp")).orderBy("doc_id")

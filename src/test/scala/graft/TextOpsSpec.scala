@@ -67,6 +67,20 @@ class TextOpsSpec extends SparkSpec {
     assert(r.getString(2) == "Call Bob at <num>-<num>, mail <email> NOW!")
   }
 
+  test("contamination report flags planted benchmark overlap only") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota"), // benchmark
+      (2L, "totally different words with no overlap at all here"), // benchmark
+      (50L, "prefix alpha beta gamma delta epsilon zeta eta theta tail"), // contains bench 8-gram
+      (51L, "alpha beta gamma delta other words entirely changed now"), // only 4-gram overlap
+      (52L, "clean document about unrelated spark query planning topics")
+    ).toDF("doc_id", "text")
+    val got = TextOps.contaminationReport(corpus, $"doc_id" < 10, n = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(got.keySet == Set(50L))
+    assert(got(50L) >= 1L)
+  }
+
   test("sessionize splits on gaps > 30min") {
     val ev = Seq(
       ("u1", 0L, 1L), ("u1", 60L * 1000000, 2L),                  // session 1: 0s, 60s
