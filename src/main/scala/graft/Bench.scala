@@ -61,7 +61,13 @@ object Bench {
     // any failure makes the headline incomparable-by-construction:
     // a broken slow query must not read as a round-over-round speedup
     val total = if (failed.nonEmpty) -1.0 else results.flatMap(_._2.minOption).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    println(line)
+    // defensive self-report: sbt prefixes stdout with [info], which can
+    // defeat line-oriented JSON parsing downstream — the same line lands
+    // unprefixed in a well-known file
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_SELF.json"), line + "\n")
+    catch { case _: Exception => () }
     spark.stop()
   }
 }
