@@ -522,8 +522,9 @@ object Queries {
         Similarity.bruteTopK(e, e.where(col("vec_id") < 10), 10)
       },
       Some("""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-             |           FROM embeddings WHERE vec_id < 10),
-             |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+             |           FROM embeddings WHERE vec_id < 10 AND embedding IS NOT NULL),
+             |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+             |      FROM embeddings WHERE embedding IS NOT NULL),
              |s AS (SELECT query_id, neighbor_id,
              |        list_inner_product(qv, cv)
              |          / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv))) AS cos

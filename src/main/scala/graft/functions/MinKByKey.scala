@@ -44,8 +44,11 @@ case class MinKByKey(
     (keyExpr.dataType, payloadExpr.dataType, kExpr.dataType) match {
       case (LongType, LongType, IntegerType | LongType) if kExpr.foldable =>
         val kv = kExpr.eval(InternalRow.empty)
-        if (kv == null || kv.asInstanceOf[Number].longValue() < 1)
-          TypeCheckResult.TypeCheckFailure(s"k must be a positive integer literal, got $kv")
+        val lv = if (kv == null) -1L else kv.asInstanceOf[Number].longValue()
+        // upper bound too: intValue() truncation would turn k >= 2^31
+        // into a negative or silently-small heap bound
+        if (lv < 1 || lv > Int.MaxValue)
+          TypeCheckResult.TypeCheckFailure(s"k must be in [1, ${Int.MaxValue}], got $kv")
         else TypeCheckResult.TypeCheckSuccess
       case _ => TypeCheckResult.TypeCheckFailure(
         "min_k_by_key requires (bigint key, bigint payload, positive integer literal k)")

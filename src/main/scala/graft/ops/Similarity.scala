@@ -72,7 +72,7 @@ object Similarity {
     import sp.implicits._
     val planes: Array[Array[Float]] =
       Array.tabulate(tables * bits)(i => plane(i / bits, i % bits, dims).toArray)
-    spread(embs.select(col("vec_id"), col("embedding")))
+    spread(embs.where(col("embedding").isNotNull).select(col("vec_id"), col("embedding")))
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         it.flatMap { case (id, vec) =>
@@ -115,12 +115,18 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  /** Exact cosine top-k: `queries` (small, broadcast) vs the corpus. */
+  /** Exact cosine top-k: `queries` (small, broadcast) vs the corpus.
+    * Null embeddings are excluded up front — the heap aggregate skips
+    * null scores, so the exclusion is the declared contract rather
+    * than an implementation accident.
+    */
   def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10): DataFrame = {
     VectorFunctions.register(corpus.sparkSession)
-    val q = broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val q = broadcast(queries.where(col("embedding").isNotNull)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       .withColumn("qn", norm(col("qv"))))
-    val c = spread(corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv")))
+    val c = spread(corpus.where(col("embedding").isNotNull)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv")))
       .withColumn("cn", norm(col("cv")))
     val scored = c.join(q, col("query_id") =!= col("neighbor_id")) // broadcast nested loop
       .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))

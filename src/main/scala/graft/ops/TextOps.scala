@@ -149,15 +149,18 @@ object TextOps {
   def contaminationReport(docs: DataFrame, benchPred: Column, n: Int = 8): DataFrame = {
     val sp = docs.sparkSession
     import sp.implicits._
-    val grams = docs.select(col("doc_id"), col("text"), benchPred.as("is_bench"))
-      .as[(Long, String, Boolean)]
-      .mapPartitions(it => it.map { case (id, text, b) =>
-        (id, b, DedupKernels.shingleStrings(text, n))
+    // shingle each side from its own pre-filtered rows: a single kernel
+    // over the whole corpus would run twice (the filter can't push
+    // below an opaque mapPartitions), and the bench side is tiny
+    def grams(side: DataFrame) = side.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(it => it.map { case (id, text) =>
+        (id, DedupKernels.shingleStrings(text, n))
       })
-      .toDF("doc_id", "is_bench", "grams")
-      .select(col("doc_id"), col("is_bench"), explode(col("grams")).as("gram"))
-    val bench = grams.where(col("is_bench")).select("gram").distinct()
-    grams.where(!col("is_bench"))
+      .toDF("doc_id", "grams")
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+    val bench = grams(docs.where(benchPred)).select("gram").distinct()
+    grams(docs.where(!benchPred))
       .join(broadcast(bench), "gram")
       .groupBy("doc_id")
       .agg(countDistinct("gram").as("n_hits"))
