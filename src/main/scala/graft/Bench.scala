@@ -9,6 +9,31 @@ import org.apache.spark.sql.SparkSession
   * eliminate top-level sorts and under-measure).
   */
 object Bench {
+
+  /** Read every file under `dir` once (raw bytes, parallel) so the timed
+    * runs hit the OS page cache instead of cold storage. Byte-level read
+    * rather than a Spark scan: it warms ALL column chunks regardless of
+    * projection, costs no planning, and cannot perturb any Spark state.
+    */
+  private[graft] def primePageCache(dir: String): Unit = {
+    import java.nio.file.{Files, Path, Paths}
+    import scala.jdk.CollectionConverters._
+    import scala.collection.parallel.CollectionConverters._
+    val root = Paths.get(dir)
+    if (!Files.isDirectory(root)) return
+    val files: Seq[Path] =
+      Files.walk(root).iterator().asScala.filter(Files.isRegularFile(_)).toSeq
+    val buf = new ThreadLocal[Array[Byte]] {
+      override def initialValue(): Array[Byte] = new Array[Byte](1 << 20)
+    }
+    files.par.foreach { p =>
+      val in = Files.newInputStream(p)
+      try { while (in.read(buf.get()) >= 0) () }
+      catch { case _: java.io.IOException => () }
+      finally in.close()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -37,21 +62,33 @@ object Bench {
     if (warmFailures == SparkEntry.queries.size)
       System.err.println(s"[bench] WARMUP NEVER RAN ($warmDir unusable) — timed runs include cold JIT")
     graft.ops.Caches.clear()
+    // page-cache priming: the JIT warmup above never touches the timed
+    // SF's files, so the alphabetically-first full-table scans would pay
+    // the cold disk read for every table and report 10x+ inflated times
+    // (observed in BENCH_r02: four agg_* queries at 5-7.7s vs 0.3s
+    // steady-state). One untimed raw-byte pass over every file under
+    // sfDir puts the parquet bytes in the OS page cache — the state a
+    // long-lived cluster's subsequent queries actually see.
+    primePageCache(sfDir)
     // best-of-2 per query: the second run reuses JIT'd codegen classes
     // and the OS page cache, which is the steady-state a long-lived
     // cluster sees; the min damps local-mode scheduler noise.
+    // Caches.clear() runs between the two runs as well, so both runs
+    // plan cold (no CacheManager reuse of run 1's persisted
+    // intermediates) and per-query numbers are comparable.
     // a run that throws contributes NO time (a query failing in
     // milliseconds must not masquerade as a fast one); queries with no
     // successful run report -1 and are listed under "failed"
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
-        try {
+        val res = try {
           fn(spark, sfDir).queryExecution.toRdd.count()
           Some((System.nanoTime() - t0) / 1e9)
         } catch { case _: Throwable => None }
+        graft.ops.Caches.clear() // per-run cold plan: release operator-persisted frames
+        res
       }
-      graft.ops.Caches.clear() // release operator-persisted frames between queries
       name -> times
     }
     val failed = results.collect { case (name, ts) if ts.isEmpty => name }

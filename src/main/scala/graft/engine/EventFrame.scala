@@ -57,7 +57,16 @@ object EventFrame {
     * JSON key lookup on the payload (space.go:123-143). Uses the native
     * [[graft.functions.JsonAttr]] byte-scanner — `get_json_object` is a
     * CodegenFallback that builds a Jackson parser per row, which would
-    * dominate every index-scan at scale. Registration is idempotent;
+    * dominate every index-scan at scale.
+    *
+    * Name contract: `name` is a LITERAL top-level key, exactly like the
+    * reference's index names (space_writer.go:47-49 concatenates the
+    * raw name into the index key, no path syntax). A name containing
+    * '.' matches a literal dotted key — it does NOT navigate nested
+    * objects the way `get_json_object`'s `$.a.b` JSONPath would; callers
+    * needing JSONPath semantics should call `get_json_object` directly.
+    *
+    * Registration is idempotent;
     * the active-session guard covers ad-hoc frames built on the
     * calling thread — multi-session JVMs should install
     * [[graft.engine.GraftExtensions]] or call `GraftSession.tune` on

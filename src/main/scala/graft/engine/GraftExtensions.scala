@@ -32,6 +32,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.MinKByKey].getName, "min_k_by_key"),
       (exprs: Seq[Expression]) =>
         graft.functions.MinKByKey(exprs.head, exprs(1), exprs(2)).toAggregateExpression()))
+    ext.injectFunction((
+      new FunctionIdentifier("top_k_by_score"),
+      new ExpressionInfo(classOf[graft.functions.TopKByScore].getName, "top_k_by_score"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.TopKByScore(exprs.head, exprs(1), exprs(2)).toAggregateExpression()))
   }
 }
 

@@ -188,8 +188,10 @@ object Dedup {
     if (edges.count() / 2 <= localThreshold) {
       val sp = pairs.sparkSession
       import sp.implicits._
-      // collect from the cached symmetric edge set (one direction)
-      val es = edges.where(col("x") < col("y")).as[(Long, Long)].collect()
+      // collect from the cached symmetric edge set (one direction);
+      // x <= y keeps degenerate self-pairs, which must still yield a
+      // singleton (a, a) label row exactly as the distributed branch does
+      val es = edges.where(col("x") <= col("y")).as[(Long, Long)].collect()
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
