@@ -22,17 +22,22 @@ object Verify {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
     val tasks = SparkEntry.queries.toSeq.map { case (name, fn) =>
       pool.submit(new Runnable {
-        def run(): Unit =
+        def run(): Unit = {
+          // per-query cache scope: release THIS query's persisted
+          // intermediates (dedup sigs, CC labels) once its output is on
+          // disk, without evicting a concurrent query's mid-flight frames
+          val scope = graft.ops.Caches.open()
           try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
             .parquet(s"$outDir/$name")
           catch { case e: Throwable =>
             System.err.println(s"[verify] $name failed: ${e.getMessage}")
-          }
+          } finally scope.release()
+        }
       })
     }
     tasks.foreach(_.get())
     pool.shutdown()
-    graft.ops.Caches.clear() // release operator-persisted frames (dedup sigs, CC labels)
+    graft.ops.Caches.clear() // safety net: anything persisted outside a scope
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
