@@ -36,6 +36,15 @@ object Queries {
   private def ev(s: SparkSession, dir: String): DataFrame =
     EventFrame.fromEvents(Tables.events(s, dir))
 
+  /** Per-corpus location of the persisted IVF index (testdata dirs are
+    * read-only, so indexes live under the system temp dir; the sfDir
+    * name + build parameters key the cache).
+    */
+  private def ivfIndexPath(dir: String): String = {
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"${System.getProperty("java.io.tmpdir")}/graft-ivf/$key-L16-s42"
+  }
+
   val all: Seq[QuerySpec] = Seq(
 
     // ---- batch parity: S2-S6 (esdb.go, space.go) -------------------------
@@ -541,10 +550,15 @@ object Queries {
         Similarity.annTopK(e, e.where(col("vec_id") < 10), 10)
       }, None),
 
+    // build-once/probe-many: the KMeans index is persisted per corpus
+    // (partitioned by list id) on first use and every subsequent call
+    // is probe-only — the in-query rebuild was the one operator whose
+    // per-query cost scaled with corpus size instead of result size
     QuerySpec("similarity_ivf",
       (s, d) => {
         val e = Tables.embeddings(s, d)
-        graft.ops.Ivf.ivfTopK(e, e.where(col("vec_id") < 10), 10)
+        graft.ops.Ivf.ensureIndex(e, ivfIndexPath(d), nLists = 16)
+        graft.ops.Ivf.ivfTopKIndexed(s, ivfIndexPath(d), e.where(col("vec_id") < 10), 10)
       }, None),
 
     // ---- training-data extensions: text analysis -------------------------

@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -17,10 +17,16 @@ import graft.functions.VectorFunctions
   * Scale shape: centroids are tiny (nLists × dims) and broadcast; the
   * candidate join is an equi-join on the list id, so candidate volume
   * is corpus × (nProbe / nLists) per query with no pairwise explosion.
-  * At 100 TB the assignment (`list`) becomes a partition/bucket column
-  * of the stored index so a probe prunes to nProbe buckets; here the
-  * index is built in-query (deterministic seed) because the testdata
-  * tables are read-only inputs.
+  *
+  * Build/probe split: [[writeIndex]] persists the assignment as a
+  * parquet table PARTITIONED BY the list id (plus the centroid table) —
+  * built once, probed by every subsequent query, exactly like the
+  * reference's write-once store amortizes its index build
+  * (writer.go:26-85). At scale the partition layout means a probe's
+  * `list` equi-join against broadcast probes dynamic-partition-prunes
+  * to nProbe directories instead of scanning the corpus. [[ivfTopK]]
+  * keeps an in-query build path for ad-hoc frames (and is what the
+  * recall tests exercise against brute force).
   */
 object Ivf {
 
@@ -44,13 +50,63 @@ object Ivf {
     (assigned, centroids)
   }
 
-  /** Exact-cosine top-k over the probed lists only. */
+  /** Persist a built index: `path/assigned` partitioned by list id (a
+    * probe prunes to its nProbe directories), `path/centroids` beside
+    * it. Written to a temp dir then renamed, so a crashed build never
+    * leaves a half-index that [[ensureIndex]] would trust.
+    */
+  def writeIndex(corpus: DataFrame, path: String, nLists: Int = 16, seed: Long = 42L): Unit = {
+    val (assigned, centroids) = buildIndex(corpus, nLists, seed)
+    val tmp = path + ".tmp-" + java.util.UUID.randomUUID().toString.take(8)
+    assigned.write.mode(SaveMode.ErrorIfExists).partitionBy("list").parquet(s"$tmp/assigned")
+    centroids.write.mode(SaveMode.ErrorIfExists).parquet(s"$tmp/centroids")
+    Option(new java.io.File(path).getParentFile).foreach(_.mkdirs())
+    val ok = new java.io.File(tmp).renameTo(new java.io.File(path))
+    if (!ok) deleteRec(new java.io.File(tmp)) // lost a concurrent-build race: the other index is equivalent (same seed)
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    Option(f.listFiles).foreach(_.foreach(deleteRec))
+    f.delete(): Unit
+  }
+
+  /** Build-if-absent (idempotent, race-guarded within the JVM). */
+  def ensureIndex(corpus: DataFrame, path: String, nLists: Int = 16, seed: Long = 42L): Unit =
+    synchronized {
+      if (!new java.io.File(path, "centroids").isDirectory)
+        writeIndex(corpus, path, nLists, seed)
+    }
+
+  /** Probe a persisted index: exact-cosine top-k over the probed lists
+    * of `path/assigned`, never touching the raw corpus.
+    */
+  def ivfTopKIndexed(spark: SparkSession, path: String, queries: DataFrame,
+                     k: Int = 10, nProbe: Int = 4): DataFrame = {
+    val assigned = spark.read.option("basePath", s"$path/assigned").parquet(s"$path/assigned")
+    val centroids = spark.read.parquet(s"$path/centroids")
+    probe(assigned, centroids, queries, k, nProbe)
+  }
+
+  /** Exact-cosine top-k over the probed lists only (in-query index
+    * build — ad-hoc frames and recall tests; persisted-index callers
+    * go through [[ivfTopKIndexed]]).
+    */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
               nLists: Int = 16, nProbe: Int = 4): DataFrame = {
     val (assigned, centroids) = buildIndex(corpus, nLists)
+    probe(assigned, centroids, queries, k, nProbe)
+  }
+
+  /** Shared probe plan: nProbe nearest centroids per query (centroid
+    * table broadcast), then score only vectors in probed lists — the
+    * corpus side streams straight into a broadcast hash join with no
+    * exchange.
+    */
+  private def probe(assigned: DataFrame, centroids: DataFrame, queries: DataFrame,
+                    k: Int, nProbe: Int): DataFrame = {
+    VectorFunctions.register(assigned.sparkSession)
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       .withColumn("qn", Similarity.norm(col("qv")))
-    // probe: nProbe nearest centroids per query (centroid table broadcast)
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("cdist").asc, col("list").asc)
     val probes = q.join(broadcast(centroids))
@@ -59,7 +115,6 @@ object Ivf {
       .withColumn("pr", row_number().over(wProbe))
       .where(col("pr") <= nProbe)
       .select(col("query_id"), col("qv"), col("qn"), col("list"))
-    // score only vectors in probed lists
     val scored = assigned.withColumn("cn", Similarity.norm(col("embedding")))
       .join(broadcast(probes), Seq("list"))
       .where(col("query_id") =!= col("vec_id"))

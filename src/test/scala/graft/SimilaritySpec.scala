@@ -46,6 +46,40 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.4, s"IVF recall $recall too low")
   }
 
+  test("persisted IVF index: probe-only answers match the in-query build") {
+    val k = 10
+    val path = java.nio.file.Files.createTempDirectory("ivfidx").toString + "/idx"
+    graft.ops.Ivf.ensureIndex(embs, path, nLists = 16)
+    assert(new java.io.File(path, "centroids").isDirectory)
+    val fromIndex = graft.ops.Ivf.ivfTopKIndexed(spark, path, queries, k)
+      .select("query_id", "rank", "neighbor_id", "cos_x1e6")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val inQuery = graft.ops.Ivf.ivfTopK(embs, queries, k)
+      .select("query_id", "rank", "neighbor_id", "cos_x1e6")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(fromIndex == inQuery)
+    // ensureIndex is idempotent: second call must not rebuild (marker mtime)
+    val before = new java.io.File(path, "centroids").lastModified()
+    graft.ops.Ivf.ensureIndex(embs, path, nLists = 16)
+    assert(new java.io.File(path, "centroids").lastModified() == before)
+  }
+
+  test("persisted IVF probe is a broadcast join: no exchange on the corpus side") {
+    val path = java.nio.file.Files.createTempDirectory("ivfplan").toString + "/idx"
+    graft.ops.Ivf.ensureIndex(embs, path, nLists = 16)
+    val df = graft.ops.Ivf.ivfTopKIndexed(spark, path, queries, 10)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the assigned-table scan must feed the broadcast join directly —
+    // any Exchange between scan and join would reshuffle the corpus
+    val scanToJoin = p.linesIterator.dropWhile(l => !l.contains("BroadcastHashJoin")).toSeq
+    assert(scanToJoin.exists(_.contains("assigned")), p)
+    assert(!scanToJoin.takeWhile(l => !l.contains("assigned"))
+      .exists(l => l.contains("Exchange") && !l.contains("BroadcastExchange")), p)
+  }
+
   test("ANN recall vs brute force is usable (>= 0.5 on sf0.001)") {
     val k = 10
     val brute = Similarity.bruteTopK(embs, queries, k)
