@@ -45,6 +45,32 @@ object Queries {
     s"${System.getProperty("java.io.tmpdir")}/graft-ivf/$key-L16-s42"
   }
 
+  /** Per-sfDir location of the materialized store (testdata dirs are
+    * read-only; the engine's own written-store layout lives in tmp,
+    * built once and scanned by every store_* query).
+    */
+  private def storePath(dir: String): String = {
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"${System.getProperty("java.io.tmpdir")}/graft-store/$key"
+  }
+
+  /** Write the canonical event frame as an esdb store once (atomic
+    * rename; concurrent callers race benignly to identical content).
+    */
+  private def ensureStore(s: SparkSession, dir: String): String = synchronized {
+    val p = storePath(dir)
+    if (!new java.io.File(p).isDirectory) {
+      val tmp = p + ".tmp-" + java.util.UUID.randomUUID().toString.take(8)
+      graft.engine.EsdbWriter.write(ev(s, dir), tmp)
+      Option(new java.io.File(p).getParentFile).foreach(_.mkdirs())
+      if (!new java.io.File(tmp).renameTo(new java.io.File(p))) {
+        def rm(f: java.io.File): Unit = { Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit }
+        rm(new java.io.File(tmp))
+      }
+    }
+    p
+  }
+
   val all: Seq[QuerySpec] = Seq(
 
     // ---- batch parity: S2-S6 (esdb.go, space.go) -------------------------
@@ -88,6 +114,32 @@ object Queries {
               |       value, props AS payload
               |FROM events WHERE event_type = '$Space'
               |  AND regexp_extract(props, '"$IdxName":\\s*(\\d+)', 1) = '$IdxValue'
+              |ORDER BY ts_us DESC, event_id LIMIT $ScanLimit""".stripMargin)),
+
+    // ---- written-store scans through the ordering-aware DSv2 source ------
+    // the same scan semantics as space_scan_grouping[_limit], but over a
+    // store the engine wrote itself and read back via EsdbWriter
+    // .readOrdered: layout order is REPORTED, so the plan carries no
+    // Sort (and the limit variant no TakeOrderedAndProject) — asserted
+    // in OrderedStoreSpec; the oracle proves the round-trip is lossless
+    QuerySpec("store_scan_sorted",
+      (s, d) => {
+        val p = ensureStore(s, d)
+        EventStore.scan(graft.engine.EsdbWriter.readOrdered(s, p), Space, Grouping)
+          .select("event_id", "ts_us", "value", "payload")
+      },
+      Some(s"""SELECT event_id, epoch_us(ts) AS ts_us, value, props AS payload
+              |FROM events WHERE event_type = '$Space' AND user_id = $Grouping
+              |ORDER BY ts_us DESC, event_id""".stripMargin)),
+
+    QuerySpec("store_scan_sorted_limit",
+      (s, d) => {
+        val p = ensureStore(s, d)
+        EventStore.scan(graft.engine.EsdbWriter.readOrdered(s, p), Space, Grouping, Some(ScanLimit))
+          .select("event_id", "ts_us", "value", "payload")
+      },
+      Some(s"""SELECT event_id, epoch_us(ts) AS ts_us, value, props AS payload
+              |FROM events WHERE event_type = '$Space' AND user_id = $Grouping
               |ORDER BY ts_us DESC, event_id LIMIT $ScanLimit""".stripMargin)),
 
     // ---- stream parity (stream/stream.go, open_stream.go, merge.go) ------

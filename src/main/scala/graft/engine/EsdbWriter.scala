@@ -48,8 +48,13 @@ object EsdbWriter {
     val indexed = indexAttrs.foldLeft(ev) { (df, name) =>
       df.withColumn(s"idx_$name", EventFrame.attr(name))
     }
+    // the sort MUST lead with the partition column: FileFormatWriter
+    // requires its output ordered by partition columns and silently
+    // plans its own non-stable sort by (space) alone when the incoming
+    // order does not satisfy that — which would scramble the
+    // (grouping, ts, id) layout the whole ordered-read design rests on
     val writer = indexed.repartition(col("space"))
-      .sortWithinPartitions(col("grouping"), col("ts_us").desc, col("event_id").asc)
+      .sortWithinPartitions(col("space"), col("grouping"), col("ts_us").desc, col("event_id").asc)
       .write
       .mode(SaveMode.ErrorIfExists)
       .partitionBy("space")
@@ -72,7 +77,7 @@ object EsdbWriter {
       df.withColumn(s"idx_$name", EventFrame.attr(name))
     }
     val writer = indexed.repartition(col("space"))
-      .sortWithinPartitions(col("grouping"), col("ts_us").desc, col("event_id").asc)
+      .sortWithinPartitions(col("space"), col("grouping"), col("ts_us").desc, col("event_id").asc)
       .write
       .mode(SaveMode.Append)
       .partitionBy("space")
@@ -128,6 +133,19 @@ object EsdbWriter {
       .sortBy("grouping", "ts_us", "event_id")
       .format("parquet")
       .saveAsTable(tableName)
+
+  /** Open a written store through the ordering-aware DSv2 source
+    * ([[graft.sources.EsdbStoreSource]]): scans see the write-time
+    * (grouping, ts_us desc, event_id) layout as a reported ordering,
+    * so `EventStore.scan`'s Sort is elided and orderBy-limit becomes a
+    * pushed top-N — the reference's order-is-free-from-layout property
+    * (event_block_writer.go:14-34). Use for ordered scans; analytical
+    * full-store queries should prefer [[read]] (vectorized parquet).
+    */
+  def readOrdered(spark: SparkSession, path: String): DataFrame = {
+    GraftSession.tune(spark)
+    spark.read.format("esdb").load(path)
+  }
 
   /** Open a written store; `basePath` keeps the `space` partition
     * column. Materialized `idx_*` columns (write-time secondary

@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Batch-side esdb query surface (SURVEY.md §2.1 S2-S6) over a
@@ -22,6 +22,31 @@ import org.apache.spark.sql.functions._
   */
 object EventStore {
 
+  /** True when the frame reads through the ordering-aware DSv2 store
+    * source ([[graft.sources.EsdbStoreSource]], opened by
+    * `EsdbWriter.readOrdered`). Those frames plan ONE input partition
+    * per space, already merged in (grouping, ts_us desc, event_id)
+    * layout order — so a space-pinned scan may request a PER-PARTITION
+    * sort (which equals the global order on the single matching
+    * partition, and which `RemoveRedundantSorts` elides against the
+    * scan's reported ordering) instead of a global orderBy, whose
+    * `OrderedDistribution` requirement would force a range exchange
+    * that destroys the layout order and re-sorts.
+    */
+  private def isOrderedStore(ev: DataFrame): Boolean =
+    ev.queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+        if r.table.isInstanceOf[graft.sources.EsdbStoreTable] => true
+    }.isDefined
+
+  /** Space-pinned frame in ts-layout order: sort-free on ordered-store
+    * frames (single partition, layout order reported by the scan);
+    * a global sort otherwise.
+    */
+  private def spaceOrdered(ev: DataFrame, filtered: DataFrame, order: Column*): DataFrame =
+    if (isOrderedStore(ev)) filtered.sortWithinPartitions(order: _*)
+    else filtered.orderBy(order: _*)
+
   /** Reference `Db.Iterate` (esdb.go:63-76): all spaces in sorted order. */
   def iterateSpaces(ev: DataFrame): DataFrame =
     ev.select("space").distinct().orderBy("space")
@@ -34,11 +59,19 @@ object EventStore {
     * ts-desc, insertion-order ties; optional early-exit limit.
     */
   def scan(ev: DataFrame, space: String, grouping: String, limit: Option[Int] = None): DataFrame = {
-    val base = ev
-      .where(col("space") === space && col("grouping") === grouping)
-      .orderBy(col("ts_us").desc, col("event_id").asc)
+    val filtered = ev.where(col("space") === space && col("grouping") === grouping)
+    val base = spaceOrdered(ev, filtered, col("ts_us").desc, col("event_id").asc)
     limit.fold(base)(base.limit)
   }
+
+  /** Ordered iterate of a whole space — every grouping's events
+    * contiguous, ts-desc within each (reference `Space.Iterate` +
+    * `Scan` composed, space.go:45-77). On an ordered-store frame this
+    * is the layout order: no sort, no shuffle, one sequential merge.
+    */
+  def scanSpace(ev: DataFrame, space: String): DataFrame =
+    spaceOrdered(ev, ev.where(col("space") === space),
+      col("grouping").asc, col("ts_us").desc, col("event_id").asc)
 
   /** Reference `Space.ScanIndex` (space.go:79-108): events of a space
     * matching secondary index name:value, ts-desc, insertion ties.
@@ -51,9 +84,11 @@ object EventStore {
     // distinction (space.go:79-108 vs 62-77) at plan level
     val pred = if (ev.columns.contains(s"idx_$name")) col(s"idx_$name") === value
                else EventFrame.attr(name) === value
-    val base = ev
-      .where(col("space") === space && pred)
-      .orderBy(col("ts_us").desc, col("event_id").asc)
+    val filtered = ev.where(col("space") === space && pred)
+    // ordered-store frames: single matching partition, so a local sort
+    // is the global order and no range exchange is planned (the sort
+    // itself remains — the index predicate is not the layout order)
+    val base = spaceOrdered(ev, filtered, col("ts_us").desc, col("event_id").asc)
     limit.fold(base)(base.limit)
   }
 }

@@ -1,0 +1,192 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.filter2.compat.FilterCompat
+import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate}
+import org.apache.parquet.hadoop.api.ReadSupport
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.MessageType
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Executor side of [[EsdbStoreSource]]: each partition (one space
+  * directory) k-way merges its files, which are individually sorted by
+  * (grouping ASC, ts_us DESC, event_id ASC) at write time — the same
+  * merge a reference reader does over per-write sorted blocks. A
+  * grouping equality rides into each file as a parquet row-group +
+  * record filter (the data is grouping-sorted, so non-matching row
+  * groups are skipped on stats); `limit` stops the merge after N rows.
+  *
+  * Record materialization uses parquet-mr's Group API (row-at-a-time,
+  * not vectorized) — the right trade for ordered scans, which are
+  * filtered to one grouping or consumed sequentially anyway; full-table
+  * analytics stay on the vectorized path via `EsdbWriter.read`.
+  */
+final class EsdbReaderFactory(required: StructType, grouping: Option[String],
+                              groupingNotNull: Boolean, limit: Option[Int])
+  extends PartitionReaderFactory {
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new EsdbMergeReader(p.asInstanceOf[EsdbInputPartition], required, grouping,
+      groupingNotNull, limit)
+}
+
+private object EsdbMergeReader {
+  val KeyCols: Seq[String] = Seq("grouping", "ts_us", "event_id")
+  val SpaceConst: Int = -2
+  val NullCol: Int = -1
+}
+
+final class EsdbMergeReader(part: EsdbInputPartition, required: StructType,
+                            grouping: Option[String], groupingNotNull: Boolean,
+                            limit: Option[Int])
+  extends PartitionReader[InternalRow] {
+
+  import EsdbMergeReader._
+
+  /** One sorted file's streaming state: the projected schema it was
+    * opened with (files may differ in idx_* columns), the per-required-
+    * column field index, key indexes for the merge, and the lookahead
+    * row.
+    */
+  private final class Cursor(val reader: ParquetReader[Group], schema: MessageType) {
+    val colIdx: Array[Int] = required.fields.map { f =>
+      if (f.name == "space") SpaceConst
+      else if (schema.containsField(f.name)) schema.getFieldIndex(f.name)
+      else NullCol
+    }
+    private val gIdx = if (schema.containsField("grouping")) schema.getFieldIndex("grouping") else -1
+    private val tsIdx = if (schema.containsField("ts_us")) schema.getFieldIndex("ts_us") else -1
+    private val idIdx = if (schema.containsField("event_id")) schema.getFieldIndex("event_id") else -1
+    var current: Group = _
+    var keyGrouping: UTF8String = _
+    var keyTs: Long = 0L
+    var keyId: Long = 0L
+    /** Pull the next row; false at EOF. */
+    def advance(): Boolean = {
+      current = reader.read()
+      if (current == null) return false
+      keyGrouping =
+        if (gIdx >= 0 && current.getFieldRepetitionCount(gIdx) > 0)
+          UTF8String.fromBytes(current.getBinary(gIdx, 0).getBytes)
+        else null
+      keyTs =
+        if (tsIdx >= 0 && current.getFieldRepetitionCount(tsIdx) > 0) current.getLong(tsIdx, 0)
+        else Long.MinValue // desc + NULLS LAST
+      keyId =
+        if (idIdx >= 0 && current.getFieldRepetitionCount(idIdx) > 0) current.getLong(idIdx, 0)
+        else Long.MinValue // asc + NULLS FIRST
+      true
+    }
+  }
+
+  // (grouping ASC NULLS FIRST, ts_us DESC, event_id ASC) — Spark's
+  // default null orderings; string comparison is UTF8String's unsigned
+  // byte order, identical to Spark's string sort
+  private val cmp = new java.util.Comparator[Cursor] {
+    override def compare(a: Cursor, b: Cursor): Int = {
+      val g =
+        if (a.keyGrouping eq b.keyGrouping) 0
+        else if (a.keyGrouping == null) -1
+        else if (b.keyGrouping == null) 1
+        else a.keyGrouping.compareTo(b.keyGrouping)
+      if (g != 0) return g
+      val t = java.lang.Long.compare(b.keyTs, a.keyTs) // descending
+      if (t != 0) return t
+      java.lang.Long.compare(a.keyId, b.keyId)
+    }
+  }
+
+  private val spaceUtf8 = UTF8String.fromString(part.space)
+  private var remaining: Long = limit.map(_.toLong).getOrElse(Long.MaxValue)
+  private var row: InternalRow = _
+  private var opened = false
+  private val cursors = new java.util.ArrayList[Cursor]()
+  private val heap = new java.util.PriorityQueue[Cursor](math.max(1, part.files.length), cmp)
+
+  private def open(): Unit = {
+    val conf = new Configuration()
+    val pred: Option[FilterPredicate] = grouping match {
+      case Some(v) => Some(FilterApi.eq(FilterApi.binaryColumn("grouping"), Binary.fromString(v)))
+      case None if groupingNotNull =>
+        Some(FilterApi.notEq(FilterApi.binaryColumn("grouping"), null.asInstanceOf[Binary]))
+      case None => None
+    }
+    part.files.foreach { file =>
+      val p = new Path(file)
+      // per-file projection: needed columns that exist in THIS file's
+      // schema (appends may add idx_* columns later); merge keys are
+      // always projected so the heap can order rows
+      val footer = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+      val fileSchema = try footer.getFileMetaData.getSchema finally footer.close()
+      val needed = (required.fieldNames.toSeq ++ KeyCols).distinct.filterNot(_ == "space")
+      val projected = new MessageType(fileSchema.getName,
+        fileSchema.getFields.asScala.filter(f => needed.contains(f.getName)).asJava)
+      val fconf = new Configuration(conf)
+      fconf.set(ReadSupport.PARQUET_READ_SCHEMA, projected.toString)
+      val builder = ParquetReader.builder(new GroupReadSupport(), p).withConf(fconf)
+      val reader = pred.filter(_ => fileSchema.containsField("grouping"))
+        .fold(builder)(fp => builder.withFilter(FilterCompat.get(fp)))
+        .build()
+      val c = new Cursor(reader, projected)
+      cursors.add(c)
+      if (c.advance()) heap.add(c) else reader.close()
+    }
+    opened = true
+  }
+
+  override def next(): Boolean = {
+    if (!opened) open()
+    if (remaining <= 0) return false
+    val c = heap.poll()
+    if (c == null) return false
+    row = convert(c)
+    if (c.advance()) heap.add(c) else c.reader.close()
+    remaining -= 1
+    true
+  }
+
+  override def get(): InternalRow = row
+
+  private def convert(c: Cursor): InternalRow = {
+    val g = c.current
+    val vals = new Array[Any](required.length)
+    var i = 0
+    while (i < required.length) {
+      val src = c.colIdx(i)
+      vals(i) =
+        if (src == SpaceConst) spaceUtf8
+        else if (src == NullCol || g.getFieldRepetitionCount(src) == 0) null
+        else required.fields(i).dataType match {
+          case StringType => UTF8String.fromBytes(g.getBinary(src, 0).getBytes)
+          case BinaryType => g.getBinary(src, 0).getBytes
+          case LongType => g.getLong(src, 0)
+          case IntegerType => g.getInteger(src, 0)
+          case DoubleType => g.getDouble(src, 0)
+          case FloatType => g.getFloat(src, 0)
+          case BooleanType => g.getBoolean(src, 0)
+          case dt => throw new UnsupportedOperationException(
+            s"esdb store column ${required.fields(i).name}: unsupported type $dt " +
+              "(canonical stores carry string/binary/long/int/double/float/boolean columns)")
+        }
+      i += 1
+    }
+    new GenericInternalRow(vals)
+  }
+
+  override def close(): Unit = {
+    cursors.asScala.foreach(c => try c.reader.close() catch { case _: Exception => () })
+    cursors.clear()
+    heap.clear()
+  }
+}

@@ -1,0 +1,263 @@
+package graft.sources
+
+import java.util.OptionalLong
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, Transform, SortOrder => VSortOrder}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In, IsNotNull}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 read path for stores written by
+  * [[graft.engine.EsdbWriter]] — the piece of the reference's physical
+  * design that plain parquet reads cannot express: *order is free from
+  * layout*. The reference's event blocks are laid out grouped and
+  * ts-descending at write time (event_block_writer.go:14-34), so its
+  * scans never sort; our writer lays parquet out the same way
+  * (`sortWithinPartitions(grouping, ts_us desc, event_id)` under
+  * `partitionBy(space)`), but a vanilla parquet scan reports no
+  * ordering, so every `EventStore.scan` re-sorts data that is already
+  * sorted on disk.
+  *
+  * This source closes that gap:
+  *  - one [[InputPartition]] per space directory, whose reader k-way
+  *    merges the space's sorted files — each partition's stream is
+  *    ordered by (grouping ASC, ts_us DESC, event_id ASC) by
+  *    construction;
+  *  - [[SupportsReportOrdering]] declares that ordering (narrowed to
+  *    (ts_us DESC, event_id ASC) when a grouping equality is pushed),
+  *    so Catalyst's `RemoveRedundantSorts` elides the Sort — and for a
+  *    single-space scan the lone partition reports `SinglePartition`,
+  *    eliding even a global sort;
+  *  - space equality/IN predicates prune to matching directories (the
+  *    reference's file-level SSTable lookup, esdb.go:41-60); grouping
+  *    equality becomes a parquet row-group + record filter riding the
+  *    (grouping, ts) sort order;
+  *  - [[SupportsPushDownTopN]] absorbs orderBy-limit entirely when the
+  *    requested order is the layout order — the reference Scanner's
+  *    early exit (space.go:14,103-105) at plan level: the reader just
+  *    stops after `limit` rows of the merged stream.
+  *
+  * Analytical full-table queries should keep using the vectorized
+  * parquet path ([[graft.engine.EsdbWriter.read]]): one partition per
+  * space is the right shape for ordered scans (which are sequential in
+  * the reference too), not for whole-store aggregation.
+  */
+class EsdbStoreSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "esdb"
+
+  private def pathOf(options: CaseInsensitiveStringMap): String =
+    Option(options.get("path"))
+      .getOrElse(throw new IllegalArgumentException("esdb source requires a path"))
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    EsdbStoreSource.canonicalSchema(pathOf(options))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        props: java.util.Map[String, String]): Table =
+    new EsdbStoreTable(pathOf(new CaseInsensitiveStringMap(props)), schema)
+
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+object EsdbStoreSource {
+  /** Infer from the parquet files (Spark's own inference, so types and
+    * the `space` partition column match the vanilla read path), then
+    * order canonical columns first.
+    */
+  def canonicalSchema(path: String): StructType = {
+    val raw = SparkSession.active.read.option("basePath", path).parquet(path).schema
+    val lead = Seq("space", "grouping", "ts_us", "event_id", "value", "payload")
+      .flatMap(n => raw.fields.find(_.name == n))
+    val rest = raw.fields.filterNot(f => lead.exists(_.name == f.name))
+    StructType(lead ++ rest)
+  }
+
+  /** Reverse of the writer's partition-path escaping (%xx for chars
+    * that are unsafe in directory names).
+    */
+  def unescapePathName(s: String): String = {
+    if (!s.contains('%')) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        try {
+          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+          i += 3
+        } catch { case _: NumberFormatException => sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+}
+
+final class EsdbStoreTable(path: String, tableSchema: StructType) extends Table with SupportsRead {
+  override def name(): String = s"esdb:$path"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new EsdbScanBuilder(path, tableSchema)
+}
+
+final class EsdbScanBuilder(path: String, tableSchema: StructType)
+  extends ScanBuilder
+  with SupportsPushDownFilters
+  with SupportsPushDownRequiredColumns
+  with SupportsPushDownLimit
+  with SupportsPushDownTopN {
+
+  private var required: StructType = tableSchema
+  private var spaces: Option[Seq[String]] = None // None = all spaces
+  private var grouping: Option[String] = None
+  private var groupingNotNull: Boolean = false
+  private var limit: Option[Int] = None
+  private var accepted: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (handled, rest) = filters.partition {
+      case EqualTo("space", _: String) => true
+      case In("space", vs) => vs.forall(_.isInstanceOf[String])
+      case EqualTo("grouping", _: String) => true
+      case IsNotNull("space") => true // partition values are never null
+      case IsNotNull("grouping") => true // parquet notEq(null) record filter
+      case _ => false
+    }
+    handled.foreach {
+      case EqualTo("space", v: String) =>
+        spaces = Some(spaces.fold(Seq(v))(_.intersect(Seq(v))))
+      case In("space", vs) =>
+        val s = vs.toSeq.map(_.asInstanceOf[String])
+        spaces = Some(spaces.fold(s)(_.intersect(s)))
+      case EqualTo("grouping", v: String) =>
+        grouping = Some(v); groupingNotNull = true
+      case IsNotNull("grouping") => groupingNotNull = true
+      case _ => ()
+    }
+    accepted = accepted ++ handled
+    rest
+  }
+
+  override def pushedFilters(): Array[Filter] = accepted
+
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+
+  /** The ordering the merged stream naturally has, given pushed filters. */
+  private def naturalOrder: Seq[(String, SortDirection)] =
+    if (grouping.isDefined)
+      Seq("ts_us" -> SortDirection.DESCENDING, "event_id" -> SortDirection.ASCENDING)
+    else
+      Seq("grouping" -> SortDirection.ASCENDING,
+        "ts_us" -> SortDirection.DESCENDING, "event_id" -> SortDirection.ASCENDING)
+
+  override def pushLimit(l: Int): Boolean = {
+    limit = Some(math.min(l, limit.getOrElse(Int.MaxValue)))
+    true // each partition emits at most l rows (full only if single partition)
+  }
+
+  /** Absorb Sort+Limit when the requested order is a prefix of the
+    * layout order: the reader's first `l` merged rows ARE the top-N.
+    */
+  override def pushTopN(orders: Array[VSortOrder], l: Int): Boolean = {
+    val natural = naturalOrder
+    val matches = orders.length <= natural.length && orders.zip(natural).forall {
+      case (o, (name, dir)) =>
+        o.expression() match {
+          case nr: org.apache.spark.sql.connector.expressions.NamedReference =>
+            nr.fieldNames.mkString(".") == name && o.direction() == dir
+          case _ => false
+        }
+    }
+    if (matches) { limit = Some(math.min(l, limit.getOrElse(Int.MaxValue))); true }
+    else false
+  }
+
+  /** Fully pushed only when the scan provably yields ONE partition
+    * (single pinned space): then the reader's output is globally
+    * ordered and Spark may drop the Sort and Limit entirely.
+    */
+  override def isPartiallyPushed(): Boolean = !spaces.exists(_.size == 1)
+
+  override def build(): Scan =
+    new EsdbScan(path, required, spaces, grouping, groupingNotNull, limit)
+}
+
+final class EsdbScan(path: String, required: StructType, spaces: Option[Seq[String]],
+                     grouping: Option[String], groupingNotNull: Boolean, limit: Option[Int])
+  extends Scan with Batch with SupportsReportOrdering with SupportsReportStatistics {
+
+  override def readSchema(): StructType = required
+
+  override def description(): String =
+    s"EsdbStore $path spaces=${spaces.map(_.mkString(",")).getOrElse("*")} " +
+      s"grouping=${grouping.getOrElse("*")} limit=${limit.getOrElse(-1)}"
+
+  override def toBatch: Batch = this
+
+  // driver-side listing: one partition per space directory, its files
+  // sorted by name for a deterministic merge
+  private lazy val partitions: Array[EsdbInputPartition] = {
+    val hconf = SparkSession.active.sparkContext.hadoopConfiguration
+    val root = new Path(path)
+    val fs = root.getFileSystem(hconf)
+    if (!fs.exists(root)) Array.empty
+    else {
+      val dirs = fs.listStatus(root).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("space="))
+        .map(s => (EsdbStoreSource.unescapePathName(s.getPath.getName.drop("space=".length)), s.getPath))
+        .filter { case (v, _) => spaces.forall(_.contains(v)) }
+        .sortBy(_._1)
+      dirs.flatMap { case (space, dir) =>
+        val files = fs.listStatus(dir).toSeq
+          .filter(f => f.isFile && isDataFile(f) && f.getLen > 0)
+          .sortBy(_.getPath.getName)
+        if (files.isEmpty) None
+        else Some(EsdbInputPartition(space, files.map(_.getPath.toString).toArray,
+          files.map(_.getLen).sum))
+      }.toArray
+    }
+  }
+
+  private def isDataFile(f: FileStatus): Boolean = {
+    val n = f.getPath.getName
+    !n.startsWith("_") && !n.startsWith(".")
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    partitions.asInstanceOf[Array[InputPartition]]
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new EsdbReaderFactory(required, grouping, groupingNotNull, limit)
+
+  /** Per-partition ordering of the merged stream, truncated to columns
+    * that survive pruning (an ordering may only reference output
+    * columns).
+    */
+  override def outputOrdering(): Array[VSortOrder] = {
+    val natural =
+      if (grouping.isDefined)
+        Seq("ts_us" -> SortDirection.DESCENDING, "event_id" -> SortDirection.ASCENDING)
+      else
+        Seq("grouping" -> SortDirection.ASCENDING,
+          "ts_us" -> SortDirection.DESCENDING, "event_id" -> SortDirection.ASCENDING)
+    natural.takeWhile { case (n, _) => required.fieldNames.contains(n) }
+      .map { case (n, d) => Expressions.sort(Expressions.column(n), d) }
+      .toArray
+  }
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): OptionalLong = OptionalLong.of(partitions.map(_.totalBytes).sum)
+    override def numRows(): OptionalLong = OptionalLong.empty()
+  }
+}
+
+/** One space directory: the unit of ordered merge. */
+final case class EsdbInputPartition(space: String, files: Array[String], totalBytes: Long)
+  extends InputPartition

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.engine.{EsdbWriter, EventStore}
+
+/** The DSv2 ordered store read path: correctness parity with the
+  * vanilla parquet path, and the plan properties that are its reason
+  * to exist — no Sort on scans of written stores, top-N absorbed into
+  * the scan, directory pruning on space predicates.
+  */
+class OrderedStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** 3 spaces × 7 groupings, shuffled insert order, duplicate
+    * timestamps to exercise the event_id tiebreak; written in two
+    * batches so every space has 2+ sorted files to merge.
+    */
+  private lazy val storePath: String = {
+    val dir = java.nio.file.Files.createTempDirectory("ordstore").toFile
+    dir.delete()
+    val rows = scala.util.Random.shuffle(
+      (1 to 600).map(i => (s"s${i % 3}", s"g${i % 7}", (i % 50).toLong * 1000, i.toLong,
+        i / 10.0, s"""{"k": ${i % 9}}"""))).toSeq
+    val (batch1, batch2) = rows.splitAt(300)
+    val df1 = batch1.toDF("space", "grouping", "ts_us", "event_id", "value", "payload")
+    val df2 = batch2.toDF("space", "grouping", "ts_us", "event_id", "value", "payload")
+    EsdbWriter.write(df1, dir.getAbsolutePath)
+    EsdbWriter.append(df2, dir.getAbsolutePath)
+    dir.getAbsolutePath
+  }
+
+  private def ordered: DataFrame = EsdbWriter.readOrdered(spark, storePath)
+  private def vanilla: DataFrame = EsdbWriter.read(spark, storePath)
+
+  private def executed(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def hasSortNode(plan: String): Boolean =
+    """(?m)^\W*\*?\(?\d*\)?\s*Sort """.r.findFirstIn(plan).isDefined ||
+      plan.contains(") Sort [") || plan.contains("+- Sort [")
+
+  test("scan parity: ordered source returns exactly the vanilla scan rows, in order") {
+    val o = EventStore.scan(ordered, "s1", "g3")
+      .select("event_id", "ts_us", "value", "payload").collect().toSeq
+    val v = EventStore.scan(vanilla, "s1", "g3")
+      .select("event_id", "ts_us", "value", "payload").collect().toSeq
+    assert(o == v)
+    assert(o.nonEmpty)
+  }
+
+  test("stored scan elides the sort: layout order is reported, not re-sorted") {
+    val q = EventStore.scan(ordered, "s1", "g3").select("event_id", "ts_us", "value")
+    val plan = executed(q)
+    assert(!hasSortNode(plan), "scan of a written store must not re-sort:\n" + plan)
+    assert(plan.contains("BatchScan"), plan)
+  }
+
+  test("scan with limit: top-N is absorbed into the scan (no sort, no TakeOrdered)") {
+    val q = EventStore.scan(ordered, "s1", "g3", Some(5)).select("event_id", "ts_us")
+    val rows = q.as[(Long, Long)].collect().toSeq
+    val expect = EventStore.scan(vanilla, "s1", "g3", Some(5))
+      .select("event_id", "ts_us").as[(Long, Long)].collect().toSeq
+    assert(rows == expect)
+    val plan = executed(q)
+    assert(!hasSortNode(plan), plan)
+    assert(!plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("space predicate prunes to one directory (one partition, SinglePartition plan)") {
+    val q = ordered.where(col("space") === "s2")
+    assert(q.rdd.getNumPartitions == 1)
+    val all = ordered
+    assert(all.rdd.getNumPartitions == 3) // one per space
+  }
+
+  test("full-space ordered iterate: layout order, no sort node") {
+    val q = EventStore.scanSpace(ordered, "s0").select("grouping", "ts_us", "event_id")
+    val got = q.as[(String, Long, Long)].collect().toSeq
+    val expect = EventStore.scanSpace(vanilla, "s0")
+      .select("grouping", "ts_us", "event_id").as[(String, Long, Long)].collect().toSeq
+    assert(got == expect)
+    assert(!hasSortNode(executed(q)), executed(q))
+  }
+
+  test("merge is correct across appended files and ties break on event_id") {
+    // per grouping: ts strictly descending, and event_id ascending within equal ts
+    val rows = EventStore.scan(ordered, "s0", "g0")
+      .select("ts_us", "event_id").as[(Long, Long)].collect().toSeq
+    rows.sliding(2).foreach {
+      case Seq((t1, e1), (t2, e2)) =>
+        assert(t1 > t2 || (t1 == t2 && e1 < e2), s"order violation: ($t1,$e1) before ($t2,$e2)")
+      case _ => ()
+    }
+    assert(rows.size >= 2)
+  }
+
+  test("column pruning reaches the reader: unprojected columns are not read") {
+    val q = ordered.where(col("space") === "s1" && col("grouping") === "g1")
+      .select("payload")
+    assert(q.collect().nonEmpty)
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("BatchScan"), scan)
+  }
+
+  test("non-pushed predicates still evaluate (post-scan filter)") {
+    val o = ordered.where(col("space") === "s1" && col("value") > 10.0).count()
+    val v = vanilla.where(col("space") === "s1" && col("value") > 10.0).count()
+    assert(o == v && o > 0)
+  }
+
+  test("grouping IsNotNull pushdown does not drop rows (all groupings non-null here)") {
+    assert(ordered.where(col("grouping").isNotNull).count() == vanilla.count())
+  }
+
+  test("sealed-store sidecar directories are invisible to the ordered source") {
+    val dir = java.nio.file.Files.createTempDirectory("ordseal").toFile
+    dir.delete()
+    val ev = (1 to 40).map(i => ("s", s"g${i % 2}", i.toLong, i.toLong, 0.0, s"""{"k": ${i % 3}}"""))
+      .toDF("space", "grouping", "ts_us", "event_id", "value", "payload")
+    EsdbWriter.write(ev, dir.getAbsolutePath)
+    EsdbWriter.seal(spark, dir.getAbsolutePath, "k")
+    assert(EsdbWriter.readOrdered(spark, dir.getAbsolutePath).count() == 40)
+  }
+}
