@@ -30,20 +30,28 @@ case class Event(space: String, grouping: String, ts_us: Long, event_id: Long,
   * The bulk/analytic surface stays on DataFrames ([[graft.engine.EventStore]],
   * [[graft.engine.EventLog]]); this façade is the migration shim.
   */
-class Db private[api] (val events: DataFrame) {
+class Db private[api] (val events: DataFrame, storePath: Option[String] = None) {
 
   /** Reference `Db.Find` (esdb.go:41-60): None when the space has no events. */
   def find(space: String): Option[Space] = {
-    val s = new Space(events, space)
+    val s = new Space(events, space, storePath)
     if (s.frame.limit(1).isEmpty) None else Some(s)
   }
 
+  // stores opened by path enumerate index-only (directory listing /
+  // write-time manifest), exactly like the reference's Db.Iterate and
+  // Space.Iterate (esdb.go:63-76, space.go:45-60); frame-backed Dbs
+  // (ad-hoc adapted tables) fall back to a distinct scan
+  private def spacesFrame: DataFrame = storePath
+    .map(p => EventStore.iterateSpacesStored(events.sparkSession, p))
+    .getOrElse(EventStore.iterateSpaces(events))
+
   /** Reference `Db.Iterate` (esdb.go:63-76): sorted spaces, early exit. */
   def iterate(fn: String => Boolean): Unit =
-    consume(EventStore.iterateSpaces(events).select("space"), fn)
+    consume(spacesFrame.select("space"), fn)
 
   def spaces: Seq[String] =
-    EventStore.iterateSpaces(events).collect().toSeq.map(_.getString(0))
+    spacesFrame.collect().toSeq.map(_.getString(0))
 
   private def consume(df: DataFrame, fn: String => Boolean): Unit = {
     val it = df.toLocalIterator()
@@ -52,19 +60,25 @@ class Db private[api] (val events: DataFrame) {
   }
 }
 
-class Space private[api] (all: DataFrame, val space: String) {
+class Space private[api] (all: DataFrame, val space: String, storePath: Option[String] = None) {
 
   private[api] val frame: DataFrame = all.where(col("space") === space)
 
-  /** Reference `Space.Iterate` (space.go:45-60): sorted groupings. */
+  private def groupingsFrame: DataFrame = storePath
+    .map(p => EventStore.iterateGroupingsStored(all.sparkSession, p, space))
+    .getOrElse(EventStore.iterateGroupings(all, space))
+
+  /** Reference `Space.Iterate` (space.go:45-60): sorted groupings,
+    * served from the write-time manifest on stores opened by path.
+    */
   def iterate(fn: String => Boolean): Unit = {
-    val it = EventStore.iterateGroupings(all, space).toLocalIterator()
+    val it = groupingsFrame.toLocalIterator()
     var go = true
     while (go && it.hasNext) go = fn(it.next().getString(0))
   }
 
   def groupings: Seq[String] =
-    EventStore.iterateGroupings(all, space).collect().toSeq.map(_.getString(0))
+    groupingsFrame.collect().toSeq.map(_.getString(0))
 
   /** Reference `Space.Scan` (space.go:62-77): ts-desc stable, early exit. */
   def scan(grouping: String)(fn: Event => Boolean): Unit =
@@ -95,7 +109,7 @@ object Esdb {
 
   /** Reference `esdb.Open` (esdb.go:23-38) over a written store directory. */
   def open(spark: SparkSession, path: String): Db =
-    new Db(EsdbWriter.read(spark, path))
+    new Db(EsdbWriter.read(spark, path), Some(path))
 
   /** Open over any canonical event frame (e.g. an adapted table). */
   def fromFrame(events: DataFrame): Db = new Db(events)

@@ -32,6 +32,7 @@ import org.apache.spark.sql.functions._
 object EsdbWriter {
 
   val SealMarker = "_CLOSED"
+  val GroupingsManifest = "_MANIFEST.groupings"
 
   /** Write a canonical [[EventFrame]] as an immutable store.
     *
@@ -66,6 +67,27 @@ object EsdbWriter {
     indexAttrs.foldLeft(writer) { (w, name) =>
       w.option(s"parquet.bloom.filter.enabled#idx_$name", "true")
     }.parquet(path)
+    writeGroupingsManifest(ev.sparkSession, path, SaveMode.Overwrite)
+  }
+
+  /** The write-time groupings manifest — the analog of the reference's
+    * key index: `Db.Iterate`/`Space.Iterate` are index-only reads there
+    * (esdb.go:63-76, space.go:45-60), so enumeration here must not scan
+    * event data either. Built by re-reading the just-written columnar
+    * files (two small dictionary-encoded columns), appended per batch;
+    * readers distinct across batches.
+    */
+  private def writeGroupingsManifest(spark: SparkSession, path: String, mode: SaveMode): Unit =
+    read(spark, path).select("space", "grouping").distinct()
+      .write.mode(mode).parquet(s"$path/$GroupingsManifest")
+
+  /** Distinct (space, grouping) pairs from the manifest sidecar; None
+    * for stores written before manifests existed (callers fall back to
+    * a data scan).
+    */
+  def manifestGroupings(spark: SparkSession, path: String): Option[DataFrame] = {
+    if (!Files.isDirectory(Paths.get(path, GroupingsManifest))) None
+    else Some(spark.read.parquet(s"$path/$GroupingsManifest").distinct())
   }
 
   /** Append a batch to a (still-open) log directory. Refuses when sealed —
@@ -84,6 +106,10 @@ object EsdbWriter {
     indexAttrs.foldLeft(writer) { (w, name) =>
       w.option(s"parquet.bloom.filter.enabled#idx_$name", "true")
     }.parquet(path)
+    // manifest delta from the batch itself (not a full-store re-read,
+    // which would make append cost grow with store size)
+    ev.select("space", "grouping").distinct()
+      .write.mode(SaveMode.Append).parquet(s"$path/$GroupingsManifest")
   }
 
   /** Seal: reference `Close()` writes the tails SSTable + footer magic

@@ -26,10 +26,16 @@ import org.apache.spark.sql.types._
   *    iteration (stream/stream.go:92-124), and the linked-list position
   *    for index scans (stream/event.go:23-25).
   *  - `value`    DOUBLE — numeric payload field (testdata).
-  *  - `payload`  STRING — opaque payload; JSON attrs in testdata. The
-  *    reference never interprets payload bytes; we expose JSON attr
-  *    access as the secondary-index mechanism (space_writer.go:47-49
-  *    `"i"+name+":"+value` keys ≡ `attr(name) === value` predicates).
+  *  - `payload`  STRING or BINARY — opaque payload. The reference never
+  *    interprets payload bytes (event.go:16-21; `TestBigEvent`
+  *    esdb_test.go:112-154 round-trips an 8 KB blob), and neither does
+  *    the store/stream core: BINARY payloads round-trip byte-exact
+  *    through write/append/read/scan/iterate. STRING payloads
+  *    additionally get JSON attr access as the secondary-index
+  *    mechanism (space_writer.go:47-49 `"i"+name+":"+value` keys ≡
+  *    `attr(name) === value` predicates); index ops over BINARY
+  *    payloads require write-time-materialized `idx_*` columns
+  *    (the reference likewise indexes only what the writer declared).
   */
 object EventFrame {
 

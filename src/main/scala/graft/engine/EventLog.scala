@@ -18,17 +18,25 @@ object EventLog {
   def iterate(ev: DataFrame, fromOffset: Long = 0L): DataFrame =
     ev.where(col("event_id") >= fromOffset).orderBy("event_id")
 
+  /** Index attribute access: a write-time materialized `idx_<name>`
+    * column when present (required for BINARY payloads, which are
+    * opaque exactly as in the reference, event.go:16-21), JSON payload
+    * extraction otherwise.
+    */
+  private def attrCol(ev: DataFrame, name: String): org.apache.spark.sql.Column =
+    if (ev.columns.contains(s"idx_$name")) col(s"idx_$name") else EventFrame.attr(name)
+
   /** Reference `Stream.ScanIndex` (stream/stream.go:74-90): follow an
     * index's backward linked list — newest → oldest over matching events.
     */
   def scanIndex(ev: DataFrame, name: String, value: String): DataFrame =
-    ev.where(EventFrame.attr(name) === value).orderBy(col("event_id").desc)
+    ev.where(attrCol(ev, name) === value).orderBy(col("event_id").desc)
 
   /** Reference `First(name, value)` (stream/open_stream.go:107-115):
     * head of one index list = max event_id among matches.
     */
   def first(ev: DataFrame, name: String, value: String): DataFrame =
-    ev.where(EventFrame.attr(name) === value)
+    ev.where(attrCol(ev, name) === value)
       .agg(max("event_id").as("head_event_id"))
 
   /** Reference `populate` tails rebuild (stream/open_stream.go:219-241):
@@ -36,7 +44,7 @@ object EventLog {
     * argmax — one partial-agg shuffle, no sort of the raw events.
     */
   def tails(ev: DataFrame, name: String): DataFrame =
-    ev.select(EventFrame.attr(name).as("attr"), col("event_id"))
+    ev.select(attrCol(ev, name).as("attr"), col("event_id"))
       .where(col("attr").isNotNull && col("attr") =!= "")
       .groupBy("attr")
       .agg(max("event_id").as("tail_event_id"))

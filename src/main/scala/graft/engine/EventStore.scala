@@ -51,9 +51,36 @@ object EventStore {
   def iterateSpaces(ev: DataFrame): DataFrame =
     ev.select("space").distinct().orderBy("space")
 
+  /** [[iterateSpaces]] for a written store: the reference's `Db.Iterate`
+    * walks the file-level key index, never event data (esdb.go:63-76) —
+    * here the spaces ARE the partition directory names, so enumeration
+    * is one driver-side listing with no Spark job over data files.
+    */
+  def iterateSpacesStored(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val root = new java.io.File(path)
+    val spaces = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("space="))
+      .map(f => graft.sources.EsdbStoreSource.unescapePathName(f.getName.drop("space=".length)))
+      .sorted.toSeq
+    import spark.implicits._
+    spaces.toDF("space")
+  }
+
   /** Reference `Space.Iterate` (space.go:45-60): groupings of one space, sorted. */
   def iterateGroupings(ev: DataFrame, space: String): DataFrame =
     ev.where(col("space") === space).select("grouping").distinct().orderBy("grouping")
+
+  /** [[iterateGroupings]] for a written store: served from the
+    * write-time groupings manifest (the reference's index-only
+    * `Space.Iterate`, space.go:45-60) — a store's enumeration cost is
+    * its key count, not its event count. Falls back to a data scan for
+    * stores written before manifests existed.
+    */
+  def iterateGroupingsStored(spark: org.apache.spark.sql.SparkSession, path: String,
+                             space: String): DataFrame =
+    EsdbWriter.manifestGroupings(spark, path)
+      .map(_.where(col("space") === space).select("grouping").distinct().orderBy("grouping"))
+      .getOrElse(iterateGroupings(EsdbWriter.read(spark, path), space))
 
   /** Reference `Space.Scan` (space.go:62-77): one grouping's events,
     * ts-desc, insertion-order ties; optional early-exit limit.

@@ -23,6 +23,45 @@ class EdgeCaseSpec extends SparkSpec {
     assert(back.length == 1 && back(0) == big)
   }
 
+  test("BINARY payload: 8 KB+ non-UTF8 blobs roundtrip byte-exact (esdb_test.go:112-154)") {
+    // deterministic pseudo-random bytes including invalid-UTF8 sequences
+    def blob(seed: Int, n: Int): Array[Byte] = {
+      val r = new scala.util.Random(seed)
+      val b = new Array[Byte](n)
+      r.nextBytes(b)
+      b(0) = 0xFF.toByte; b(1) = 0xFE.toByte; b(2) = 0x80.toByte // never valid UTF-8
+      b
+    }
+    val blobs = (1 to 6).map(i => (i, blob(i, 8192 + i * 512)))
+    val dir = { val d = Files.createTempDirectory("esdbbin").toFile; d.delete(); d.getAbsolutePath }
+    val ev = blobs.map { case (i, b) =>
+      (if (i % 2 == 0) "a" else "b", s"g${i % 2}", i.toLong, i.toLong, 0.0, b, s"k${i % 3}")
+    }.toDF("space", "grouping", "ts_us", "event_id", "value", "payload", "idx_k")
+    EsdbWriter.write(ev.where($"event_id" <= 4L), dir)
+    EsdbWriter.append(ev.where($"event_id" > 4L), dir) // append path too
+    // vanilla read path
+    val back = EventStore.scan(EsdbWriter.read(spark, dir), "a", "g0")
+      .select("event_id", "payload").as[(Long, Array[Byte])].collect().toMap
+    assert(back.keySet == Set(2L, 4L, 6L))
+    blobs.filter(_._1 % 2 == 0).foreach { case (i, b) =>
+      assert(java.util.Arrays.equals(back(i.toLong), b), s"payload $i corrupted")
+    }
+    // ordered (DSv2) read path handles BINARY too
+    val backOrdered = EventStore.scan(EsdbWriter.readOrdered(spark, dir), "a", "g0")
+      .select("event_id", "payload").as[(Long, Array[Byte])].collect().toMap
+    blobs.filter(_._1 % 2 == 0).foreach { case (i, b) =>
+      assert(java.util.Arrays.equals(backOrdered(i.toLong), b), s"ordered payload $i corrupted")
+    }
+    // index ops on an opaque-payload store go through the caller-declared
+    // idx_* column (the reference indexes only writer-declared keys)
+    val ixScan = EventStore.scanIndex(EsdbWriter.read(spark, dir), "a", "k", "k0")
+      .select("event_id").as[Long].collect().toSeq
+    assert(ixScan == Seq(6L))
+    val tails = graft.engine.EventLog.tails(EsdbWriter.read(spark, dir), "k")
+      .as[(String, Long)].collect().toMap
+    assert(tails == Map("k0" -> 6L, "k1" -> 4L, "k2" -> 5L))
+  }
+
   test("unicode payloads and text ops") {
     val docs = Seq((1L, "héllo wörld 你好 世界"), (2L, "ascii only text here"))
       .toDF("doc_id", "text")

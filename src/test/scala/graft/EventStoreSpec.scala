@@ -50,6 +50,45 @@ class EventStoreSpec extends SparkSpec {
     assert(EventStore.scanIndex(ev, "zz", "i", "i1").isEmpty)
   }
 
+  test("stored enumeration is index-only: no event-data files are read") {
+    val dir = java.nio.file.Files.createTempDirectory("iterstore").toFile
+    dir.delete()
+    graft.engine.EsdbWriter.write(ev, dir.getAbsolutePath)
+    graft.engine.EsdbWriter.append(
+      Seq(("c", "z", 9L, 7L, 0.0, """{"i": "i9"}"""))
+        .toDF("space", "grouping", "ts_us", "event_id", "value", "payload"),
+      dir.getAbsolutePath)
+    // spaces: pure driver-side directory listing — the plan reads no files at all
+    val spacesDf = EventStore.iterateSpacesStored(spark, dir.getAbsolutePath)
+    assert(spacesDf.inputFiles.isEmpty, "space enumeration must not plan a file scan")
+    assert(rowsOf(spacesDf) == Seq(Seq("a"), Seq("b"), Seq("c")))
+    // groupings: served from the write-time manifest sidecar only
+    val groupingsDf = EventStore.iterateGroupingsStored(spark, dir.getAbsolutePath, "a")
+    assert(groupingsDf.inputFiles.nonEmpty)
+    assert(groupingsDf.inputFiles.forall(_.contains(graft.engine.EsdbWriter.GroupingsManifest)),
+      "grouping enumeration must read the manifest, not data files:\n" +
+        groupingsDf.inputFiles.mkString("\n"))
+    assert(rowsOf(groupingsDf) == Seq(Seq("g"), Seq("h")))
+    // appended batch's groupings are in the manifest too
+    assert(rowsOf(EventStore.iterateGroupingsStored(spark, dir.getAbsolutePath, "c"))
+      == Seq(Seq("z")))
+    // façade: a path-opened Db enumerates through the same index-only routes
+    val db = graft.api.Esdb.open(spark, dir.getAbsolutePath)
+    assert(db.spaces == Seq("a", "b", "c"))
+    assert(db.find("a").get.groupings == Seq("g", "h"))
+  }
+
+  test("manifest-less stores (pre-manifest layout) fall back to a data scan") {
+    val dir = java.nio.file.Files.createTempDirectory("nomanifest").toFile
+    dir.delete()
+    graft.engine.EsdbWriter.write(ev, dir.getAbsolutePath)
+    // simulate an old store: drop the sidecar
+    def rm(f: java.io.File): Unit = { Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit }
+    rm(new java.io.File(dir, graft.engine.EsdbWriter.GroupingsManifest))
+    assert(rowsOf(EventStore.iterateGroupingsStored(spark, dir.getAbsolutePath, "b"))
+      == Seq(Seq("i")))
+  }
+
   test("events adapter normalizes the testdata schema") {
     val df = EventFrame.fromEvents(graft.engine.Tables.events(spark, "/root/testdata/sf0.001"))
     assert(df.columns.toSeq == Seq("space", "grouping", "ts_us", "event_id", "value", "payload"))
