@@ -71,6 +71,28 @@ object Queries {
     p
   }
 
+  /** Shared oracle fragment: exact all-pairs word-3-gram Jaccard over
+    * `documents`, mirroring [[graft.ops.DedupKernels.shingleHashes]]
+    * (lowercase word 3-grams, whole text as one shingle when < 3
+    * tokens, distinct shingles, x1000 fixed-point with floor division).
+    */
+  private def ngramJaccardCtes(thresholdX1000: Int): String =
+    s"""toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+       |g AS (SELECT doc_id,
+       |        CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+       |             ELSE list_distinct(list_transform(range(1, len(t) - 1),
+       |                    i -> array_to_string(list_slice(t, i, i + 2), ' '))) END AS grams
+       |      FROM toks),
+       |p AS (SELECT a.doc_id AS a, b.doc_id AS b,
+       |        CAST((len(list_intersect(a.grams, b.grams)) * 1000)
+       |          // len(list_distinct(list_concat(a.grams, b.grams))) AS BIGINT) AS jaccard_x1000
+       |      FROM g a JOIN g b ON a.doc_id < b.doc_id)""".stripMargin
+
+  private def ngramJaccardOracle(thresholdX1000: Int): String =
+    s"""WITH ${ngramJaccardCtes(thresholdX1000)}
+       |SELECT a, b, jaccard_x1000 FROM p
+       |WHERE jaccard_x1000 >= $thresholdX1000 ORDER BY a, b""".stripMargin
+
   val all: Seq[QuerySpec] = Seq(
 
     // ---- batch parity: S2-S6 (esdb.go, space.go) -------------------------
@@ -174,6 +196,19 @@ object Queries {
 
     QuerySpec("stream_tails",
       (s, d) => EventLog.tails(ev(s, d), IdxName),
+      Some(s"""SELECT regexp_extract(props, '"$IdxName":\\s*(\\d+)', 1) AS attr,
+              |       max(event_id) AS tail_event_id
+              |FROM events
+              |WHERE regexp_extract(props, '"$IdxName":\\s*(\\d+)', 1) <> ''
+              |GROUP BY attr ORDER BY attr""".stripMargin)),
+
+    // the streaming surface, end-to-end and oracle-checked: the events
+    // table read AS A STREAM, folded through the update-mode tails
+    // aggregation, drained with Trigger.AvailableNow — the reference's
+    // `populate` log-replay (open_stream.go:219-241) as a structured
+    // streaming job whose final state must equal the batch tails SQL
+    QuerySpec("stream_tails_streaming",
+      (s, d) => graft.streaming.StreamIngest.tailsAvailableNow(s, s"$d/events.parquet", IdxName),
       Some(s"""SELECT regexp_extract(props, '"$IdxName":\\s*(\\d+)', 1) AS attr,
               |       max(event_id) AS tail_event_id
               |FROM events
@@ -538,17 +573,38 @@ object Queries {
       Some("""SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
              |FROM documents GROUP BY md5(text) ORDER BY keep_doc_id""".stripMargin)),
 
+    // ORACLE-CHECKED sketch queries: the engine output is exact-Jaccard-
+    // VERIFIED pairs (LSH only proposes candidates; verifyJaccard
+    // disposes), so DuckDB can recompute the full answer by brute-force
+    // all-pairs shingle Jaccard — the oracle then certifies BOTH the
+    // values AND the LSH band config's recall (a missed pair would
+    // hash-mismatch). Engine jaccard runs over 64-bit shingle hashes,
+    // the oracle over shingle strings; equal absent xxh64 collisions
+    // within a pair's union (~n²/2⁶⁴ — and verified equal on testdata).
     QuerySpec("dedup_minhash",
-      (s, d) => Dedup.minhashNearDups(Tables.documents(s, d), 0.8), None),
+      (s, d) => Dedup.minhashNearDups(Tables.documents(s, d), 0.8),
+      Some(ngramJaccardOracle(800))),
 
     QuerySpec("dedup_clusters",
-      (s, d) => Dedup.dedupClusters(Tables.documents(s, d), 0.7), None),
+      (s, d) => Dedup.dedupClusters(Tables.documents(s, d), 0.7),
+      Some(s"""WITH RECURSIVE ${ngramJaccardCtes(700)},
+              |e AS (SELECT a AS x, b AS y FROM p WHERE jaccard_x1000 >= 700
+              |      UNION SELECT b, a FROM p WHERE jaccard_x1000 >= 700),
+              |n AS (SELECT DISTINCT x AS node FROM e),
+              |reach(node, lbl) AS (
+              |  SELECT node, node FROM n
+              |  UNION
+              |  SELECT e.y, r.lbl FROM reach r JOIN e ON r.node = e.x),
+              |c AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node)
+              |SELECT doc_id, cluster_id, doc_id = cluster_id AS keep
+              |FROM c ORDER BY cluster_id, doc_id""".stripMargin)),
 
     QuerySpec("dedup_simhash",
       (s, d) => Dedup.simhashNearDups(Tables.documents(s, d), 3), None),
 
     QuerySpec("dedup_ngram_jaccard",
-      (s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d), 0.5), None),
+      (s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d), 0.5),
+      Some(ngramJaccardOracle(500))),
 
     // threshold tuned to the testdata's cosine range (max ≈ 0.51).
     // (tables, bits) trade recall vs candidate volume: at cos 0.35,
@@ -601,6 +657,31 @@ object Queries {
         val e = Tables.embeddings(s, d)
         Similarity.annTopK(e, e.where(col("vec_id") < 10), 10)
       }, None),
+
+    // exactness certificate for the IVF machinery: probing ALL lists
+    // degenerates to brute force by construction, so the full pipeline
+    // (KMeans assignment, centroid probe ranking, list join, cosine,
+    // heap top-k) is oracle-checked bit-for-bit against the same exact
+    // SQL as similarity_topk — the approximate nProbe=4 variant below
+    // then differs only in how many lists it visits
+    QuerySpec("similarity_ivf_full_probe",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        graft.ops.Ivf.ivfTopK(e, e.where(col("vec_id") < 10), 10, nLists = 16, nProbe = 16)
+      },
+      Some("""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+             |           FROM embeddings WHERE vec_id < 10 AND embedding IS NOT NULL),
+             |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+             |      FROM embeddings WHERE embedding IS NOT NULL),
+             |s AS (SELECT query_id, neighbor_id,
+             |        list_inner_product(qv, cv)
+             |          / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv))) AS cos
+             |      FROM q, c WHERE query_id <> neighbor_id),
+             |r AS (SELECT query_id, neighbor_id, cos,
+             |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+             |      FROM s)
+             |SELECT query_id, rank, neighbor_id, CAST(floor(cos*1000000) AS BIGINT) AS cos_x1e6
+             |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
 
     // build-once/probe-many: the KMeans index is persisted per corpus
     // (partitioned by list id) on first use and every subsequent call

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 import graft.engine.EventFrame
 
@@ -32,6 +32,56 @@ object StreamIngest {
       .where(col("attr").isNotNull && col("attr") =!= "")
       .groupBy("attr")
       .agg(max("event_id").as("tail_event_id"))
+
+  /** End-to-end batch-equivalent streaming run: read the raw events
+    * parquet AS A STREAM, fold it through [[runningTails]], drain with
+    * `Trigger.AvailableNow` into a memory sink, and return the final
+    * tails as a batch frame — the exact recovery flow the reference's
+    * `populate` performs on open (open_stream.go:219-241: replay the
+    * log, keep the newest offset per index value). Because AvailableNow
+    * processes whatever is in the source and terminates, the result
+    * must equal the batch `EventLog.tails` — which is how the
+    * correctness gate oracles this streaming surface.
+    */
+  def tailsAvailableNow(spark: SparkSession, eventsParquet: String, indexName: String): DataFrame = {
+    graft.engine.GraftSession.tune(spark)
+    val schema = spark.read.parquet(eventsParquet).schema
+    // the file stream source only accepts DIRECTORIES (it manages its
+    // own basePath); a single-file table is staged into a per-table
+    // temp dir once, by symlink (fallback: copy)
+    val stream = spark.readStream.schema(schema).parquet(stageDir(eventsParquet))
+    val tails = runningTails(EventFrame.fromEvents(stream), indexName)
+    val qname = "graft_stream_tails_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    tails.writeStream.format("memory").queryName(qname)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+    // previous runs' memory sinks are dropped once superseded, so
+    // repeated harness invocations don't accumulate retained tables
+    val prev = lastMemorySink.getAndSet(qname)
+    if (prev != null) spark.catalog.dropTempView(prev)
+    spark.table(qname).orderBy("attr")
+  }
+
+  private val lastMemorySink = new java.util.concurrent.atomic.AtomicReference[String]()
+
+  /** Directory containing (a link to) the single-file table, so the
+    * file stream source can list it. Idempotent per source file.
+    */
+  private def stageDir(file: String): String = synchronized {
+    import java.nio.file.{Files, Paths}
+    val src = Paths.get(file).toAbsolutePath
+    val key = src.toString.replaceAll("[^A-Za-z0-9._-]", "_")
+    val dir = Paths.get(System.getProperty("java.io.tmpdir"), "graft-stream", key)
+    val link = dir.resolve(src.getFileName.toString)
+    if (!Files.exists(link)) {
+      Files.createDirectories(dir)
+      try Files.createSymbolicLink(link, src)
+      catch { case _: Exception => Files.copy(src, link) }
+    }
+    dir.toString
+  }
 
   /** One tail record as emitted by the stateful variant. */
   case class Tail(attr: String, tail_event_id: Long)
