@@ -39,6 +39,8 @@ object ScaleCheck {
     spark.sparkContext.setLogLevel("WARN")
 
     val bigDir = "/tmp/graft_scale"
+    if (args.contains("skew")) { skewCheck(spark, sfDir, bigDir); spark.stop(); return }
+    if (args.contains("ordered")) { orderedCheck(spark, sfDir, bigDir); spark.stop(); return }
     // user_id not offset: groupings keep their cardinality and grow in
     // length, the dominant real-world growth mode for an event store
     replicate(engine.Tables.events(spark, sfDir), Seq("event_id"), s"$bigDir/events.parquet")
@@ -104,6 +106,78 @@ object ScaleCheck {
     val w10 = math.min(timeWrite(bigDir, "/tmp/graft_scale/store_10x"),
       timeWrite(bigDir, "/tmp/graft_scale/store_10x"))
     println(f"${"esdb_write"}%-24s $w1%8.2f $w10%8.2f ${w10 / w1}%5.1f")
+    skewCheck(spark, sfDir, bigDir)
+    orderedCheck(spark, sfDir, bigDir)
     spark.stop()
+  }
+
+  /** Ordered-read evidence at 10×: the same scans through the vanilla
+    * parquet path (Sort planned) and the DSv2 ordered source (Sort
+    * elided). Measures BOTH the filtered single-grouping scan (the
+    * reference's flagship read) and the unbounded whole-space ordered
+    * iterate — the shapes have different winners and the table says so.
+    */
+  private def orderedCheck(spark: SparkSession, sfDir: String, bigDir: String): Unit = {
+    val store = s"$bigDir/store_ordered"
+    if (!new java.io.File(s"$bigDir/events.parquet").exists())
+      replicate(engine.Tables.events(spark, sfDir), Seq("event_id"), s"$bigDir/events.parquet")
+    if (!new java.io.File(store).exists())
+      engine.EsdbWriter.write(
+        engine.EventFrame.fromEvents(engine.Tables.events(spark, bigDir)), store)
+    def frame(ordered: Boolean) =
+      if (ordered) engine.EsdbWriter.readOrdered(spark, store)
+      else engine.EsdbWriter.read(spark, store)
+    val cases: Seq[(String, Boolean => org.apache.spark.sql.DataFrame)] = Seq(
+      ("scan_grouping" -> (o => engine.EventStore.scan(frame(o), "click", "7"))),
+      ("scan_grouping_lim" -> (o => engine.EventStore.scan(frame(o), "click", "7", Some(500)))),
+      ("scan_space_full" -> (o => engine.EventStore.scanSpace(frame(o), "click"))))
+    def time(fn: Boolean => org.apache.spark.sql.DataFrame, o: Boolean): Double = {
+      val t0 = System.nanoTime()
+      fn(o).queryExecution.toRdd.count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    cases.foreach { case (_, fn) => time(fn, false); time(fn, true) } // warm
+    cases.foreach { case (name, fn) =>
+      val tv = math.min(time(fn, false), time(fn, false))
+      val to = math.min(time(fn, true), time(fn, true))
+      println(f"ordered_$name%-22s vanilla=$tv%6.2f ordered=$to%6.2f ordered/vanilla=${to / tv}%4.2f")
+    }
+  }
+
+  /** Hot-key evidence for [[ops.Skew.saltedTails]]: a replica of the
+    * 10× events where 90% of rows carry ONE index value — the worst
+    * realistic shape for a per-index-value aggregate — timed through
+    * the plain partial-agg tails and the salted two-phase tails, with
+    * a result-equality assert. Published to SCALE.md with the measured
+    * switch guidance.
+    */
+  private def skewCheck(spark: SparkSession, sfDir: String, bigDir: String): Unit = {
+    val skewPath = s"$bigDir/events_skew.parquet"
+    if (!new java.io.File(s"$bigDir/events.parquet").exists())
+      replicate(engine.Tables.events(spark, sfDir), Seq("event_id"), s"$bigDir/events.parquet")
+    if (!new java.io.File(skewPath).exists()) {
+      engine.Tables.events(spark, bigDir)
+        .withColumn("props",
+          when(pmod(col("event_id"), lit(10)) < 9, lit("""{"k": 7}"""))
+            .otherwise(col("props")))
+        .write.mode(SaveMode.Overwrite).parquet(skewPath)
+    }
+    def ev = engine.EventFrame.fromEvents(
+      engine.GraftSession.tune(spark).read.parquet(skewPath))
+    def time(salted: Boolean): Double = {
+      val t0 = System.nanoTime()
+      val df = if (salted) ops.Skew.saltedTails(ev, "k") else engine.EventLog.tails(ev, "k")
+      df.queryExecution.toRdd.count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // results must be identical before the timings mean anything
+    val plainRows = engine.EventLog.tails(ev, "k").collect().map(_.toSeq).toSeq
+    val saltedRows = ops.Skew.saltedTails(ev, "k").collect().map(_.toSeq).toSeq
+    require(plainRows == saltedRows, "salted tails diverged from plain tails on the skewed replica")
+    time(salted = false); time(salted = true) // warm
+    val tPlain = math.min(time(salted = false), time(salted = false))
+    val tSalted = math.min(time(salted = true), time(salted = true))
+    println(f"${"tails_skew90_plain"}%-24s $tPlain%8.2f")
+    println(f"${"tails_skew90_salted"}%-24s $tSalted%8.2f  salted/plain=${tSalted / tPlain}%4.2f")
   }
 }
