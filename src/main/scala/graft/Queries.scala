@@ -395,6 +395,23 @@ object Queries {
         .agg(approx_count_distinct(col("grouping")).as("approx_groupings"))
         .orderBy("space"), None),
 
+    // error-bound certificate for the HLL sketch: the engine computes
+    // BOTH the sketch and the exact count and asserts the relative
+    // error in-row; the oracle recomputes the exact side and the
+    // literal bound — a sketch drifting past 5% fails the hash compare
+    QuerySpec("agg_approx_distinct_bounded",
+      (s, d) => ev(s, d).groupBy("space")
+        .agg(approx_count_distinct(col("grouping")).as("approx"),
+          countDistinct(col("grouping")).as("exact_groupings"))
+        .select(col("space"), col("exact_groupings"),
+          (abs(col("approx") - col("exact_groupings")) <=
+            col("exact_groupings") * 0.05).as("within_5pct"))
+        .orderBy("space"),
+      Some("""SELECT event_type AS space,
+             |       count(DISTINCT CAST(user_id AS VARCHAR)) AS exact_groupings,
+             |       TRUE AS within_5pct
+             |FROM events GROUP BY space ORDER BY space""".stripMargin)),
+
     // three scalar columns (not one array column) so rows-only tooling
     // can sort/read the output; sketch values stay engine-specific
     QuerySpec("agg_value_quantiles",
@@ -406,6 +423,27 @@ object Queries {
           element_at(col("ps"), 2).as("p95"),
           element_at(col("ps"), 3).as("p99"))
         .orderBy("space"), None),
+
+    // same certificate pattern for the quantile sketch: engine-side
+    // sketch vs engine-side exact percentile, bound asserted in-row,
+    // oracle recomputes the exact side (quantile_cont) + literal bound
+    QuerySpec("agg_value_quantiles_bounded",
+      (s, d) => ev(s, d).groupBy("space")
+        .agg(percentile_approx(col("value"), array(lit(0.5), lit(0.95), lit(0.99)), lit(10000))
+          .as("aps"),
+          expr("percentile(value, array(0.05D, 0.5D, 0.95D))").as("eps"))
+        .select(col("space"),
+          floor(element_at(col("eps"), 2) * 1000000).cast("long").as("p50_x1e6"),
+          // percentile_approx returns an OBSERVED value; for p50 it must
+          // land within the exact p5..p95 span — a loose but real bound
+          // that a broken sketch cannot satisfy
+          (element_at(col("aps"), 1) >= element_at(col("eps"), 1) &&
+            element_at(col("aps"), 1) <= element_at(col("eps"), 3)).as("p50_in_band"))
+        .orderBy("space"),
+      Some("""SELECT event_type AS space,
+             |  CAST(floor(quantile_cont(value, 0.5)*1000000) AS BIGINT) AS p50_x1e6,
+             |  TRUE AS p50_in_band
+             |FROM events GROUP BY space ORDER BY space""".stripMargin)),
 
     // exact interpolated percentiles are engine-neutral (both engines
     // use linear interpolation at p*(n-1)); fixed-point floor guards the

@@ -116,6 +116,19 @@ class OrderedStoreSpec extends SparkSpec {
     assert(ordered.where(col("grouping").isNotNull).count() == vanilla.count())
   }
 
+  test("SQL surface: the store is queryable as a USING esdb table with the same plan properties") {
+    spark.sql("DROP TABLE IF EXISTS ordered_store_sql")
+    spark.sql(s"CREATE TABLE ordered_store_sql USING esdb OPTIONS (path '$storePath')")
+    val q = spark.sql(
+      "SELECT event_id, ts_us FROM ordered_store_sql " +
+        "WHERE space = 's1' AND grouping = 'g3' ORDER BY ts_us DESC, event_id LIMIT 5")
+    val viaApi = EventStore.scan(ordered, "s1", "g3", Some(5))
+      .select("event_id", "ts_us").as[(Long, Long)].collect().toSeq
+    assert(q.as[(Long, Long)].collect().toSeq == viaApi)
+    val plan = executed(q)
+    assert(!hasSortNode(plan), plan)
+  }
+
   test("sealed-store sidecar directories are invisible to the ordered source") {
     val dir = java.nio.file.Files.createTempDirectory("ordseal").toFile
     dir.delete()
