@@ -191,7 +191,8 @@ final class EsdbScanBuilder(path: String, tableSchema: StructType)
 
 final class EsdbScan(path: String, required: StructType, spaces: Option[Seq[String]],
                      grouping: Option[String], groupingNotNull: Boolean, limit: Option[Int])
-  extends Scan with Batch with SupportsReportOrdering with SupportsReportStatistics {
+  extends Scan with Batch with SupportsReportOrdering with SupportsReportStatistics
+  with SupportsRuntimeFiltering {
 
   override def readSchema(): StructType = required
 
@@ -201,9 +202,30 @@ final class EsdbScan(path: String, required: StructType, spaces: Option[Seq[Stri
 
   override def toBatch: Batch = this
 
+  // runtime (join-driven) partition pruning — the DSv2 analog of
+  // dynamic partition pruning: a broadcast join on `space` hands the
+  // build side's key set to the scan before execution, and whole
+  // space directories drop out of the plan (the reference's SSTable
+  // lookup, driven by another table's keys)
+  private var runtimeSpaces: Option[Seq[String]] = None
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(Expressions.column("space"))
+
+  override def filter(filters: Array[Filter]): Unit = {
+    val allowed = filters.collect {
+      case EqualTo("space", v: String) => Seq(v)
+      case In("space", vs) if vs.forall(_.isInstanceOf[String]) =>
+        vs.toSeq.map(_.asInstanceOf[String])
+    }
+    if (allowed.nonEmpty)
+      runtimeSpaces = Some(allowed.reduce(_ intersect _))
+  }
+
   // driver-side listing: one partition per space directory, its files
-  // sorted by name for a deterministic merge
-  private lazy val partitions: Array[EsdbInputPartition] = {
+  // sorted by name for a deterministic merge. A def, not a lazy val:
+  // runtime filters may arrive after planning and must re-prune.
+  private def partitions: Array[EsdbInputPartition] = {
     val hconf = SparkSession.active.sparkContext.hadoopConfiguration
     val root = new Path(path)
     val fs = root.getFileSystem(hconf)
@@ -212,7 +234,7 @@ final class EsdbScan(path: String, required: StructType, spaces: Option[Seq[Stri
       val dirs = fs.listStatus(root).toSeq
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("space="))
         .map(s => (EsdbStoreSource.unescapePathName(s.getPath.getName.drop("space=".length)), s.getPath))
-        .filter { case (v, _) => spaces.forall(_.contains(v)) }
+        .filter { case (v, _) => spaces.forall(_.contains(v)) && runtimeSpaces.forall(_.contains(v)) }
         .sortBy(_._1)
       dirs.flatMap { case (space, dir) =>
         val files = fs.listStatus(dir).toSeq

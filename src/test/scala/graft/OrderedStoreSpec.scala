@@ -86,6 +86,29 @@ class OrderedStoreSpec extends SparkSpec {
     assert(!hasSortNode(executed(q)), executed(q))
   }
 
+  test("each written file is PHYSICALLY sorted (grouping, ts desc, id) — layout regression guard") {
+    // regression for the FileFormatWriter trap: a write sort that does
+    // not lead with the partition column gets silently replaced by
+    // Spark's own non-stable sort on (space) alone, scrambling the
+    // layout while every re-sorting read path still passes
+    val spaceDirs = new java.io.File(storePath).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("space="))
+    assert(spaceDirs.nonEmpty)
+    spaceDirs.foreach { d =>
+      d.listFiles().filter(f => f.getName.endsWith(".parquet")).foreach { f =>
+        val rows = spark.read.parquet(f.getAbsolutePath)
+          .select("grouping", "ts_us", "event_id")
+          .as[(String, Long, Long)].collect().toSeq
+        rows.sliding(2).foreach {
+          case Seq((g1, t1, e1), (g2, t2, e2)) =>
+            assert(g1 < g2 || (g1 == g2 && (t1 > t2 || (t1 == t2 && e1 < e2))),
+              s"${f.getName}: ($g1,$t1,$e1) precedes ($g2,$t2,$e2)")
+          case _ => ()
+        }
+      }
+    }
+  }
+
   test("merge is correct across appended files and ties break on event_id") {
     // per grouping: ts strictly descending, and event_id ascending within equal ts
     val rows = EventStore.scan(ordered, "s0", "g0")
@@ -127,6 +150,29 @@ class OrderedStoreSpec extends SparkSpec {
     assert(q.as[(Long, Long)].collect().toSeq == viaApi)
     val plan = executed(q)
     assert(!hasSortNode(plan), plan)
+  }
+
+  test("runtime filtering: a broadcast join on space prunes store directories at runtime") {
+    import org.apache.spark.sql.functions.broadcast
+    // DPP fires only when the build side carries a SELECTIVE predicate;
+    // a LocalRelation's filter is constant-folded away before the DPP
+    // rule runs, so the dim must come from a real source
+    val dimPath = java.nio.file.Files.createTempDirectory("dppdim").toString + "/dim"
+    Seq(("s2", "only"), ("zz", "other")).toDF("space", "tag").write.parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).where(col("tag") === "only")
+    val prev = spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.useStats")
+    try {
+      // size heuristics never fire on KB-scale local stores (same as
+      // file-source DPP); the ratio fallback lets the local test prove
+      // the wiring that real table stats would trigger at scale
+      spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+      val q = ordered.join(broadcast(dim), "space")
+      val n = q.count()
+      assert(n == vanilla.where(col("space") === "s2").count() && n > 0)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("RuntimeFilters: [dynamicpruning"),
+        "expected a runtime pruning filter on the esdb scan:\n" + plan)
+    } finally spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", prev)
   }
 
   test("sealed-store sidecar directories are invisible to the ordered source") {
