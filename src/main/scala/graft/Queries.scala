@@ -164,6 +164,16 @@ object Queries {
               |FROM events WHERE event_type = '$Space' AND user_id = $Grouping
               |ORDER BY ts_us DESC, event_id LIMIT $ScanLimit""".stripMargin)),
 
+    // metadata-only store statistics: counts from row-group metadata,
+    // ts bounds from column-chunk statistics — NO data pages read; the
+    // oracle recomputes the same numbers from the raw rows, proving
+    // the footer math (and the writer's stats) exact
+    QuerySpec("store_stats",
+      (s, d) => graft.engine.EsdbWriter.storeStats(s, ensureStore(s, d)),
+      Some("""SELECT event_type AS space, count(*) AS n_events,
+             |       min(epoch_us(ts)) AS min_ts_us, max(epoch_us(ts)) AS max_ts_us
+             |FROM events GROUP BY space ORDER BY space""".stripMargin)),
+
     // ---- stream parity (stream/stream.go, open_stream.go, merge.go) ------
 
     QuerySpec("stream_iterate",

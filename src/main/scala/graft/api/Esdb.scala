@@ -32,9 +32,16 @@ case class Event(space: String, grouping: String, ts_us: Long, event_id: Long,
   */
 class Db private[api] (val events: DataFrame, storePath: Option[String] = None) {
 
+  // path-opened stores scan through the ordering-aware DSv2 source:
+  // the ts-desc contract comes from the reported layout order instead
+  // of a planned Sort, so callback scans stream without sorting
+  private lazy val scanFrame: DataFrame = storePath
+    .map(p => EsdbWriter.readOrdered(events.sparkSession, p))
+    .getOrElse(events)
+
   /** Reference `Db.Find` (esdb.go:41-60): None when the space has no events. */
   def find(space: String): Option[Space] = {
-    val s = new Space(events, space, storePath)
+    val s = new Space(scanFrame, space, storePath)
     if (s.frame.limit(1).isEmpty) None else Some(s)
   }
 

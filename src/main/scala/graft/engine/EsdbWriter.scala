@@ -144,6 +144,65 @@ object EsdbWriter {
 
   def isSealed(path: String): Boolean = Files.exists(Paths.get(path, SealMarker))
 
+  /** Per-space store statistics from parquet FOOTERS only — no data
+    * pages are ever read: event count (row-group counts) and ts_us
+    * min/max (column-chunk statistics). The metadata-only analog of
+    * the reference's index summary: at 100 TB the cost is one footer
+    * read per file, distributed over the executors.
+    */
+  def storeStats(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(hconf)
+    val files: Seq[(String, String)] =
+      if (!fs.exists(root)) Nil
+      else fs.listStatus(root).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("space="))
+        .flatMap { d =>
+          val space = graft.sources.EsdbStoreSource
+            .unescapePathName(d.getPath.getName.drop("space=".length))
+          fs.listStatus(d.getPath).toSeq
+            .filter(f => f.isFile && f.getLen > 0 &&
+              !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+            .map(f => (space, f.getPath.toString))
+        }
+    val par = math.max(1, math.min(files.size, spark.sparkContext.defaultParallelism))
+    spark.createDataset(files).repartition(par)
+      .mapPartitions { it =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        it.map { case (space, file) =>
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              new org.apache.hadoop.fs.Path(file), conf))
+          try {
+            var n = 0L
+            var mn = Option.empty[Long]
+            var mx = Option.empty[Long]
+            r.getFooter.getBlocks.forEach { b =>
+              n += b.getRowCount
+              b.getColumns.forEach { c =>
+                if (c.getPath.toDotString == "ts_us") {
+                  val st = c.getStatistics
+                  if (st != null && st.hasNonNullValue) {
+                    val lo = st.genericGetMin.asInstanceOf[java.lang.Long].longValue()
+                    val hi = st.genericGetMax.asInstanceOf[java.lang.Long].longValue()
+                    mn = Some(mn.fold(lo)(math.min(_, lo)))
+                    mx = Some(mx.fold(hi)(math.max(_, hi)))
+                  }
+                }
+              }
+            }
+            (space, n, mn, mx)
+          } finally r.close()
+        }
+      }
+      .toDF("space", "n", "mn", "mx")
+      .groupBy("space")
+      .agg(sum("n").as("n_events"), min("mn").as("min_ts_us"), max("mx").as("max_ts_us"))
+      .orderBy("space")
+  }
+
   /** Bucketed layout: hash-bucket by `grouping`, sorted by (ts_us desc,
     * event_id) inside each bucket. Joins and aggregations keyed on
     * `grouping` between tables bucketed the same way are then

@@ -175,6 +175,18 @@ class OrderedStoreSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", prev)
   }
 
+  test("storeStats from footers equals the data-derived aggregate") {
+    val fromFooters = graft.engine.EsdbWriter.storeStats(spark, storePath)
+      .as[(String, Long, Option[Long], Option[Long])].collect().toSeq
+    val fromData = vanilla.groupBy("space")
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.min("ts_us"), org.apache.spark.sql.functions.max("ts_us"))
+      .orderBy("space")
+      .as[(String, Long, Option[Long], Option[Long])].collect().toSeq
+    assert(fromFooters == fromData)
+    assert(fromFooters.size == 3)
+  }
+
   test("sealed-store sidecar directories are invisible to the ordered source") {
     val dir = java.nio.file.Files.createTempDirectory("ordseal").toFile
     dir.delete()
