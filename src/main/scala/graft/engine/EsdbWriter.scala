@@ -49,6 +49,9 @@ object EsdbWriter {
     val indexed = indexAttrs.foldLeft(ev) { (df, name) =>
       df.withColumn(s"idx_$name", EventFrame.attr(name))
     }
+    // bloom-filter every index column, both newly-derived and already-
+    // materialized ones (rewrites/compaction carry idx_* columns in)
+    val idxCols = indexed.columns.filter(_.startsWith("idx_")).map(_.drop(4)).toSeq
     // the sort MUST lead with the partition column: FileFormatWriter
     // requires its output ordered by partition columns and silently
     // plans its own non-stable sort by (space) alone when the incoming
@@ -64,10 +67,33 @@ object EsdbWriter {
     // (values interleave across the sort order), blooms can — this is
     // the storage-level analog of the reference's per-index location
     // lists (space_writer.go:47-49), built by parquet instead of us
-    indexAttrs.foldLeft(writer) { (w, name) =>
+    idxCols.foldLeft(writer) { (w, name) =>
       w.option(s"parquet.bloom.filter.enabled#idx_$name", "true")
     }.parquet(path)
     writeGroupingsManifest(ev.sparkSession, path, SaveMode.Overwrite)
+  }
+
+  /** Compact an open store in place: rewrite every space directory as
+    * one freshly sorted file set (typically one file per space) and a
+    * rebuilt manifest. Appends accumulate one sorted file per batch;
+    * compaction rebounds the ordered read's merge width — the role
+    * LSM compaction plays for the reference's SSTable family. The swap
+    * is two directory renames: crash-atomic enough for a local store;
+    * cluster deployments should swap via their table catalog.
+    */
+  def compact(spark: SparkSession, path: String): Unit = {
+    require(!isSealed(path), s"store at $path is sealed (immutable; compaction is for open stores)")
+    val tmp = path + ".compact-" + java.util.UUID.randomUUID().toString.take(8)
+    write(read(spark, path), tmp)
+    val old = new java.io.File(path + ".old-" + java.util.UUID.randomUUID().toString.take(8))
+    val cur = new java.io.File(path)
+    if (!cur.renameTo(old)) throw new java.io.IOException(s"cannot move $path aside")
+    if (!new java.io.File(tmp).renameTo(cur)) {
+      old.renameTo(cur) // restore; compaction failed but the store is intact
+      throw new java.io.IOException(s"cannot move compacted store into $path")
+    }
+    def rm(f: java.io.File): Unit = { Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit }
+    rm(old)
   }
 
   /** The write-time groupings manifest — the analog of the reference's

@@ -175,6 +175,33 @@ class OrderedStoreSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", prev)
   }
 
+  test("compaction: one sorted file set per space, identical reads, manifest intact") {
+    val dir = java.nio.file.Files.createTempDirectory("ordcompact").toFile
+    dir.delete()
+    val mk = (r: Range) => r.map(i => (s"s${i % 2}", s"g${i % 3}", (i % 20).toLong, i.toLong,
+      i / 2.0, s"""{"k": ${i % 4}}""")).toDF("space", "grouping", "ts_us", "event_id", "value", "payload")
+    EsdbWriter.write(mk(1 to 100), dir.getAbsolutePath, indexAttrs = Seq("k"))
+    EsdbWriter.append(mk(101 to 200), dir.getAbsolutePath, indexAttrs = Seq("k"))
+    EsdbWriter.append(mk(201 to 300), dir.getAbsolutePath, indexAttrs = Seq("k"))
+    def filesOf(space: String) = new java.io.File(dir, s"space=$space").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(filesOf("s0").length == 3)
+    val before = EventStore.scan(EsdbWriter.readOrdered(spark, dir.getAbsolutePath), "s0", "g1")
+      .select("event_id", "ts_us", "value", "payload").collect().toSeq
+    val statsBefore = EsdbWriter.storeStats(spark, dir.getAbsolutePath).collect().toSeq
+    EsdbWriter.compact(spark, dir.getAbsolutePath)
+    assert(filesOf("s0").length == 1, "compaction must leave one file per space")
+    val after = EventStore.scan(EsdbWriter.readOrdered(spark, dir.getAbsolutePath), "s0", "g1")
+      .select("event_id", "ts_us", "value", "payload").collect().toSeq
+    assert(after == before)
+    assert(EsdbWriter.storeStats(spark, dir.getAbsolutePath).collect().toSeq == statsBefore)
+    // manifest rebuilt and index scans still pushed through idx_k
+    assert(graft.engine.EventStore.iterateGroupingsStored(spark, dir.getAbsolutePath, "s0")
+      .as[String].collect().toSeq == Seq("g0", "g1", "g2"))
+    val ix = EventStore.scanIndex(EsdbWriter.read(spark, dir.getAbsolutePath), "s0", "k", "2")
+    assert(ix.count() > 0)
+  }
+
   test("storeStats from footers equals the data-derived aggregate") {
     val fromFooters = graft.engine.EsdbWriter.storeStats(spark, storePath)
       .as[(String, Long, Option[Long], Option[Long])].collect().toSeq
