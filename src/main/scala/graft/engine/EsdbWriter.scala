@@ -258,6 +258,22 @@ object EsdbWriter {
     spark.read.format("esdb").load(path)
   }
 
+  /** Tail an OPEN store as a stream: every `append` batch becomes a
+    * micro-batch — the streaming form of the reference's open-stream
+    * reader (stream/open_stream.go), where readers observe the log as
+    * writers extend it. Backed by the file stream source (new files
+    * under the space directories are discovered per trigger; sidecars
+    * and markers are `_`-hidden). The schema is pinned from the
+    * current files, so at least one batch must exist.
+    */
+  def readTail(spark: SparkSession, path: String): DataFrame = {
+    GraftSession.tune(spark)
+    spark.readStream
+      .schema(spark.read.option("basePath", path).parquet(path).schema)
+      .option("basePath", path)
+      .parquet(path)
+  }
+
   /** Open a written store; `basePath` keeps the `space` partition
     * column. Materialized `idx_*` columns (write-time secondary
     * indexes) are preserved for [[EventStore.scanIndex]] to use.

@@ -141,6 +141,27 @@ class StreamingSpec extends SparkSpec {
     assert(got.forall(_.getLong(1) >= 1L))
   }
 
+  test("readTail: appends arrive incrementally, exactly once across restarts") {
+    val store = java.nio.file.Files.createTempDirectory("tailstore").toString + "/log"
+    val out = java.nio.file.Files.createTempDirectory("tailout").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("tailckpt").toString
+    def batch(r: Range) = r.map(i => (s"s${i % 2}", s"g${i % 3}", i.toLong, i.toLong, 0.0, "{}"))
+      .toDF("space", "grouping", "ts_us", "event_id", "value", "payload")
+    graft.engine.EsdbWriter.write(batch(1 to 100), store)
+    def drain(): Unit =
+      graft.engine.EsdbWriter.readTail(spark, store)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+    drain()
+    assert(spark.read.parquet(out).count() == 100)
+    graft.engine.EsdbWriter.append(batch(101 to 150), store)
+    drain() // same checkpoint: only the appended batch is processed
+    val ids = spark.read.parquet(out).select("event_id").as[Long].collect().sorted
+    assert(ids.length == 150 && ids.toSeq == (1L to 150L)) // no duplicates, nothing lost
+  }
+
   test("windowed counts aggregate by tumbling event-time windows") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
