@@ -33,12 +33,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * analytics stay on the vectorized path via `EsdbWriter.read`.
   */
 final class EsdbReaderFactory(required: StructType, grouping: Option[String],
-                              groupingNotNull: Boolean, limit: Option[Int])
+                              groupingNotNull: Boolean, hints: Seq[(String, Any)],
+                              limit: Option[Int])
   extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new EsdbMergeReader(p.asInstanceOf[EsdbInputPartition], required, grouping,
-      groupingNotNull, limit)
+      groupingNotNull, hints, limit)
 }
 
 private object EsdbMergeReader {
@@ -49,7 +50,7 @@ private object EsdbMergeReader {
 
 final class EsdbMergeReader(part: EsdbInputPartition, required: StructType,
                             grouping: Option[String], groupingNotNull: Boolean,
-                            limit: Option[Int])
+                            hints: Seq[(String, Any)], limit: Option[Int])
   extends PartitionReader[InternalRow] {
 
   import EsdbMergeReader._
@@ -114,9 +115,29 @@ final class EsdbMergeReader(part: EsdbInputPartition, required: StructType,
   private val cursors = new java.util.ArrayList[Cursor]()
   private val heap = new java.util.PriorityQueue[Cursor](math.max(1, part.files.length), cmp)
 
+  /** Equality hint → parquet predicate, typed from THIS file's schema;
+    * None when the column is absent or the physical type doesn't match
+    * the hinted value (the post-scan filter still enforces it).
+    */
+  private def hintPredicate(schema: MessageType, col: String, v: Any): Option[FilterPredicate] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    if (!schema.containsField(col)) return None
+    val field = schema.getFields.get(schema.getFieldIndex(col))
+    if (!field.isPrimitive) return None
+    (field.asPrimitiveType().getPrimitiveTypeName, v) match {
+      case (BINARY, s: String) =>
+        Some(FilterApi.eq(FilterApi.binaryColumn(col), Binary.fromString(s)))
+      case (INT64, l: java.lang.Long) => Some(FilterApi.eq(FilterApi.longColumn(col), l))
+      case (INT32, i: java.lang.Integer) => Some(FilterApi.eq(FilterApi.intColumn(col), i))
+      case (DOUBLE, d: java.lang.Double) => Some(FilterApi.eq(FilterApi.doubleColumn(col), d))
+      case (BOOLEAN, b: java.lang.Boolean) => Some(FilterApi.eq(FilterApi.booleanColumn(col), b))
+      case _ => None
+    }
+  }
+
   private def open(): Unit = {
     val conf = new Configuration()
-    val pred: Option[FilterPredicate] = grouping match {
+    val groupingPred: Option[FilterPredicate] = grouping match {
       case Some(v) => Some(FilterApi.eq(FilterApi.binaryColumn("grouping"), Binary.fromString(v)))
       case None if groupingNotNull =>
         Some(FilterApi.notEq(FilterApi.binaryColumn("grouping"), null.asInstanceOf[Binary]))
@@ -135,7 +156,11 @@ final class EsdbMergeReader(part: EsdbInputPartition, required: StructType,
       val fconf = new Configuration(conf)
       fconf.set(ReadSupport.PARQUET_READ_SCHEMA, projected.toString)
       val builder = ParquetReader.builder(new GroupReadSupport(), p).withConf(fconf)
-      val reader = pred.filter(_ => fileSchema.containsField("grouping"))
+      // grouping predicate (exact, fully handled) + hint predicates
+      // (best-effort skipping; Spark re-verifies post-scan)
+      val preds = groupingPred.filter(_ => fileSchema.containsField("grouping")).toSeq ++
+        hints.flatMap { case (c, v) => hintPredicate(fileSchema, c, v) }
+      val reader = preds.reduceOption(FilterApi.and)
         .fold(builder)(fp => builder.withFilter(FilterCompat.get(fp)))
         .build()
       val c = new Cursor(reader, projected)

@@ -118,6 +118,7 @@ final class EsdbScanBuilder(path: String, tableSchema: StructType)
   private var spaces: Option[Seq[String]] = None // None = all spaces
   private var grouping: Option[String] = None
   private var groupingNotNull: Boolean = false
+  private var hints: Seq[(String, Any)] = Nil
   private var limit: Option[Int] = None
   private var accepted: Array[Filter] = Array.empty
 
@@ -142,6 +143,15 @@ final class EsdbScanBuilder(path: String, tableSchema: StructType)
       case _ => ()
     }
     accepted = accepted ++ handled
+    // remaining equalities on primitive columns (e.g. idx_* index
+    // lookups) ride into the reader as parquet row-group/bloom/record
+    // filter HINTS — and are still returned to Spark, which re-applies
+    // them post-scan, so a skipped hint can never change results
+    hints = hints ++ rest.collect {
+      case EqualTo(col, v @ (_: String | _: java.lang.Long | _: java.lang.Integer |
+                             _: java.lang.Double | _: java.lang.Boolean))
+        if col != "space" => (col, v)
+    }
     rest
   }
 
@@ -186,11 +196,12 @@ final class EsdbScanBuilder(path: String, tableSchema: StructType)
   override def isPartiallyPushed(): Boolean = !spaces.exists(_.size == 1)
 
   override def build(): Scan =
-    new EsdbScan(path, required, spaces, grouping, groupingNotNull, limit)
+    new EsdbScan(path, required, spaces, grouping, groupingNotNull, hints, limit)
 }
 
 final class EsdbScan(path: String, required: StructType, spaces: Option[Seq[String]],
-                     grouping: Option[String], groupingNotNull: Boolean, limit: Option[Int])
+                     grouping: Option[String], groupingNotNull: Boolean,
+                     hints: Seq[(String, Any)], limit: Option[Int])
   extends Scan with Batch with SupportsReportOrdering with SupportsReportStatistics
   with SupportsRuntimeFiltering {
 
@@ -256,7 +267,7 @@ final class EsdbScan(path: String, required: StructType, spaces: Option[Seq[Stri
     partitions.asInstanceOf[Array[InputPartition]]
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new EsdbReaderFactory(required, grouping, groupingNotNull, limit)
+    new EsdbReaderFactory(required, grouping, groupingNotNull, hints, limit)
 
   /** Per-partition ordering of the merged stream, truncated to columns
     * that survive pruning (an ordering may only reference output

@@ -175,6 +175,23 @@ class OrderedStoreSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", prev)
   }
 
+  test("hinted predicates: index equality skips via parquet filters without changing results") {
+    val dir = java.nio.file.Files.createTempDirectory("ordhint").toFile
+    dir.delete()
+    val ev = (1 to 400).map(i => (s"s${i % 2}", s"g${i % 5}", i.toLong, i.toLong, i / 10.0,
+      s"""{"k": ${i % 7}}"""))
+      .toDF("space", "grouping", "ts_us", "event_id", "value", "payload")
+    EsdbWriter.write(ev, dir.getAbsolutePath, indexAttrs = Seq("k"))
+    val o = EsdbWriter.readOrdered(spark, dir.getAbsolutePath)
+    val v = EsdbWriter.read(spark, dir.getAbsolutePath)
+    // string hint (idx_k), long hint (event_id), double hint (value)
+    val ixO = EventStore.scanIndex(o, "s1", "k", "3").select("event_id").as[Long].collect().toSeq
+    val ixV = EventStore.scanIndex(v, "s1", "k", "3").select("event_id").as[Long].collect().toSeq
+    assert(ixO == ixV && ixO.nonEmpty)
+    assert(o.where(col("event_id") === 123L).count() == 1)
+    assert(o.where(col("value") === 20.0).collect().map(_.getAs[Long]("event_id")).toSeq == Seq(200L))
+  }
+
   test("compaction: one sorted file set per space, identical reads, manifest intact") {
     val dir = java.nio.file.Files.createTempDirectory("ordcompact").toFile
     dir.delete()
