@@ -21,6 +21,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,click)]"), p)
   }
 
+  test("declared store scans plan no Sort and no TakeOrdered (layout order reported)") {
+    Seq("store_scan_sorted", "store_scan_sorted_limit").foreach { name =>
+      val df = Queries.queries(name)(spark, dir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains(") Sort [") && !p.contains("+- Sort ["), s"$name re-sorts:\n$p")
+      assert(!p.contains("TakeOrderedAndProject"), s"$name plans a top-k sort:\n$p")
+      assert(p.contains("BatchScan esdb:"), p)
+    }
+  }
+
   test("tails pre-aggregates map-side before its shuffle") {
     val p = plan("stream_tails")
     assert(p.contains("partial_max"), "tails must partial-aggregate before the exchange\n" + p)
