@@ -84,7 +84,10 @@ object EsdbWriter {
   def compact(spark: SparkSession, path: String): Unit = {
     require(!isSealed(path), s"store at $path is sealed (immutable; compaction is for open stores)")
     val tmp = path + ".compact-" + java.util.UUID.randomUUID().toString.take(8)
-    write(read(spark, path), tmp)
+    // full-width read (not [[read]], which projects the canonical +
+    // idx_* columns): compaction must preserve every stored column
+    GraftSession.tune(spark)
+    write(spark.read.option("basePath", path).parquet(path), tmp)
     val old = new java.io.File(path + ".old-" + java.util.UUID.randomUUID().toString.take(8))
     val cur = new java.io.File(path)
     if (!cur.renameTo(old)) throw new java.io.IOException(s"cannot move $path aside")

@@ -195,8 +195,10 @@ class OrderedStoreSpec extends SparkSpec {
   test("compaction: one sorted file set per space, identical reads, manifest intact") {
     val dir = java.nio.file.Files.createTempDirectory("ordcompact").toFile
     dir.delete()
+    // the `extra` column is non-canonical: compaction must carry it through
     val mk = (r: Range) => r.map(i => (s"s${i % 2}", s"g${i % 3}", (i % 20).toLong, i.toLong,
-      i / 2.0, s"""{"k": ${i % 4}}""")).toDF("space", "grouping", "ts_us", "event_id", "value", "payload")
+      i / 2.0, s"""{"k": ${i % 4}}""", s"x$i"))
+      .toDF("space", "grouping", "ts_us", "event_id", "value", "payload", "extra")
     EsdbWriter.write(mk(1 to 100), dir.getAbsolutePath, indexAttrs = Seq("k"))
     EsdbWriter.append(mk(101 to 200), dir.getAbsolutePath, indexAttrs = Seq("k"))
     EsdbWriter.append(mk(201 to 300), dir.getAbsolutePath, indexAttrs = Seq("k"))
@@ -217,6 +219,10 @@ class OrderedStoreSpec extends SparkSpec {
       .as[String].collect().toSeq == Seq("g0", "g1", "g2"))
     val ix = EventStore.scanIndex(EsdbWriter.read(spark, dir.getAbsolutePath), "s0", "k", "2")
     assert(ix.count() > 0)
+    // non-canonical columns survive compaction byte-for-byte
+    val extras = spark.read.option("basePath", dir.getAbsolutePath).parquet(dir.getAbsolutePath)
+      .select("event_id", "extra").as[(Long, String)].collect().toMap
+    assert(extras.size == 300 && extras(42L) == "x42")
   }
 
   test("storeStats from footers equals the data-derived aggregate") {
