@@ -125,6 +125,13 @@ object Esdb {
     * builder is a DataFrame; `write` freezes it into an immutable store.
     */
   def write(events: DataFrame, path: String): Unit = EsdbWriter.write(events, path)
+
+  /** Reference `esdb.New → Add* → Flush* → Write` incremental builder
+    * (writer.go:26-85) for callers that accumulate a store in batches.
+    */
+  def newBuilder(spark: SparkSession, path: String,
+                 indexAttrs: Seq[String] = Nil): graft.engine.EsdbBuilder =
+    graft.engine.EsdbBuilder.create(spark, path, indexAttrs)
 }
 
 /** Stream façade mirroring the reference `stream` package

@@ -33,6 +33,26 @@ class EsdbWriterSpec extends SparkSpec {
     assert(EventStore.scan(back, "a", "g").select("event_id").as[Long].collect().toSeq == Seq(1L, 3L))
   }
 
+  test("builder: add/flush/add/write accumulates into one immutable store (writer.go:26-85)") {
+    val dir = freshDir()
+    val b = graft.api.Esdb.newBuilder(spark, dir)
+    def batch(r: Range) = r.map(i => (s"s${i % 2}", "g", i.toLong, i.toLong, 0.0, "{}"))
+      .toDF("space", "grouping", "ts_us", "event_id", "value", "payload")
+    b.add(batch(1 to 40)).add(batch(41 to 80)).flush() // spill mid-build (Flush)
+    b.add(batch(81 to 120))
+    b.write()
+    assert(!new java.io.File(dir + ".building").exists(), "staging must be removed")
+    val back = EsdbWriter.read(spark, dir)
+    assert(back.count() == 120)
+    // final layout is the canonical immutable one: sorted scan works, store immutable
+    assert(EventStore.scan(back, "s1", "g").count() == 60)
+    intercept[IllegalArgumentException](b.add(batch(1 to 2))) // re-Add after Write errors
+    intercept[IllegalArgumentException](b.write())
+    intercept[Exception](EsdbWriter.write(batch(1 to 2), dir)) // O_EXCL on the final store
+    // a second builder on the same path refuses up front
+    intercept[IllegalArgumentException](graft.api.Esdb.newBuilder(spark, dir))
+  }
+
   test("write refuses to overwrite an existing store (writer.go:27)") {
     val dir = freshDir()
     EsdbWriter.write(ev, dir)
