@@ -537,6 +537,40 @@ object Queries {
               |        = regexp_extract(e.props, '"$IdxName":\\s*(\\d+)', 1))
               |ORDER BY grouping, attr_k""".stripMargin)),
 
+    // staged conversion funnel with a 6h per-stage window: events reduce
+    // to one (grouping, entry_ts) row per stage before any join, so the
+    // shuffle carries survivors, not events (ops/Funnel.scala)
+    QuerySpec("events_funnel",
+      (s, d) => graft.ops.Funnel.funnel(ev(s, d), Seq("view", "click", "purchase")),
+      Some("""WITH s0 AS (SELECT CAST(user_id AS VARCHAR) AS g, min(epoch_us(ts)) AS t
+             |            FROM events WHERE event_type = 'view' GROUP BY g),
+             |s1 AS (SELECT e.g, min(e.t) AS t
+             |       FROM (SELECT CAST(user_id AS VARCHAR) AS g, epoch_us(ts) AS t
+             |             FROM events WHERE event_type = 'click') e
+             |       JOIN s0 ON e.g = s0.g AND e.t >= s0.t AND e.t < s0.t + 21600000000 GROUP BY e.g),
+             |s2 AS (SELECT e.g, min(e.t) AS t
+             |       FROM (SELECT CAST(user_id AS VARCHAR) AS g, epoch_us(ts) AS t
+             |             FROM events WHERE event_type = 'purchase') e
+             |       JOIN s1 ON e.g = s1.g AND e.t >= s1.t AND e.t < s1.t + 21600000000 GROUP BY e.g)
+             |SELECT CAST(0 AS BIGINT) AS stage_idx, 'view' AS stage, count(*) AS n_groupings FROM s0
+             |UNION ALL SELECT 1, 'click', count(*) FROM s1
+             |UNION ALL SELECT 2, 'purchase', count(*) FROM s2
+             |ORDER BY stage_idx""".stripMargin)),
+
+    // weekly cohort retention (signup cohort × purchase activity):
+    // events reduce to per-grouping scalars before the single join
+    QuerySpec("events_retention",
+      (s, d) => graft.ops.Funnel.retention(ev(s, d), "signup", "purchase"),
+      Some("""WITH f AS (SELECT CAST(user_id AS VARCHAR) AS g,
+             |                  min(epoch_us(ts)) // 604800000000 AS cohort_wk
+             |           FROM events WHERE event_type = 'signup' GROUP BY g),
+             |a AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS g,
+             |             epoch_us(ts) // 604800000000 AS wk
+             |      FROM events WHERE event_type = 'purchase')
+             |SELECT f.cohort_wk, a.wk - f.cohort_wk AS offset_wk, count(*) AS n_groupings
+             |FROM a JOIN f ON a.g = f.g AND a.wk >= f.cohort_wk
+             |GROUP BY f.cohort_wk, offset_wk ORDER BY cohort_wk, offset_wk""".stripMargin)),
+
     // pivot: spaces as columns, one row per hour bucket (Spark pivot →
     // conditional aggregation; the oracle spells the same CASE sums)
     QuerySpec("pivot_space_by_hour",
@@ -768,6 +802,63 @@ object Queries {
     QuerySpec("text_lang_id",
       (s, d) => TextOps.langId(Tables.documents(s, d)),
       Some(TextOps.langIdOracleSql)),
+
+    // repetition quality signals (Gopher-style filters): one kernel
+    // pass, integer fixed-point (TextOps.repetition)
+    QuerySpec("text_repetition",
+      (s, d) => TextOps.repetition(Tables.documents(s, d)),
+      Some("""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+             |b AS (SELECT doc_id, toks,
+             |        CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
+             |             ELSE list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) END AS bg
+             |      FROM t)
+             |SELECT doc_id,
+             |  len(toks) AS n_tokens,
+             |  len(list_distinct(toks)) AS n_distinct,
+             |  CAST(list_aggregate(list_transform(list_distinct(toks),
+             |         x -> len(list_filter(toks, y -> y = x))), 'max') * 1000 // len(toks) AS BIGINT)
+             |    AS top_token_x1000,
+             |  CAST(CASE WHEN len(bg) = 0 THEN 0
+             |            ELSE (len(bg) - len(list_distinct(bg))) * 1000 // len(bg) END AS BIGINT)
+             |    AS dup_bigram_x1000
+             |FROM b ORDER BY doc_id""".stripMargin)),
+
+    // BM25 keyword scoring: inverted-index plan (matches-only shuffle,
+    // broadcast term/corpus stats, fixed-order float combination makes
+    // scores bit-identical across engines — ops/Search.scala)
+    QuerySpec("text_bm25",
+      (s, d) => graft.ops.Search.bm25TopK(Tables.documents(s, d),
+        Seq("spark", "vector", "stream"), 50),
+      Some("""WITH stats AS (SELECT count(*) AS n, sum(len(string_split(text, ' '))) AS sum_dl FROM documents),
+             |d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |t AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS tok FROM d),
+             |tf AS (SELECT doc_id, tok, max(dl) AS dl, count(*) AS tf FROM t
+             |       WHERE tok IN ('spark', 'vector', 'stream') GROUP BY doc_id, tok),
+             |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY tok),
+             |w AS (SELECT f.doc_id, f.tok,
+             |        ((2.0*s.n - 2.0*df.df + 1.0) / (2.0*df.df + 1.0)) *
+             |        (CAST(f.tf AS DOUBLE) * 2.2 /
+             |         (CAST(f.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+             |          (CAST(f.dl AS DOUBLE) / (CAST(s.sum_dl AS DOUBLE) / CAST(s.n AS DOUBLE)))))) AS w
+             |      FROM tf f CROSS JOIN stats s JOIN df ON f.tok = df.tok),
+             |agg AS (SELECT doc_id, count(*) AS n_terms,
+             |          coalesce(max(CASE WHEN tok = 'spark' THEN w END), 0.0)
+             |          + coalesce(max(CASE WHEN tok = 'vector' THEN w END), 0.0)
+             |          + coalesce(max(CASE WHEN tok = 'stream' THEN w END), 0.0) AS score
+             |        FROM w GROUP BY doc_id)
+             |SELECT doc_id, n_terms, CAST(floor(score * 1000000) AS BIGINT) AS score_x1e6
+             |FROM agg ORDER BY score DESC, doc_id LIMIT 50""".stripMargin)),
+
+    // deterministic train/val/test split: pure hash projection, no
+    // shuffle, stable under corpus growth (Corpus.splitAssign)
+    QuerySpec("docs_split_assign",
+      (s, d) => graft.ops.Corpus.splitAssign(Tables.documents(s, d)),
+      Some("""SELECT doc_id,
+             |  ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket,
+             |  CASE WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90 THEN 'train'
+             |       WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 95 THEN 'val'
+             |       ELSE 'test' END AS split
+             |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // generator family (§2.10): explode tokens → global frequency top-k
     QuerySpec("text_vocab_topk",

@@ -16,6 +16,28 @@ import org.apache.spark.sql.functions._
   */
 object Corpus {
 
+  /** Deterministic train/val/test assignment: bucket = first 60 bits of
+    * md5("<seed>:<doc_id>") mod 100, split by cumulative weight
+    * boundaries. Pure hash arithmetic — no sampling state, no RNG — so
+    * the split is reproducible by any engine from the doc_id alone,
+    * stable under corpus growth (a document's split never changes when
+    * neighbors are added), and embarrassingly parallel: a projection in
+    * the scan stage, no shuffle at any corpus size.
+    */
+  def splitAssign(docs: DataFrame, seed: String = "split",
+                  trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+    require(trainPct + valPct < 100, "train+val must leave room for test")
+    val bucket = expr(
+      s"CAST(conv(substring(md5(concat('$seed:', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT) % 100")
+    docs.select(
+      col("doc_id"),
+      bucket.as("bucket"),
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + valPct, "val")
+        .otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
   /** Documents surviving: exact-dedup keeper, predicted language ==
     * `lang`, quality_x1000 >= `minQualityX1000`. Output one row per
     * kept doc: (doc_id, n_chars, lang_pred, quality_x1000).

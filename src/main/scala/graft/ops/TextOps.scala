@@ -167,6 +167,50 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Repetition quality signals — the "repetitious document" filters a
+    * pre-training pipeline applies (duplicate-heavy documents correlate
+    * with low quality): per document,
+    *  - n_tokens / n_distinct: vocabulary collapse,
+    *  - top_token_x1000: most frequent token's share of the document,
+    *  - dup_bigram_x1000: share of word bigrams that repeat an earlier
+    *    bigram (0 for documents under two tokens).
+    * One hash-count pass per document in a per-partition kernel (the
+    * HOF form would re-split the text per list element — the measured
+    * Catalyst pathology documented at Dedup.scala:18-25); integer
+    * fixed-point keeps the DuckDB oracle bit-exact.
+    */
+  def repetition(docs: DataFrame): DataFrame = {
+    val sp = docs.sparkSession
+    import sp.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          // limit -1 keeps trailing empties — matches string_split
+          val toks = text.toLowerCase.split(" ", -1)
+          val counts = new java.util.HashMap[String, Int]()
+          var i = 0
+          while (i < toks.length) {
+            counts.merge(toks(i), 1, Integer.sum); i += 1
+          }
+          var top = 0
+          counts.values.forEach(c => if (c > top) top = c)
+          val bigrams = new java.util.HashSet[String]()
+          i = 0
+          while (i < toks.length - 1) {
+            bigrams.add(toks(i) + " " + toks(i + 1)); i += 1
+          }
+          val nBigrams = math.max(toks.length - 1, 0)
+          val dupBg =
+            if (nBigrams == 0) 0L
+            else (nBigrams - bigrams.size).toLong * 1000 / nBigrams
+          (id, toks.length.toLong, counts.size.toLong,
+            top.toLong * 1000 / toks.length, dupBg)
+        }
+      }
+      .toDF("doc_id", "n_tokens", "n_distinct", "top_token_x1000", "dup_bigram_x1000")
+      .orderBy("doc_id")
+  }
+
   /** Content fingerprint (md5 of the text) — the exact-dedup key. */
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), md5(col("text")).as("fp")).orderBy("doc_id")
