@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** End-to-end corpus curation: the composition a training-data pipeline
@@ -35,6 +36,64 @@ object Corpus {
       when(bucket < trainPct, "train")
         .when(bucket < trainPct + valPct, "val")
         .otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
+  /** Fixed-size training chunks with overlap: document i's whitespace
+    * tokens split into windows of `chunkTokens` advancing by
+    * `chunkTokens - overlap`; the last window is clipped to the
+    * document, and a document shorter than one window yields exactly
+    * one chunk. Chunk count = max(1, ceil((n - overlap) / stride)), so
+    * every token lands in at least one chunk and consecutive chunks
+    * share `overlap` tokens — the standard pre-training tokenizer prep.
+    *
+    * Shape at 100 TB: a per-partition kernel (one pass, no shuffle;
+    * the HOF slice/transform route would re-split the text per chunk —
+    * the measured Catalyst pathology at Dedup.scala:18-25). Output
+    * grows ~1/(1-overlap/chunkTokens)× the corpus, streamed straight
+    * to the sink — nothing is held per task beyond one document.
+    */
+  def chunk(docs: DataFrame, chunkTokens: Int = 256, overlap: Int = 64): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens, "need 0 <= overlap < chunkTokens")
+    val stride = chunkTokens - overlap
+    val sp = docs.sparkSession
+    import sp.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val toks = text.split(" ", -1)
+          val n = toks.length
+          val nChunks = math.max(1L, (n - overlap + stride - 1L) / stride)
+          (0L until nChunks).iterator.map { i =>
+            val start = (i * stride).toInt
+            val end = math.min(start + chunkTokens, n)
+            (id, i, (end - start).toLong,
+              String.join(" ", java.util.Arrays.asList(toks.slice(start, end): _*)))
+          }
+        }
+      }
+      .toDF("doc_id", "chunk_idx", "n_tokens", "chunk_text")
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** Greedy sequence packing: documents are laid end-to-end per source
+    * in doc_id order, and a document's training sequence is the context
+    * window its first token falls in (seq_id = floor(start_offset /
+    * budget)). One running-total window per source — sources pack
+    * independently and in parallel, and the assignment is a pure
+    * function of (source, doc_id order, token counts), so any engine
+    * reproduces it. At 100 TB the partition key would be refined
+    * (source × shard) to bound window state; the algebra is unchanged.
+    */
+  def pack(docs: DataFrame, budgetTokens: Long = 8192L): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("doc_id"), col("source"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("start_tok", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        (col("start_tok") / budgetTokens).cast("long").as("seq_id"))
       .orderBy("doc_id")
   }
 
