@@ -9,7 +9,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, Transform, SortOrder => VSortOrder}
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In, IsNotNull}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -75,7 +75,11 @@ object EsdbStoreSource {
     val lead = Seq("space", "grouping", "ts_us", "event_id", "value", "payload")
       .flatMap(n => raw.fields.find(_.name == n))
     val rest = raw.fields.filterNot(f => lead.exists(_.name == f.name))
-    StructType(lead ++ rest)
+    // `space` is written from a STRING column and the reader emits
+    // UTF8String for it unconditionally; partition-value type inference
+    // would type an all-numeric space set as Int/Long and corrupt reads
+    StructType((lead ++ rest).map(f =>
+      if (f.name == "space") f.copy(dataType = org.apache.spark.sql.types.StringType) else f))
   }
 
   /** Reverse of the writer's partition-path escaping (%xx for chars
@@ -118,6 +122,7 @@ final class EsdbScanBuilder(path: String, tableSchema: StructType)
   private var spaces: Option[Seq[String]] = None // None = all spaces
   private var grouping: Option[String] = None
   private var groupingNotNull: Boolean = false
+  private var tsBounds: TsBounds = TsBounds.unbounded
   private var hints: Seq[(String, Any)] = Nil
   private var limit: Option[Int] = None
   private var accepted: Array[Filter] = Array.empty
@@ -129,9 +134,31 @@ final class EsdbScanBuilder(path: String, tableSchema: StructType)
       case EqualTo("grouping", _: String) => true
       case IsNotNull("space") => true // partition values are never null
       case IsNotNull("grouping") => true // parquet notEq(null) record filter
+      // ts range bounds: the reference's canonical caller pattern is a
+      // ts-bounded early exit on the ts-desc scan (Scanner returns
+      // false — space.go:14, esdb_test.go:229-232); the reader enforces
+      // the bound exactly (nulls excluded, per SQL comparison semantics)
+      // and stops the merge at the first out-of-range row when the
+      // stream is pure ts-desc (grouping pinned)
+      case GreaterThan("ts_us", _: java.lang.Long) => true
+      case GreaterThanOrEqual("ts_us", _: java.lang.Long) => true
+      case LessThan("ts_us", _: java.lang.Long) => true
+      case LessThanOrEqual("ts_us", _: java.lang.Long) => true
+      case IsNotNull("ts_us") => true // implied by any ts bound; reader drops null ts only under a bound
       case _ => false
     }
-    handled.foreach {
+    // IsNotNull("ts_us") alone (no range bound) is NOT handled by the
+    // reader — hand it back unless a bound travels with it
+    val tsNotNullOnly = handled.collect { case f @ IsNotNull("ts_us") => f }
+    val hasTsBound = handled.exists {
+      case GreaterThan("ts_us", _) | GreaterThanOrEqual("ts_us", _) |
+           LessThan("ts_us", _) | LessThanOrEqual("ts_us", _) => true
+      case _ => false
+    }
+    val (reallyHandled, bounced) =
+      if (hasTsBound || tsNotNullOnly.isEmpty) (handled, Array.empty[Filter])
+      else (handled.filterNot(tsNotNullOnly.contains), tsNotNullOnly)
+    reallyHandled.foreach {
       case EqualTo("space", v: String) =>
         spaces = Some(spaces.fold(Seq(v))(_.intersect(Seq(v))))
       case In("space", vs) =>
@@ -140,9 +167,13 @@ final class EsdbScanBuilder(path: String, tableSchema: StructType)
       case EqualTo("grouping", v: String) =>
         grouping = Some(v); groupingNotNull = true
       case IsNotNull("grouping") => groupingNotNull = true
+      case GreaterThan("ts_us", v: java.lang.Long) => tsBounds = tsBounds.withLower(v, inclusive = false)
+      case GreaterThanOrEqual("ts_us", v: java.lang.Long) => tsBounds = tsBounds.withLower(v, inclusive = true)
+      case LessThan("ts_us", v: java.lang.Long) => tsBounds = tsBounds.withUpper(v, inclusive = false)
+      case LessThanOrEqual("ts_us", v: java.lang.Long) => tsBounds = tsBounds.withUpper(v, inclusive = true)
       case _ => ()
     }
-    accepted = accepted ++ handled
+    accepted = accepted ++ reallyHandled
     // remaining equalities on primitive columns (e.g. idx_* index
     // lookups) ride into the reader as parquet row-group/bloom/record
     // filter HINTS — and are still returned to Spark, which re-applies
@@ -152,7 +183,7 @@ final class EsdbScanBuilder(path: String, tableSchema: StructType)
                              _: java.lang.Double | _: java.lang.Boolean))
         if col != "space" => (col, v)
     }
-    rest
+    rest ++ bounced
   }
 
   override def pushedFilters(): Array[Filter] = accepted
