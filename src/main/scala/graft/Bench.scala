@@ -78,16 +78,35 @@ object Bench {
     // per-query numbers are comparable.
     // Noise self-defense (BENCH_r02/r03 were both contaminated by
     // transient host load on the shared driver box): after the base 2
-    // runs, any query whose run spread exceeds OutlierSpread re-runs up
-    // to MaxRuns total — one loaded-host spike then cannot survive into
-    // the reported minimum — and ALL raw per-run times are emitted under
-    // "runs" so a contaminated run is visible in the artifact itself
-    // without rerunning the bench.
-    // a run that throws contributes NO time (a query failing in
+    // runs, a query re-runs (up to MaxRuns total) while EITHER
+    //  - its run spread exceeds OutlierSpread (one spiked run), OR
+    //  - its minimum exceeds SanityFactor × the committed prior from
+    //    BENCH_SELF.json (sustained host load: every run is slow, so
+    //    spread alone can't see it — the prior can).
+    // Queries still over the floor after MaxRuns are listed under
+    // "suspect" in both artifacts: a contaminated bench names its own
+    // contamination instead of reading as a regression.
+    // A run that throws contributes NO time (a query failing in
     // milliseconds must not masquerade as a fast one); queries with no
-    // successful run report -1 and are listed under "failed"
+    // successful run report -1 and are listed under "failed".
     val OutlierSpread = 3.0
+    val SanityFactor = 3.0
     val MaxRuns = 4
+    // committed prior minima (same SF only) — read BEFORE this run
+    // overwrites the file
+    val priorMinima: Map[String, Double] = try {
+      val f = new java.io.File("BENCH_SELF.json")
+      if (!f.isFile) Map.empty
+      else {
+        val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+        if (root.path("sf").asText("") != sfDir) Map.empty
+        else {
+          import scala.jdk.CollectionConverters._
+          val q = root.path("queries")
+          q.fieldNames().asScala.map(n => n -> q.get(n).asDouble()).filter(_._2 > 0).toMap
+        }
+      }
+    } catch { case _: Exception => Map.empty }
     def timedRun(fn: (SparkSession, String) => DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
       val res = try {
@@ -99,29 +118,37 @@ object Bench {
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       var times = (1 to 2).flatMap(_ => timedRun(fn))
-      while (times.nonEmpty && times.size < MaxRuns &&
-             times.max / times.min > OutlierSpread) {
+      def spreadBad = times.max / times.min > OutlierSpread
+      def floorBad = priorMinima.get(name).exists(p => times.min > SanityFactor * p)
+      while (times.nonEmpty && times.size < MaxRuns && (spreadBad || floorBad)) {
         times = times ++ timedRun(fn)
       }
       name -> times
     }
     val failed = results.collect { case (name, ts) if ts.isEmpty => name }
+    val suspect = results.collect {
+      case (name, ts) if ts.nonEmpty && priorMinima.get(name).exists(p => ts.min > SanityFactor * p) => name
+    }
     val qs = results.map { case (k, ts) => "\"" + k + "\":" + ts.minOption.getOrElse(-1.0) }
       .mkString("{", ",", "}")
     val runsJson = results.map { case (k, ts) =>
       "\"" + k + "\":" + ts.map(t => f"$t%.4f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val suspectJson = suspect.map("\"" + _ + "\"").mkString("[", ",", "]")
     // any failure makes the headline incomparable-by-construction:
     // a broken slow query must not read as a round-over-round speedup
     val total = if (failed.nonEmpty) -1.0 else results.flatMap(_._2.minOption).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"failed":$failedJson,"sf":"$sfDir"}"""
-    println(line)
-    // defensive self-report: sbt prefixes stdout with [info], which can
-    // defeat line-oriented JSON parsing downstream — the same line lands
-    // unprefixed in a well-known file
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_SELF.json"), line + "\n")
+    val headline = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"suspect":$suspectJson,"sf":"$sfDir"}"""
+    // full detail (raw per-run times) goes to the self-report file only:
+    // sbt prefixes stdout with [info] and may wrap long lines, which can
+    // defeat line-oriented JSON parsing downstream
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"failed":$failedJson,"suspect":$suspectJson,"sf":"$sfDir"}"""
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_SELF.json"), full + "\n")
     catch { case _: Exception => () }
     spark.stop()
+    // the compact headline is the LAST stdout line of the process —
+    // nothing (not even spark.stop() chatter) may print after it
+    println(headline)
   }
 }

@@ -28,6 +28,10 @@ object Queries {
   val IdxValue = "42"
   val ResumeOffset = 500L
   val ScanLimit = 500
+  /** Mid-range bound (2024-01-17T13:20Z in micros) — a proper non-empty
+    * subset of the pinned grouping's events at every scale factor.
+    */
+  val SinceTsUs = 1705500000000000L
 
   final case class QuerySpec(name: String,
                              run: (SparkSession, String) => DataFrame,
@@ -163,6 +167,22 @@ object Queries {
       Some(s"""SELECT event_id, epoch_us(ts) AS ts_us, value, props AS payload
               |FROM events WHERE event_type = '$Space' AND user_id = $Grouping
               |ORDER BY ts_us DESC, event_id LIMIT $ScanLimit""".stripMargin)),
+
+    // the reference's canonical time-bounded scan (Scanner false at a
+    // ts bound, esdb_test.go:229-232): the ts predicate pushes into the
+    // DSv2 source — parquet row-group skipping + record filter + merge
+    // early exit — so work scales with the matching suffix, not the
+    // grouping's full history
+    QuerySpec("store_scan_since",
+      (s, d) => {
+        val p = ensureStore(s, d)
+        EventStore.scanSince(graft.engine.EsdbWriter.readOrdered(s, p), Space, Grouping, SinceTsUs)
+          .select("event_id", "ts_us", "value", "payload")
+      },
+      Some(s"""SELECT event_id, epoch_us(ts) AS ts_us, value, props AS payload
+              |FROM events WHERE event_type = '$Space' AND user_id = $Grouping
+              |  AND epoch_us(ts) >= $SinceTsUs
+              |ORDER BY ts_us DESC, event_id""".stripMargin)),
 
     // metadata-only store statistics: counts from row-group metadata,
     // ts bounds from column-chunk statistics — NO data pages read; the

@@ -91,6 +91,23 @@ object EventStore {
     limit.fold(base)(base.limit)
   }
 
+  /** [[scan]] bounded to events at/after `sinceTsUs` — the reference's
+    * canonical caller pattern: scan ts-desc, abort at a time bound
+    * (Scanner returns false, space.go:14; esdb_test.go:229-232). On an
+    * ordered-store frame the ts predicate pushes into the DSv2 source
+    * ([[graft.sources.EsdbScanBuilder]]): parquet row-group skipping +
+    * record filter, and the merge stops at the first row below the
+    * bound — work is proportional to the matching suffix, not the
+    * grouping's history.
+    */
+  def scanSince(ev: DataFrame, space: String, grouping: String, sinceTsUs: Long,
+                limit: Option[Int] = None): DataFrame = {
+    val filtered = ev.where(col("space") === space && col("grouping") === grouping &&
+      col("ts_us") >= sinceTsUs)
+    val base = spaceOrdered(ev, filtered, col("ts_us").desc, col("event_id").asc)
+    limit.fold(base)(base.limit)
+  }
+
   /** Ordered iterate of a whole space — every grouping's events
     * contiguous, ts-desc within each (reference `Space.Iterate` +
     * `Scan` composed, space.go:45-77). On an ordered-store frame this

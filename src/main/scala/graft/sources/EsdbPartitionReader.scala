@@ -33,24 +33,31 @@ import org.apache.spark.unsafe.types.UTF8String
   * analytics stay on the vectorized path via `EsdbWriter.read`.
   */
 final class EsdbReaderFactory(required: StructType, grouping: Option[String],
-                              groupingNotNull: Boolean, hints: Seq[(String, Any)],
-                              limit: Option[Int])
+                              groupingNotNull: Boolean, tsBounds: TsBounds,
+                              hints: Seq[(String, Any)], limit: Option[Int])
   extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new EsdbMergeReader(p.asInstanceOf[EsdbInputPartition], required, grouping,
-      groupingNotNull, hints, limit)
+      groupingNotNull, tsBounds, hints, limit)
 }
 
-private object EsdbMergeReader {
+object EsdbMergeReader {
   val KeyCols: Seq[String] = Seq("grouping", "ts_us", "event_id")
   val SpaceConst: Int = -2
   val NullCol: Int = -1
+
+  /** Rows pulled off parquet by all merge readers in this JVM —
+    * observable only in local mode, used by OrderedStoreSpec to assert
+    * that a ts-bounded scan materializes fewer rows than the full
+    * grouping (row-group skipping + record filter + early exit).
+    */
+  val RowsRead = new java.util.concurrent.atomic.AtomicLong()
 }
 
 final class EsdbMergeReader(part: EsdbInputPartition, required: StructType,
                             grouping: Option[String], groupingNotNull: Boolean,
-                            hints: Seq[(String, Any)], limit: Option[Int])
+                            tsBounds: TsBounds, hints: Seq[(String, Any)], limit: Option[Int])
   extends PartitionReader[InternalRow] {
 
   import EsdbMergeReader._
@@ -72,18 +79,21 @@ final class EsdbMergeReader(part: EsdbInputPartition, required: StructType,
     var current: Group = _
     var keyGrouping: UTF8String = _
     var keyTs: Long = 0L
+    var keyTsNull: Boolean = true // ACTUAL null, distinct from the sort sentinel
     var keyId: Long = 0L
     /** Pull the next row; false at EOF. */
     def advance(): Boolean = {
       current = reader.read()
       if (current == null) return false
+      EsdbMergeReader.RowsRead.incrementAndGet()
       keyGrouping =
         if (gIdx >= 0 && current.getFieldRepetitionCount(gIdx) > 0)
           UTF8String.fromBytes(current.getBinary(gIdx, 0).getBytes)
         else null
+      keyTsNull = !(tsIdx >= 0 && current.getFieldRepetitionCount(tsIdx) > 0)
       keyTs =
-        if (tsIdx >= 0 && current.getFieldRepetitionCount(tsIdx) > 0) current.getLong(tsIdx, 0)
-        else Long.MinValue // desc + NULLS LAST
+        if (!keyTsNull) current.getLong(tsIdx, 0)
+        else Long.MinValue // desc + NULLS LAST (sort sentinel only — see keyTsNull)
       keyId =
         if (idIdx >= 0 && current.getFieldRepetitionCount(idIdx) > 0) current.getLong(idIdx, 0)
         else Long.MinValue // asc + NULLS FIRST
@@ -112,6 +122,7 @@ final class EsdbMergeReader(part: EsdbInputPartition, required: StructType,
   private var remaining: Long = limit.map(_.toLong).getOrElse(Long.MaxValue)
   private var row: InternalRow = _
   private var opened = false
+  private var done = false // ts-desc early exit latched (grouping pinned)
   private val cursors = new java.util.ArrayList[Cursor]()
   private val heap = new java.util.PriorityQueue[Cursor](math.max(1, part.files.length), cmp)
 
@@ -135,6 +146,24 @@ final class EsdbMergeReader(part: EsdbInputPartition, required: StructType,
     }
   }
 
+  /** ts-bound → parquet predicates: exact (row-group stats skipping AND
+    * record-level filtering, which also excludes null-ts rows — SQL
+    * comparison semantics). The merge loop re-checks as a second line
+    * of defense and supplies the ts-desc early exit.
+    */
+  private def tsPredicates: Seq[FilterPredicate] = {
+    val c = FilterApi.longColumn("ts_us")
+    // each branch ascribed to the public interface: the if-LUB of
+    // Gt/GtEq is the package-private Operators.ColumnFilterPredicate,
+    // which fails with IllegalAccessError at runtime if referenced
+    tsBounds.lower.map(lo =>
+      if (tsBounds.lowerInclusive) FilterApi.gtEq(c, Long.box(lo)): FilterPredicate
+      else FilterApi.gt(c, Long.box(lo)): FilterPredicate).toSeq ++
+      tsBounds.upper.map(hi =>
+        if (tsBounds.upperInclusive) FilterApi.ltEq(c, Long.box(hi)): FilterPredicate
+        else FilterApi.lt(c, Long.box(hi)): FilterPredicate)
+  }
+
   private def open(): Unit = {
     val conf = new Configuration()
     val groupingPred: Option[FilterPredicate] = grouping match {
@@ -150,15 +179,19 @@ final class EsdbMergeReader(part: EsdbInputPartition, required: StructType,
       // always projected so the heap can order rows
       val footer = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
       val fileSchema = try footer.getFileMetaData.getSchema finally footer.close()
+      // a file with no ts column has only null ts rows — none can
+      // satisfy an active bound, so the whole file drops out
+      if (!tsBounds.isBounded || fileSchema.containsField("ts_us")) {
       val needed = (required.fieldNames.toSeq ++ KeyCols).distinct.filterNot(_ == "space")
       val projected = new MessageType(fileSchema.getName,
         fileSchema.getFields.asScala.filter(f => needed.contains(f.getName)).asJava)
       val fconf = new Configuration(conf)
       fconf.set(ReadSupport.PARQUET_READ_SCHEMA, projected.toString)
       val builder = ParquetReader.builder(new GroupReadSupport(), p).withConf(fconf)
-      // grouping predicate (exact, fully handled) + hint predicates
-      // (best-effort skipping; Spark re-verifies post-scan)
+      // grouping + ts-bound predicates (exact, fully handled) + hint
+      // predicates (best-effort skipping; Spark re-verifies post-scan)
       val preds = groupingPred.filter(_ => fileSchema.containsField("grouping")).toSeq ++
+        (if (tsBounds.isBounded) tsPredicates else Nil) ++
         hints.flatMap { case (c, v) => hintPredicate(fileSchema, c, v) }
       val reader = preds.reduceOption(FilterApi.and)
         .fold(builder)(fp => builder.withFilter(FilterCompat.get(fp)))
@@ -166,19 +199,41 @@ final class EsdbMergeReader(part: EsdbInputPartition, required: StructType,
       val c = new Cursor(reader, projected)
       cursors.add(c)
       if (c.advance()) heap.add(c) else reader.close()
+      }
     }
     opened = true
   }
 
   override def next(): Boolean = {
     if (!opened) open()
-    if (remaining <= 0) return false
-    val c = heap.poll()
-    if (c == null) return false
-    row = convert(c)
-    if (c.advance()) heap.add(c) else c.reader.close()
-    remaining -= 1
-    true
+    while (remaining > 0 && !done) {
+      val c = heap.poll()
+      if (c == null) return false
+      // ts bound enforcement, exact: a null ts never satisfies an
+      // active bound (checked on ACTUAL null presence, not the sort
+      // sentinel). The parquet record filter already excludes these;
+      // this is the contract-level check plus the early exit.
+      val tsOk = !tsBounds.isBounded || (!c.keyTsNull && tsBounds.contains(c.keyTs))
+      if (tsOk) {
+        row = convert(c)
+        if (c.advance()) heap.add(c) else c.reader.close()
+        remaining -= 1
+        return true
+      }
+      // Out-of-range row on a pure ts-desc stream (grouping pinned):
+      // once below the lower bound — or at the nulls, which sort after
+      // every value — nothing later can match; stop the whole merge
+      // (the reference Scanner returning false, space.go:14).
+      if (grouping.isDefined && (c.keyTsNull || tsBounds.belowLower(c.keyTs))) {
+        done = true
+        c.reader.close()
+      } else {
+        // above the upper bound (ts-desc prefix) or mixed groupings:
+        // skip this row and keep merging
+        if (c.advance()) heap.add(c) else c.reader.close()
+      }
+    }
+    false
   }
 
   override def get(): InternalRow = row

@@ -60,7 +60,12 @@ class EsdbStoreSource extends TableProvider with DataSourceRegister {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         props: java.util.Map[String, String]): Table =
-    new EsdbStoreTable(pathOf(new CaseInsensitiveStringMap(props)), schema)
+    // the reader emits UTF8String for `space` unconditionally, so a
+    // user-supplied schema typing it Int/Long would ClassCastException
+    // downstream — pin it to StringType exactly as canonicalSchema does
+    new EsdbStoreTable(pathOf(new CaseInsensitiveStringMap(props)),
+      StructType(schema.map(f =>
+        if (f.name == "space") f.copy(dataType = org.apache.spark.sql.types.StringType) else f)))
 
   override def supportsExternalMetadata(): Boolean = true
 }
@@ -157,7 +162,7 @@ final class EsdbScanBuilder(path: String, tableSchema: StructType)
     }
     val (reallyHandled, bounced) =
       if (hasTsBound || tsNotNullOnly.isEmpty) (handled, Array.empty[Filter])
-      else (handled.filterNot(tsNotNullOnly.contains), tsNotNullOnly)
+      else handled.partition(f => !tsNotNullOnly.exists(_ eq f))
     reallyHandled.foreach {
       case EqualTo("space", v: String) =>
         spaces = Some(spaces.fold(Seq(v))(_.intersect(Seq(v))))
@@ -227,12 +232,54 @@ final class EsdbScanBuilder(path: String, tableSchema: StructType)
   override def isPartiallyPushed(): Boolean = !spaces.exists(_.size == 1)
 
   override def build(): Scan =
-    new EsdbScan(path, required, spaces, grouping, groupingNotNull, hints, limit)
+    new EsdbScan(path, required, spaces, grouping, groupingNotNull, tsBounds, hints, limit)
+}
+
+/** Timestamp range pushed into the ordered reader (micros, matching the
+  * `ts_us` column). `None` = unbounded on that side; repeated pushes
+  * keep the tighter bound (equal values: exclusive beats inclusive).
+  * Mirrors the reference's canonical "scan until a time bound" caller
+  * pattern — Scanner returning false (space.go:14, esdb_test.go:229-232).
+  */
+final case class TsBounds(lower: Option[Long], lowerInclusive: Boolean,
+                          upper: Option[Long], upperInclusive: Boolean) {
+  def isBounded: Boolean = lower.isDefined || upper.isDefined
+
+  def withLower(v: Long, inclusive: Boolean): TsBounds = lower match {
+    case Some(lo) if lo > v => this
+    case Some(lo) if lo == v => copy(lowerInclusive = lowerInclusive && inclusive)
+    case _ => copy(lower = Some(v), lowerInclusive = inclusive)
+  }
+
+  def withUpper(v: Long, inclusive: Boolean): TsBounds = upper match {
+    case Some(hi) if hi < v => this
+    case Some(hi) if hi == v => copy(upperInclusive = upperInclusive && inclusive)
+    case _ => copy(upper = Some(v), upperInclusive = inclusive)
+  }
+
+  /** Exact membership for a NON-NULL ts (null ts never satisfies a
+    * bound, per SQL comparison semantics — callers must exclude nulls
+    * separately while bounded).
+    */
+  def contains(ts: Long): Boolean =
+    lower.forall(lo => if (lowerInclusive) ts >= lo else ts > lo) &&
+      upper.forall(hi => if (upperInclusive) ts <= hi else ts < hi)
+
+  /** True when `ts` falls below the lower bound — on a ts-DESCENDING
+    * stream every later row fails too, so the scan may stop (the
+    * reference Scanner's `return false` early exit).
+    */
+  def belowLower(ts: Long): Boolean =
+    lower.exists(lo => if (lowerInclusive) ts < lo else ts <= lo)
+}
+
+object TsBounds {
+  val unbounded: TsBounds = TsBounds(None, lowerInclusive = true, None, upperInclusive = true)
 }
 
 final class EsdbScan(path: String, required: StructType, spaces: Option[Seq[String]],
                      grouping: Option[String], groupingNotNull: Boolean,
-                     hints: Seq[(String, Any)], limit: Option[Int])
+                     tsBounds: TsBounds, hints: Seq[(String, Any)], limit: Option[Int])
   extends Scan with Batch with SupportsReportOrdering with SupportsReportStatistics
   with SupportsRuntimeFiltering {
 
@@ -240,7 +287,7 @@ final class EsdbScan(path: String, required: StructType, spaces: Option[Seq[Stri
 
   override def description(): String =
     s"EsdbStore $path spaces=${spaces.map(_.mkString(",")).getOrElse("*")} " +
-      s"grouping=${grouping.getOrElse("*")} limit=${limit.getOrElse(-1)}"
+      s"grouping=${grouping.getOrElse("*")} ts=$tsBounds limit=${limit.getOrElse(-1)}"
 
   override def toBatch: Batch = this
 
@@ -265,9 +312,27 @@ final class EsdbScan(path: String, required: StructType, spaces: Option[Seq[Stri
   }
 
   // driver-side listing: one partition per space directory, its files
-  // sorted by name for a deterministic merge. A def, not a lazy val:
-  // runtime filters may arrive after planning and must re-prune.
+  // sorted by name for a deterministic merge. Memoized on the
+  // runtime-filter state (runtime filters may arrive after planning and
+  // must re-prune): planning, statistics estimation, and execution all
+  // call this, and at object-store latencies each extra LIST round-trip
+  // is real money — one scan must list the store exactly once (twice if
+  // a runtime filter narrows it).
+  @volatile private var listed: (Option[Seq[String]], Array[EsdbInputPartition]) = _
+
   private def partitions: Array[EsdbInputPartition] = {
+    val key = runtimeSpaces
+    val cached = listed
+    if (cached != null && cached._1 == key) cached._2
+    else {
+      val computed = listPartitions()
+      listed = (key, computed)
+      computed
+    }
+  }
+
+  private def listPartitions(): Array[EsdbInputPartition] = {
+    EsdbScan.ListingCount.incrementAndGet()
     val hconf = SparkSession.active.sparkContext.hadoopConfiguration
     val root = new Path(path)
     val fs = root.getFileSystem(hconf)
@@ -298,7 +363,7 @@ final class EsdbScan(path: String, required: StructType, spaces: Option[Seq[Stri
     partitions.asInstanceOf[Array[InputPartition]]
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new EsdbReaderFactory(required, grouping, groupingNotNull, hints, limit)
+    new EsdbReaderFactory(required, grouping, groupingNotNull, tsBounds, hints, limit)
 
   /** Per-partition ordering of the merged stream, truncated to columns
     * that survive pruning (an ordering may only reference output
@@ -320,6 +385,13 @@ final class EsdbScan(path: String, required: StructType, spaces: Option[Seq[Stri
     override def sizeInBytes(): OptionalLong = OptionalLong.of(partitions.map(_.totalBytes).sum)
     override def numRows(): OptionalLong = OptionalLong.empty()
   }
+}
+
+object EsdbScan {
+  /** Filesystem listings performed by all scans in this JVM — local-mode
+    * observable for the listing-economy test in OrderedStoreSpec.
+    */
+  val ListingCount = new java.util.concurrent.atomic.AtomicLong()
 }
 
 /** One space directory: the unit of ordered merge. */

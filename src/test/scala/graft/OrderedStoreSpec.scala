@@ -225,6 +225,91 @@ class OrderedStoreSpec extends SparkSpec {
     assert(extras.size == 300 && extras(42L) == "x42")
   }
 
+  test("ts-bounded scan: exact rows, and the reader materializes fewer rows than the full grouping") {
+    import graft.sources.EsdbMergeReader
+    val bound = 30000L // fixture ts range is 0..49000
+    def rowsReadDuring(q: => Seq[org.apache.spark.sql.Row]): (Seq[org.apache.spark.sql.Row], Long) = {
+      val before = EsdbMergeReader.RowsRead.get()
+      val rows = q
+      (rows, EsdbMergeReader.RowsRead.get() - before)
+    }
+    val (full, fullRead) = rowsReadDuring(
+      EventStore.scan(ordered, "s1", "g3").select("event_id", "ts_us").collect().toSeq)
+    val (got, boundedRead) = rowsReadDuring(
+      EventStore.scanSince(ordered, "s1", "g3", bound).select("event_id", "ts_us").collect().toSeq)
+    val expect = EventStore.scan(vanilla, "s1", "g3")
+      .where(col("ts_us") >= bound).select("event_id", "ts_us").collect().toSeq
+    assert(got == expect && got.nonEmpty)
+    assert(got.size < full.size, "bound must select a proper subset")
+    assert(boundedRead < fullRead,
+      s"ts bound must cut rows materialized by the merge: bounded=$boundedRead full=$fullRead")
+    // the plan carries no post-scan ts filter re-evaluation is NOT
+    // asserted (Spark may keep one); what matters is no Sort + pushdown
+    assert(!hasSortNode(executed(EventStore.scanSince(ordered, "s1", "g3", bound))))
+  }
+
+  test("ts bounds exclude null-ts rows exactly (upper-only, lower-only, both)") {
+    val dir = java.nio.file.Files.createTempDirectory("ordnullts").toFile
+    dir.delete()
+    val rows: Seq[(String, String, Option[Long], Long, Double, String)] =
+      (1 to 60).map { i =>
+        val ts = if (i % 5 == 0) None else Some((i % 20).toLong * 100)
+        ("s", s"g${i % 2}", ts, i.toLong, i / 10.0, s"""{"k": ${i % 3}}""")
+      }
+    rows.toDF("space", "grouping", "ts_us", "event_id", "value", "payload")
+      .createOrReplaceTempView("null_ts_src")
+    EsdbWriter.write(spark.table("null_ts_src"), dir.getAbsolutePath)
+    val o = EsdbWriter.readOrdered(spark, dir.getAbsolutePath)
+    val v = EsdbWriter.read(spark, dir.getAbsolutePath)
+    def ids(df: DataFrame, pred: org.apache.spark.sql.Column): Seq[Long] =
+      df.where(pred).select("event_id").as[Long].collect().toSeq.sorted
+    for (pred <- Seq(col("ts_us") <= 900L, col("ts_us") >= 900L,
+                     col("ts_us") > 300L && col("ts_us") < 1500L,
+                     col("ts_us") <= 900L && col("grouping") === "g1")) {
+      assert(ids(o, pred) == ids(v, pred), s"mismatch under $pred")
+      assert(ids(o, pred).nonEmpty)
+    }
+    // null-ts rows are still readable when no bound is active
+    assert(o.where(col("ts_us").isNull).count() == v.where(col("ts_us").isNull).count())
+    assert(o.where(col("ts_us").isNull).count() > 0)
+  }
+
+  test("all-numeric space values stay StringType through the DSv2 source") {
+    val dir = java.nio.file.Files.createTempDirectory("ordnumspace").toFile
+    dir.delete()
+    val ev = (1 to 40).map(i => (s"${i % 2 + 1}", s"g${i % 3}", i.toLong, i.toLong, i / 4.0,
+      s"""{"k": ${i % 3}}"""))
+      .toDF("space", "grouping", "ts_us", "event_id", "value", "payload")
+    EsdbWriter.write(ev, dir.getAbsolutePath)
+    val o = EsdbWriter.readOrdered(spark, dir.getAbsolutePath)
+    assert(o.schema("space").dataType == org.apache.spark.sql.types.StringType)
+    val got = EventStore.scan(o, "1", "g1")
+      .select("event_id", "ts_us", "value", "payload").collect().toSeq
+    val expect = ev.where(col("space") === "1" && col("grouping") === "g1")
+      .orderBy(col("ts_us").desc, col("event_id")).select("event_id", "ts_us", "value", "payload")
+      .collect().toSeq
+    assert(got == expect && got.nonEmpty)
+    // whole-store read round-trips every row (values compared as strings)
+    assert(o.select("event_id").as[Long].collect().sorted.toSeq == (1L to 40L))
+    // a user-supplied schema typing space as INT is coerced, not honored
+    val userSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("space", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType)))
+    val withUser = spark.read.format("esdb").schema(userSchema)
+      .load(dir.getAbsolutePath)
+    assert(withUser.schema("space").dataType == org.apache.spark.sql.types.StringType)
+    assert(withUser.select("space").distinct().as[String].collect().sorted.toSeq == Seq("1", "2"))
+  }
+
+  test("listing economy: one filesystem listing per scan, shared by stats + planning + execution") {
+    import graft.sources.EsdbScan
+    val before = EsdbScan.ListingCount.get()
+    assert(EventStore.scan(ordered, "s1", "g3").collect().nonEmpty)
+    val delta = EsdbScan.ListingCount.get() - before
+    assert(delta == 1,
+      s"statistics estimation, planInputPartitions and execution must share ONE listing; saw $delta")
+  }
+
   test("storeStats from footers equals the data-derived aggregate") {
     val fromFooters = graft.engine.EsdbWriter.storeStats(spark, storePath)
       .as[(String, Long, Option[Long], Option[Long])].collect().toSeq
