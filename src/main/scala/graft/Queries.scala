@@ -58,19 +58,17 @@ object Queries {
     s"${System.getProperty("java.io.tmpdir")}/graft-store/$key"
   }
 
-  /** Write the canonical event frame as an esdb store once (atomic
-    * rename; concurrent callers race benignly to identical content).
+  /** Write the canonical event frame as an esdb store once, committed
+    * through the [[graft.engine.Publish]] version pointer — a crashed
+    * build leaves no pointer, so a half-written fixture is never read.
     */
   private def ensureStore(s: SparkSession, dir: String): String = synchronized {
     val p = storePath(dir)
-    if (!new java.io.File(p).isDirectory) {
-      val tmp = p + ".tmp-" + java.util.UUID.randomUUID().toString.take(8)
-      graft.engine.EsdbWriter.write(ev(s, dir), tmp)
-      Option(new java.io.File(p).getParentFile).foreach(_.mkdirs())
-      if (!new java.io.File(tmp).renameTo(new java.io.File(p))) {
-        def rm(f: java.io.File): Unit = { Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit }
-        rm(new java.io.File(tmp))
-      }
+    val conf = s.sparkContext.hadoopConfiguration
+    if (graft.engine.Publish.currentVersion(conf, p).isEmpty) {
+      graft.engine.Publish.publish(conf, p) { tmp =>
+        graft.engine.EsdbWriter.write(ev(s, dir), tmp)
+      }: Unit
     }
     p
   }

@@ -73,30 +73,37 @@ object EsdbWriter {
     writeGroupingsManifest(ev.sparkSession, path, SaveMode.Overwrite)
   }
 
-  /** Compact an open store in place: rewrite every space directory as
-    * one freshly sorted file set (typically one file per space) and a
-    * rebuilt manifest. Appends accumulate one sorted file per batch;
-    * compaction rebounds the ordered read's merge width — the role
-    * LSM compaction plays for the reference's SSTable family. The swap
-    * is two directory renames: crash-atomic enough for a local store;
-    * cluster deployments should swap via their table catalog.
+  /** Hadoop conf for path resolution (object-store creds etc. travel
+    * with the session's conf).
+    */
+  private def hconf(spark: SparkSession) = spark.sparkContext.hadoopConfiguration
+
+  /** Current data root of a logical store path (see [[Publish]]): the
+    * highest committed version dir, or the path itself for the legacy
+    * direct layout every store starts with.
+    */
+  def dataRoot(spark: SparkSession, path: String): String =
+    Publish.resolve(hconf(spark), path)
+
+  /** Compact an open store: rewrite the current data root as one freshly
+    * sorted file set per space (typically one file) plus a rebuilt
+    * manifest, then commit it as a new version via the [[Publish]]
+    * version-pointer protocol. Appends accumulate one sorted file per
+    * batch; compaction rebounds the ordered read's merge width — the
+    * role LSM compaction plays for the reference's SSTable family. The
+    * commit point is a single small pointer object, safe on stores with
+    * no atomic rename (S3-class): a crash at any step leaves readers on
+    * the previous version, never on a partial store.
     */
   def compact(spark: SparkSession, path: String): Unit = {
     require(!isSealed(path), s"store at $path is sealed (immutable; compaction is for open stores)")
-    val tmp = path + ".compact-" + java.util.UUID.randomUUID().toString.take(8)
-    // full-width read (not [[read]], which projects the canonical +
-    // idx_* columns): compaction must preserve every stored column
     GraftSession.tune(spark)
-    write(spark.read.option("basePath", path).parquet(path), tmp)
-    val old = new java.io.File(path + ".old-" + java.util.UUID.randomUUID().toString.take(8))
-    val cur = new java.io.File(path)
-    if (!cur.renameTo(old)) throw new java.io.IOException(s"cannot move $path aside")
-    if (!new java.io.File(tmp).renameTo(cur)) {
-      old.renameTo(cur) // restore; compaction failed but the store is intact
-      throw new java.io.IOException(s"cannot move compacted store into $path")
-    }
-    def rm(f: java.io.File): Unit = { Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit }
-    rm(old)
+    val src = dataRoot(spark, path)
+    Publish.publish(hconf(spark), path) { tmp =>
+      // full-width read (not [[read]], which projects the canonical +
+      // idx_* columns): compaction must preserve every stored column
+      write(spark.read.option("basePath", src).parquet(src), tmp)
+    }: Unit
   }
 
   /** The write-time groupings manifest — the analog of the reference's
@@ -108,15 +115,17 @@ object EsdbWriter {
     */
   private def writeGroupingsManifest(spark: SparkSession, path: String, mode: SaveMode): Unit =
     read(spark, path).select("space", "grouping").distinct()
-      .write.mode(mode).parquet(s"$path/$GroupingsManifest")
+      .write.mode(mode).parquet(s"${dataRoot(spark, path)}/$GroupingsManifest")
 
   /** Distinct (space, grouping) pairs from the manifest sidecar; None
     * for stores written before manifests existed (callers fall back to
     * a data scan).
     */
   def manifestGroupings(spark: SparkSession, path: String): Option[DataFrame] = {
-    if (!Files.isDirectory(Paths.get(path, GroupingsManifest))) None
-    else Some(spark.read.parquet(s"$path/$GroupingsManifest").distinct())
+    val root = dataRoot(spark, path)
+    val m = new org.apache.hadoop.fs.Path(root, GroupingsManifest)
+    if (!m.getFileSystem(hconf(spark)).exists(m)) None
+    else Some(spark.read.parquet(s"$root/$GroupingsManifest").distinct())
   }
 
   /** Append a batch to a (still-open) log directory. Refuses when sealed —
@@ -124,6 +133,10 @@ object EsdbWriter {
     */
   def append(ev: DataFrame, path: String, indexAttrs: Seq[String] = Nil): Unit = {
     require(!isSealed(path), s"stream at $path is closed (reference: closed_stream.go:48-50)")
+    // appends land in the CURRENT data root (the active version dir of a
+    // compacted store, or the legacy direct layout) — the next compaction
+    // folds them into the next version
+    val root = dataRoot(ev.sparkSession, path)
     val indexed = indexAttrs.foldLeft(ev) { (df, name) =>
       df.withColumn(s"idx_$name", EventFrame.attr(name))
     }
@@ -134,11 +147,11 @@ object EsdbWriter {
       .partitionBy("space")
     indexAttrs.foldLeft(writer) { (w, name) =>
       w.option(s"parquet.bloom.filter.enabled#idx_$name", "true")
-    }.parquet(path)
+    }.parquet(root)
     // manifest delta from the batch itself (not a full-store re-read,
     // which would make append cost grow with store size)
     ev.select("space", "grouping").distinct()
-      .write.mode(SaveMode.Append).parquet(s"$path/$GroupingsManifest")
+      .write.mode(SaveMode.Append).parquet(s"$root/$GroupingsManifest")
   }
 
   /** Seal: reference `Close()` writes the tails SSTable + footer magic
@@ -182,7 +195,7 @@ object EsdbWriter {
   def storeStats(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     val hconf = spark.sparkContext.hadoopConfiguration
-    val root = new org.apache.hadoop.fs.Path(path)
+    val root = new org.apache.hadoop.fs.Path(dataRoot(spark, path))
     val fs = root.getFileSystem(hconf)
     val files: Seq[(String, String)] =
       if (!fs.exists(root)) Nil
@@ -271,10 +284,11 @@ object EsdbWriter {
     */
   def readTail(spark: SparkSession, path: String): DataFrame = {
     GraftSession.tune(spark)
+    val root = dataRoot(spark, path)
     spark.readStream
-      .schema(spark.read.option("basePath", path).parquet(path).schema)
-      .option("basePath", path)
-      .parquet(path)
+      .schema(spark.read.option("basePath", root).parquet(root).schema)
+      .option("basePath", root)
+      .parquet(root)
   }
 
   /** Open a written store; `basePath` keeps the `space` partition
@@ -283,7 +297,8 @@ object EsdbWriter {
     */
   def read(spark: SparkSession, path: String): DataFrame = {
     GraftSession.tune(spark)
-    val df = spark.read.option("basePath", path).parquet(path)
+    val root = dataRoot(spark, path)
+    val df = spark.read.option("basePath", root).parquet(root)
     val idxCols = df.columns.filter(_.startsWith("idx_")).toSeq
     df.select(("space" +: "grouping" +: "ts_us" +: "event_id" +: "value" +: "payload" +: idxCols)
       .map(col): _*)

@@ -50,40 +50,40 @@ object Ivf {
     (assigned, centroids)
   }
 
-  /** Persist a built index: `path/assigned` partitioned by list id (a
-    * probe prunes to its nProbe directories), `path/centroids` beside
-    * it. Written to a temp dir then renamed, so a crashed build never
-    * leaves a half-index that [[ensureIndex]] would trust.
+  /** Persist a built index: `assigned` partitioned by list id (a probe
+    * prunes to its nProbe directories), `centroids` beside it, committed
+    * through the [[graft.engine.Publish]] version-pointer protocol: the
+    * commit point is one small pointer object, so a crashed build never
+    * leaves a half-index that [[ensureIndex]] would trust — on local
+    * disk or on object stores with no atomic rename. A rebuild on the
+    * same path commits the next version and retires the old one.
     */
   def writeIndex(corpus: DataFrame, path: String, nLists: Int = 16, seed: Long = 42L): Unit = {
     val (assigned, centroids) = buildIndex(corpus, nLists, seed)
-    val tmp = path + ".tmp-" + java.util.UUID.randomUUID().toString.take(8)
-    assigned.write.mode(SaveMode.ErrorIfExists).partitionBy("list").parquet(s"$tmp/assigned")
-    centroids.write.mode(SaveMode.ErrorIfExists).parquet(s"$tmp/centroids")
-    Option(new java.io.File(path).getParentFile).foreach(_.mkdirs())
-    val ok = new java.io.File(tmp).renameTo(new java.io.File(path))
-    if (!ok) deleteRec(new java.io.File(tmp)) // lost a concurrent-build race: the other index is equivalent (same seed)
-  }
-
-  private def deleteRec(f: java.io.File): Unit = {
-    Option(f.listFiles).foreach(_.foreach(deleteRec))
-    f.delete(): Unit
+    val conf = corpus.sparkSession.sparkContext.hadoopConfiguration
+    graft.engine.Publish.publish(conf, path) { tmp =>
+      assigned.write.mode(SaveMode.ErrorIfExists).partitionBy("list").parquet(s"$tmp/assigned")
+      centroids.write.mode(SaveMode.ErrorIfExists).parquet(s"$tmp/centroids")
+    }: Unit
   }
 
   /** Build-if-absent (idempotent, race-guarded within the JVM). */
   def ensureIndex(corpus: DataFrame, path: String, nLists: Int = 16, seed: Long = 42L): Unit =
     synchronized {
-      if (!new java.io.File(path, "centroids").isDirectory)
+      val conf = corpus.sparkSession.sparkContext.hadoopConfiguration
+      val root = new org.apache.hadoop.fs.Path(graft.engine.Publish.resolve(conf, path), "centroids")
+      if (!root.getFileSystem(conf).exists(root))
         writeIndex(corpus, path, nLists, seed)
     }
 
   /** Probe a persisted index: exact-cosine top-k over the probed lists
-    * of `path/assigned`, never touching the raw corpus.
+    * of the current version's `assigned`, never touching the raw corpus.
     */
   def ivfTopKIndexed(spark: SparkSession, path: String, queries: DataFrame,
                      k: Int = 10, nProbe: Int = 4): DataFrame = {
-    val assigned = spark.read.option("basePath", s"$path/assigned").parquet(s"$path/assigned")
-    val centroids = spark.read.parquet(s"$path/centroids")
+    val root = graft.engine.Publish.resolve(spark.sparkContext.hadoopConfiguration, path)
+    val assigned = spark.read.option("basePath", s"$root/assigned").parquet(s"$root/assigned")
+    val centroids = spark.read.parquet(s"$root/centroids")
     probe(assigned, centroids, queries, k, nProbe)
   }
 

@@ -51,9 +51,17 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 class EsdbStoreSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "esdb"
 
-  private def pathOf(options: CaseInsensitiveStringMap): String =
-    Option(options.get("path"))
+  /** Logical path → current data root ([[graft.engine.Publish]] version
+    * pointer, or the path itself for direct-layout stores). Resolving at
+    * table-load time pins a DataFrame to one store version — snapshot
+    * isolation across a concurrent compact's publish.
+    */
+  private def pathOf(options: CaseInsensitiveStringMap): String = {
+    val logical = Option(options.get("path"))
       .getOrElse(throw new IllegalArgumentException("esdb source requires a path"))
+    graft.engine.Publish.resolve(
+      SparkSession.active.sparkContext.hadoopConfiguration, logical)
+  }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     EsdbStoreSource.canonicalSchema(pathOf(options))

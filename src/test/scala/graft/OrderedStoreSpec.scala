@@ -202,7 +202,11 @@ class OrderedStoreSpec extends SparkSpec {
     EsdbWriter.write(mk(1 to 100), dir.getAbsolutePath, indexAttrs = Seq("k"))
     EsdbWriter.append(mk(101 to 200), dir.getAbsolutePath, indexAttrs = Seq("k"))
     EsdbWriter.append(mk(201 to 300), dir.getAbsolutePath, indexAttrs = Seq("k"))
-    def filesOf(space: String) = new java.io.File(dir, s"space=$space").listFiles()
+    // compaction publishes a new versioned data root; physical-layout
+    // assertions must follow the version pointer
+    def root = graft.engine.Publish.resolve(
+      spark.sparkContext.hadoopConfiguration, dir.getAbsolutePath)
+    def filesOf(space: String) = new java.io.File(root, s"space=$space").listFiles()
       .filter(_.getName.endsWith(".parquet"))
     assert(filesOf("s0").length == 3)
     val before = EventStore.scan(EsdbWriter.readOrdered(spark, dir.getAbsolutePath), "s0", "g1")
@@ -220,7 +224,7 @@ class OrderedStoreSpec extends SparkSpec {
     val ix = EventStore.scanIndex(EsdbWriter.read(spark, dir.getAbsolutePath), "s0", "k", "2")
     assert(ix.count() > 0)
     // non-canonical columns survive compaction byte-for-byte
-    val extras = spark.read.option("basePath", dir.getAbsolutePath).parquet(dir.getAbsolutePath)
+    val extras = spark.read.option("basePath", root).parquet(root)
       .select("event_id", "extra").as[(Long, String)].collect().toMap
     assert(extras.size == 300 && extras(42L) == "x42")
   }

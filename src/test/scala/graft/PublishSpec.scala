@@ -1,0 +1,119 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.engine.{EsdbWriter, EventStore, Publish}
+
+/** Version-pointer publish protocol ([[graft.engine.Publish]]): the
+  * commit point is a single pointer object, so readers never observe a
+  * partially-written store — the property S3-class stores cannot get
+  * from directory renames. Crash injection = performing every step up
+  * to (but not including) the pointer write, then reading.
+  */
+class PublishSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def hconf = spark.sparkContext.hadoopConfiguration
+
+  private def freshDir(): String = {
+    val d = Files.createTempDirectory("pub").toFile
+    d.delete()
+    d.getAbsolutePath
+  }
+
+  private def ev(ids: Range) = ids.map(i => (s"s${i % 2}", "g", i.toLong, i.toLong, 0.0, "{}"))
+    .toDF("space", "grouping", "ts_us", "event_id", "value", "payload")
+
+  test("legacy direct-layout store resolves to itself") {
+    val dir = freshDir()
+    EsdbWriter.write(ev(1 to 10), dir)
+    assert(Publish.resolve(hconf, dir) == dir)
+    assert(EsdbWriter.read(spark, dir).count() == 10)
+  }
+
+  test("compact commits a new version; content round-trips; old data retired") {
+    val dir = freshDir()
+    EsdbWriter.write(ev(1 to 10), dir)
+    EsdbWriter.append(ev(11 to 20), dir)
+    EsdbWriter.compact(spark, dir)
+    val v1 = Publish.resolve(hconf, dir)
+    assert(v1 != dir && v1.contains(Publish.VersionsDir))
+    assert(EsdbWriter.read(spark, dir).count() == 20)
+    // legacy space= dirs are gone from the root after the commit
+    assert(!new java.io.File(dir).listFiles.exists(_.getName.startsWith("space=")))
+    // second compact bumps the version and retires the first
+    EsdbWriter.compact(spark, dir)
+    val v2 = Publish.resolve(hconf, dir)
+    assert(v2 != v1)
+    assert(!new java.io.File(v1).exists())
+    assert(EsdbWriter.read(spark, dir).count() == 20)
+    // ordered DSv2 read follows the pointer too
+    assert(EsdbWriter.readOrdered(spark, dir).count() == 20)
+    assert(EventStore.scan(EsdbWriter.read(spark, dir), "s1", "g")
+      .select("event_id").as[Long].collect().toSeq == (19L to 1L by -2L))
+  }
+
+  test("crash before pointer write: readers keep seeing the previous version") {
+    val dir = freshDir()
+    EsdbWriter.write(ev(1 to 10), dir)
+    EsdbWriter.compact(spark, dir) // v1
+    val before = EsdbWriter.read(spark, dir).select("event_id").as[Long].collect().toSet
+    // simulate a compaction that crashed after fully staging its data
+    // but before the pointer commit: stage a bogus version dir by hand
+    val orphan = new java.io.File(dir, s"${Publish.VersionsDir}/00000000000000000002-dead")
+    orphan.mkdirs()
+    ev(100 to 120).write.mode("overwrite")
+      .partitionBy("space").parquet(orphan.getAbsolutePath)
+    // no pointer was written -> resolution and reads are unchanged
+    assert(EsdbWriter.read(spark, dir).select("event_id").as[Long].collect().toSet == before)
+    assert(EsdbWriter.readOrdered(spark, dir).count() == 10)
+    // the next successful publish sweeps the orphan
+    EsdbWriter.compact(spark, dir)
+    assert(!orphan.exists())
+    assert(EsdbWriter.read(spark, dir).select("event_id").as[Long].collect().toSet == before)
+  }
+
+  test("crash mid-pointer-write (hidden temp file) is invisible to readers") {
+    val dir = freshDir()
+    EsdbWriter.write(ev(1 to 10), dir)
+    EsdbWriter.compact(spark, dir)
+    val cur = Publish.currentVersion(hconf, dir).get
+    // a torn temp pointer from a crashed publisher: not *.ptr, ignored
+    Files.writeString(new java.io.File(dir, s"${Publish.PtrDir}/.tmp-2-dead").toPath, "garbage")
+    assert(Publish.currentVersion(hconf, dir).contains(cur))
+    assert(EsdbWriter.read(spark, dir).count() == 10)
+  }
+
+  test("append after compact lands in the current version and survives the next compact") {
+    val dir = freshDir()
+    EsdbWriter.write(ev(1 to 10), dir)
+    EsdbWriter.compact(spark, dir)
+    EsdbWriter.append(ev(11 to 15), dir)
+    assert(EsdbWriter.read(spark, dir).count() == 15)
+    assert(EsdbWriter.storeStats(spark, dir).agg(org.apache.spark.sql.functions.sum("n_events"))
+      .as[Long].head() == 15)
+    EsdbWriter.compact(spark, dir)
+    assert(EsdbWriter.read(spark, dir).count() == 15)
+    assert(EsdbWriter.manifestGroupings(spark, dir).get.count() == 2) // (s0,g),(s1,g)
+  }
+
+  test("IVF index publish: crashed build leaves no trusted index; rebuild commits v2") {
+    val docs = (0 until 40).map(i => (i.toLong, Array.tabulate(8)(d => (i * 8 + d).toFloat / 10f)))
+      .toDF("vec_id", "embedding")
+    val path = freshDir() + "/ivf"
+    graft.ops.Ivf.ensureIndex(docs, path, nLists = 4)
+    val v1 = Publish.resolve(hconf, path)
+    assert(v1.contains(Publish.VersionsDir))
+    val q = docs.limit(3)
+    assert(graft.ops.Ivf.ivfTopKIndexed(spark, path, q, k = 5, nProbe = 2).count() > 0)
+    // crashed rebuild: staged data, no pointer — ensureIndex still trusts v1 only
+    new java.io.File(path, s"${Publish.VersionsDir}/00000000000000000002-dead/assigned").mkdirs()
+    graft.ops.Ivf.ensureIndex(docs, path, nLists = 4)
+    assert(Publish.resolve(hconf, path) == v1)
+    // explicit rebuild commits the next version and retires v1
+    graft.ops.Ivf.writeIndex(docs, path, nLists = 4)
+    val v2 = Publish.resolve(hconf, path)
+    assert(v2 != v1 && !new java.io.File(v1).exists())
+    assert(graft.ops.Ivf.ivfTopKIndexed(spark, path, q, k = 5, nProbe = 2).count() > 0)
+  }
+}

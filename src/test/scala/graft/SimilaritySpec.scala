@@ -50,7 +50,9 @@ class SimilaritySpec extends SparkSpec {
     val k = 10
     val path = java.nio.file.Files.createTempDirectory("ivfidx").toString + "/idx"
     graft.ops.Ivf.ensureIndex(embs, path, nLists = 16)
-    assert(new java.io.File(path, "centroids").isDirectory)
+    // the index lives in the version-pointer layout's current data root
+    def root = graft.engine.Publish.resolve(spark.sparkContext.hadoopConfiguration, path)
+    assert(new java.io.File(root, "centroids").isDirectory)
     val fromIndex = graft.ops.Ivf.ivfTopKIndexed(spark, path, queries, k)
       .select("query_id", "rank", "neighbor_id", "cos_x1e6")
       .as[(Long, Long, Long, Long)].collect().toSeq
@@ -58,10 +60,10 @@ class SimilaritySpec extends SparkSpec {
       .select("query_id", "rank", "neighbor_id", "cos_x1e6")
       .as[(Long, Long, Long, Long)].collect().toSeq
     assert(fromIndex == inQuery)
-    // ensureIndex is idempotent: second call must not rebuild (marker mtime)
-    val before = new java.io.File(path, "centroids").lastModified()
+    // ensureIndex is idempotent: second call must not rebuild (same version)
+    val before = root
     graft.ops.Ivf.ensureIndex(embs, path, nLists = 16)
-    assert(new java.io.File(path, "centroids").lastModified() == before)
+    assert(root == before)
   }
 
   test("persisted IVF probe is a broadcast join: no exchange on the corpus side") {
