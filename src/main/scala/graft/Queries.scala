@@ -58,6 +58,28 @@ object Queries {
     s"${System.getProperty("java.io.tmpdir")}/graft-store/$key"
   }
 
+  /** Per-sfDir location of the materialized LOG store (the stream-side
+    * layout: files range-partitioned + sorted by event_id).
+    */
+  private def logStorePath(dir: String): String = {
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"${System.getProperty("java.io.tmpdir")}/graft-logstore/$key"
+  }
+
+  /** Write the canonical event frame as a log store once (same publish
+    * protocol as [[ensureStore]]).
+    */
+  private def ensureLogStore(s: SparkSession, dir: String): String = synchronized {
+    val p = logStorePath(dir)
+    val conf = s.sparkContext.hadoopConfiguration
+    if (graft.engine.Publish.currentVersion(conf, p).isEmpty) {
+      graft.engine.Publish.publish(conf, p) { tmp =>
+        graft.engine.EsdbWriter.writeLog(ev(s, dir), tmp)
+      }: Unit
+    }
+    p
+  }
+
   /** Write the canonical event frame as an esdb store once, committed
     * through the [[graft.engine.Publish]] version pointer — a crashed
     * build leaves no pointer, so a half-written fixture is never read.
@@ -203,6 +225,26 @@ object Queries {
 
     QuerySpec("stream_iterate_resume",
       (s, d) => EventLog.iterate(ev(s, d), ResumeOffset)
+        .select("event_id", "ts_us", "space", "grouping", "value", "payload"),
+      Some(s"""SELECT event_id, epoch_us(ts) AS ts_us, event_type AS space,
+              |       CAST(user_id AS VARCHAR) AS grouping, value, props AS payload
+              |FROM events WHERE event_id >= $ResumeOffset ORDER BY event_id""".stripMargin)),
+
+    // ---- stored-log iterate: the stream surface over a WRITTEN log ----
+    // same semantics as stream_iterate[_resume], but over the engine's
+    // log-layout store read via EsdbWriter.readLog: insertion order is
+    // the layout order, so the plan carries no Sort and the resume
+    // offset pushes down to file pruning + record filters (asserted in
+    // LogStoreSpec); the oracle proves the round-trip lossless
+    QuerySpec("stream_log_iterate",
+      (s, d) => EventLog.iterate(graft.engine.EsdbWriter.readLog(s, ensureLogStore(s, d)))
+        .select("event_id", "ts_us", "space", "grouping", "value", "payload"),
+      Some("""SELECT event_id, epoch_us(ts) AS ts_us, event_type AS space,
+             |       CAST(user_id AS VARCHAR) AS grouping, value, props AS payload
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    QuerySpec("stream_log_resume",
+      (s, d) => EventLog.iterate(graft.engine.EsdbWriter.readLog(s, ensureLogStore(s, d)), ResumeOffset)
         .select("event_id", "ts_us", "space", "grouping", "value", "payload"),
       Some(s"""SELECT event_id, epoch_us(ts) AS ts_us, event_type AS space,
               |       CAST(user_id AS VARCHAR) AS grouping, value, props AS payload

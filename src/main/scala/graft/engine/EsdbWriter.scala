@@ -33,6 +33,7 @@ object EsdbWriter {
 
   val SealMarker = "_CLOSED"
   val GroupingsManifest = "_MANIFEST.groupings"
+  val LogManifest = "_MANIFEST.log"
 
   /** Write a canonical [[EventFrame]] as an immutable store.
     *
@@ -243,6 +244,101 @@ object EsdbWriter {
       .groupBy("space")
       .agg(sum("n").as("n_events"), min("mn").as("min_ts_us"), max("mx").as("max_ts_us"))
       .orderBy("space")
+  }
+
+  // ---- log layout: the stream-side dual of the space/grouping store ----
+
+  /** Write a canonical [[EventFrame]] as a LOG store: files
+    * range-partitioned and sorted by `event_id`, so physical order IS
+    * insertion order — the reference's flat append log
+    * (stream/stream.go:10-13), whose `Iterate` never sorts. Read back
+    * through [[readLog]] ([[graft.sources.EsdbLogSource]]): the scan
+    * reports global (event_id ASC) order, resume offsets push down to
+    * file pruning + record filters, and iterate's Sort is elided.
+    *
+    * The range partitioning is the only shuffle; at cluster scale the
+    * write parallelism is the range-partition count while reads stay
+    * sequential (log consumption is sequential in the reference too —
+    * parallel analytics should read the same files as plain parquet).
+    */
+  def writeLog(ev: DataFrame, path: String): Unit = {
+    ev.repartitionByRange(col("event_id"))
+      .sortWithinPartitions(col("event_id"))
+      .write.mode(SaveMode.ErrorIfExists).parquet(path)
+    refreshLogManifest(ev.sparkSession, path)
+  }
+
+  /** Append a batch to an open log store (reference append,
+    * stream/open_stream.go:77-105). Batches land as new sorted files;
+    * id ranges may interleave with existing files — the log reader's
+    * merge keeps global order either way.
+    */
+  def appendLog(ev: DataFrame, path: String): Unit = {
+    require(!isSealed(path), s"stream at $path is closed (reference: closed_stream.go:48-50)")
+    val root = dataRoot(ev.sparkSession, path)
+    ev.repartitionByRange(col("event_id"))
+      .sortWithinPartitions(col("event_id"))
+      .write.mode(SaveMode.Append).parquet(root)
+    refreshLogManifest(ev.sparkSession, path)
+  }
+
+  /** Open a log store through the order-reporting DSv2 source. */
+  def readLog(spark: SparkSession, path: String): DataFrame = {
+    GraftSession.tune(spark)
+    spark.read.format("esdblog").load(path)
+  }
+
+  /** Per-file (min, max) event_id from the write-time manifest — the
+    * analog of the reference log's offset arithmetic: a resume offset
+    * prunes whole files without opening them. None for stores written
+    * before manifests existed (readers keep every file).
+    */
+  def logManifest(spark: SparkSession, path: String): Option[DataFrame] = {
+    val root = dataRoot(spark, path)
+    val m = new org.apache.hadoop.fs.Path(root, LogManifest)
+    if (!m.getFileSystem(hconf(spark)).exists(m)) None
+    else Some(spark.read.parquet(s"$root/$LogManifest"))
+  }
+
+  /** Rebuild the manifest rows for files not yet covered: one footer
+    * read per NEW file (append cost stays proportional to the batch,
+    * not the store), appended to the sidecar.
+    */
+  private def refreshLogManifest(spark: SparkSession, path: String): Unit = {
+    import spark.implicits._
+    val root = new org.apache.hadoop.fs.Path(dataRoot(spark, path))
+    val fs = root.getFileSystem(hconf(spark))
+    val known: Set[String] = logManifest(spark, path)
+      .map(_.select("file").as[String].collect().toSet).getOrElse(Set.empty)
+    val fresh = fs.listStatus(root).toSeq
+      .filter(f => f.isFile && f.getLen > 0 && {
+        val n = f.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".") && !known.contains(n)
+      })
+    if (fresh.isEmpty) return
+    val rows = fresh.map { f =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, hconf(spark)))
+      try {
+        var mn = Long.MaxValue
+        var mx = Long.MinValue
+        r.getFooter.getBlocks.forEach { b =>
+          b.getColumns.forEach { c =>
+            if (c.getPath.toDotString == "event_id") {
+              val st = c.getStatistics
+              if (st != null && st.hasNonNullValue) {
+                mn = math.min(mn, st.genericGetMin.asInstanceOf[java.lang.Long].longValue())
+                mx = math.max(mx, st.genericGetMax.asInstanceOf[java.lang.Long].longValue())
+              }
+            }
+          }
+        }
+        (f.getPath.getName, mn, mx)
+      } finally r.close()
+    }.filter { case (_, mn, mx) => mn != Long.MaxValue && mx != Long.MinValue }
+    if (rows.nonEmpty)
+      rows.toDF("file", "min_id", "max_id")
+        .coalesce(1).write.mode(SaveMode.Append).parquet(s"${root.toString}/$LogManifest")
   }
 
   /** Bucketed layout: hash-bucket by `grouping`, sorted by (ts_us desc,

@@ -12,11 +12,31 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   */
 object EventLog {
 
-  /** Reference `Stream.Iterate(offset, fn)` (stream/stream.go:92-124):
-    * insertion-order scan from a resumption offset.
+  /** True when the frame reads through the order-reporting DSv2 log
+    * source ([[graft.sources.EsdbLogSource]], opened by
+    * `EsdbWriter.readLog`): one input partition, already merged in
+    * event_id order.
     */
-  def iterate(ev: DataFrame, fromOffset: Long = 0L): DataFrame =
-    ev.where(col("event_id") >= fromOffset).orderBy("event_id")
+  private def isLogStore(ev: DataFrame): Boolean =
+    ev.queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+        if r.table.isInstanceOf[graft.sources.EsdbLogTable] => true
+    }.isDefined
+
+  /** Reference `Stream.Iterate(offset, fn)` (stream/stream.go:92-124):
+    * insertion-order scan from a resumption offset. Over a stored log
+    * frame the order is the layout order: a per-partition sort (equal
+    * to the global order on the log's single merged partition) that
+    * `RemoveRedundantSorts` elides against the scan's reported
+    * ordering, with the offset pushed down to file pruning + record
+    * filters — a global `orderBy` would instead force a range exchange
+    * that destroys the order the layout already has.
+    */
+  def iterate(ev: DataFrame, fromOffset: Long = 0L): DataFrame = {
+    val filtered = ev.where(col("event_id") >= fromOffset)
+    if (isLogStore(ev)) filtered.sortWithinPartitions("event_id")
+    else filtered.orderBy("event_id")
+  }
 
   /** Index attribute access: a write-time materialized `idx_<name>`
     * column when present (required for BINARY payloads, which are

@@ -1,0 +1,243 @@
+package graft.sources
+
+import java.util.OptionalLong
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, Transform, SortOrder => VSortOrder}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 read path for LOG-layout stores written by
+  * [[graft.engine.EsdbWriter.writeLog]] — the stream-side dual of
+  * [[EsdbStoreSource]]. The reference's stream file is a flat append
+  * log whose physical order IS insertion order, so `Stream.Iterate`
+  * never sorts and resumes from a byte offset for free
+  * (stream/stream.go:92-124). A vanilla parquet read of the same data
+  * reports no ordering, so every `EventLog.iterate` pays a full sort
+  * of data that is already id-ordered on disk.
+  *
+  * This source closes that gap:
+  *  - the writer lays files out range-partitioned and sorted by
+  *    `event_id`; the scan is ONE [[InputPartition]] whose reader
+  *    k-way merges the files by event_id — a single partition, so the
+  *    reported (event_id ASC) ordering is GLOBAL and Catalyst elides
+  *    the iterate's Sort entirely (log consumption is sequential by
+  *    nature, exactly as in the reference);
+  *  - `event_id` range predicates (the resume offset) push down
+  *    exactly: whole files are pruned on the write-time manifest's
+  *    min/max before any open, parquet row-group stats + record
+  *    filters skip within files, and the merge stops at the first row
+  *    past an upper bound (ascending early exit);
+  *  - orderBy(event_id)-limit is absorbed via [[SupportsPushDownTopN]]
+  *    — resumable pagination (`iterate(from).limit(n)`) reads n rows
+  *    from the offset and stops, the reference's page-read pattern.
+  *
+  * Analytical queries over log stores should use the vectorized parquet
+  * path; this source exists for ordered consumption.
+  */
+class EsdbLogSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "esdblog"
+
+  private def pathOf(options: CaseInsensitiveStringMap): String = {
+    val logical = Option(options.get("path"))
+      .getOrElse(throw new IllegalArgumentException("esdblog source requires a path"))
+    graft.engine.Publish.resolve(
+      SparkSession.active.sparkContext.hadoopConfiguration, logical)
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    EsdbLogSource.canonicalSchema(pathOf(options))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        props: java.util.Map[String, String]): Table =
+    new EsdbLogTable(pathOf(new CaseInsensitiveStringMap(props)), schema)
+
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+object EsdbLogSource {
+  /** Spark's own parquet inference, canonical columns first. */
+  def canonicalSchema(path: String): StructType = {
+    val raw = SparkSession.active.read.parquet(path).schema
+    val lead = Seq("space", "grouping", "ts_us", "event_id", "value", "payload")
+      .flatMap(n => raw.fields.find(_.name == n))
+    val rest = raw.fields.filterNot(f => lead.exists(_.name == f.name))
+    StructType(lead ++ rest)
+  }
+}
+
+final class EsdbLogTable(path: String, tableSchema: StructType) extends Table with SupportsRead {
+  override def name(): String = s"esdblog:$path"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new EsdbLogScanBuilder(path, tableSchema)
+}
+
+final class EsdbLogScanBuilder(path: String, tableSchema: StructType)
+  extends ScanBuilder
+  with SupportsPushDownFilters
+  with SupportsPushDownRequiredColumns
+  with SupportsPushDownLimit
+  with SupportsPushDownTopN {
+
+  private var required: StructType = tableSchema
+  private var idBounds: TsBounds = TsBounds.unbounded
+  private var limit: Option[Int] = None
+  private var accepted: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (handled, rest) = filters.partition {
+      // the resume offset (iterate(from) ≡ event_id >= from) and any
+      // other id range: manifest file pruning + parquet record filter +
+      // exact re-check and ascending early exit in the merge reader
+      case GreaterThan("event_id", _: java.lang.Long) => true
+      case GreaterThanOrEqual("event_id", _: java.lang.Long) => true
+      case LessThan("event_id", _: java.lang.Long) => true
+      case LessThanOrEqual("event_id", _: java.lang.Long) => true
+      case IsNotNull("event_id") => true // reader drops null ids only under a bound
+      case _ => false
+    }
+    // IsNotNull alone (no range bound) is not reader-enforced: bounce it
+    val idNotNullOnly = handled.collect { case f @ IsNotNull("event_id") => f }
+    val hasBound = handled.exists {
+      case GreaterThan("event_id", _) | GreaterThanOrEqual("event_id", _) |
+           LessThan("event_id", _) | LessThanOrEqual("event_id", _) => true
+      case _ => false
+    }
+    val (reallyHandled, bounced) =
+      if (hasBound || idNotNullOnly.isEmpty) (handled, Array.empty[Filter])
+      else handled.partition(f => !idNotNullOnly.exists(_ eq f))
+    reallyHandled.foreach {
+      case GreaterThan("event_id", v: java.lang.Long) => idBounds = idBounds.withLower(v, inclusive = false)
+      case GreaterThanOrEqual("event_id", v: java.lang.Long) => idBounds = idBounds.withLower(v, inclusive = true)
+      case LessThan("event_id", v: java.lang.Long) => idBounds = idBounds.withUpper(v, inclusive = false)
+      case LessThanOrEqual("event_id", v: java.lang.Long) => idBounds = idBounds.withUpper(v, inclusive = true)
+      case _ => ()
+    }
+    accepted = accepted ++ reallyHandled
+    rest ++ bounced
+  }
+
+  override def pushedFilters(): Array[Filter] = accepted
+
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+
+  override def pushLimit(l: Int): Boolean = {
+    limit = Some(math.min(l, limit.getOrElse(Int.MaxValue)))
+    true
+  }
+
+  /** Absorb Sort+Limit when the requested order is (event_id ASC) — the
+    * merged stream's first `l` rows ARE the page.
+    */
+  override def pushTopN(orders: Array[VSortOrder], l: Int): Boolean = {
+    val matches = orders.length == 1 && (orders.head.expression() match {
+      case nr: org.apache.spark.sql.connector.expressions.NamedReference =>
+        nr.fieldNames.mkString(".") == "event_id" &&
+          orders.head.direction() == SortDirection.ASCENDING
+      case _ => false
+    })
+    if (matches) { limit = Some(math.min(l, limit.getOrElse(Int.MaxValue))); true }
+    else false
+  }
+
+  /** One partition always → the pushed TopN/limit is the global one. */
+  override def isPartiallyPushed(): Boolean = false
+
+  override def build(): Scan = new EsdbLogScan(path, required, idBounds, limit)
+}
+
+final class EsdbLogScan(path: String, required: StructType, idBounds: TsBounds,
+                        limit: Option[Int])
+  extends Scan with Batch with SupportsReportOrdering with SupportsReportStatistics {
+
+  override def readSchema(): StructType = required
+
+  override def description(): String =
+    s"EsdbLog $path ids=$idBounds limit=${limit.getOrElse(-1)}"
+
+  override def toBatch: Batch = this
+
+  // driver-side listing, memoized: planning + statistics + execution
+  // share one filesystem listing (and one manifest read when bounded)
+  @volatile private var listed: Array[EsdbLogPartition] = _
+
+  private def partitions: Array[EsdbLogPartition] = {
+    val cached = listed
+    if (cached != null) cached
+    else {
+      val computed = listPartitions()
+      listed = computed
+      computed
+    }
+  }
+
+  /** File-level pruning on the write-time log manifest (file →
+    * min/max event_id, the analog of the reference log's offset
+    * arithmetic): files wholly outside the pushed id range never open.
+    * Files missing from the manifest are conservatively kept.
+    */
+  private def listPartitions(): Array[EsdbLogPartition] = {
+    EsdbScan.ListingCount.incrementAndGet()
+    val spark = SparkSession.active
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Array.empty
+    val files = fs.listStatus(root).toSeq
+      .filter(f => f.isFile && isDataFile(f) && f.getLen > 0)
+      .sortBy(_.getPath.getName)
+    if (files.isEmpty) return Array.empty
+    val kept =
+      if (!idBounds.isBounded) files
+      else graft.engine.EsdbWriter.logManifest(spark, path) match {
+        case None => files
+        case Some(m) =>
+          val ranges: Map[String, (Long, Long)] = m.collect()
+            .map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+          files.filter { f =>
+            ranges.get(f.getPath.getName) match {
+              case Some((mn, mx)) => !(idBounds.belowLower(mx) || idBounds.aboveUpper(mn))
+              case None => true
+            }
+          }
+      }
+    if (kept.isEmpty) Array.empty
+    else Array(EsdbLogPartition(kept.map(_.getPath.toString).toArray, kept.map(_.getLen).sum))
+  }
+
+  private def isDataFile(f: FileStatus): Boolean = {
+    val n = f.getPath.getName
+    !n.startsWith("_") && !n.startsWith(".")
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    partitions.asInstanceOf[Array[InputPartition]]
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new EsdbLogReaderFactory(required, idBounds, limit)
+
+  /** Global (single-partition) insertion order — the log's defining
+    * property, reported only when event_id survives column pruning.
+    */
+  override def outputOrdering(): Array[VSortOrder] =
+    if (required.fieldNames.contains("event_id"))
+      Array(Expressions.sort(Expressions.column("event_id"), SortDirection.ASCENDING))
+    else Array.empty
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): OptionalLong = OptionalLong.of(partitions.map(_.totalBytes).sum)
+    override def numRows(): OptionalLong = OptionalLong.empty()
+  }
+}
+
+/** The whole log: one merge unit (sequential consumption, as in the
+  * reference's flat file).
+  */
+final case class EsdbLogPartition(files: Array[String], totalBytes: Long)
+  extends InputPartition

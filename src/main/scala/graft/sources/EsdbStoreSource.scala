@@ -279,6 +279,13 @@ final case class TsBounds(lower: Option[Long], lowerInclusive: Boolean,
     */
   def belowLower(ts: Long): Boolean =
     lower.exists(lo => if (lowerInclusive) ts < lo else ts <= lo)
+
+  /** True when `v` exceeds the upper bound — the ASCENDING-stream dual
+    * of [[belowLower]]: on an id-ascending merged log every later row
+    * fails too, so the scan may stop.
+    */
+  def aboveUpper(v: Long): Boolean =
+    upper.exists(hi => if (upperInclusive) v > hi else v >= hi)
 }
 
 object TsBounds {

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.engine.{EsdbWriter, EventLog}
+import graft.sources.EsdbMergeReader
+
+/** The DSv2 log store read path ([[graft.sources.EsdbLogSource]]):
+  * insertion order free from layout for the stream surface — iterate
+  * plans no Sort, resume offsets prune files and rows, pagination is
+  * absorbed into the scan. The reference gets all of this from its
+  * flat append file (stream/stream.go:92-124).
+  */
+class LogStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** 500 events written in two interleaving-id batches: evens then
+    * odds, so file id ranges OVERLAP and only a real merge (not file
+    * concatenation) yields global order.
+    */
+  private lazy val logPath: String = {
+    val dir = java.nio.file.Files.createTempDirectory("logstore").toFile
+    dir.delete()
+    def mk(ids: Seq[Int]) = ids.map(i => (s"s${i % 3}", s"g${i % 7}", (i % 50).toLong * 1000,
+      i.toLong, i / 10.0, s"""{"k": ${i % 9}}"""))
+      .toDF("space", "grouping", "ts_us", "event_id", "value", "payload")
+    EsdbWriter.writeLog(mk((1 to 500).filter(_ % 2 == 0)), dir.getAbsolutePath)
+    EsdbWriter.appendLog(mk((1 to 500).filter(_ % 2 == 1)), dir.getAbsolutePath)
+    dir.getAbsolutePath
+  }
+
+  private def log: DataFrame = EsdbWriter.readLog(spark, logPath)
+
+  private def executed(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def hasSortNode(plan: String): Boolean =
+    """(?m)^\W*\*?\(?\d*\)?\s*Sort """.r.findFirstIn(plan).isDefined ||
+      plan.contains(") Sort [") || plan.contains("+- Sort [")
+
+  test("iterate over a log store: global insertion order, overlapping files merged") {
+    val ids = EventLog.iterate(log).select("event_id").as[Long].collect().toSeq
+    assert(ids == (1L to 500L))
+  }
+
+  test("iterate plans no Sort: the log's order is reported, not recomputed") {
+    val q = EventLog.iterate(log).select("event_id", "ts_us", "value", "payload")
+    val plan = executed(q)
+    assert(!hasSortNode(plan), "iterate over a log store must not sort:\n" + plan)
+    assert(plan.contains("BatchScan"), plan)
+  }
+
+  test("resume offset: exact rows, fewer rows materialized, files pruned") {
+    val from = 400L
+    val before = EsdbMergeReader.RowsRead.get()
+    val got = EventLog.iterate(log, from).select("event_id").as[Long].collect().toSeq
+    val boundedRead = EsdbMergeReader.RowsRead.get() - before
+    assert(got == (400L to 500L))
+    // the resume offset must not materialize the whole log: manifest
+    // file pruning + row-group stats + record filter cut the scan to
+    // (roughly) the matching suffix
+    assert(boundedRead <= 2L * got.size,
+      s"resume read $boundedRead rows for ${got.size} results")
+    val plan = EventLog.iterate(log, from).queryExecution.executedPlan.toString
+    assert(!hasSortNode(plan), plan)
+    // the pushed bound leaves no post-scan Filter on event_id
+    assert(!plan.contains("Filter (event_id"), plan)
+  }
+
+  test("pagination: iterate(from).limit(n) absorbs the limit, no sort, no TakeOrdered") {
+    val q = EventLog.iterate(log, 100L).limit(20).select("event_id")
+    val rows = q.as[Long].collect().toSeq
+    assert(rows == (100L to 119L))
+    val plan = executed(q)
+    assert(!hasSortNode(plan), plan)
+    assert(!plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("manifest exists and covers every data file") {
+    val m = EsdbWriter.logManifest(spark, logPath).get.collect()
+    val files = new java.io.File(graft.engine.Publish.resolve(
+      spark.sparkContext.hadoopConfiguration, logPath))
+      .listFiles().filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    assert(m.map(_.getString(0)).toSet == files.map(_.getName).toSet)
+    assert(m.forall(r => r.getLong(1) <= r.getLong(2)))
+  }
+
+  test("scan index and first over the stored log match the in-memory stream surface") {
+    val fromStore = EventLog.scanIndex(log, "k", "3").select("event_id").as[Long].collect().toSeq
+    val inMem = (1 to 500).filter(_ % 9 == 3).map(_.toLong).sorted.reverse
+    assert(fromStore == inMem)
+    val head = EventLog.first(log, "k", "3").as[Long].head()
+    assert(head == inMem.head)
+  }
+}
