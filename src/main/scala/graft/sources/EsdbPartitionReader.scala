@@ -34,12 +34,20 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 final class EsdbReaderFactory(required: StructType, grouping: Option[String],
                               groupingNotNull: Boolean, tsBounds: TsBounds,
-                              hints: Seq[(String, Any)], limit: Option[Int])
+                              hints: Seq[(String, Any)], limit: Option[Int],
+                              columnar: Boolean = false)
   extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new EsdbMergeReader(p.asInstanceOf[EsdbInputPartition], required, grouping,
       groupingNotNull, tsBounds, hints, limit)
+
+  // single-compacted-file vectorized path; [[EsdbScan.columnarEligible]]
+  // guarantees the preconditions scan-wide before setting the flag
+  override def supportColumnarReads(p: InputPartition): Boolean = columnar
+
+  override def createColumnarReader(p: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new EsdbVectorReader(p.asInstanceOf[EsdbInputPartition], required, limit)
 }
 
 object EsdbMergeReader {

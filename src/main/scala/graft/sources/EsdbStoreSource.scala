@@ -377,8 +377,26 @@ final class EsdbScan(path: String, required: StructType, spaces: Option[Seq[Stri
   override def planInputPartitions(): Array[InputPartition] =
     partitions.asInstanceOf[Array[InputPartition]]
 
+  /** Vectorized single-file fast path (see [[EsdbVectorReader]]):
+    * allowed only when the source claims NO row-level filtering —
+    * grouping equality / grouping-not-null / ts bounds are
+    * claimed-handled and the vectorized decoder cannot enforce them
+    * exactly — carries no idx_* hints (a selective hinted scan wins
+    * more from record skipping), and every partition is a single
+    * compacted file whose schema serves the required columns. The
+    * decision is scan-wide because Spark rejects mixed row/columnar
+    * partitions within one scan.
+    */
+  private def columnarEligible: Boolean =
+    grouping.isEmpty && !groupingNotNull && !tsBounds.isBounded && hints.isEmpty &&
+      partitions.nonEmpty && partitions.forall(_.files.length == 1) && {
+        val hconf = SparkSession.active.sparkContext.hadoopConfiguration
+        partitions.forall(p => EsdbVectorReader.eligible(hconf, p.files.head, required))
+      }
+
   override def createReaderFactory(): PartitionReaderFactory =
-    new EsdbReaderFactory(required, grouping, groupingNotNull, tsBounds, hints, limit)
+    new EsdbReaderFactory(required, grouping, groupingNotNull, tsBounds, hints, limit,
+      columnar = columnarEligible)
 
   /** Per-partition ordering of the merged stream, truncated to columns
     * that survive pruning (an ordering may only reference output

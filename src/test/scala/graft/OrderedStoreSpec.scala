@@ -326,6 +326,59 @@ class OrderedStoreSpec extends SparkSpec {
     assert(fromFooters.size == 3)
   }
 
+  test("vectorized fast path: compacted single-file spaces decode columnar, filtered scans stay row-wise") {
+    import graft.sources.EsdbVectorReader
+    val dir = java.nio.file.Files.createTempDirectory("ordvec").toFile
+    dir.delete()
+    val mk = (r: Range) => r.map(i => (s"s${i % 2}", s"g${i % 5}", (i % 40).toLong * 10, i.toLong,
+      i / 3.0, s"""{"k": ${i % 6}}"""))
+      .toDF("space", "grouping", "ts_us", "event_id", "value", "payload")
+    EsdbWriter.write(mk(1 to 300), dir.getAbsolutePath)
+    EsdbWriter.append(mk(301 to 600), dir.getAbsolutePath)
+    val multi = EsdbWriter.readOrdered(spark, dir.getAbsolutePath)
+    def batchesDuring[A](q: => A): (A, Long) = {
+      val before = EsdbVectorReader.BatchesRead.get()
+      val out = q
+      (out, EsdbVectorReader.BatchesRead.get() - before)
+    }
+    // two files per space: the merge path, no columnar batches. Collect
+    // the pre-compaction truth now — compaction publishes a new version
+    // root and retires this one, so `multi` is a stale handle afterwards
+    val (preCompact, preBatches) = batchesDuring(
+      multi.select("space", "grouping", "ts_us", "event_id", "value", "payload")
+        .as[(String, String, Long, Long, Double, String)].collect().toSeq)
+    assert(preBatches == 0, "multi-file spaces must take the row merge path")
+    EsdbWriter.compact(spark, dir.getAbsolutePath)
+    val o = EsdbWriter.readOrdered(spark, dir.getAbsolutePath)
+    // whole-store scan: columnar, same rows, same order as pre-compaction
+    val (postCompact, postBatches) = batchesDuring(
+      o.select("space", "grouping", "ts_us", "event_id", "value", "payload")
+        .as[(String, String, Long, Long, Double, String)].collect().toSeq)
+    assert(postBatches > 0, "single-file spaces must decode through the vectorized reader")
+    assert(postCompact == preCompact)
+    // space-pinned full iterate: still columnar (directory pruning is exact)
+    val (spacePinned, spaceBatches) = batchesDuring(
+      EventStore.scanSpace(o, "s1").select("grouping", "ts_us", "event_id")
+        .as[(String, Long, Long)].collect().toSeq)
+    assert(spaceBatches > 0)
+    assert(spacePinned == preCompact.filter(_._1 == "s1").map(r => (r._2, r._3, r._4)))
+    assert(spacePinned.nonEmpty)
+    // grouping-pinned scan claims a filter the vectorized decoder cannot
+    // enforce — must stay on the row path and stay correct
+    val (grpRows, grpBatches) = batchesDuring(
+      EventStore.scan(o, "s1", "g2").select("event_id", "ts_us")
+        .as[(Long, Long)].collect().toSeq)
+    assert(grpBatches == 0, "claimed-filtered scans must not go columnar")
+    assert(grpRows == preCompact.filter(r => r._1 == "s1" && r._2 == "g2").map(r => (r._4, r._3)))
+    assert(grpRows.nonEmpty)
+    // pushed limit truncates the batch stream
+    val (limited, limBatches) = batchesDuring(o.limit(7).collect().toSeq)
+    assert(limBatches > 0 && limited.size == 7)
+    // aggregate shapes (zero/one-column prunes) survive the columnar path
+    assert(o.count() == 600L)
+    assert(o.where(col("value") > 50.0).count() == preCompact.count(_._5 > 50.0))
+  }
+
   test("sealed-store sidecar directories are invisible to the ordered source") {
     val dir = java.nio.file.Files.createTempDirectory("ordseal").toFile
     dir.delete()
