@@ -60,6 +60,8 @@ object ScaleCheck {
       "events_sessionize",      // window functions
       "events_asof_join",       // union-window asof
       "q1_lineitem_agg",        // wide fact aggregation
+      "events_funnel",          // per-grouping scalar funnel reductions
+      "events_retention",       // cohort/retention grid
       "dedup_exact",            // hash-group dedup
       "dedup_minhash",          // LSH banding self-join
       "similarity_topk",        // broadcast nested-loop scoring

@@ -28,11 +28,21 @@ import org.apache.spark.unsafe.types.UTF8String
   * stream/stream.go:92-124).
   */
 final class EsdbLogReaderFactory(required: StructType, idBounds: TsBounds,
-                                 limit: Option[Int])
+                                 limit: Option[Int],
+                                 vectorFiles: Option[Array[String]] = None)
   extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new EsdbLogMergeReader(p.asInstanceOf[EsdbLogPartition], required, idBounds, limit)
+
+  // disjoint-range concatenation path; [[EsdbLogScan.vectorOrder]]
+  // verifies the preconditions (no claimed id bound, manifest-proven
+  // disjoint file ranges, canonical column types) and fixes the read
+  // order before setting this
+  override def supportColumnarReads(p: InputPartition): Boolean = vectorFiles.isDefined
+
+  override def createColumnarReader(p: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new EsdbVectorReader(vectorFiles.get.toSeq, required, limit, constSpace = None)
 }
 
 final class EsdbLogMergeReader(part: EsdbLogPartition, required: StructType,

@@ -219,8 +219,43 @@ final class EsdbLogScan(path: String, required: StructType, idBounds: TsBounds,
   override def planInputPartitions(): Array[InputPartition] =
     partitions.asInstanceOf[Array[InputPartition]]
 
+  /** Vectorized concatenation order (see [[EsdbVectorReader]]): when
+    * footer stats prove every file's id range disjoint from the others
+    * and free of null ids, reading the files sequentially in
+    * ascending-range order IS the merge — steady state for a log, whose
+    * appends carry ever-higher ids. A claimed id bound (`iterate`
+    * always claims `event_id >= offset`) is allowed only when provably
+    * VACUOUS on every surviving file — its whole id range inside the
+    * bounds — since the vectorized decoder cannot enforce it row-wise;
+    * the listing's manifest pruning has already dropped wholly-outside
+    * files, so resumes from a file boundary vectorize and mid-file
+    * resumes keep the exact row merge. Interleaved ranges and
+    * stat-less files keep the merge heap too.
+    */
+  private def vectorOrder: Option[Array[String]] = {
+    if (partitions.isEmpty) return None
+    val files = partitions.head.files
+    val hconf = SparkSession.active.sparkContext.hadoopConfiguration
+    val ranged = files.map { f =>
+      EsdbVectorReader.probe(hconf, f, required, constSpace = false, statCols = Seq("event_id"))
+        .flatMap(_.get("event_id"))
+        .flatMap(facts => facts.range.filter(_ => facts.nulls.contains(0L)))
+        .map(r => (f, r))
+    }
+    if (ranged.exists(_.isEmpty)) return None
+    val sorted = ranged.flatten.sortBy(_._2._1)
+    val disjoint = sorted.sliding(2).forall {
+      case Array((_, (_, mx)), ((_, (mn2, _)))) => mx < mn2
+      case _ => true
+    }
+    val vacuous = !idBounds.isBounded || sorted.forall {
+      case (_, (mn, mx)) => idBounds.contains(mn) && idBounds.contains(mx)
+    }
+    if (disjoint && vacuous) Some(sorted.map(_._1)) else None
+  }
+
   override def createReaderFactory(): PartitionReaderFactory =
-    new EsdbLogReaderFactory(required, idBounds, limit)
+    new EsdbLogReaderFactory(required, idBounds, limit, vectorOrder)
 
   /** Global (single-partition) insertion order — the log's defining
     * property, reported only when event_id survives column pruning.

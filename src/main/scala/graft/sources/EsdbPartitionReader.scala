@@ -46,8 +46,10 @@ final class EsdbReaderFactory(required: StructType, grouping: Option[String],
   // guarantees the preconditions scan-wide before setting the flag
   override def supportColumnarReads(p: InputPartition): Boolean = columnar
 
-  override def createColumnarReader(p: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
-    new EsdbVectorReader(p.asInstanceOf[EsdbInputPartition], required, limit)
+  override def createColumnarReader(p: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val part = p.asInstanceOf[EsdbInputPartition]
+    new EsdbVectorReader(part.files.toSeq, required, limit, constSpace = Some(part.space))
+  }
 }
 
 object EsdbMergeReader {

@@ -378,20 +378,35 @@ final class EsdbScan(path: String, required: StructType, spaces: Option[Seq[Stri
     partitions.asInstanceOf[Array[InputPartition]]
 
   /** Vectorized single-file fast path (see [[EsdbVectorReader]]):
-    * allowed only when the source claims NO row-level filtering —
-    * grouping equality / grouping-not-null / ts bounds are
-    * claimed-handled and the vectorized decoder cannot enforce them
-    * exactly — carries no idx_* hints (a selective hinted scan wins
+    * allowed only when the source claims no row-level filtering the
+    * decoder can't honor — a grouping equality disqualifies outright
+    * (files hold many groupings); claimed ts bounds and
+    * grouping-not-null qualify only when footer stats prove them
+    * VACUOUS on each file (whole ts range inside the bounds, zero
+    * nulls) — carries no idx_* hints (a selective hinted scan wins
     * more from record skipping), and every partition is a single
     * compacted file whose schema serves the required columns. The
     * decision is scan-wide because Spark rejects mixed row/columnar
     * partitions within one scan.
     */
   private def columnarEligible: Boolean =
-    grouping.isEmpty && !groupingNotNull && !tsBounds.isBounded && hints.isEmpty &&
+    grouping.isEmpty && hints.isEmpty &&
       partitions.nonEmpty && partitions.forall(_.files.length == 1) && {
         val hconf = SparkSession.active.sparkContext.hadoopConfiguration
-        partitions.forall(p => EsdbVectorReader.eligible(hconf, p.files.head, required))
+        val statCols = (if (tsBounds.isBounded) Seq("ts_us") else Nil) ++
+          (if (groupingNotNull) Seq("grouping") else Nil)
+        partitions.forall { p =>
+          EsdbVectorReader.probe(hconf, p.files.head, required, constSpace = true, statCols)
+            .exists { facts =>
+              val tsOk = !tsBounds.isBounded || facts.get("ts_us").exists(f =>
+                f.nulls.contains(0L) && f.range.exists {
+                  case (mn, mx) => tsBounds.contains(mn) && tsBounds.contains(mx)
+                })
+              val grpOk = !groupingNotNull ||
+                facts.get("grouping").exists(_.nulls.contains(0L))
+              tsOk && grpOk
+            }
+        }
       }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -88,6 +88,47 @@ class LogStoreSpec extends SparkSpec {
     assert(m.forall(r => r.getLong(1) <= r.getLong(2)))
   }
 
+  test("vectorized log path: disjoint-range files concatenate columnar, overlaps and resumes stay row-wise") {
+    import graft.sources.EsdbVectorReader
+    def batchesDuring[A](q: => A): (A, Long) = {
+      val before = EsdbVectorReader.BatchesRead.get()
+      val out = q
+      (out, EsdbVectorReader.BatchesRead.get() - before)
+    }
+    // the shared fixture's two batches INTERLEAVE ids — ranges overlap,
+    // so the unbounded iterate must keep the merge heap
+    val (overlapIds, overlapBatches) = batchesDuring(
+      EventLog.iterate(log).select("event_id").as[Long].collect().toSeq)
+    assert(overlapBatches == 0, "overlapping id ranges must take the row merge path")
+    assert(overlapIds == (1L to 500L))
+    // a log whose appends carry ever-higher ids (the steady state):
+    // disjoint ranges, manifest-proven — the full iterate vectorizes
+    val dir = java.nio.file.Files.createTempDirectory("logvec").toFile
+    dir.delete()
+    def mk(ids: Seq[Int]) = ids.map(i => (s"s${i % 3}", s"g${i % 7}", (i % 50).toLong * 1000,
+      i.toLong, i / 10.0, s"""{"k": ${i % 9}}"""))
+      .toDF("space", "grouping", "ts_us", "event_id", "value", "payload")
+    EsdbWriter.writeLog(mk(1 to 300), dir.getAbsolutePath)
+    EsdbWriter.appendLog(mk(301 to 600), dir.getAbsolutePath)
+    val seq = EsdbWriter.readLog(spark, dir.getAbsolutePath)
+    val (seqRows, seqBatches) = batchesDuring(
+      EventLog.iterate(seq).select("event_id", "space", "value", "payload")
+        .as[(Long, String, Double, String)].collect().toSeq)
+    assert(seqBatches > 0, "disjoint-range log files must decode through the vectorized reader")
+    assert(seqRows.map(_._1) == (1L to 600L))
+    assert(seqRows(41) == (42L, "s0", 4.2, """{"k": 6}"""))
+    // a resume offset claims an id bound the vectorized path cannot
+    // enforce — must stay on the row path and stay correct
+    val (resumed, resumeBatches) = batchesDuring(
+      EventLog.iterate(seq, 550L).select("event_id").as[Long].collect().toSeq)
+    assert(resumeBatches == 0, "claimed id bounds must not go columnar")
+    assert(resumed == (550L to 600L))
+    // pagination truncates the batch stream without reading every file
+    val (page, pageBatches) = batchesDuring(seq.limit(5).collect().toSeq)
+    assert(pageBatches > 0 && page.size == 5)
+    assert(seq.count() == 600L)
+  }
+
   test("scan index and first over the stored log match the in-memory stream surface") {
     val fromStore = EventLog.scanIndex(log, "k", "3").select("event_id").as[Long].collect().toSeq
     val inMem = (1 to 500).filter(_ % 9 == 3).map(_.toLong).sorted.reverse

@@ -377,6 +377,16 @@ class OrderedStoreSpec extends SparkSpec {
     // aggregate shapes (zero/one-column prunes) survive the columnar path
     assert(o.count() == 600L)
     assert(o.where(col("value") > 50.0).count() == preCompact.count(_._5 > 50.0))
+    // a claimed ts bound covering every file's whole range is provably
+    // vacuous — still columnar; a mid-range bound is not — row path
+    val (vacuous, vacBatches) = batchesDuring(
+      o.where(col("ts_us") >= 0L).count()) // fixture ts range is 0..390
+    assert(vacBatches > 0, "file-wide ts bounds must stay vectorized")
+    assert(vacuous == 600L)
+    val (bounded, boundedBatches) = batchesDuring(
+      o.where(col("ts_us") >= 200L).count())
+    assert(boundedBatches == 0, "mid-range ts bounds must take the exact row path")
+    assert(bounded == preCompact.count(_._3 >= 200L))
   }
 
   test("sealed-store sidecar directories are invisible to the ordered source") {
