@@ -29,20 +29,23 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 final class EsdbLogReaderFactory(required: StructType, idBounds: TsBounds,
                                  limit: Option[Int],
-                                 vectorFiles: Option[Array[String]] = None)
+                                 vector: Option[(Array[(String, Long)],
+                                   org.apache.spark.util.SerializableConfiguration)] = None)
   extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new EsdbLogMergeReader(p.asInstanceOf[EsdbLogPartition], required, idBounds, limit)
 
   // disjoint-range concatenation path; [[EsdbLogScan.vectorOrder]]
-  // verifies the preconditions (no claimed id bound, manifest-proven
-  // disjoint file ranges, canonical column types) and fixes the read
-  // order before setting this
-  override def supportColumnarReads(p: InputPartition): Boolean = vectorFiles.isDefined
+  // verifies the preconditions (footer-proven disjoint null-free id
+  // ranges, any claimed bound vacuous, canonical column types) and
+  // fixes the read order before attaching the files + session conf
+  override def supportColumnarReads(p: InputPartition): Boolean = vector.isDefined
 
-  override def createColumnarReader(p: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
-    new EsdbVectorReader(vectorFiles.get.toSeq, required, limit, constSpace = None)
+  override def createColumnarReader(p: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val (files, conf) = vector.get
+    new EsdbVectorReader(files.toSeq, required, limit, constSpace = None, conf = conf.value)
+  }
 }
 
 final class EsdbLogMergeReader(part: EsdbLogPartition, required: StructType,

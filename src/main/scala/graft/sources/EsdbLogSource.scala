@@ -208,7 +208,8 @@ final class EsdbLogScan(path: String, required: StructType, idBounds: TsBounds,
           }
       }
     if (kept.isEmpty) Array.empty
-    else Array(EsdbLogPartition(kept.map(_.getPath.toString).toArray, kept.map(_.getLen).sum))
+    else Array(EsdbLogPartition(kept.map(_.getPath.toString).toArray,
+      kept.map(_.getLen).toArray, kept.map(_.getLen).sum))
   }
 
   private def isDataFile(f: FileStatus): Boolean = {
@@ -232,15 +233,15 @@ final class EsdbLogScan(path: String, required: StructType, idBounds: TsBounds,
     * resumes keep the exact row merge. Interleaved ranges and
     * stat-less files keep the merge heap too.
     */
-  private def vectorOrder: Option[Array[String]] = {
+  private def vectorOrder: Option[Array[(String, Long)]] = {
     if (partitions.isEmpty) return None
-    val files = partitions.head.files
+    val part = partitions.head
     val hconf = SparkSession.active.sparkContext.hadoopConfiguration
-    val ranged = files.map { f =>
+    val ranged = part.files.zip(part.fileLengths).map { case (f, len) =>
       EsdbVectorReader.probe(hconf, f, required, constSpace = false, statCols = Seq("event_id"))
         .flatMap(_.get("event_id"))
         .flatMap(facts => facts.range.filter(_ => facts.nulls.contains(0L)))
-        .map(r => (f, r))
+        .map(r => ((f, len), r))
     }
     if (ranged.exists(_.isEmpty)) return None
     val sorted = ranged.flatten.sortBy(_._2._1)
@@ -255,7 +256,10 @@ final class EsdbLogScan(path: String, required: StructType, idBounds: TsBounds,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new EsdbLogReaderFactory(required, idBounds, limit, vectorOrder)
+    new EsdbLogReaderFactory(required, idBounds, limit,
+      vectorOrder.map(files => (files,
+        new org.apache.spark.util.SerializableConfiguration(
+          EsdbVectorReader.sessionConf()))))
 
   /** Global (single-partition) insertion order — the log's defining
     * property, reported only when event_id survives column pruning.
@@ -274,5 +278,6 @@ final class EsdbLogScan(path: String, required: StructType, idBounds: TsBounds,
 /** The whole log: one merge unit (sequential consumption, as in the
   * reference's flat file).
   */
-final case class EsdbLogPartition(files: Array[String], totalBytes: Long)
+final case class EsdbLogPartition(files: Array[String], fileLengths: Array[Long],
+                                  totalBytes: Long)
   extends InputPartition

@@ -35,7 +35,7 @@ import org.apache.spark.unsafe.types.UTF8String
 final class EsdbReaderFactory(required: StructType, grouping: Option[String],
                               groupingNotNull: Boolean, tsBounds: TsBounds,
                               hints: Seq[(String, Any)], limit: Option[Int],
-                              columnar: Boolean = false)
+                              columnar: Option[org.apache.spark.util.SerializableConfiguration] = None)
   extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
@@ -43,12 +43,15 @@ final class EsdbReaderFactory(required: StructType, grouping: Option[String],
       groupingNotNull, tsBounds, hints, limit)
 
   // single-compacted-file vectorized path; [[EsdbScan.columnarEligible]]
-  // guarantees the preconditions scan-wide before setting the flag
-  override def supportColumnarReads(p: InputPartition): Boolean = columnar
+  // guarantees the preconditions scan-wide before attaching the conf
+  override def supportColumnarReads(p: InputPartition): Boolean = columnar.isDefined
 
   override def createColumnarReader(p: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val part = p.asInstanceOf[EsdbInputPartition]
-    new EsdbVectorReader(part.files.toSeq, required, limit, constSpace = Some(part.space))
+    // single file per space on this path, so the partition's byte total
+    // IS the file length
+    new EsdbVectorReader(Seq((part.files.head, part.totalBytes)), required, limit,
+      constSpace = Some(part.space), conf = columnar.get.value)
   }
 }
 

@@ -1,15 +1,16 @@
 package graft.sources
 
-import scala.jdk.CollectionConverters._
-
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
-import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.hadoop.mapred.FileSplit
+import org.apache.hadoop.mapreduce.TaskAttemptID
+import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetInputFormat}
 import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType}
 import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
 import org.apache.spark.sql.connector.read.PartitionReader
-import org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader
+import org.apache.spark.sql.execution.datasources.parquet.{ParquetReadSupport, VectorizedParquetRecordReader}
 import org.apache.spark.sql.execution.vectorized.ConstantColumnVector
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
@@ -46,16 +47,22 @@ import org.apache.spark.unsafe.types.UTF8String
   * [[ConstantColumnVector]] spliced into the batch at its required
   * position; the driver verifies every other required column exists in
   * every file with the canonical physical type, so no null-padding is
-  * ever needed here.
+  * ever needed here. Files open through the production split
+  * initializer with the session's serialized Hadoop conf — the same
+  * credential/filesystem behavior as Spark's own parquet scans, on any
+  * object store.
   */
-final class EsdbVectorReader(files: Seq[String], required: StructType, limit: Option[Int],
-                             constSpace: Option[String])
+final class EsdbVectorReader(files: Seq[(String, Long)], required: StructType,
+                             limit: Option[Int], constSpace: Option[String],
+                             conf: Configuration)
   extends PartitionReader[ColumnarBatch] {
 
   private val capacity = 4096
-  private val fileCols: Seq[String] =
-    if (constSpace.isDefined) required.fieldNames.toSeq.filterNot(_ == "space")
-    else required.fieldNames.toSeq
+  // the parquet-side requested schema: everything but the constant
+  // partition column, in required order — batch columns come back in
+  // this order
+  private val fileSchema = StructType(
+    required.filterNot(f => constSpace.isDefined && f.name == "space"))
 
   private var fileIdx = -1
   private var reader: VectorizedParquetRecordReader = _
@@ -63,13 +70,22 @@ final class EsdbVectorReader(files: Seq[String], required: StructType, limit: Op
   private var out: ColumnarBatch = _
   private var remaining: Long = limit.map(_.toLong).getOrElse(Long.MaxValue)
 
-  /** Open files(i); file-side batch columns are in fileCols order, with
-    * the constant space vector spliced at its required position.
+  /** Open files(i) through the production split initializer — the
+    * session's (serialized) Hadoop conf rides in, so object-store
+    * credentials and filesystem settings behave exactly as on Spark's
+    * own scans. The constant space vector is spliced at its required
+    * position.
     */
   private def open(i: Int): Unit = {
     fileIdx = i
+    val (file, len) = files(i)
+    val fconf = new Configuration(conf)
+    fconf.set(ParquetInputFormat.READ_SUPPORT_CLASS, classOf[ParquetReadSupport].getName)
+    fconf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, fileSchema.json)
     reader = new VectorizedParquetRecordReader(/* useOffHeap = */ false, capacity)
-    reader.initialize(files(i), fileCols.asJava)
+    reader.initialize(
+      new FileSplit(new Path(file), 0, len, Array.empty[String]),
+      new TaskAttemptContextImpl(fconf, new TaskAttemptID()))
     inner = reader.resultBatch()
     val vecs = new Array[ColumnVector](required.length)
     var src = 0
@@ -119,6 +135,28 @@ object EsdbVectorReader {
     */
   val BatchesRead = new java.util.concurrent.atomic.AtomicLong()
 
+  /** The session Hadoop conf a vector reader ships to executors,
+    * completed with the SQLConf-derived parquet keys Spark's own scans
+    * pin before building a reader — `ParquetToSparkSchemaConverter
+    * (conf)` reads them with a bare `.toBoolean` and fails on an
+    * absent key.
+    */
+  def sessionConf(): Configuration = {
+    import org.apache.spark.sql.internal.SQLConf
+    val ss = org.apache.spark.sql.SparkSession.active
+    val conf = ss.sessionState.newHadoopConf()
+    val sql = ss.sessionState.conf
+    conf.setBoolean(SQLConf.PARQUET_BINARY_AS_STRING.key, sql.getConf(SQLConf.PARQUET_BINARY_AS_STRING))
+    conf.setBoolean(SQLConf.PARQUET_INT96_AS_TIMESTAMP.key, sql.getConf(SQLConf.PARQUET_INT96_AS_TIMESTAMP))
+    conf.setBoolean(SQLConf.PARQUET_INT96_TIMESTAMP_CONVERSION.key, sql.getConf(SQLConf.PARQUET_INT96_TIMESTAMP_CONVERSION))
+    conf.setBoolean(SQLConf.CASE_SENSITIVE.key, sql.getConf(SQLConf.CASE_SENSITIVE))
+    conf.setBoolean(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key, sql.getConf(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED))
+    conf.setBoolean(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key, sql.getConf(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG))
+    conf.setBoolean(SQLConf.PARQUET_FIELD_ID_READ_ENABLED.key, sql.getConf(SQLConf.PARQUET_FIELD_ID_READ_ENABLED))
+    conf.setBoolean(SQLConf.IGNORE_MISSING_PARQUET_FIELD_ID.key, sql.getConf(SQLConf.IGNORE_MISSING_PARQUET_FIELD_ID))
+    conf
+  }
+
   /** Footer-derived facts about one column, used to prove a CLAIMED
     * filter vacuous (satisfied by every row of the file), which is the
     * only way a claimed filter may ride the vectorized path — the
@@ -128,23 +166,17 @@ object EsdbVectorReader {
   final case class ColFacts(range: Option[(Long, Long)], nulls: Option[Long])
 
   /** Can `file` serve `required` on this path, and what do its footer
-    * stats prove? None when the file cannot serve the scan at all:
-    * a required column (minus `space` when it is a partition constant)
-    * is missing or not of the canonical store physical type (the exact
-    * set the row-path `convert` supports — so a fallback to the row
-    * path never widens the type surface), or the file is not reachable
-    * through Hadoop's default filesystem config (the vectorized
-    * reader's single-file initializer builds its own `Configuration`;
-    * stores on credentialed object stores keep the row path until the
-    * session conf is threaded through). Otherwise Some(facts) for each
-    * requested stat column present in the file (ranges only for INT64
-    * columns; null counts for any primitive).
+    * stats prove? None when the file cannot serve the scan at all: a
+    * required column (minus `space` when it is a partition constant)
+    * is missing or not of the canonical store physical type — the
+    * exact set the row-path `convert` supports, so a fallback to the
+    * row path never widens the type surface. Otherwise Some(facts) for
+    * each requested stat column present in the file (ranges only for
+    * INT64 columns; null counts for any primitive).
     */
   def probe(conf: Configuration, file: String, required: StructType,
             constSpace: Boolean, statCols: Seq[String] = Nil): Option[Map[String, ColFacts]] = {
     val p = new Path(file)
-    val scheme = p.toUri.getScheme
-    if (scheme != null && scheme != "file") return None
     val footer = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
     val (schema, blocks) =
       try (footer.getFileMetaData.getSchema, footer.getFooter.getBlocks)
