@@ -250,6 +250,17 @@ object Queries {
               |       CAST(user_id AS VARCHAR) AS grouping, value, props AS payload
               |FROM events WHERE event_id >= $ResumeOffset ORDER BY event_id""".stripMargin)),
 
+    // the log's STREAMING surface: drain the written log through the
+    // micro-batch source (resumable event_id offsets — the reference's
+    // open-stream read loop, stream/stream.go:92-124) with AvailableNow;
+    // the drain must equal the batch iterate, which the oracle pins
+    QuerySpec("stream_log_replay",
+      (s, d) => graft.streaming.StreamIngest.drainLog(s, ensureLogStore(s, d))
+        .select("event_id", "ts_us", "space", "grouping", "value", "payload"),
+      Some("""SELECT event_id, epoch_us(ts) AS ts_us, event_type AS space,
+             |       CAST(user_id AS VARCHAR) AS grouping, value, props AS payload
+             |FROM events ORDER BY event_id""".stripMargin)),
+
     QuerySpec("stream_scan_index",
       (s, d) => EventLog.scanIndex(ev(s, d), IdxName, IdxValue)
         .select("event_id", "ts_us", "space", "grouping", "value", "payload"),

@@ -288,6 +288,18 @@ object EsdbWriter {
     spark.read.format("esdblog").load(path)
   }
 
+  /** Open a log store as a STREAM: micro-batches of exactly the events
+    * appended since the checkpointed event_id offset — the reference's
+    * open-stream consumption loop (`Iterate(offset, fn)` re-called as
+    * the log grows, stream/stream.go:92-124), with the offset persisted
+    * by Structured Streaming's checkpoint instead of the caller.
+    * `Trigger.AvailableNow` drains to the current head and stops.
+    */
+  def readLogStream(spark: SparkSession, path: String): DataFrame = {
+    GraftSession.tune(spark)
+    spark.readStream.format("esdblog").load(path)
+  }
+
   /** Per-file (min, max) event_id from the write-time manifest — the
     * analog of the reference log's offset arithmetic: a resume offset
     * prunes whole files without opening them. None for stores written

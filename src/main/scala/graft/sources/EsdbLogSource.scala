@@ -74,7 +74,7 @@ final class EsdbLogTable(path: String, tableSchema: StructType) extends Table wi
   override def name(): String = s"esdblog:$path"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new EsdbLogScanBuilder(path, tableSchema)
 }
@@ -163,6 +163,12 @@ final class EsdbLogScan(path: String, required: StructType, idBounds: TsBounds,
     s"EsdbLog $path ids=$idBounds limit=${limit.getOrElse(-1)}"
 
   override def toBatch: Batch = this
+
+  /** Streaming consumption from a resumable event_id offset — the
+    * reference's open-stream read loop (see [[EsdbLogMicroBatch]]).
+    */
+  override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new EsdbLogMicroBatch(path, required)
 
   // driver-side listing, memoized: planning + statistics + execution
   // share one filesystem listing (and one manifest read when bounded)

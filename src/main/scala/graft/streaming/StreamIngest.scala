@@ -66,6 +66,30 @@ object StreamIngest {
 
   private val lastMemorySink = new java.util.concurrent.atomic.AtomicReference[String]()
 
+  /** Drain a WRITTEN log store through the micro-batch streaming source
+    * ([[graft.sources.EsdbLogMicroBatch]]) with `Trigger.AvailableNow`
+    * and return everything consumed — the reference's `populate` replay
+    * run against the engine's own log layout, with the offset tracked
+    * by the source instead of the file-stream's file list. Because the
+    * drain reads `(−∞, head]` exactly once, the result must equal the
+    * batch `EventLog.iterate` — which is how the correctness gate
+    * oracles the streaming source.
+    */
+  def drainLog(spark: SparkSession, path: String): DataFrame = {
+    val qname = "graft_log_drain_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    graft.engine.EsdbWriter.readLogStream(spark, path)
+      .writeStream.format("memory").queryName(qname)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+    val prev = lastLogDrainSink.getAndSet(qname)
+    if (prev != null) spark.catalog.dropTempView(prev)
+    spark.table(qname).orderBy("event_id")
+  }
+
+  private val lastLogDrainSink = new java.util.concurrent.atomic.AtomicReference[String]()
+
   /** Directory containing (a link to) the single-file table, so the
     * file stream source can list it. Idempotent per source file.
     */
