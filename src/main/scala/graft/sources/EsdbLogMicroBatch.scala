@@ -1,0 +1,116 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types.StructType
+
+/** Micro-batch streaming consumption of a LOG store — the reference's
+  * open-stream read loop made a Structured Streaming source: a consumer
+  * holds a resumable offset into the append log and each wakeup reads
+  * exactly the events appended since (stream/stream.go:92-124's
+  * `Iterate(offset, fn)` called repeatedly; `populate`'s recovery
+  * replay is the same loop from zero, open_stream.go:219-241).
+  *
+  * Offsets are the log's own `event_id`s (monotone by the append
+  * contract), so the checkpoint IS the reference's persisted offset:
+  * batch N covers `(lastSeen, latest]`, enforced exactly by the same
+  * bounded merge reader the batch path uses — id range claimed,
+  * re-checked row-wise, ascending early exit. The write-time id-range
+  * manifest prunes files wholly at-or-below the consumed offset, so a
+  * tail read costs the appended suffix, not the log's history.
+  *
+  * Appends land as new files and are picked up at the next trigger
+  * (`latestOffset` re-reads the manifest); `Trigger.AvailableNow`
+  * drains to the current head and terminates — the batch-equivalent
+  * form the correctness gate oracles.
+  */
+final class EsdbLogMicroBatch(path: String, required: StructType)
+  extends MicroBatchStream {
+
+  import EsdbLogMicroBatch._
+
+  private def spark = SparkSession.active
+
+  /** Newest event_id currently in the log: manifest max when present
+    * (one sidecar read), else footer stats of unlisted files. -1 on an
+    * empty log (nothing to consume).
+    */
+  private def headId(): Long =
+    graft.engine.EsdbWriter.logManifest(spark, path) match {
+      case Some(m) if !m.isEmpty =>
+        m.agg(org.apache.spark.sql.functions.max("max_id")).head().getLong(0)
+      case _ => -1L
+    }
+
+  override def initialOffset(): Offset = LogOffset(-1L)
+
+  override def latestOffset(): Offset = LogOffset(math.max(headId(), -1L))
+
+  override def deserializeOffset(json: String): Offset = LogOffset(json.trim.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[LogOffset].lastSeen
+    val to = end.asInstanceOf[LogOffset].lastSeen
+    rememberBounds(from, to)
+    if (to <= from) return Array.empty
+    // manifest file pruning, as in the batch scan: files wholly at or
+    // below the consumed offset never open
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = new Path(path)
+    if (!fs.exists(root)) return Array.empty
+    val ranges: Map[String, (Long, Long)] =
+      graft.engine.EsdbWriter.logManifest(spark, path)
+        .map(_.collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap)
+        .getOrElse(Map.empty)
+    val kept = fs.listStatus(root).toSeq
+      .filter(f => f.isFile && isDataFile(f) && f.getLen > 0)
+      .filter { f =>
+        ranges.get(f.getPath.getName) match {
+          case Some((_, mx)) => mx > from
+          case None => true // unmanifested files are conservatively read
+        }
+      }
+      .sortBy(_.getPath.getName)
+    if (kept.isEmpty) Array.empty
+    else Array(EsdbLogPartition(kept.map(_.getPath.toString).toArray,
+      kept.map(_.getLen).toArray, kept.map(_.getLen).sum))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // the batch bounds (from, to] ride the exact bounded merge reader
+    new EsdbLogReaderFactory(required, batchBounds, limit = None)
+  }
+
+  // planInputPartitions and createReaderFactory are called once per
+  // batch, in that order, with the same offsets — capture the bounds
+  @volatile private var batchBounds: TsBounds = TsBounds.unbounded
+
+  override def commit(end: Offset): Unit = () // checkpoint-managed
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"EsdbLogMicroBatch($path)"
+
+  /** Spark calls planInputPartitions(start, end) then
+    * createReaderFactory(); remember the range for the factory.
+    */
+  private[sources] def rememberBounds(from: Long, to: Long): Unit =
+    batchBounds = TsBounds.unbounded.withLower(from, inclusive = false)
+      .withUpper(to, inclusive = true)
+
+  private def isDataFile(f: FileStatus): Boolean = {
+    val n = f.getPath.getName
+    !n.startsWith("_") && !n.startsWith(".")
+  }
+}
+
+object EsdbLogMicroBatch {
+  /** The consumer's resumable position: the newest event_id it has
+    * fully processed (the reference's persisted stream offset).
+    */
+  final case class LogOffset(lastSeen: Long) extends Offset {
+    override def json(): String = lastSeen.toString
+  }
+}
