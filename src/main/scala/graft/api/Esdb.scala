@@ -140,12 +140,23 @@ object Esdb {
   */
 class EventStream private[api] (val spark: SparkSession, val path: String) {
 
+  /** Bulk-analytics view: the vanilla multi-split parquet read. */
   def frame: DataFrame = EsdbWriter.read(spark, path)
+
+  /** Ordered-consumption view: the log source, whose layout order is
+    * insertion order (no Sort planned; resume offsets push down).
+    */
+  def logFrame: DataFrame = EsdbWriter.readLog(spark, path)
+
+  /** Live view: micro-batches of exactly the events appended since the
+    * checkpointed offset ([[graft.sources.EsdbLogMicroBatch]]).
+    */
+  def streamFrame: DataFrame = EsdbWriter.readLogStream(spark, path)
 
   def isClosed: Boolean = EsdbWriter.isSealed(path)
 
   /** Reference `Stream.Write` (open_stream.go:77-105): append a batch. */
-  def write(events: DataFrame): Unit = EsdbWriter.append(events, path)
+  def write(events: DataFrame): Unit = EsdbWriter.appendLog(events, path)
 
   /** Reference `Stream.Iterate(offset, fn)` (stream.go:92-124): returns
     * the next offset for resumption.
@@ -153,7 +164,7 @@ class EventStream private[api] (val spark: SparkSession, val path: String) {
   def iterate(offset: Long = 0L)(fn: Event => Boolean): Long = {
     val sp = spark
     import sp.implicits._
-    val it = EventLog.iterate(frame, offset)
+    val it = EventLog.iterate(logFrame, offset)
       .select("space", "grouping", "ts_us", "event_id", "value", "payload")
       .as[Event].toLocalIterator()
     var last = offset
@@ -199,9 +210,12 @@ class EventStream private[api] (val spark: SparkSession, val path: String) {
 
 object EventStream {
 
-  /** Reference `stream.New` / `stream.Open` (stream.go:45-72). */
+  /** Reference `stream.New` / `stream.Open` (stream.go:45-72). The
+    * stream is a LOG-layout store — a flat append log exactly like the
+    * reference's stream file, so iterate order is the layout order.
+    */
   def create(spark: SparkSession, path: String, first: DataFrame): EventStream = {
-    EsdbWriter.write(first, path)
+    EsdbWriter.writeLog(first, path)
     new EventStream(spark, path)
   }
 
@@ -212,10 +226,10 @@ object EventStream {
     */
   def merge(spark: SparkSession, dst: String, srcs: Seq[EventStream]): EventStream = {
     val merged = EventLog.merge(spark, srcs.map(s =>
-        EventLog.iterate(s.frame).select("space", "grouping", "ts_us", "event_id", "value", "payload")))
+        EventLog.iterate(s.logFrame).select("space", "grouping", "ts_us", "event_id", "value", "payload")))
       .withColumnRenamed("new_event_id", "event_id")
       .select("space", "grouping", "ts_us", "event_id", "value", "payload")
-    EsdbWriter.write(merged, dst)
+    EsdbWriter.writeLog(merged, dst)
     new EventStream(spark, dst)
   }
 }
