@@ -77,6 +77,27 @@ class EsdbApiSpec extends SparkSpec {
     assert(s.tails("i") == Map("i1" -> 5L, "i2" -> 4L))
   }
 
+  test("stream views: ordered iterate plans no Sort; the live view drains appends") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val dir = freshDir()
+    val s = EventStream.create(spark, dir, ev)
+    // the log layout's order is the iterate order — no Sort in the plan
+    val plan = graft.engine.EventLog.iterate(s.logFrame)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("+- Sort [") && !plan.contains(") Sort ["),
+      "facade iterate must ride the log layout's free order:\n" + plan)
+    // the live view picks up an append made after the stream started life
+    s.write(Seq(("c", "j", 9L, 5L, 5.0, """{"i": "i1"}"""))
+      .toDF("space", "grouping", "ts_us", "event_id", "value", "payload"))
+    val qname = "api_live_view"
+    s.streamFrame.writeStream.format("memory").queryName(qname)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start().awaitTermination()
+    assert(spark.table(qname).select("event_id").as[Long].collect().sorted.toSeq == (1L to 5L))
+    spark.catalog.dropTempView(qname)
+  }
+
   test("merge matches the reference ordering contract (merge_stream_test.go:59)") {
     val d1 = freshDir(); val d2 = freshDir(); val dm = freshDir()
     val s1 = EventStream.create(spark, d1, ev.where($"space" === "a"))
