@@ -118,10 +118,13 @@ object Bench {
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       var times = (1 to 2).flatMap(_ => timedRun(fn))
+      var attempts = 2 // the base runs; bound on ATTEMPTS, not successes:
+      // a query that starts failing mid-loop must not re-run forever
       def spreadBad = times.max / times.min > OutlierSpread
       def floorBad = priorMinima.get(name).exists(p => times.min > SanityFactor * p)
-      while (times.nonEmpty && times.size < MaxRuns && (spreadBad || floorBad)) {
+      while (times.nonEmpty && attempts < MaxRuns && (spreadBad || floorBad)) {
         times = times ++ timedRun(fn)
+        attempts += 1
       }
       name -> times
     }

@@ -140,23 +140,50 @@ object Esdb {
   */
 class EventStream private[api] (val spark: SparkSession, val path: String) {
 
+  /** New streams are created in the LOG layout (a flat append log,
+    * like the reference's stream file); streams written by earlier
+    * engine versions are space-partitioned stores. Detect from the
+    * layout itself so a pre-existing store keeps working: `space=`
+    * partition directories mean the store layout.
+    */
+  private lazy val logLayout: Boolean = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(graft.engine.Publish.resolve(hconf, path))
+    val fs = root.getFileSystem(hconf)
+    !fs.exists(root) || !fs.listStatus(root).exists(s =>
+      s.isDirectory && s.getPath.getName.startsWith("space="))
+  }
+
   /** Bulk-analytics view: the vanilla multi-split parquet read. */
   def frame: DataFrame = EsdbWriter.read(spark, path)
 
-  /** Ordered-consumption view: the log source, whose layout order is
-    * insertion order (no Sort planned; resume offsets push down).
+  /** Ordered-consumption view: for a log-layout stream, the log source
+    * (layout order IS insertion order — no Sort planned, resume
+    * offsets push down); for a legacy space-partitioned stream, the
+    * plain frame (iterate then sorts, as it always did).
     */
-  def logFrame: DataFrame = EsdbWriter.readLog(spark, path)
+  def logFrame: DataFrame =
+    if (logLayout) EsdbWriter.readLog(spark, path) else frame
 
   /** Live view: micro-batches of exactly the events appended since the
     * checkpointed offset ([[graft.sources.EsdbLogMicroBatch]]).
+    * Log-layout streams only.
     */
-  def streamFrame: DataFrame = EsdbWriter.readLogStream(spark, path)
+  def streamFrame: DataFrame = {
+    require(logLayout, s"stream at $path is a legacy space-partitioned store; " +
+      "rewrite it as a log (EsdbWriter.writeLog) to consume it live")
+    EsdbWriter.readLogStream(spark, path)
+  }
 
   def isClosed: Boolean = EsdbWriter.isSealed(path)
 
-  /** Reference `Stream.Write` (open_stream.go:77-105): append a batch. */
-  def write(events: DataFrame): Unit = EsdbWriter.appendLog(events, path)
+  /** Reference `Stream.Write` (open_stream.go:77-105): append a batch —
+    * in the store's own layout, so a legacy stream never becomes a
+    * mixed-layout directory.
+    */
+  def write(events: DataFrame): Unit =
+    if (logLayout) EsdbWriter.appendLog(events, path)
+    else EsdbWriter.append(events, path)
 
   /** Reference `Stream.Iterate(offset, fn)` (stream.go:92-124): returns
     * the next offset for resumption.

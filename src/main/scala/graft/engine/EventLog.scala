@@ -12,16 +12,26 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   */
 object EventLog {
 
-  /** True when the frame reads through the order-reporting DSv2 log
-    * source ([[graft.sources.EsdbLogSource]], opened by
-    * `EsdbWriter.readLog`): one input partition, already merged in
-    * event_id order.
+  /** True when the frame IS the order-reporting DSv2 log source
+    * ([[graft.sources.EsdbLogSource]], opened by `EsdbWriter.readLog`),
+    * under row-preserving nodes only (project/filter/alias): one input
+    * partition, already merged in event_id order. A derived frame —
+    * union, repartition, join — loses the single-partition premise, so
+    * it must take the global sort path even though a log relation
+    * appears somewhere inside it.
     */
-  private def isLogStore(ev: DataFrame): Boolean =
-    ev.queryExecution.analyzed.collectFirst {
-      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
-        if r.table.isInstanceOf[graft.sources.EsdbLogTable] => true
-    }.isDefined
+  private def isLogStore(ev: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical
+    def ok(p: logical.LogicalPlan): Boolean = p match {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+        r.table.isInstanceOf[graft.sources.EsdbLogTable]
+      case n: logical.Project => ok(n.child)
+      case n: logical.Filter => ok(n.child)
+      case n: logical.SubqueryAlias => ok(n.child)
+      case _ => false
+    }
+    ok(ev.queryExecution.analyzed)
+  }
 
   /** Reference `Stream.Iterate(offset, fn)` (stream/stream.go:92-124):
     * insertion-order scan from a resumption offset. Over a stored log

@@ -57,11 +57,18 @@ object EventStore {
     * is one driver-side listing with no Spark job over data files.
     */
   def iterateSpacesStored(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
-    val root = new java.io.File(path)
-    val spaces = Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("space="))
-      .map(f => graft.sources.EsdbStoreSource.unescapePathName(f.getName.drop("space=".length)))
-      .sorted.toSeq
+    // resolve the version pointer first: after compact() the data lives
+    // under _versions/<N>-<uuid>/, not at the logical root
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(Publish.resolve(hconf, path))
+    val fs = root.getFileSystem(hconf)
+    val spaces =
+      if (!fs.exists(root)) Seq.empty
+      else fs.listStatus(root).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("space="))
+        .map(s => graft.sources.EsdbStoreSource.unescapePathName(
+          s.getPath.getName.drop("space=".length)))
+        .sorted
     import spark.implicits._
     spaces.toDF("space")
   }

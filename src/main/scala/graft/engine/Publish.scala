@@ -106,12 +106,23 @@ object Publish {
     val out = fs.create(tmp, true)
     try out.write(dirName.getBytes("UTF-8")) finally out.close()
     val ptrPath = new Path(ptrDir, s"$next.ptr")
-    if (!fs.rename(tmp, ptrPath)) {
-      fs.delete(tmp, false)
-      // a concurrent publisher committed this version first; our staged
-      // data is garbage — remove it and surface the conflict
-      fs.delete(new Path(dataDir), true)
-      throw new java.io.IOException(s"publish conflict: version $next already committed at $root")
+    // FileSystem.rename on the local FS delegates to File.renameTo,
+    // which OVERWRITES an existing destination on POSIX — two racing
+    // publishers would both "commit" and then sweep each other's data.
+    // FileContext.rename without Options.Rename.OVERWRITE refuses an
+    // existing destination (atomically on HDFS; checked on the local
+    // FS), so the loser surfaces the conflict instead of corrupting.
+    try {
+      org.apache.hadoop.fs.FileContext.getFileContext(ptrPath.toUri, conf)
+        .rename(tmp, ptrPath)
+    } catch {
+      case e: Exception =>
+        fs.delete(tmp, false)
+        // a concurrent publisher committed this version first; our
+        // staged data is garbage — remove it and surface the conflict
+        fs.delete(new Path(dataDir), true)
+        throw new java.io.IOException(
+          s"publish conflict: version $next already committed at $root", e)
     }
 
     // post-commit retirement (failure here is harmless: readers follow

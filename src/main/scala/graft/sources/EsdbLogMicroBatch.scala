@@ -33,16 +33,56 @@ final class EsdbLogMicroBatch(path: String, required: StructType)
 
   private def spark = SparkSession.active
 
-  /** Newest event_id currently in the log: manifest max when present
-    * (one sidecar read), else footer stats of unlisted files. -1 on an
-    * empty log (nothing to consume).
+  private def manifestRanges(): Map[String, (Long, Long)] =
+    graft.engine.EsdbWriter.logManifest(spark, path)
+      .map(_.collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap)
+      .getOrElse(Map.empty)
+
+  /** Newest event_id currently in the log: manifest max for covered
+    * files, footer stats for any the manifest misses (a store written
+    * before manifests existed, or a crash between append and manifest
+    * refresh), so appends are never silently invisible to the stream.
+    * -1 on an empty log; rows with NULL event_id have no offset and
+    * are invisible to the streaming surface by construction (bounds
+    * exclude nulls).
     */
-  private def headId(): Long =
-    graft.engine.EsdbWriter.logManifest(spark, path) match {
-      case Some(m) if !m.isEmpty =>
-        m.agg(org.apache.spark.sql.functions.max("max_id")).head().getLong(0)
-      case _ => -1L
-    }
+  private def headId(): Long = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(path)
+    val fs = root.getFileSystem(hconf)
+    if (!fs.exists(root)) return -1L
+    val ranges = manifestRanges()
+    val files = fs.listStatus(root).toSeq
+      .filter(f => f.isFile && isDataFile(f) && f.getLen > 0)
+    if (files.isEmpty) return -1L
+    files.map { f =>
+      ranges.get(f.getPath.getName) match {
+        case Some((_, mx)) => mx
+        case None => footerMaxId(hconf, f.getPath)
+      }
+    }.max
+  }
+
+  /** Max event_id from one file's column-chunk statistics; -1 when the
+    * column or its stats are absent (all-null ids contribute nothing).
+    */
+  private def footerMaxId(hconf: org.apache.hadoop.conf.Configuration, p: Path): Long = {
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, hconf))
+    try {
+      var mx = -1L
+      r.getFooter.getBlocks.forEach { b =>
+        b.getColumns.forEach { c =>
+          if (c.getPath.toDotString == "event_id") {
+            val st = c.getStatistics
+            if (st != null && st.hasNonNullValue)
+              mx = math.max(mx, st.genericGetMax.asInstanceOf[java.lang.Long].longValue())
+          }
+        }
+      }
+      mx
+    } finally r.close()
+  }
 
   override def initialOffset(): Offset = LogOffset(-1L)
 
@@ -56,20 +96,18 @@ final class EsdbLogMicroBatch(path: String, required: StructType)
     rememberBounds(from, to)
     if (to <= from) return Array.empty
     // manifest file pruning, as in the batch scan: files wholly at or
-    // below the consumed offset never open
+    // below the consumed offset never open; unmanifested files are
+    // conservatively read (the bounded reader re-checks row-wise)
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val root = new Path(path)
     if (!fs.exists(root)) return Array.empty
-    val ranges: Map[String, (Long, Long)] =
-      graft.engine.EsdbWriter.logManifest(spark, path)
-        .map(_.collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap)
-        .getOrElse(Map.empty)
+    val ranges = manifestRanges()
     val kept = fs.listStatus(root).toSeq
       .filter(f => f.isFile && isDataFile(f) && f.getLen > 0)
       .filter { f =>
         ranges.get(f.getPath.getName) match {
           case Some((_, mx)) => mx > from
-          case None => true // unmanifested files are conservatively read
+          case None => true
         }
       }
       .sortBy(_.getPath.getName)
@@ -80,7 +118,9 @@ final class EsdbLogMicroBatch(path: String, required: StructType)
 
   override def createReaderFactory(): PartitionReaderFactory = {
     // the batch bounds (from, to] ride the exact bounded merge reader
-    new EsdbLogReaderFactory(required, batchBounds, limit = None)
+    new EsdbLogReaderFactory(required, batchBounds, limit = None,
+      conf = new org.apache.spark.util.SerializableConfiguration(
+        EsdbVectorReader.sessionConf()))
   }
 
   // planInputPartitions and createReaderFactory are called once per

@@ -29,27 +29,28 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 final class EsdbLogReaderFactory(required: StructType, idBounds: TsBounds,
                                  limit: Option[Int],
-                                 vector: Option[(Array[(String, Long)],
-                                   org.apache.spark.util.SerializableConfiguration)] = None)
+                                 conf: org.apache.spark.util.SerializableConfiguration,
+                                 vectorFiles: Option[Array[(String, Long)]] = None)
   extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new EsdbLogMergeReader(p.asInstanceOf[EsdbLogPartition], required, idBounds, limit)
+    new EsdbLogMergeReader(p.asInstanceOf[EsdbLogPartition], required, idBounds, limit,
+      conf.value)
 
   // disjoint-range concatenation path; [[EsdbLogScan.vectorOrder]]
   // verifies the preconditions (footer-proven disjoint null-free id
   // ranges, any claimed bound vacuous, canonical column types) and
-  // fixes the read order before attaching the files + session conf
-  override def supportColumnarReads(p: InputPartition): Boolean = vector.isDefined
+  // fixes the read order before attaching the file list
+  override def supportColumnarReads(p: InputPartition): Boolean = vectorFiles.isDefined
 
-  override def createColumnarReader(p: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
-    val (files, conf) = vector.get
-    new EsdbVectorReader(files.toSeq, required, limit, constSpace = None, conf = conf.value)
-  }
+  override def createColumnarReader(p: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new EsdbVectorReader(vectorFiles.get.toSeq, required, limit, constSpace = None,
+      conf = conf.value)
 }
 
 final class EsdbLogMergeReader(part: EsdbLogPartition, required: StructType,
-                               idBounds: TsBounds, limit: Option[Int])
+                               idBounds: TsBounds, limit: Option[Int],
+                               hadoopConf: Configuration = new Configuration())
   extends PartitionReader[InternalRow] {
 
   private final class Cursor(val reader: ParquetReader[Group],
@@ -66,7 +67,10 @@ final class EsdbLogMergeReader(part: EsdbLogPartition, required: StructType,
       if (current == null) return false
       EsdbMergeReader.RowsRead.incrementAndGet()
       keyIdNull = !(idIdx >= 0 && current.getFieldRepetitionCount(idIdx) > 0)
-      keyId = if (keyIdNull) Long.MaxValue else current.getLong(idIdx, 0) // ASC + NULLS LAST
+      // ASC + NULLS FIRST: Spark's default null ordering for the ASC
+      // ordering this scan reports — the sentinel must agree or the
+      // elided sort returns rows out of the claimed order
+      keyId = if (keyIdNull) Long.MinValue else current.getLong(idIdx, 0)
       true
     }
   }
@@ -93,7 +97,7 @@ final class EsdbLogMergeReader(part: EsdbLogPartition, required: StructType,
   }
 
   private def open(): Unit = {
-    val conf = new Configuration()
+    val conf = hadoopConf // session conf: object-store creds ride along
     part.files.foreach { file =>
       val p = new Path(file)
       val footer = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
@@ -131,15 +135,15 @@ final class EsdbLogMergeReader(part: EsdbLogPartition, required: StructType,
         remaining -= 1
         return true
       }
-      // heap min past the upper bound (or at the nulls, which sort
-      // after every id): every remaining row in every cursor is larger
-      // — stop the whole merge
-      if (c.keyIdNull || idBounds.aboveUpper(c.keyId)) {
+      // heap min past the upper bound: ids only grow from here — stop
+      // the whole merge. Null ids sort FIRST (they are the heap's
+      // early arrivals), so they are skipped, never latched as done.
+      if (!c.keyIdNull && idBounds.aboveUpper(c.keyId)) {
         done = true
         c.reader.close()
       } else {
-        // below the lower bound: skip and keep merging (the record
-        // filter already drops most of these; this is the exact check)
+        // null id or below the lower bound: skip and keep merging (the
+        // record filter already drops most; this is the exact check)
         if (c.advance()) heap.add(c) else c.reader.close()
       }
     }

@@ -263,9 +263,9 @@ final class EsdbLogScan(path: String, required: StructType, idBounds: TsBounds,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new EsdbLogReaderFactory(required, idBounds, limit,
-      vectorOrder.map(files => (files,
-        new org.apache.spark.util.SerializableConfiguration(
-          EsdbVectorReader.sessionConf()))))
+      conf = new org.apache.spark.util.SerializableConfiguration(
+        EsdbVectorReader.sessionConf()),
+      vectorFiles = vectorOrder)
 
   /** Global (single-partition) insertion order — the log's defining
     * property, reported only when event_id survives column pruning.

@@ -35,23 +35,24 @@ import org.apache.spark.unsafe.types.UTF8String
 final class EsdbReaderFactory(required: StructType, grouping: Option[String],
                               groupingNotNull: Boolean, tsBounds: TsBounds,
                               hints: Seq[(String, Any)], limit: Option[Int],
-                              columnar: Option[org.apache.spark.util.SerializableConfiguration] = None)
+                              conf: org.apache.spark.util.SerializableConfiguration,
+                              columnar: Boolean = false)
   extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new EsdbMergeReader(p.asInstanceOf[EsdbInputPartition], required, grouping,
-      groupingNotNull, tsBounds, hints, limit)
+      groupingNotNull, tsBounds, hints, limit, conf.value)
 
   // single-compacted-file vectorized path; [[EsdbScan.columnarEligible]]
-  // guarantees the preconditions scan-wide before attaching the conf
-  override def supportColumnarReads(p: InputPartition): Boolean = columnar.isDefined
+  // guarantees the preconditions scan-wide before setting the flag
+  override def supportColumnarReads(p: InputPartition): Boolean = columnar
 
   override def createColumnarReader(p: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val part = p.asInstanceOf[EsdbInputPartition]
     // single file per space on this path, so the partition's byte total
     // IS the file length
     new EsdbVectorReader(Seq((part.files.head, part.totalBytes)), required, limit,
-      constSpace = Some(part.space), conf = columnar.get.value)
+      constSpace = Some(part.space), conf = conf.value)
   }
 }
 
@@ -70,7 +71,8 @@ object EsdbMergeReader {
 
 final class EsdbMergeReader(part: EsdbInputPartition, required: StructType,
                             grouping: Option[String], groupingNotNull: Boolean,
-                            tsBounds: TsBounds, hints: Seq[(String, Any)], limit: Option[Int])
+                            tsBounds: TsBounds, hints: Seq[(String, Any)], limit: Option[Int],
+                            hadoopConf: Configuration = new Configuration())
   extends PartitionReader[InternalRow] {
 
   import EsdbMergeReader._
@@ -178,7 +180,7 @@ final class EsdbMergeReader(part: EsdbInputPartition, required: StructType,
   }
 
   private def open(): Unit = {
-    val conf = new Configuration()
+    val conf = hadoopConf // session conf: object-store creds ride along
     val groupingPred: Option[FilterPredicate] = grouping match {
       case Some(v) => Some(FilterApi.eq(FilterApi.binaryColumn("grouping"), Binary.fromString(v)))
       case None if groupingNotNull =>

@@ -411,11 +411,9 @@ final class EsdbScan(path: String, required: StructType, spaces: Option[Seq[Stri
 
   override def createReaderFactory(): PartitionReaderFactory =
     new EsdbReaderFactory(required, grouping, groupingNotNull, tsBounds, hints, limit,
-      columnar =
-        if (columnarEligible)
-          Some(new org.apache.spark.util.SerializableConfiguration(
-            EsdbVectorReader.sessionConf()))
-        else None)
+      conf = new org.apache.spark.util.SerializableConfiguration(
+        EsdbVectorReader.sessionConf()),
+      columnar = columnarEligible)
 
   /** Per-partition ordering of the merged stream, truncated to columns
     * that survive pruning (an ordering may only reference output

@@ -98,6 +98,23 @@ class EsdbApiSpec extends SparkSpec {
     spark.catalog.dropTempView(qname)
   }
 
+  test("legacy space-partitioned stream stores keep iterating through the facade") {
+    val dir = freshDir()
+    graft.engine.EsdbWriter.write(ev, dir) // the pre-log-layout stream format
+    val s = EventStream.open(spark, dir)
+    var ids = List.empty[Long]
+    val next = s.iterate() { e => ids ::= e.event_id; true }
+    assert(ids.reverse == List(1L, 2L, 3L, 4L) && next == 5L)
+    // appends stay in the store layout — never a mixed directory
+    s.write(Seq(("b", "i", 9L, 5L, 5.0, """{"i": "i1"}"""))
+      .toDF("space", "grouping", "ts_us", "event_id", "value", "payload"))
+    var all = List.empty[Long]
+    s.iterate() { e => all ::= e.event_id; true }
+    assert(all.reverse == List(1L, 2L, 3L, 4L, 5L))
+    // the live view is a log-layout feature and says so
+    intercept[IllegalArgumentException] { s.streamFrame }
+  }
+
   test("merge matches the reference ordering contract (merge_stream_test.go:59)") {
     val d1 = freshDir(); val d2 = freshDir(); val dm = freshDir()
     val s1 = EventStream.create(spark, d1, ev.where($"space" === "a"))

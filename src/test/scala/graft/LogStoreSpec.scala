@@ -164,6 +164,33 @@ class LogStoreSpec extends SparkSpec {
     assert(drain().isEmpty)
   }
 
+  test("null event_ids: the log's reported ASC order is NULLS FIRST; bounds exclude nulls") {
+    val dir = java.nio.file.Files.createTempDirectory("lognullid").toFile
+    dir.delete()
+    val rows: Seq[(String, String, Long, Option[Long], Double, String)] =
+      (1 to 60).map { i =>
+        val id = if (i % 7 == 0) None else Some(i.toLong)
+        ("s", s"g${i % 2}", i.toLong * 10, id, i / 10.0, s"""{"k": ${i % 3}}""")
+      }
+    rows.toDF("space", "grouping", "ts_us", "event_id", "value", "payload")
+      .createOrReplaceTempView("null_id_src")
+    EsdbWriter.writeLog(spark.table("null_id_src"), dir.getAbsolutePath)
+    val o = EsdbWriter.readLog(spark, dir.getAbsolutePath)
+    val v = spark.read.parquet(graft.engine.Publish.resolve(
+      spark.sparkContext.hadoopConfiguration, dir.getAbsolutePath))
+    // unsorted consumption of the log == Spark's asc (nulls-first) sort
+    val got = o.select("event_id", "value")
+      .as[(Option[Long], Double)].collect().toSeq
+    val expect = v.orderBy(col("event_id").asc).select("event_id", "value")
+      .as[(Option[Long], Double)].collect().toSeq
+    assert(got.map(_._1) == expect.map(_._1))
+    assert(got.filter(_._1.isEmpty).map(_._2).sorted == expect.filter(_._1.isEmpty).map(_._2).sorted)
+    assert(got.exists(_._1.isEmpty), "fixture must include null ids")
+    // a claimed bound excludes null ids exactly, per SQL semantics
+    val bounded = o.where(col("event_id") >= 30L).select("event_id").as[Long].collect().toSeq
+    assert(bounded == (30L to 60L).filter(_ % 7 != 0))
+  }
+
   test("scan index and first over the stored log match the in-memory stream surface") {
     val fromStore = EventLog.scanIndex(log, "k", "3").select("event_id").as[Long].collect().toSeq
     val inMem = (1 to 500).filter(_ % 9 == 3).map(_.toLong).sorted.reverse

@@ -221,6 +221,9 @@ class OrderedStoreSpec extends SparkSpec {
     // manifest rebuilt and index scans still pushed through idx_k
     assert(graft.engine.EventStore.iterateGroupingsStored(spark, dir.getAbsolutePath, "s0")
       .as[String].collect().toSeq == Seq("g0", "g1", "g2"))
+    // the space enumeration follows the version pointer too
+    assert(graft.engine.EventStore.iterateSpacesStored(spark, dir.getAbsolutePath)
+      .as[String].collect().toSeq == Seq("s0", "s1"))
     val ix = EventStore.scanIndex(EsdbWriter.read(spark, dir.getAbsolutePath), "s0", "k", "2")
     assert(ix.count() > 0)
     // non-canonical columns survive compaction byte-for-byte

@@ -53,6 +53,34 @@ class PublishSpec extends SparkSpec {
       .select("event_id").as[Long].collect().toSeq == (19L to 1L by -2L))
   }
 
+  test("pointer commit refuses to overwrite a committed pointer (conflict primitive)") {
+    // The conflict window lives INSIDE publish (between its
+    // currentVersion read and its pointer rename), so it cannot be
+    // triggered from outside without a hook; what the detection relies
+    // on is the commit primitive itself: FileContext.rename without
+    // Options.Rename.OVERWRITE must refuse an existing destination.
+    // (FileSystem.rename on the local FS delegates to File.renameTo,
+    // which silently OVERWRITES on POSIX — with it, two racing
+    // publishers would both "commit" and then sweep each other's data.)
+    val dir = freshDir()
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(hconf)
+    val ptrDir = new org.apache.hadoop.fs.Path(dir, Publish.PtrDir)
+    fs.mkdirs(ptrDir)
+    val committed = new org.apache.hadoop.fs.Path(ptrDir, "1.ptr")
+    val o1 = fs.create(committed, false)
+    try o1.write("winner".getBytes("UTF-8")) finally o1.close()
+    val tmp = new org.apache.hadoop.fs.Path(ptrDir, ".tmp-loser")
+    val o2 = fs.create(tmp, false)
+    try o2.write("loser".getBytes("UTF-8")) finally o2.close()
+    intercept[Exception] {
+      org.apache.hadoop.fs.FileContext.getFileContext(committed.toUri, hconf)
+        .rename(tmp, committed)
+    }
+    val in = fs.open(committed)
+    val content = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    assert(content == "winner", "a losing rename must not clobber the committed pointer")
+  }
+
   test("crash before pointer write: readers keep seeing the previous version") {
     val dir = freshDir()
     EsdbWriter.write(ev(1 to 10), dir)
