@@ -144,6 +144,29 @@ object ScaleCheck {
       val to = math.min(time(fn, true), time(fn, true))
       println(f"ordered_$name%-22s vanilla=$tv%6.2f ordered=$to%6.2f ordered/vanilla=${to / tv}%4.2f")
     }
+    // the log-layout dual: whole-log iterate (vectorized concatenation)
+    // vs the same iterate over vanilla parquet (global sort planned)
+    val logStore = s"$bigDir/log_ordered"
+    if (!new java.io.File(logStore).exists())
+      engine.EsdbWriter.writeLog(
+        engine.EventFrame.fromEvents(engine.Tables.events(spark, bigDir)), logStore)
+    val logHead = engine.EsdbWriter.readLog(spark, logStore)
+      .agg(org.apache.spark.sql.functions.max("event_id")).head().getLong(0)
+    def logTime(ordered: Boolean, from: Long): Double = {
+      val frame =
+        if (ordered) engine.EsdbWriter.readLog(spark, logStore)
+        else engine.GraftSession.tune(spark).read.parquet(
+          engine.Publish.resolve(spark.sparkContext.hadoopConfiguration, logStore))
+      val t0 = System.nanoTime()
+      engine.EventLog.iterate(frame, from).queryExecution.toRdd.count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    for ((name, from) <- Seq(("log_iterate_full", 0L), ("log_resume_tail1pct", logHead - logHead / 100))) {
+      logTime(ordered = false, from); logTime(ordered = true, from) // warm
+      val lv = math.min(logTime(ordered = false, from), logTime(ordered = false, from))
+      val lo = math.min(logTime(ordered = true, from), logTime(ordered = true, from))
+      println(f"ordered_$name%-22s vanilla=$lv%6.2f ordered=$lo%6.2f ordered/vanilla=${lo / lv}%4.2f")
+    }
   }
 
   /** Hot-key evidence for [[ops.Skew.saltedTails]]: a replica of the
