@@ -80,6 +80,25 @@ object Queries {
     p
   }
 
+  /** Build a log store THROUGH the exactly-once streaming sink once
+    * per sfDir (file stream source → canonical frame → LogCommits
+    * marker commits) — the fixture behind `stream_log_ingest`. The
+    * committed-epochs check makes re-runs free; a crashed build has no
+    * commit markers, so it is rebuilt from the checkpoint (replaying
+    * the interrupted epoch exactly once).
+    */
+  private def ensureIngestedLog(s: SparkSession, dir: String): String = synchronized {
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft-logingest/$key"
+    val root = new org.apache.hadoop.fs.Path(p)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (graft.engine.LogCommits.committedEpochs(fs, root).isEmpty) {
+      graft.streaming.StreamIngest.ingestLogAvailableNow(
+        s, s"$dir/events.parquet", p, s"$p-ckpt")
+    }
+    p
+  }
+
   /** Write the canonical event frame as an esdb store once, committed
     * through the [[graft.engine.Publish]] version pointer — a crashed
     * build leaves no pointer, so a half-written fixture is never read.
@@ -256,6 +275,18 @@ object Queries {
     // the drain must equal the batch iterate, which the oracle pins
     QuerySpec("stream_log_replay",
       (s, d) => graft.streaming.StreamIngest.drainLog(s, ensureLogStore(s, d))
+        .select("event_id", "ts_us", "space", "grouping", "value", "payload"),
+      Some("""SELECT event_id, epoch_us(ts) AS ts_us, event_type AS space,
+             |       CAST(user_id AS VARCHAR) AS grouping, value, props AS payload
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // the WRITE side of the streaming surface, oracled end-to-end: the
+    // events table read as a stream, canonicalized, written through the
+    // exactly-once log sink (foreachBatch + LogCommits marker commits),
+    // then iterated back — must equal the raw table in id order, which
+    // proves the sink's sorted layout, manifest, and commit visibility
+    QuerySpec("stream_log_ingest",
+      (s, d) => EventLog.iterate(graft.engine.EsdbWriter.readLog(s, ensureIngestedLog(s, d)))
         .select("event_id", "ts_us", "space", "grouping", "value", "payload"),
       Some("""SELECT event_id, epoch_us(ts) AS ts_us, event_type AS space,
              |       CAST(user_id AS VARCHAR) AS grouping, value, props AS payload

@@ -282,6 +282,82 @@ object EsdbWriter {
     refreshLogManifest(ev.sparkSession, path)
   }
 
+  /** Append ONE streaming micro-batch to an open log store, exactly
+    * once — the unit of work behind
+    * [[graft.streaming.StreamIngest.sinkLog]], the reference's
+    * `Stream.Write` loop (stream/open_stream.go:77-105) as a
+    * Structured Streaming sink. Visibility follows the [[LogCommits]]
+    * marker protocol: the batch's files are invisible to every reader
+    * until its single commit marker lands, a replayed epoch that
+    * already committed is a no-op, and a replayed epoch that crashed
+    * mid-write sweeps its own invisible leftovers first. Safe on
+    * object stores: no directory rename anywhere.
+    *
+    * `filesPerBatch` is the range-partition count for the batch's
+    * sorted layout — 1 for small test batches; at ingest scale set it
+    * so each file is O(100 MB) and the write parallelism matches the
+    * cluster (files stay sorted by event_id either way, so the log
+    * reader's merge and manifest pruning hold).
+    */
+  def appendLogBatch(batch: DataFrame, path: String, epochId: Long,
+                     filesPerBatch: Int = 1): Unit = {
+    require(!isSealed(path), s"stream at $path is closed (reference: closed_stream.go:48-50)")
+    val spark = batch.sparkSession
+    val conf = hconf(spark)
+    val root = new org.apache.hadoop.fs.Path(dataRoot(spark, path))
+    val fs = root.getFileSystem(conf)
+    fs.mkdirs(root)
+    if (LogCommits.committedEpochs(fs, root).contains(epochId)) return
+    // a crashed attempt's files are invisible (no marker) — sweep them
+    // so the rewrite below cannot double-count
+    fs.listStatus(root).foreach { f =>
+      if (f.isFile && LogCommits.epochOf(f.getPath.getName).contains(epochId))
+        fs.delete(f.getPath, false): Unit
+    }
+    // stage the sorted batch under a dot-dir (invisible to every
+    // listing), then move each part to its deterministic visible name
+    val stage = new org.apache.hadoop.fs.Path(root,
+      s".stage-$epochId-" + java.util.UUID.randomUUID().toString.take(8))
+    batch.repartitionByRange(math.max(1, filesPerBatch), col("event_id"))
+      .sortWithinPartitions(col("event_id"))
+      .write.mode(SaveMode.Overwrite).parquet(stage.toString)
+    val parts = fs.listStatus(stage).toSeq
+      .filter { f =>
+        val n = f.getPath.getName
+        f.isFile && f.getLen > 0 && !n.startsWith("_") && !n.startsWith(".")
+      }
+      .sortBy(_.getPath.getName)
+    val names = parts.zipWithIndex.map { case (f, i) =>
+      val dst = new org.apache.hadoop.fs.Path(root, f"stream-$epochId-$i%05d.parquet")
+      if (!fs.rename(f.getPath, dst))
+        throw new java.io.IOException(s"stage move failed: ${f.getPath} -> $dst")
+      dst.getName
+    }
+    fs.delete(stage, true)
+    // commit point: one marker object, created only after every data
+    // file is durable (same single-small-object commit as Publish)
+    val dir = new org.apache.hadoop.fs.Path(root, LogCommits.Dir)
+    fs.mkdirs(dir)
+    val tmp = new org.apache.hadoop.fs.Path(dir,
+      s".tmp-$epochId-" + java.util.UUID.randomUUID().toString.take(8))
+    val out = fs.create(tmp, true)
+    try out.write(names.mkString("\n").getBytes("UTF-8")) finally out.close()
+    val marker = new org.apache.hadoop.fs.Path(dir, s"$epochId.commit")
+    try {
+      org.apache.hadoop.fs.FileContext.getFileContext(marker.toUri, conf)
+        .rename(tmp, marker)
+    } catch {
+      case e: Exception =>
+        // a concurrent committer of the SAME epoch won the marker race
+        // (possible only under a misconfigured double-run): our files
+        // are shadowed duplicates — remove them and defer to the winner
+        fs.delete(tmp, false)
+        names.foreach(n => fs.delete(new org.apache.hadoop.fs.Path(root, n), false))
+        if (!LogCommits.committedEpochs(fs, root).contains(epochId)) throw e
+    }
+    refreshLogManifest(spark, path)
+  }
+
   /** Open a log store through the order-reporting DSv2 source. */
   def readLog(spark: SparkSession, path: String): DataFrame = {
     GraftSession.tune(spark)
@@ -322,11 +398,10 @@ object EsdbWriter {
     val fs = root.getFileSystem(hconf(spark))
     val known: Set[String] = logManifest(spark, path)
       .map(_.select("file").as[String].collect().toSet).getOrElse(Set.empty)
-    val fresh = fs.listStatus(root).toSeq
-      .filter(f => f.isFile && f.getLen > 0 && {
-        val n = f.getPath.getName
-        !n.startsWith("_") && !n.startsWith(".") && !known.contains(n)
-      })
+    // visibility-filtered: an uncommitted streaming batch's files must
+    // not enter the manifest (they may be swept and rewritten on replay)
+    val fresh = LogCommits.visibleDataFiles(fs, root)
+      .filterNot(f => known.contains(f.getPath.getName))
     if (fresh.isEmpty) return
     val rows = fresh.map { f =>
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(

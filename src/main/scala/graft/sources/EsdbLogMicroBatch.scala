@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
@@ -52,8 +52,9 @@ final class EsdbLogMicroBatch(path: String, required: StructType)
     val fs = root.getFileSystem(hconf)
     if (!fs.exists(root)) return -1L
     val ranges = manifestRanges()
-    val files = fs.listStatus(root).toSeq
-      .filter(f => f.isFile && isDataFile(f) && f.getLen > 0)
+    // LogCommits visibility: a half-written streaming batch must not
+    // advance the head (its rows would be consumed then rewritten)
+    val files = graft.engine.LogCommits.visibleDataFiles(fs, root)
     if (files.isEmpty) return -1L
     files.map { f =>
       ranges.get(f.getPath.getName) match {
@@ -102,8 +103,7 @@ final class EsdbLogMicroBatch(path: String, required: StructType)
     val root = new Path(path)
     if (!fs.exists(root)) return Array.empty
     val ranges = manifestRanges()
-    val kept = fs.listStatus(root).toSeq
-      .filter(f => f.isFile && isDataFile(f) && f.getLen > 0)
+    val kept = graft.engine.LogCommits.visibleDataFiles(fs, root)
       .filter { f =>
         ranges.get(f.getPath.getName) match {
           case Some((_, mx)) => mx > from
@@ -139,11 +139,6 @@ final class EsdbLogMicroBatch(path: String, required: StructType)
   private[sources] def rememberBounds(from: Long, to: Long): Unit =
     batchBounds = TsBounds.unbounded.withLower(from, inclusive = false)
       .withUpper(to, inclusive = true)
-
-  private def isDataFile(f: FileStatus): Boolean = {
-    val n = f.getPath.getName
-    !n.startsWith("_") && !n.startsWith(".")
-  }
 }
 
 object EsdbLogMicroBatch {

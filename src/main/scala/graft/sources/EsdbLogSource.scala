@@ -2,7 +2,7 @@ package graft.sources
 
 import java.util.OptionalLong
 
-import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, Transform, SortOrder => VSortOrder}
@@ -195,8 +195,9 @@ final class EsdbLogScan(path: String, required: StructType, idBounds: TsBounds,
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return Array.empty
-    val files = fs.listStatus(root).toSeq
-      .filter(f => f.isFile && isDataFile(f) && f.getLen > 0)
+    // LogCommits visibility: an in-flight/crashed streaming batch's
+    // files (no commit marker yet) are not part of the log
+    val files = graft.engine.LogCommits.visibleDataFiles(fs, root)
       .sortBy(_.getPath.getName)
     if (files.isEmpty) return Array.empty
     val kept =
@@ -216,11 +217,6 @@ final class EsdbLogScan(path: String, required: StructType, idBounds: TsBounds,
     if (kept.isEmpty) Array.empty
     else Array(EsdbLogPartition(kept.map(_.getPath.toString).toArray,
       kept.map(_.getLen).toArray, kept.map(_.getLen).sum))
-  }
-
-  private def isDataFile(f: FileStatus): Boolean = {
-    val n = f.getPath.getName
-    !n.startsWith("_") && !n.startsWith(".")
   }
 
   override def planInputPartitions(): Array[InputPartition] =

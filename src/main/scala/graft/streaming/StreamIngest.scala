@@ -190,6 +190,54 @@ object StreamIngest {
       .outputMode(OutputMode.Append())
       .start()
 
+  /** Exactly-once streaming sink INTO a log store — the reference's
+    * `Stream.Write` loop (stream/open_stream.go:77-105) with the
+    * engine's own log layout as the destination: each micro-batch
+    * lands sorted by event_id under the [[graft.engine.LogCommits]]
+    * marker protocol, so
+    *
+    *  - a batch is visible to `readLog`/`readLogStream` only once its
+    *    single commit marker is durable (readers never see a torn
+    *    batch, on any store — no directory renames anywhere);
+    *  - a batch replayed after a crash (same epoch id, from the
+    *    checkpoint) sweeps its invisible leftovers and rewrites, and a
+    *    replay of a committed epoch is a no-op — end-to-end
+    *    exactly-once, not at-least-once;
+    *  - the written store keeps the log reading contract: per-file
+    *    id-sorted, manifest-covered, so iterate plans no Sort and
+    *    resume offsets still prune files.
+    *
+    * `filesPerBatch`: range-partition count per batch — size it so
+    * files are O(100 MB) at production ingest rates.
+    */
+  def sinkLog(events: DataFrame, path: String, checkpoint: String,
+              trigger: Trigger = Trigger.AvailableNow(),
+              filesPerBatch: Int = 1): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epochId: Long) =>
+        graft.engine.EsdbWriter.appendLogBatch(batch.toDF(), path, epochId, filesPerBatch)
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .trigger(trigger)
+      .start()
+
+  /** Drain a parquet events table through [[sinkLog]] into a log store
+    * and wait: the full ingest pipeline — file stream source →
+    * canonical event frame → exactly-once log sink — run to the
+    * current head (`Trigger.AvailableNow`). Idempotent: the checkpoint
+    * carries the source offset, so a re-run with the same checkpoint
+    * ingests only new files (none, for a static fixture).
+    */
+  def ingestLogAvailableNow(spark: SparkSession, eventsParquet: String,
+                            path: String, checkpoint: String): Unit = {
+    graft.engine.GraftSession.tune(spark)
+    val schema = spark.read.parquet(eventsParquet).schema
+    val stream = spark.readStream.schema(schema).parquet(stageDir(eventsParquet))
+    sinkLog(EventFrame.fromEvents(stream), path, checkpoint)
+      .awaitTermination()
+  }
+
   /** Watermarked tumbling-window event counts per space. Expects a
     * TimestampType `ts` column (`timestamp_micros(ts_us)`).
     */

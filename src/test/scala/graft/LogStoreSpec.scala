@@ -191,6 +191,79 @@ class LogStoreSpec extends SparkSpec {
     assert(bounded == (30L to 60L).filter(_ % 7 != 0))
   }
 
+  test("exactly-once streaming sink: micro-batches land sorted, committed, and ordered reads hold") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("logsink").toFile
+    dir.delete()
+    val path = dir.getAbsolutePath
+    val ckpt = java.nio.file.Files.createTempDirectory("logsinkckpt").toString
+    def mk(ids: Seq[Int]) = ids.map(i => (s"s${i % 3}", s"g${i % 7}", (i % 50).toLong * 1000,
+      i.toLong, i / 10.0, s"""{"k": ${i % 9}}"""))
+      .toDF("space", "grouping", "ts_us", "event_id", "value", "payload")
+    // two source files + maxFilesPerTrigger=1 → at least two real
+    // micro-batches through the sink
+    val src = java.nio.file.Files.createTempDirectory("logsinksrc").toString
+    mk(1 to 300).coalesce(1).write.mode("append").parquet(src)
+    mk(301 to 600).coalesce(1).write.mode("append").parquet(src)
+    val stream = spark.readStream.schema(mk(1 to 1).schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    graft.streaming.StreamIngest.sinkLog(stream, path, ckpt, Trigger.AvailableNow())
+      .awaitTermination()
+    // every batch has a durable marker; data files carry the epoch name
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed = graft.engine.LogCommits.committedEpochs(
+      fs, new org.apache.hadoop.fs.Path(path))
+    assert(committed.size >= 2, s"expected >=2 committed epochs, got $committed")
+    // the written store keeps the full log contract: global order with
+    // no Sort node, and the manifest covers the sink's files
+    val q = EventLog.iterate(EsdbWriter.readLog(spark, path)).select("event_id")
+    val ids = q.as[Long].collect().toSeq
+    assert(ids == (1L to 600L))
+    assert(!hasSortNode(q.queryExecution.executedPlan.toString))
+    val m = EsdbWriter.logManifest(spark, path).get.collect().map(_.getString(0)).toSet
+    assert(m.exists(_.startsWith("stream-")), s"manifest must cover sink files: $m")
+    // a replay of a committed epoch is a no-op (exactly-once, not
+    // at-least-once): re-running one epoch's batch adds nothing
+    val epoch = committed.min
+    EsdbWriter.appendLogBatch(mk(1 to 300), path, epoch)
+    assert(EsdbWriter.readLog(spark, path).count() == 600L)
+  }
+
+  test("a crashed batch is invisible until its marker commits, and its replay sweeps the leftovers") {
+    val dir = java.nio.file.Files.createTempDirectory("logcrash").toFile
+    dir.delete()
+    val path = dir.getAbsolutePath
+    def mk(ids: Seq[Int]) = ids.map(i => (s"s${i % 3}", s"g${i % 7}", (i % 50).toLong * 1000,
+      i.toLong, i / 10.0, s"""{"k": ${i % 9}}"""))
+      .toDF("space", "grouping", "ts_us", "event_id", "value", "payload")
+    EsdbWriter.appendLogBatch(mk(1 to 100), path, epochId = 0L)
+    // simulate a crash AFTER epoch 1's data files landed but BEFORE its
+    // commit marker: stage a parquet file and move it in under the
+    // stream-batch name by hand
+    val stage = java.nio.file.Files.createTempDirectory("logcrashstage").toString
+    mk(5000 to 5100).coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+    val orphan = new java.io.File(path, "stream-1-00000.parquet")
+    assert(part.renameTo(orphan))
+    // invisible to the batch read, the head, and the streaming drain
+    assert(EsdbWriter.readLog(spark, path).count() == 100L)
+    assert(graft.streaming.StreamIngest.drainLog(spark, path).count() == 100L)
+    // the replayed epoch sweeps the orphan and writes its real content
+    EsdbWriter.appendLogBatch(mk(101 to 150), path, epochId = 1L)
+    val ids = EventLog.iterate(EsdbWriter.readLog(spark, path))
+      .select("event_id").as[Long].collect().toSeq
+    assert(ids == (1L to 150L), "orphan rows must never surface; replay content must")
+    assert(!orphan.exists() || !ids.contains(5000L))
+    // and the manifest covers exactly the visible files
+    val m = EsdbWriter.logManifest(spark, path).get.collect().map(_.getString(0)).toSet
+    assert(!m.contains("stream-1-00000.parquet") ||
+      graft.engine.LogCommits.committedEpochs(
+        new org.apache.hadoop.fs.Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration),
+        new org.apache.hadoop.fs.Path(path)).contains(1L))
+  }
+
   test("scan index and first over the stored log match the in-memory stream surface") {
     val fromStore = EventLog.scanIndex(log, "k", "3").select("event_id").as[Long].collect().toSeq
     val inMem = (1 to 500).filter(_ % 9 == 3).map(_.toLong).sorted.reverse
