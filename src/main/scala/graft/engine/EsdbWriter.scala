@@ -358,6 +358,52 @@ object EsdbWriter {
     refreshLogManifest(spark, path)
   }
 
+  /** Compact a LOG store: rewrite the current data root as a fresh
+    * range-partitioned, id-sorted file set plus a rebuilt manifest,
+    * committed as a new version through the [[Publish]] pointer —
+    * the log-layout sibling of [[compact]]. Streaming ingest
+    * accumulates one file set per micro-batch; compaction rebounds the
+    * ordered read's merge width and restores the vectorized steady
+    * state (disjoint id ranges, so reads concatenate columnar instead
+    * of row-merging). Only COMMITTED files participate — an in-flight
+    * batch's invisible files stay with its epoch and are rewritten by
+    * its replay against the new version.
+    *
+    * The `_STREAM_COMMITS` markers are carried into the new version:
+    * a batch that committed to the sink but whose streaming checkpoint
+    * had not yet recorded completion may be REPLAYED after the
+    * compaction, and the marker is what makes that replay a no-op
+    * instead of a duplicate append.
+    */
+  def compactLog(spark: SparkSession, path: String, numFiles: Int = 1): Unit = {
+    require(!isSealed(path), s"stream at $path is closed (reference: closed_stream.go:48-50)")
+    GraftSession.tune(spark)
+    val conf = hconf(spark)
+    val src = new org.apache.hadoop.fs.Path(dataRoot(spark, path))
+    val fs = src.getFileSystem(conf)
+    val visible = LogCommits.visibleDataFiles(fs, src).map(_.getPath.toString)
+    require(visible.nonEmpty, s"nothing to compact at $path")
+    val markers = {
+      val d = new org.apache.hadoop.fs.Path(src, LogCommits.Dir)
+      if (fs.exists(d)) fs.listStatus(d).toSeq.filter(_.isFile).map(_.getPath) else Seq.empty
+    }
+    Publish.publish(conf, path) { tmp =>
+      spark.read.parquet(visible: _*)
+        .repartitionByRange(math.max(1, numFiles), col("event_id"))
+        .sortWithinPartitions(col("event_id"))
+        .write.parquet(tmp)
+      refreshLogManifest(spark, tmp)
+      if (markers.nonEmpty) {
+        val dst = new org.apache.hadoop.fs.Path(tmp, LogCommits.Dir)
+        fs.mkdirs(dst)
+        markers.foreach { m =>
+          org.apache.hadoop.fs.FileUtil.copy(fs, m, fs,
+            new org.apache.hadoop.fs.Path(dst, m.getName), false, conf): Unit
+        }
+      }
+    }: Unit
+  }
+
   /** Open a log store through the order-reporting DSv2 source. */
   def readLog(spark: SparkSession, path: String): DataFrame = {
     GraftSession.tune(spark)

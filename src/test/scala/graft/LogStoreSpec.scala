@@ -264,6 +264,51 @@ class LogStoreSpec extends SparkSpec {
         new org.apache.hadoop.fs.Path(path)).contains(1L))
   }
 
+  test("log compaction: one versioned file set, order kept, merge width rebounded, replays stay no-ops") {
+    import graft.sources.EsdbVectorReader
+    val dir = java.nio.file.Files.createTempDirectory("logcompact").toFile
+    dir.delete()
+    val path = dir.getAbsolutePath
+    def mk(ids: Seq[Int]) = ids.map(i => (s"s${i % 3}", s"g${i % 7}", (i % 50).toLong * 1000,
+      i.toLong, i / 10.0, s"""{"k": ${i % 9}}"""))
+      .toDF("space", "grouping", "ts_us", "event_id", "value", "payload")
+    // three sink epochs with INTERLEAVED id ranges: the pre-compaction
+    // read must row-merge (no vectorized batches)
+    EsdbWriter.appendLogBatch(mk((1 to 300).filter(_ % 3 == 0)), path, 0L)
+    EsdbWriter.appendLogBatch(mk((1 to 300).filter(_ % 3 == 1)), path, 1L)
+    EsdbWriter.appendLogBatch(mk((1 to 300).filter(_ % 3 == 2)), path, 2L)
+    val conf = spark.sparkContext.hadoopConfiguration
+    def dataFiles: Seq[String] = {
+      val root = new org.apache.hadoop.fs.Path(graft.engine.Publish.resolve(conf, path))
+      graft.engine.LogCommits.visibleDataFiles(root.getFileSystem(conf), root)
+        .map(_.getPath.getName)
+    }
+    assert(dataFiles.size == 3)
+    val before = EsdbVectorReader.BatchesRead.get()
+    assert(EventLog.iterate(EsdbWriter.readLog(spark, path))
+      .select("event_id").as[Long].collect().toSeq == (1L to 300L))
+    assert(EsdbVectorReader.BatchesRead.get() == before, "interleaved epochs must row-merge")
+
+    EsdbWriter.compactLog(spark, path)
+    // one file, a committed version pointer, same global order — and the
+    // steady-state read is now vectorized (single disjoint range)
+    assert(dataFiles.size == 1, s"expected one compacted file, got $dataFiles")
+    assert(graft.engine.Publish.currentVersion(conf, path).isDefined)
+    val afterCompact = EsdbVectorReader.BatchesRead.get()
+    val q = EventLog.iterate(EsdbWriter.readLog(spark, path)).select("event_id")
+    assert(q.as[Long].collect().toSeq == (1L to 300L))
+    assert(EsdbVectorReader.BatchesRead.get() > afterCompact,
+      "compacted log must read through the vectorized path")
+    assert(!hasSortNode(q.queryExecution.executedPlan.toString))
+    // commit markers survived: a replayed pre-compaction epoch is still
+    // a no-op, and fresh epochs append normally
+    EsdbWriter.appendLogBatch(mk((1 to 300).filter(_ % 3 == 1)), path, 1L)
+    assert(EsdbWriter.readLog(spark, path).count() == 300L)
+    EsdbWriter.appendLogBatch(mk(301 to 350), path, 3L)
+    assert(EventLog.iterate(EsdbWriter.readLog(spark, path))
+      .select("event_id").as[Long].collect().toSeq == (1L to 350L))
+  }
+
   test("scan index and first over the stored log match the in-memory stream surface") {
     val fromStore = EventLog.scanIndex(log, "k", "3").select("event_id").as[Long].collect().toSeq
     val inMem = (1 to 500).filter(_ % 9 == 3).map(_.toLong).sorted.reverse
