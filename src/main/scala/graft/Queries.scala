@@ -327,6 +327,30 @@ object Queries {
               |WHERE regexp_extract(props, '"$IdxName":\\s*(\\d+)', 1) <> ''
               |GROUP BY attr ORDER BY attr""".stripMargin)),
 
+    // event-time windowing run AS A STREAM and drained in Complete
+    // mode, so the final state is the full aggregation — the oracle
+    // pins Spark's tumbling window() to plain epoch bucket arithmetic
+    QuerySpec("stream_windowed_counts",
+      (s, d) => graft.streaming.StreamIngest.windowedCountsAvailableNow(s, s"$d/events.parquet"),
+      Some("""SELECT (epoch_us(ts) // 600000000) * 600000000 AS win_start_us,
+             |       event_type AS space, count(*) AS n_events
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // the STREAM-STREAM join surface, oracled: purchases enriched with
+    // same-user clicks from the prior hour, drained with AvailableNow —
+    // the buffered interval join must equal the batch join exactly
+    QuerySpec("stream_enrich_interval",
+      (s, d) => graft.streaming.StreamIngest.enrichIntervalAvailableNow(
+        s, s"$d/events.parquet", "purchase", "click", "1 hour"),
+      Some("""SELECT CAST(l.user_id AS VARCHAR) AS grouping,
+             |       l.event_id AS l_event_id, r.event_id AS r_event_id
+             |FROM events l JOIN events r
+             |  ON l.user_id = r.user_id
+             | AND l.event_type = 'purchase' AND r.event_type = 'click'
+             | AND epoch_us(r.ts) <= epoch_us(l.ts)
+             | AND epoch_us(r.ts) >= epoch_us(l.ts) - 3600000000
+             |ORDER BY grouping, l_event_id, r_event_id""".stripMargin)),
+
     QuerySpec("stream_merge",
       (s, d) => {
         val e = ev(s, d)

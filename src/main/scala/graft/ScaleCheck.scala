@@ -41,6 +41,7 @@ object ScaleCheck {
     val bigDir = "/tmp/graft_scale"
     if (args.contains("skew")) { skewCheck(spark, sfDir, bigDir); spark.stop(); return }
     if (args.contains("ordered")) { orderedCheck(spark, sfDir, bigDir); spark.stop(); return }
+    if (args.contains("ingest")) { ingestCheck(spark, sfDir, bigDir); spark.stop(); return }
     // user_id not offset: groupings keep their cardinality and grow in
     // length, the dominant real-world growth mode for an event store
     replicate(engine.Tables.events(spark, sfDir), Seq("event_id"), s"$bigDir/events.parquet")
@@ -110,7 +111,46 @@ object ScaleCheck {
     println(f"${"esdb_write"}%-24s $w1%8.2f $w10%8.2f ${w10 / w1}%5.1f")
     skewCheck(spark, sfDir, bigDir)
     orderedCheck(spark, sfDir, bigDir)
+    ingestCheck(spark, sfDir, bigDir)
     spark.stop()
+  }
+
+  /** Streaming-sink evidence at 10×: full exactly-once ingest of the
+    * events table through [[graft.streaming.StreamIngest.sinkLog]]
+    * (file stream source → canonical frame → marker-committed log
+    * batches), 1× vs 10×. The per-batch protocol cost is one small
+    * commit object + one manifest delta, so wall time should scale
+    * with data volume, not batch count.
+    */
+  private def ingestCheck(spark: SparkSession, sfDir: String, bigDir: String): Unit = {
+    if (!new java.io.File(s"$bigDir/events.parquet").exists())
+      replicate(engine.Tables.events(spark, sfDir), Seq("event_id"), s"$bigDir/events.parquet")
+    // a 1× copy as a DIRECTORY (the file stream source monitors dirs;
+    // the raw testdata table is a single file)
+    val oneX = s"$bigDir/events_1x.parquet"
+    if (!new java.io.File(oneX).exists())
+      engine.Tables.events(spark, sfDir).write.mode(SaveMode.Overwrite).parquet(oneX)
+    def timeIngest(srcDir: String, out: String): Double = {
+      import scala.reflect.io.Directory
+      Seq(out, s"$out-ckpt").foreach(p => new Directory(new java.io.File(p)).deleteRecursively())
+      val schema = spark.read.parquet(srcDir).schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 8).parquet(srcDir)
+      val t0 = System.nanoTime()
+      graft.streaming.StreamIngest.sinkLog(
+        engine.EventFrame.fromEvents(stream), out, s"$out-ckpt").awaitTermination()
+      (System.nanoTime() - t0) / 1e9
+    }
+    timeIngest(oneX, s"$bigDir/ingest_warm") // warm the sink path
+    val i1 = math.min(timeIngest(oneX, s"$bigDir/ingest_1x"),
+      timeIngest(oneX, s"$bigDir/ingest_1x"))
+    val i10 = math.min(timeIngest(s"$bigDir/events.parquet", s"$bigDir/ingest_10x"),
+      timeIngest(s"$bigDir/events.parquet", s"$bigDir/ingest_10x"))
+    println(f"${"log_sink_ingest"}%-24s $i1%8.2f $i10%8.2f ${i10 / i1}%5.1f")
+    // the ingested 10x store must round-trip: same count as the source
+    val n = engine.EsdbWriter.readLog(spark, s"$bigDir/ingest_10x").count()
+    val want = spark.read.parquet(s"$bigDir/events.parquet").count()
+    require(n == want, s"ingest round-trip lost rows: $n != $want")
   }
 
   /** Ordered-read evidence at 10×: the same scans through the vanilla

@@ -248,6 +248,66 @@ object StreamIngest {
       .groupBy(window(col("ts"), window_), col("space"))
       .agg(count(lit(1)).as("n_events"))
 
+  /** [[windowedCounts]] run end-to-end as a stream and drained with
+    * `Trigger.AvailableNow` in Complete mode, so the final state is the
+    * full aggregation and must equal the batch GROUP BY — the oracle
+    * shape for the event-time windowing surface (Complete, not Append:
+    * an Append drain would hold back windows the watermark has not
+    * passed, which is exactly the part a correctness gate must see).
+    */
+  def windowedCountsAvailableNow(spark: SparkSession, eventsParquet: String,
+                                 window_ : String = "10 minutes"): DataFrame = {
+    graft.engine.GraftSession.tune(spark)
+    val schema = spark.read.parquet(eventsParquet).schema
+    val stream = spark.readStream.schema(schema).parquet(stageDir(eventsParquet))
+    val counts = windowedCounts(EventFrame.fromEvents(stream), window_)
+      .select(unix_micros(col("window.start")).as("win_start_us"),
+        col("space"), col("n_events"))
+    val qname = "graft_stream_win_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    counts.writeStream.format("memory").queryName(qname)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+    val prev = lastWindowSink.getAndSet(qname)
+    if (prev != null) spark.catalog.dropTempView(prev)
+    spark.table(qname).orderBy("win_start_us", "space")
+  }
+
+  private val lastWindowSink = new java.util.concurrent.atomic.AtomicReference[String]()
+
+  /** [[enrichInterval]] run end-to-end as a STREAM-STREAM join and
+    * drained with `Trigger.AvailableNow`: left events of `leftSpace`
+    * enriched with same-grouping `rightSpace` events from the prior
+    * `lookback`. Drained from a static fixture the buffered join must
+    * equal the batch interval join — the oracle shape for the
+    * stream-stream join surface.
+    */
+  def enrichIntervalAvailableNow(spark: SparkSession, eventsParquet: String,
+                                 leftSpace: String, rightSpace: String,
+                                 lookback: String = "1 minute"): DataFrame = {
+    graft.engine.GraftSession.tune(spark)
+    val schema = spark.read.parquet(eventsParquet).schema
+    def src() = EventFrame.fromEvents(
+      spark.readStream.schema(schema).parquet(stageDir(eventsParquet)))
+    val joined = enrichInterval(
+      src().where(col("space") === leftSpace),
+      src().where(col("space") === rightSpace),
+      lookback)
+      .select("grouping", "l_event_id", "r_event_id")
+    val qname = "graft_stream_enrich_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    joined.writeStream.format("memory").queryName(qname)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+    val prev = lastEnrichSink.getAndSet(qname)
+    if (prev != null) spark.catalog.dropTempView(prev)
+    spark.table(qname).orderBy("grouping", "l_event_id", "r_event_id")
+  }
+
+  private val lastEnrichSink = new java.util.concurrent.atomic.AtomicReference[String]()
+
   /** Session windows (30 min gap) per grouping — streaming analog of
     * the batch [[graft.ops.Sessionize]].
     */
