@@ -95,6 +95,7 @@ final class EsdbLogMicroBatch(path: String, required: StructType)
     val from = start.asInstanceOf[LogOffset].lastSeen
     val to = end.asInstanceOf[LogOffset].lastSeen
     rememberBounds(from, to)
+    batchPartition = null
     if (to <= from) return Array.empty
     // manifest file pruning, as in the batch scan: files wholly at or
     // below the consumed offset never open; unmanifested files are
@@ -112,20 +113,33 @@ final class EsdbLogMicroBatch(path: String, required: StructType)
       }
       .sortBy(_.getPath.getName)
     if (kept.isEmpty) Array.empty
-    else Array(EsdbLogPartition(kept.map(_.getPath.toString).toArray,
-      kept.map(_.getLen).toArray, kept.map(_.getLen).sum))
+    else {
+      val part = EsdbLogPartition(kept.map(_.getPath.toString).toArray,
+        kept.map(_.getLen).toArray, kept.map(_.getLen).sum)
+      batchPartition = part
+      Array(part)
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
-    // the batch bounds (from, to] ride the exact bounded merge reader
+    // the batch bounds (from, to] ride the exact bounded merge reader —
+    // or, when the footer proof holds (disjoint null-free ranges wholly
+    // inside (from, to], the steady state for both a full drain and a
+    // file-aligned suffix read), the vectorized concatenation path
+    val vf = Option(batchPartition).flatMap(p =>
+      EsdbLogScan.vectorOrder(p, required, batchBounds,
+        spark.sparkContext.hadoopConfiguration))
     new EsdbLogReaderFactory(required, batchBounds, limit = None,
       conf = new org.apache.spark.util.SerializableConfiguration(
-        EsdbVectorReader.sessionConf()))
+        EsdbVectorReader.sessionConf()),
+      vectorFiles = vf)
   }
 
   // planInputPartitions and createReaderFactory are called once per
   // batch, in that order, with the same offsets — capture the bounds
+  // and the planned partition for the factory
   @volatile private var batchBounds: TsBounds = TsBounds.unbounded
+  @volatile private var batchPartition: EsdbLogPartition = _
 
   override def commit(end: Offset): Unit = () // checkpoint-managed
 

@@ -235,27 +235,10 @@ final class EsdbLogScan(path: String, required: StructType, idBounds: TsBounds,
     * resumes keep the exact row merge. Interleaved ranges and
     * stat-less files keep the merge heap too.
     */
-  private def vectorOrder: Option[Array[(String, Long)]] = {
-    if (partitions.isEmpty) return None
-    val part = partitions.head
-    val hconf = SparkSession.active.sparkContext.hadoopConfiguration
-    val ranged = part.files.zip(part.fileLengths).map { case (f, len) =>
-      EsdbVectorReader.probe(hconf, f, required, constSpace = false, statCols = Seq("event_id"))
-        .flatMap(_.get("event_id"))
-        .flatMap(facts => facts.range.filter(_ => facts.nulls.contains(0L)))
-        .map(r => ((f, len), r))
-    }
-    if (ranged.exists(_.isEmpty)) return None
-    val sorted = ranged.flatten.sortBy(_._2._1)
-    val disjoint = sorted.sliding(2).forall {
-      case Array((_, (_, mx)), ((_, (mn2, _)))) => mx < mn2
-      case _ => true
-    }
-    val vacuous = !idBounds.isBounded || sorted.forall {
-      case (_, (mn, mx)) => idBounds.contains(mn) && idBounds.contains(mx)
-    }
-    if (disjoint && vacuous) Some(sorted.map(_._1)) else None
-  }
+  private def vectorOrder: Option[Array[(String, Long)]] =
+    if (partitions.isEmpty) None
+    else EsdbLogScan.vectorOrder(partitions.head, required, idBounds,
+      SparkSession.active.sparkContext.hadoopConfiguration)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new EsdbLogReaderFactory(required, idBounds, limit,
@@ -274,6 +257,36 @@ final class EsdbLogScan(path: String, required: StructType, idBounds: TsBounds,
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): OptionalLong = OptionalLong.of(partitions.map(_.totalBytes).sum)
     override def numRows(): OptionalLong = OptionalLong.empty()
+  }
+}
+
+object EsdbLogScan {
+  /** Footer-proof for the vectorized concatenation path, shared by the
+    * batch scan and the micro-batch stream: Some(files in ascending-
+    * range order) when every file's event_id range is disjoint from
+    * the others, free of nulls, and any claimed id bound is provably
+    * VACUOUS on every file (whole stat range inside the bounds) — the
+    * conditions under which sequential columnar decode IS the bounded
+    * merge. None keeps the exact row-at-a-time merge.
+    */
+  def vectorOrder(part: EsdbLogPartition, required: StructType, idBounds: TsBounds,
+                  hconf: org.apache.hadoop.conf.Configuration): Option[Array[(String, Long)]] = {
+    val ranged = part.files.zip(part.fileLengths).map { case (f, len) =>
+      EsdbVectorReader.probe(hconf, f, required, constSpace = false, statCols = Seq("event_id"))
+        .flatMap(_.get("event_id"))
+        .flatMap(facts => facts.range.filter(_ => facts.nulls.contains(0L)))
+        .map(r => ((f, len), r))
+    }
+    if (ranged.exists(_.isEmpty)) return None
+    val sorted = ranged.flatten.sortBy(_._2._1)
+    val disjoint = sorted.sliding(2).forall {
+      case Array((_, (_, mx)), ((_, (mn2, _)))) => mx < mn2
+      case _ => true
+    }
+    val vacuous = !idBounds.isBounded || sorted.forall {
+      case (_, (mn, mx)) => idBounds.contains(mn) && idBounds.contains(mx)
+    }
+    if (disjoint && vacuous) Some(sorted.map(_._1)) else None
   }
 }
 

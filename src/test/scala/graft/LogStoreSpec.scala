@@ -154,12 +154,21 @@ class LogStoreSpec extends SparkSpec {
       import scala.jdk.CollectionConverters._
       got.asScala.toSeq.sorted
     }
-    // first drain: the whole log, in one resumable pass (populate's replay)
+    // first drain: the whole log, in one resumable pass (populate's
+    // replay) — and through the VECTORIZED path: the batch covers
+    // (-1, head], provably vacuous on the single disjoint file
+    val before = graft.sources.EsdbVectorReader.BatchesRead.get()
     assert(drain() == (1L to 200L))
+    assert(graft.sources.EsdbVectorReader.BatchesRead.get() > before,
+      "a full drain of a disjoint-range log must decode columnar")
     // append while the consumer is down; the checkpointed offset makes
-    // the next run read exactly the appended suffix
+    // the next run read exactly the appended suffix — file-aligned, so
+    // it vectorizes too
     EsdbWriter.appendLog(mk(201 to 320), dir.getAbsolutePath)
+    val before2 = graft.sources.EsdbVectorReader.BatchesRead.get()
     assert(drain() == (201L to 320L))
+    assert(graft.sources.EsdbVectorReader.BatchesRead.get() > before2,
+      "a file-aligned suffix read must decode columnar")
     // nothing new: a third run delivers zero rows
     assert(drain().isEmpty)
   }
