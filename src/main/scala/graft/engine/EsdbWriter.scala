@@ -34,6 +34,7 @@ object EsdbWriter {
   val SealMarker = "_CLOSED"
   val GroupingsManifest = "_MANIFEST.groupings"
   val LogManifest = "_MANIFEST.log"
+  val TsRangeManifest = "_MANIFEST.tsrange"
 
   /** Write a canonical [[EventFrame]] as an immutable store.
     *
@@ -72,6 +73,7 @@ object EsdbWriter {
       w.option(s"parquet.bloom.filter.enabled#idx_$name", "true")
     }.parquet(path)
     writeGroupingsManifest(ev.sparkSession, path, SaveMode.Overwrite)
+    refreshTsRangeManifest(ev.sparkSession, path)
   }
 
   /** Hadoop conf for path resolution (object-store creds etc. travel
@@ -153,6 +155,7 @@ object EsdbWriter {
     // which would make append cost grow with store size)
     ev.select("space", "grouping").distinct()
       .write.mode(SaveMode.Append).parquet(s"$root/$GroupingsManifest")
+    refreshTsRangeManifest(ev.sparkSession, path)
   }
 
   /** Seal: reference `Close()` writes the tails SSTable + footer magic
@@ -472,6 +475,88 @@ object EsdbWriter {
     if (rows.nonEmpty)
       rows.toDF("file", "min_id", "max_id")
         .coalesce(1).write.mode(SaveMode.Append).parquet(s"${root.toString}/$LogManifest")
+  }
+
+  /** Per-file `ts_us` facts from the write-time manifest — the grouped
+    * store's analog of the reference's bounded reader skipping whole
+    * blocks by time (bounded/reader.go): a ts-bounded ordered scan
+    * prunes files whose recorded range cannot intersect the bound,
+    * WITHOUT a footer round-trip per file (at object-store latency the
+    * listing alone decides which files open at all). Columns:
+    * `file` ("space=<dir>/<name>"), `min_ts`/`max_ts` (null when the
+    * file has no non-null ts), `has_ts` (false = provably all-null).
+    * None for stores written before this manifest existed.
+    */
+  def tsRangeManifest(spark: SparkSession, path: String): Option[DataFrame] = {
+    val root = dataRoot(spark, path)
+    val m = new org.apache.hadoop.fs.Path(root, TsRangeManifest)
+    if (!m.getFileSystem(hconf(spark)).exists(m)) None
+    else Some(spark.read.parquet(s"$root/$TsRangeManifest"))
+  }
+
+  /** Manifest rows for data files not yet covered: one footer read per
+    * NEW file, distributed over the executors (write/append cost stays
+    * proportional to the batch, not the store). Files whose footer
+    * stats cannot PROVE a ts fact (stats missing/untyped) are simply
+    * omitted — readers keep unknown files, so the manifest can only
+    * skip work, never change results.
+    */
+  private def refreshTsRangeManifest(spark: SparkSession, path: String): Unit = {
+    import spark.implicits._
+    val root = new org.apache.hadoop.fs.Path(dataRoot(spark, path))
+    val fs = root.getFileSystem(hconf(spark))
+    if (!fs.exists(root)) return
+    val known: Set[String] = tsRangeManifest(spark, path)
+      .map(_.select("file").as[String].collect().toSet).getOrElse(Set.empty)
+    val fresh: Seq[String] = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("space="))
+      .flatMap { d =>
+        fs.listStatus(d.getPath).toSeq
+          .filter(f => f.isFile && f.getLen > 0 &&
+            !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+          .map(f => s"${d.getPath.getName}/${f.getPath.getName}")
+      }
+      .filterNot(known.contains)
+    if (fresh.isEmpty) return
+    val rootStr = root.toString
+    val par = math.max(1, math.min(fresh.size, spark.sparkContext.defaultParallelism))
+    val rows = spark.createDataset(fresh).repartition(par)
+      .mapPartitions { it =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        it.flatMap { rel =>
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              new org.apache.hadoop.fs.Path(s"$rootStr/$rel"), conf))
+          try {
+            var mn = Option.empty[Long]
+            var mx = Option.empty[Long]
+            var provable = true
+            var sawTs = false
+            r.getFooter.getBlocks.forEach { b =>
+              b.getColumns.forEach { c =>
+                if (c.getPath.toDotString == "ts_us") {
+                  sawTs = true
+                  val st = c.getStatistics
+                  if (st == null) provable = false
+                  else if (st.hasNonNullValue) st.genericGetMin match {
+                    case lo: java.lang.Long =>
+                      val hi = st.genericGetMax.asInstanceOf[java.lang.Long].longValue()
+                      mn = Some(mn.fold(lo.longValue())(math.min(_, lo.longValue())))
+                      mx = Some(mx.fold(hi)(math.max(_, hi)))
+                    case _ => provable = false
+                  }
+                  else if (!(st.isNumNullsSet && st.getNumNulls == b.getRowCount))
+                    provable = false
+                }
+              }
+            }
+            if (!provable || !sawTs) None
+            else Some((rel, mn, mx, mn.isDefined))
+          } finally r.close()
+        }
+      }
+      .toDF("file", "min_ts", "max_ts", "has_ts")
+    rows.coalesce(1).write.mode(SaveMode.Append).parquet(s"$rootStr/$TsRangeManifest")
   }
 
   /** Bucketed layout: hash-bucket by `grouping`, sorted by (ts_us desc,

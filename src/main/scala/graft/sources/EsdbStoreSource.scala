@@ -353,6 +353,23 @@ final class EsdbScan(path: String, required: StructType, spaces: Option[Seq[Stri
     val fs = root.getFileSystem(hconf)
     if (!fs.exists(root)) Array.empty
     else {
+      // write-time ts-range manifest: under a ts bound, files whose
+      // recorded (min,max) cannot intersect — or that are provably
+      // all-null-ts, which no bound admits — never open at all; the
+      // file-level form of the reference's bounded block skip
+      // (bounded/reader.go). Unknown files are conservatively kept.
+      val tsRanges: Map[String, (Boolean, Long, Long)] =
+        if (!tsBounds.isBounded) Map.empty
+        else graft.engine.EsdbWriter.tsRangeManifest(SparkSession.active, path) match {
+          case None => Map.empty
+          case Some(m) => m.collect().map { r =>
+            val hasTs = r.getBoolean(r.fieldIndex("has_ts"))
+            (r.getString(r.fieldIndex("file")),
+              (hasTs,
+                if (hasTs) r.getLong(r.fieldIndex("min_ts")) else 0L,
+                if (hasTs) r.getLong(r.fieldIndex("max_ts")) else 0L))
+          }.toMap
+        }
       val dirs = fs.listStatus(root).toSeq
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("space="))
         .map(s => (EsdbStoreSource.unescapePathName(s.getPath.getName.drop("space=".length)), s.getPath))
@@ -361,6 +378,13 @@ final class EsdbScan(path: String, required: StructType, spaces: Option[Seq[Stri
       dirs.flatMap { case (space, dir) =>
         val files = fs.listStatus(dir).toSeq
           .filter(f => f.isFile && isDataFile(f) && f.getLen > 0)
+          .filter { f =>
+            tsRanges.get(s"${dir.getName}/${f.getPath.getName}") match {
+              case Some((hasTs, mn, mx)) =>
+                hasTs && !(tsBounds.belowLower(mx) || tsBounds.aboveUpper(mn))
+              case None => true
+            }
+          }
           .sortBy(_.getPath.getName)
         if (files.isEmpty) None
         else Some(EsdbInputPartition(space, files.map(_.getPath.toString).toArray,

@@ -392,6 +392,42 @@ class OrderedStoreSpec extends SparkSpec {
     assert(bounded == preCompact.count(_._3 >= 200L))
   }
 
+  test("ts-range manifest prunes whole files from a bounded scan's listing") {
+    import graft.sources.{EsdbInputPartition, EsdbScan, EsdbScanBuilder, EsdbStoreSource}
+    import org.apache.spark.sql.sources.GreaterThanOrEqual
+    val dir = java.nio.file.Files.createTempDirectory("ordtsmani").toFile
+    dir.delete()
+    val path = dir.getAbsolutePath
+    def mk(r: Range, base: Option[Long]) = r.map { i =>
+      ("s", s"g${i % 3}", base.map(_ + (i % 50).toLong), i.toLong, 0.0, s"""{"k": ${i % 2}}""")
+    }.toDF("space", "grouping", "ts_us", "event_id", "value", "payload")
+    EsdbWriter.write(mk(1 to 100, Some(0L)), path)           // ts 0..49
+    EsdbWriter.append(mk(101 to 200, Some(100000L)), path)   // ts 100000..100049
+    EsdbWriter.append(mk(201 to 260, None), path)            // all-null ts
+    val mani = EsdbWriter.tsRangeManifest(spark, path).get.collect()
+    assert(mani.length == 3, s"manifest must cover every data file: ${mani.toSeq}")
+    assert(mani.count(!_.getAs[Boolean]("has_ts")) == 1)
+    def plannedFiles(filters: Array[org.apache.spark.sql.sources.Filter]): Int = {
+      val b = new EsdbScanBuilder(path, EsdbStoreSource.canonicalSchema(path))
+      b.pushFilters(filters)
+      b.build().asInstanceOf[EsdbScan].planInputPartitions()
+        .map(_.asInstanceOf[EsdbInputPartition].files.length).sum
+    }
+    assert(plannedFiles(Array.empty) == 3, "unbounded scan must keep all files")
+    // the bound admits only the late file: the early-range file AND the
+    // all-null-ts file are pruned at listing time, no footers opened
+    assert(plannedFiles(Array(GreaterThanOrEqual("ts_us", Long.box(100000L)))) == 1)
+    // end-to-end parity under the bound, and null-ts rows readable unbounded
+    val o = EsdbWriter.readOrdered(spark, path)
+    val v = EsdbWriter.read(spark, path)
+    def ids(df: DataFrame) = df.select("event_id").as[Long].collect().sorted.toSeq
+    assert(ids(o.where(col("ts_us") >= 100000L)) == ids(v.where(col("ts_us") >= 100000L)))
+    assert(ids(o.where(col("ts_us") >= 100000L)).size == 100)
+    assert(o.count() == 260 && v.count() == 260)
+    // a bound no file satisfies plans an empty scan, not an error
+    assert(o.where(col("ts_us") > 999999999L).count() == 0)
+  }
+
   test("sealed-store sidecar directories are invisible to the ordered source") {
     val dir = java.nio.file.Files.createTempDirectory("ordseal").toFile
     dir.delete()
