@@ -1067,6 +1067,22 @@ object Queries {
              |FROM probe p JOIN bench b ON p.gram = b.gram
              |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin)),
 
+    // cross-document duplicated spans (C4-style span dedup at token
+    // granularity): tumbling 10-token windows, md5 fingerprints, spans
+    // carried by ≥2 distinct docs — one explode + one hash-only shuffle
+    // (TextOps.crossDocSpans)
+    QuerySpec("text_span_dedup",
+      (s, d) => TextOps.crossDocSpans(Tables.documents(s, d), w = 10),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |spans AS (SELECT doc_id,
+             |            unnest(list_transform(range(CAST(floor(len(t)/10) AS BIGINT)),
+             |              j -> md5(array_to_string(t[(j*10+1):(j*10+10)], ' ')))) AS span_hash
+             |          FROM toks)
+             |SELECT span_hash, count(DISTINCT doc_id) AS n_docs, count(*) AS n_spans,
+             |       min(doc_id) AS first_doc
+             |FROM spans GROUP BY span_hash HAVING count(DISTINCT doc_id) >= 2
+             |ORDER BY span_hash""".stripMargin)),
+
     QuerySpec("doc_fingerprint",
       (s, d) => TextOps.fingerprint(Tables.documents(s, d)),
       Some("SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id")),

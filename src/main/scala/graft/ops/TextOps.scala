@@ -215,6 +215,40 @@ object TextOps {
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), md5(col("text")).as("fp")).orderBy("doc_id")
 
+  /** Cross-document duplicated-span detection (the C4 "repeated
+    * three-sentence span" / RefinedWeb exact-substring family, at token
+    * granularity): tumbling windows of `w` whitespace tokens are
+    * md5-fingerprinted, and a fingerprint seen in ≥2 distinct documents
+    * is boilerplate / mirrored / templated text that whole-document
+    * dedup misses. Output per duplicated span: the fingerprint, how
+    * many distinct docs carry it, total occurrences, and the lowest
+    * carrying doc_id (the canonical copy a span-removal pass would
+    * keep).
+    *
+    * Scale shape: one scan, an explode producing n_tokens/w rows per
+    * document, one groupBy whose shuffle carries 32-char hashes and
+    * doc ids — document text never crosses the wire. Tumbling
+    * (stride = w) rather than sliding keeps the explode at ×1 of the
+    * token stream; finer alignment is the suffix-array family, which
+    * trades this single-shuffle shape for global sorts.
+    */
+  def crossDocSpans(docs: DataFrame, w: Int = 10): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nspans = (size(toks) / lit(w)).cast("int")
+    val spans = docs.select(
+      col("doc_id"),
+      explode(when(nspans >= 1,
+        transform(sequence(lit(0), nspans - 1),
+          j => md5(concat_ws(" ", slice(toks, j * lit(w) + 1, lit(w))))))
+        .otherwise(array())).as("span_hash"))
+    spans.groupBy("span_hash")
+      .agg(countDistinct("doc_id").as("n_docs"),
+        count(lit(1)).as("n_spans"),
+        min("doc_id").as("first_doc"))
+      .where(col("n_docs") >= 2)
+      .orderBy("span_hash")
+  }
+
   /** Order-sensitive rolling fingerprint: polynomial fold of per-token
     * hashes, `acc = (31*acc + h(token)) mod 2^56`. Unlike md5 of the raw
     * string it is whitespace-normalization-invariant. Token hash = first

@@ -81,6 +81,28 @@ class TextOpsSpec extends SparkSpec {
     assert(got(50L) >= 1L)
   }
 
+  test("cross-doc span dedup: shared tumbling windows found, intra-doc repeats excluded") {
+    val ten = (1 to 10).map(i => s"w$i").mkString(" ")          // one aligned window
+    val other = (1 to 10).map(i => s"z$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"$ten $other"),          // spans: [ten], [other]
+      (2L, s"$ten unique tail words that fill out another span x y z"), // shares [ten]
+      (3L, "completely different content everywhere in this document body here now"),
+      (4L, s"$other $other"),        // intra-doc repeat only — 2 spans, 1 doc
+      (5L, "short doc")              // < w tokens: no spans
+    ).toDF("doc_id", "text")
+    val got = TextOps.crossDocSpans(corpus, w = 10)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // [ten] appears in docs 1 and 2 (cross-doc); [other] appears in docs 1 and 4
+    val expectTen = org.apache.commons.codec.digest.DigestUtils.md5Hex(ten)
+    val expectOther = org.apache.commons.codec.digest.DigestUtils.md5Hex(other)
+    assert(got.map(_._1).toSet == Set(expectTen, expectOther))
+    val byHash = got.map(r => r._1 -> r).toMap
+    assert(byHash(expectTen) == ((expectTen, 2L, 2L, 1L)))
+    assert(byHash(expectOther) == ((expectOther, 2L, 3L, 1L))) // doc4 carries it twice
+    assert(got == got.sortBy(_._1), "output must be ordered by span_hash")
+  }
+
   test("sessionize splits on gaps > 30min") {
     val ev = Seq(
       ("u1", 0L, 1L), ("u1", 60L * 1000000, 2L),                  // session 1: 0s, 60s
