@@ -1001,6 +1001,33 @@ object Queries {
     // end-to-end curation: dedup keep-list × language × quality — the
     // composition a training pipeline runs; each stage reuses the
     // operator (and oracle fragment) verified on its own above
+    // greedy sequence packing: per-source running token total, seq_id =
+    // floor(start_offset / budget) — sources pack independently and in
+    // parallel (Corpus.pack)
+    QuerySpec("corpus_pack",
+      (s, d) => graft.ops.Corpus.pack(Tables.documents(s, d), budgetTokens = 1024L),
+      Some("""WITH t AS (
+             |  SELECT doc_id, source, length(text) - length(replace(text,' ','')) + 1 AS n_tokens
+             |  FROM documents)
+             |SELECT doc_id, source, n_tokens,
+             |  CAST((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+             |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) // 1024 AS BIGINT) AS seq_id
+             |FROM t ORDER BY doc_id""".stripMargin)),
+
+    // fixed-size training chunks with overlap: windows of 32 tokens
+    // advancing by 24, last window clipped, short docs yield one chunk —
+    // a per-partition kernel, no shuffle (Corpus.chunk)
+    QuerySpec("corpus_chunk",
+      (s, d) => graft.ops.Corpus.chunk(Tables.documents(s, d), chunkTokens = 32, overlap = 8),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |c AS (SELECT doc_id, toks,
+             |        unnest(range(greatest(1, (len(toks) - 8 + 23) // 24))) AS j
+             |      FROM t)
+             |SELECT doc_id, j AS chunk_idx,
+             |       least(j*24 + 32, len(toks)) - j*24 AS n_tokens,
+             |       array_to_string(toks[(j*24+1):least(j*24+32, len(toks))], ' ') AS chunk_text
+             |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)),
+
     QuerySpec("corpus_clean",
       (s, d) => graft.ops.Corpus.cleanCorpus(Tables.documents(s, d)),
       Some(s"""WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),

@@ -1,0 +1,48 @@
+package graft
+
+import graft.ops.Corpus
+
+/** Sequence packing and chunking: the tokenizer-prep operators. */
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def doc(n: Int): String = (1 to n).map(i => s"t$i").mkString(" ")
+
+  test("pack: per-source concat order, seq boundaries at the token budget") {
+    val docs = Seq(
+      (1L, "A", doc(600)),
+      (2L, "A", doc(600)),   // starts at 600, still seq 0
+      (3L, "A", doc(300)),   // starts at 1200 -> seq 1
+      (10L, "B", doc(999)),  // B packs independently: seq 0
+      (11L, "B", doc(5))     // starts at 999 -> seq 0
+    ).toDF("doc_id", "source", "text")
+    val got = Corpus.pack(docs, budgetTokens = 1000L)
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, "A", 600L, 0L), (2L, "A", 600L, 0L), (3L, "A", 300L, 1L),
+      (10L, "B", 999L, 0L), (11L, "B", 5L, 0L)))
+  }
+
+  test("chunk: overlapping windows, clipped tail, short docs yield one chunk") {
+    val docs = Seq((1L, doc(10)), (2L, doc(2))).toDF("doc_id", "text")
+    val got = Corpus.chunk(docs, chunkTokens = 4, overlap = 1)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    // doc 1: stride 3 -> starts 0,3,6; ends 4,7,10
+    assert(got == Seq(
+      (1L, 0L, 4L, "t1 t2 t3 t4"),
+      (1L, 1L, 4L, "t4 t5 t6 t7"),
+      (1L, 2L, 4L, "t7 t8 t9 t10"),
+      (2L, 0L, 2L, "t1 t2")))
+    // every token of every doc lands in at least one chunk
+    val covered = got.filter(_._1 == 1L).flatMap(_._4.split(" ")).toSet
+    assert(covered == (1 to 10).map(i => s"t$i").toSet)
+  }
+
+  test("chunk with zero overlap tiles the document exactly") {
+    val docs = Seq((1L, doc(9))).toDF("doc_id", "text")
+    val got = Corpus.chunk(docs, chunkTokens = 4, overlap = 0)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got.map(_._4).mkString(" ") == doc(9))
+    assert(got.map(_._3) == Seq(4L, 4L, 1L))
+  }
+}
