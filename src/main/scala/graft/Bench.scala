@@ -94,12 +94,14 @@ object Bench {
     val MaxRuns = 4
     // committed prior minima (same SF only) — read BEFORE this run
     // overwrites the file
+    var priorSf: String = ""
     val priorMinima: Map[String, Double] = try {
       val f = new java.io.File("BENCH_SELF.json")
       if (!f.isFile) Map.empty
       else {
         val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
-        if (root.path("sf").asText("") != sfDir) Map.empty
+        priorSf = root.path("sf").asText("")
+        if (priorSf != sfDir) Map.empty
         else {
           import scala.jdk.CollectionConverters._
           val q = root.path("queries")
@@ -147,7 +149,15 @@ object Bench {
     // sbt prefixes stdout with [info] and may wrap long lines, which can
     // defeat line-oriented JSON parsing downstream
     val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"failed":$failedJson,"suspect":$suspectJson,"sf":"$sfDir"}"""
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_SELF.json"), full + "\n")
+    // the committed BENCH_SELF.json prior is the floor the NEXT run's
+    // noise defense stands on — a run at a DIFFERENT scale factor (a
+    // local sf0.001 contract check, say) must not clobber it and
+    // silently disarm every floor; off-SF runs self-report to a
+    // suffixed sibling instead
+    val selfOut =
+      if (priorSf.isEmpty || priorSf == sfDir) "BENCH_SELF.json"
+      else s"BENCH_SELF.${new java.io.File(sfDir).getName}.json"
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(selfOut), full + "\n")
     catch { case _: Exception => () }
     spark.stop()
     // the compact headline is the LAST stdout line of the process —
