@@ -43,25 +43,47 @@ object StreamIngest {
     * must equal the batch `EventLog.tails` — which is how the
     * correctness gate oracles this streaming surface.
     */
-  def tailsAvailableNow(spark: SparkSession, eventsParquet: String, indexName: String): DataFrame = {
+  def tailsAvailableNow(spark: SparkSession, eventsParquet: String, indexName: String,
+                        statePartitions: Int = DefaultStatePartitions): DataFrame = {
     graft.engine.GraftSession.tune(spark)
     val schema = spark.read.parquet(eventsParquet).schema
-    // the file stream source only accepts DIRECTORIES (it manages its
-    // own basePath); a single-file table is staged into a per-table
-    // temp dir once, by symlink (fallback: copy)
-    val stream = spark.readStream.schema(schema).parquet(stageDir(eventsParquet))
-    val tails = runningTails(EventFrame.fromEvents(stream), indexName)
-    val qname = "graft_stream_tails_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    tails.writeStream.format("memory").queryName(qname)
-      .outputMode(OutputMode.Complete())
-      .trigger(Trigger.AvailableNow())
-      .start()
-      .awaitTermination()
-    // previous runs' memory sinks are dropped once superseded, so
-    // repeated harness invocations don't accumulate retained tables
-    val prev = lastMemorySink.getAndSet(qname)
-    if (prev != null) spark.catalog.dropTempView(prev)
-    spark.table(qname).orderBy("attr")
+    withStatePartitions(spark, statePartitions) {
+      // the file stream source only accepts DIRECTORIES (it manages its
+      // own basePath); a single-file table is staged into a per-table
+      // temp dir once, by symlink (fallback: copy)
+      val stream = spark.readStream.schema(schema).parquet(stageDir(eventsParquet))
+      val tails = runningTails(EventFrame.fromEvents(stream), indexName)
+      val qname = "graft_stream_tails_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      tails.writeStream.format("memory").queryName(qname)
+        .outputMode(OutputMode.Complete())
+        .trigger(Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+      // previous runs' memory sinks are dropped once superseded, so
+      // repeated harness invocations don't accumulate retained tables
+      val prev = lastMemorySink.getAndSet(qname)
+      if (prev != null) spark.catalog.dropTempView(prev)
+      spark.table(qname).orderBy("attr")
+    }
+  }
+
+  /** Every state partition is a store INSTANCE paying per-batch delta
+    * + snapshot + commit I/O whether or not it holds state, so a
+    * stateful query's partition count must track its state size, not
+    * the session's analytic shuffle width (measured here: the sf0.1
+    * stream-stream interval join emits 371 rows, and at 32 shuffle
+    * partitions its ~128 join store instances made fixed I/O 80% of
+    * the query). The partition count is recorded in each query's own
+    * checkpoint, so bounded oracle drains default low and a
+    * throughput-sized production stream simply passes a higher value.
+    */
+  val DefaultStatePartitions = 4
+
+  private def withStatePartitions[A](spark: SparkSession, n: Int)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
   }
 
   private val lastMemorySink = new java.util.concurrent.atomic.AtomicReference[String]()
@@ -256,22 +278,25 @@ object StreamIngest {
     * passed, which is exactly the part a correctness gate must see).
     */
   def windowedCountsAvailableNow(spark: SparkSession, eventsParquet: String,
-                                 window_ : String = "10 minutes"): DataFrame = {
+                                 window_ : String = "10 minutes",
+                                 statePartitions: Int = DefaultStatePartitions): DataFrame = {
     graft.engine.GraftSession.tune(spark)
     val schema = spark.read.parquet(eventsParquet).schema
-    val stream = spark.readStream.schema(schema).parquet(stageDir(eventsParquet))
-    val counts = windowedCounts(EventFrame.fromEvents(stream), window_)
-      .select(unix_micros(col("window.start")).as("win_start_us"),
-        col("space"), col("n_events"))
-    val qname = "graft_stream_win_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    counts.writeStream.format("memory").queryName(qname)
-      .outputMode(OutputMode.Complete())
-      .trigger(Trigger.AvailableNow())
-      .start()
-      .awaitTermination()
-    val prev = lastWindowSink.getAndSet(qname)
-    if (prev != null) spark.catalog.dropTempView(prev)
-    spark.table(qname).orderBy("win_start_us", "space")
+    withStatePartitions(spark, statePartitions) {
+      val stream = spark.readStream.schema(schema).parquet(stageDir(eventsParquet))
+      val counts = windowedCounts(EventFrame.fromEvents(stream), window_)
+        .select(unix_micros(col("window.start")).as("win_start_us"),
+          col("space"), col("n_events"))
+      val qname = "graft_stream_win_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      counts.writeStream.format("memory").queryName(qname)
+        .outputMode(OutputMode.Complete())
+        .trigger(Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+      val prev = lastWindowSink.getAndSet(qname)
+      if (prev != null) spark.catalog.dropTempView(prev)
+      spark.table(qname).orderBy("win_start_us", "space")
+    }
   }
 
   private val lastWindowSink = new java.util.concurrent.atomic.AtomicReference[String]()
@@ -285,25 +310,28 @@ object StreamIngest {
     */
   def enrichIntervalAvailableNow(spark: SparkSession, eventsParquet: String,
                                  leftSpace: String, rightSpace: String,
-                                 lookback: String = "1 minute"): DataFrame = {
+                                 lookback: String = "1 minute",
+                                 statePartitions: Int = DefaultStatePartitions): DataFrame = {
     graft.engine.GraftSession.tune(spark)
     val schema = spark.read.parquet(eventsParquet).schema
-    def src() = EventFrame.fromEvents(
-      spark.readStream.schema(schema).parquet(stageDir(eventsParquet)))
-    val joined = enrichInterval(
-      src().where(col("space") === leftSpace),
-      src().where(col("space") === rightSpace),
-      lookback)
-      .select("grouping", "l_event_id", "r_event_id")
-    val qname = "graft_stream_enrich_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    joined.writeStream.format("memory").queryName(qname)
-      .outputMode(OutputMode.Append())
-      .trigger(Trigger.AvailableNow())
-      .start()
-      .awaitTermination()
-    val prev = lastEnrichSink.getAndSet(qname)
-    if (prev != null) spark.catalog.dropTempView(prev)
-    spark.table(qname).orderBy("grouping", "l_event_id", "r_event_id")
+    withStatePartitions(spark, statePartitions) {
+      def src() = EventFrame.fromEvents(
+        spark.readStream.schema(schema).parquet(stageDir(eventsParquet)))
+      val joined = enrichInterval(
+        src().where(col("space") === leftSpace),
+        src().where(col("space") === rightSpace),
+        lookback)
+        .select("grouping", "l_event_id", "r_event_id")
+      val qname = "graft_stream_enrich_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      joined.writeStream.format("memory").queryName(qname)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+      val prev = lastEnrichSink.getAndSet(qname)
+      if (prev != null) spark.catalog.dropTempView(prev)
+      spark.table(qname).orderBy("grouping", "l_event_id", "r_event_id")
+    }
   }
 
   private val lastEnrichSink = new java.util.concurrent.atomic.AtomicReference[String]()
