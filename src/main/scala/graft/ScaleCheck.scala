@@ -66,7 +66,10 @@ object ScaleCheck {
       "dedup_exact",            // hash-group dedup
       "dedup_minhash",          // LSH banding self-join
       "similarity_topk",        // broadcast nested-loop scoring
-      "text_vocab_topk")        // explode + count + top-k
+      "text_vocab_topk",        // explode + count + top-k
+      "text_span_dedup",        // span explode + hash-only shuffle
+      "corpus_pack",            // per-source running-total window
+      "corpus_chunk")           // per-partition chunking kernel
 
     def time(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
