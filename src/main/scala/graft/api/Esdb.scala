@@ -95,6 +95,17 @@ class Space private[api] (all: DataFrame, val space: String, storePath: Option[S
   def scanN(grouping: String, n: Int)(fn: Event => Boolean): Unit =
     consumeEvents(EventStore.scan(all, space, grouping, Some(n)), fn)
 
+  /** Time-bounded scan — the reference's canonical "Scanner returns
+    * false at a ts bound" caller pattern (space.go:14,
+    * esdb_test.go:229-232), but the bound is pushed into the PLAN:
+    * on stores opened by path the DSv2 source prunes files by the
+    * ts-range manifest and stops each grouping's cursor at the first
+    * out-of-range row, instead of materializing rows for the callback
+    * to discard.
+    */
+  def scanSince(grouping: String, sinceTsUs: Long)(fn: Event => Boolean): Unit =
+    consumeEvents(EventStore.scanSince(all, space, grouping, sinceTsUs), fn)
+
   /** Reference `Space.ScanIndex` (space.go:79-108). */
   def scanIndex(name: String, value: String)(fn: Event => Boolean): Unit =
     consumeEvents(EventStore.scanIndex(all, space, name, value), fn)

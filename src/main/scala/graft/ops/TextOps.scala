@@ -233,14 +233,31 @@ object TextOps {
     * trades this single-shuffle shape for global sorts.
     */
   def crossDocSpans(docs: DataFrame, w: Int = 10): DataFrame = {
-    val toks = split(col("text"), " ")
-    val nspans = (size(toks) / lit(w)).cast("int")
-    val spans = docs.select(
-      col("doc_id"),
-      explode(when(nspans >= 1,
-        transform(sequence(lit(0), nspans - 1),
-          j => md5(concat_ws(" ", slice(toks, j * lit(w) + 1, lit(w))))))
-        .otherwise(array())).as("span_hash"))
+    // span generation is a per-partition kernel, NOT slice/transform
+    // column expressions: Catalyst inlines the projected split() into
+    // the transform lambda, re-splitting the whole text once PER SPAN —
+    // O(n²/w) on long documents (the measured HOF-inlining pathology,
+    // Dedup.scala:18-25). The kernel splits once and streams spans.
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val spans = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text) =>
+          // limit -1: trailing empty tokens count, like string_split's
+          val toks = text.split(" ", -1)
+          (0 until toks.length / w).iterator.map { j =>
+            val d = md.digest(toks.slice(j * w, j * w + w).mkString(" ").getBytes("UTF-8"))
+            val hex = new java.lang.StringBuilder(32)
+            d.foreach { b =>
+              hex.append(Character.forDigit((b >> 4) & 0xf, 16))
+              hex.append(Character.forDigit(b & 0xf, 16)): Unit
+            }
+            (id, hex.toString)
+          }
+        }
+      }
+      .toDF("doc_id", "span_hash")
     spans.groupBy("span_hash")
       .agg(countDistinct("doc_id").as("n_docs"),
         count(lit(1)).as("n_spans"),

@@ -47,6 +47,11 @@ class EsdbApiSpec extends SparkSpec {
     var viaIndex = List.empty[Long]
     sp.scanIndexN("i", "i1", 1) { e => viaIndex ::= e.event_id; true }
     assert(viaIndex == List(1L))
+
+    // time-bounded scan: the Scanner-false-at-a-bound pattern, planned
+    var since = List.empty[Long]
+    sp.scanSince("h", sinceTsUs = 3L) { e => since ::= e.event_id; true }
+    assert(since == List(2L)) // only ts=3; the ts=1 event is below the bound
   }
 
   test("stream: create → append → iterate/resume → close blocks writes") {
