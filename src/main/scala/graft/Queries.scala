@@ -381,6 +381,29 @@ object Queries {
              |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
              |FROM events GROUP BY space ORDER BY space""".stripMargin)),
 
+    // per-grouping top-N events by value through the map-side k-bounded
+    // heap aggregate (top_k_by_score): each task shuffles at most k
+    // (score, id) pairs per grouping — the window row_number() form
+    // sorts every event of every grouping first. Ties break (value
+    // desc, event_id asc) identically in heap and oracle.
+    QuerySpec("events_topn_per_group",
+      (s, d) => {
+        graft.functions.SampleFunctions.register(s)
+        ev(s, d)
+          .where(col("value").isNotNull)
+          .groupBy("grouping")
+          .agg(call_function("top_k_by_score", col("value"), col("event_id"), lit(3)).as("top"))
+          .select(col("grouping"), posexplode(col("top")))
+          .select(col("grouping"), (col("pos") + 1).cast("long").as("rk"),
+            col("col.payload").as("event_id"), col("col.score").as("value"))
+          .orderBy("grouping", "rk")
+      },
+      Some("""WITH r AS (SELECT CAST(user_id AS VARCHAR) AS grouping, event_id, value,
+             |  row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rk
+             |  FROM events WHERE value IS NOT NULL)
+             |SELECT grouping, rk, event_id, value FROM r WHERE rk <= 3
+             |ORDER BY grouping, rk""".stripMargin)),
+
     QuerySpec("topk_groupings_by_value",
       (s, d) => {
         val sums = ev(s, d).groupBy("space", "grouping")
