@@ -525,6 +525,22 @@ object Queries {
               |FROM sq GROUP BY grouping, session_seq
               |ORDER BY grouping, session_seq""".stripMargin)),
 
+    // session windows as a STREAM (session_window + Complete drain):
+    // boundary-identical to the batch gap split (> gap starts a new
+    // session — pinned by StreamingSpec), so the oracle is the same
+    // lag/cumsum session derivation emitting per-session counts
+    QuerySpec("stream_session_counts",
+      (s, d) => graft.streaming.StreamIngest.sessionCountsAvailableNow(
+        s, s"$d/events.parquet", "30 minutes"),
+      Some(s"""WITH t AS (SELECT CAST(user_id AS VARCHAR) AS grouping, epoch_us(ts) AS ts_us, event_id FROM events),
+              |l AS (SELECT *, lag(ts_us) OVER (PARTITION BY grouping ORDER BY ts_us, event_id) AS prev_ts FROM t),
+              |m AS (SELECT *, CASE WHEN prev_ts IS NULL OR ts_us - prev_ts > ${Sessionize.DefaultGapUs} THEN 1 ELSE 0 END AS is_new FROM l),
+              |sq AS (SELECT *, sum(is_new) OVER (PARTITION BY grouping ORDER BY ts_us, event_id
+              |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq FROM m)
+              |SELECT grouping, min(ts_us) AS start_us, count(*) AS n_events
+              |FROM sq GROUP BY grouping, session_seq
+              |ORDER BY grouping, start_us""".stripMargin)),
+
     QuerySpec("agg_time_windows",
       (s, d) => ev(s, d)
         .groupBy(expr("ts_us div 3600000000").as("hour_bucket"), col("space"))

@@ -337,7 +337,11 @@ object StreamIngest {
   private val lastEnrichSink = new java.util.concurrent.atomic.AtomicReference[String]()
 
   /** Session windows (30 min gap) per grouping — streaming analog of
-    * the batch [[graft.ops.Sessionize]].
+    * the batch [[graft.ops.Sessionize]]. Boundary semantics: an event
+    * at EXACTLY `prev_ts + gap` MERGES into the running session (the
+    * window's reach is closed at `last_ts + gap` — verified by test),
+    * which is the batch Sessionize's strict `> gap` split exactly, so
+    * the two surfaces agree at every point including the boundary.
     */
   def sessionCounts(events: DataFrame, gap: String = "30 minutes",
                     watermark: String = "1 hour"): DataFrame =
@@ -345,4 +349,36 @@ object StreamIngest {
       .withWatermark("ts", watermark)
       .groupBy(session_window(col("ts"), gap), col("grouping"))
       .agg(count(lit(1)).as("n_events"))
+
+  /** [[sessionCounts]] run end-to-end as a stream and drained with
+    * `Trigger.AvailableNow` in Complete mode: the final state is every
+    * grouping's full session set, which must equal the same gap-split
+    * computed in batch — the oracle shape for the session-window
+    * surface (the stateful piece of the reference's `populate` family
+    * T5, SURVEY §2.9).
+    */
+  def sessionCountsAvailableNow(spark: SparkSession, eventsParquet: String,
+                                gap: String = "30 minutes",
+                                statePartitions: Int = DefaultStatePartitions): DataFrame = {
+    graft.engine.GraftSession.tune(spark)
+    val schema = spark.read.parquet(eventsParquet).schema
+    withStatePartitions(spark, statePartitions) {
+      val stream = spark.readStream.schema(schema).parquet(stageDir(eventsParquet))
+      val sessions = sessionCounts(EventFrame.fromEvents(stream), gap)
+        .select(col("grouping"),
+          unix_micros(col("session_window.start")).as("start_us"),
+          col("n_events"))
+      val qname = "graft_stream_sess_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      sessions.writeStream.format("memory").queryName(qname)
+        .outputMode(OutputMode.Complete())
+        .trigger(Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+      val prev = lastSessionSink.getAndSet(qname)
+      if (prev != null) spark.catalog.dropTempView(prev)
+      spark.table(qname).orderBy("grouping", "start_us")
+    }
+  }
+
+  private val lastSessionSink = new java.util.concurrent.atomic.AtomicReference[String]()
 }

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.unix_micros
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.streaming.StreamIngest
@@ -160,6 +161,28 @@ class StreamingSpec extends SparkSpec {
     drain() // same checkpoint: only the appended batch is processed
     val ids = spark.read.parquet(out).select("event_id").as[Long].collect().sorted
     assert(ids.length == 150 && ids.toSeq == (1L to 150L)) // no duplicates, nothing lost
+  }
+
+  test("session windows split per grouping; the exact-gap boundary merges (batch parity)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamIngest.sessionCounts(mem.toDF(), "30 minutes", "1 hour")
+      .select($"grouping", unix_micros($"session_window.start").as("start_us"), $"n_events")
+      .writeStream.format("memory").queryName("sess_t").outputMode(OutputMode.Complete())
+      .start()
+    try {
+      val min = 60L * 1000000
+      mem.addData(
+        Ev("click", "u1", 0 * min, 1L, "{}"),
+        Ev("click", "u1", 10 * min, 2L, "{}"),  // merges (10 < 30 gap)
+        Ev("click", "u1", 40 * min, 3L, "{}"),  // exactly prev + 30min: MERGES (> gap splits)
+        Ev("click", "u1", 71 * min, 4L, "{}"),  // 31 > 30: new session
+        Ev("click", "u2", 5 * min, 5L, "{}"))
+      q.processAllAvailable()
+      val got = spark.table("sess_t").select("grouping", "start_us", "n_events")
+        .as[(String, Long, Long)].collect().toSeq.sorted
+      assert(got == Seq(("u1", 0L, 3L), ("u1", 71 * min, 1L), ("u2", 5 * min, 1L)))
+    } finally q.stop()
   }
 
   test("windowed counts aggregate by tumbling event-time windows") {
