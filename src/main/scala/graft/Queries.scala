@@ -1040,6 +1040,39 @@ object Queries {
     // end-to-end curation: dedup keep-list × language × quality — the
     // composition a training pipeline runs; each stage reuses the
     // operator (and oracle fragment) verified on its own above
+    // int8 scalar quantization certificates: one kernel pass, no
+    // shuffle; all float math widened to double and floored, so the
+    // oracle recomputes it bit-for-bit (ops/Embeddings.quantize)
+    QuerySpec("embeddings_quantize",
+      (s, d) => graft.ops.Embeddings.quantize(Tables.embeddings(s, d)),
+      Some("""WITH m AS (SELECT vec_id, embedding,
+             |     coalesce(list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max'), 0) AS maxabs
+             |   FROM embeddings),
+             |q AS (SELECT vec_id, maxabs,
+             |        CASE WHEN maxabs > 0 THEN list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127 / maxabs) AS BIGINT))
+             |             ELSE []::BIGINT[] END AS qv
+             |      FROM m)
+             |SELECT vec_id, CAST(floor(maxabs * 1e9) AS BIGINT) AS maxabs_x1e9,
+             |  CAST(coalesce(list_aggregate(qv,'sum'),0) AS BIGINT) AS q_sum,
+             |  CAST(coalesce(list_aggregate(list_transform(qv, q -> q*q),'sum'),0) AS BIGINT) AS q_norm2,
+             |  CAST(CASE WHEN maxabs > 0 THEN list_aggregate(qv,'min') ELSE 0 END AS BIGINT) AS q_min,
+             |  CAST(CASE WHEN maxabs > 0 THEN list_aggregate(qv,'max') ELSE 0 END AS BIGINT) AS q_max
+             |FROM q ORDER BY vec_id""".stripMargin)),
+
+    // per-label centroids in exact integer fixed-point: posexplode +
+    // map-side partial agg, one tiny (labels x dim) shuffle
+    // (ops/Embeddings.labelCentroids)
+    QuerySpec("embeddings_label_centroids",
+      (s, d) => graft.ops.Embeddings.labelCentroids(Tables.embeddings(s, d)),
+      Some("""WITH cells AS (
+             |  SELECT label, u.pos AS pos, u.fx AS fx
+             |  FROM (SELECT label, unnest(list_transform(range(len(embedding)),
+             |          j -> {'pos': j, 'fx': CAST(floor(CAST(embedding[j+1] AS DOUBLE)*1e6) AS BIGINT)})) AS u
+             |        FROM embeddings))
+             |SELECT label, CAST(pos AS BIGINT) AS pos, count(*) AS n,
+             |       CAST(floor(CAST(sum(fx) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS centroid_x1e6
+             |FROM cells GROUP BY label, pos ORDER BY label, pos""".stripMargin)),
+
     // greedy sequence packing: per-source running token total, seq_id =
     // floor(start_offset / budget) — sources pack independently and in
     // parallel (Corpus.pack)
