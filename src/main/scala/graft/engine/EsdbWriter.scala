@@ -35,6 +35,53 @@ object EsdbWriter {
   val GroupingsManifest = "_MANIFEST.groupings"
   val LogManifest = "_MANIFEST.log"
   val TsRangeManifest = "_MANIFEST.tsrange"
+  val SubpartsMarker = "_SUBPARTS"
+
+  /** Data files under a space directory, one bucket level deep:
+    * direct files plus `bucket=*` subdir files, as
+    * (path-relative-to-the-space-dir's-parent, FileStatus) pairs —
+    * e.g. ("space=X/part-…", st) or ("space=X/bucket=3/part-…", st).
+    */
+  def relativeDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+                        spaceDir: org.apache.hadoop.fs.Path):
+      Seq[(String, org.apache.hadoop.fs.FileStatus)] = {
+    def isData(f: org.apache.hadoop.fs.FileStatus): Boolean = {
+      val n = f.getPath.getName
+      f.isFile && f.getLen > 0 && !n.startsWith("_") && !n.startsWith(".")
+    }
+    val sp = spaceDir.getName
+    fs.listStatus(spaceDir).toSeq.flatMap { c =>
+      if (isData(c)) Seq(s"$sp/${c.getPath.getName}" -> c)
+      else if (c.isDirectory && c.getPath.getName.startsWith("bucket="))
+        fs.listStatus(c.getPath).toSeq.filter(isData)
+          .map(f => s"$sp/${c.getPath.getName}/${f.getPath.getName}" -> f)
+      else Nil
+    }
+  }
+
+  /** Bucket a grouping hashes into under `n`-way subpartitioning —
+    * `pmod(xxhash64(grouping), n)` exactly (seed 42, Spark's default),
+    * so the write side (a Column) and the read side (driver pruning)
+    * always agree.
+    */
+  def bucketOf(grouping: String, n: Int): Int =
+    math.floorMod(graft.ops.DedupKernels.hashStr(grouping), n.toLong).toInt
+
+  /** Subpartition count a store was created with (1 = flat layout).
+    * Fixed at creation: appends and compaction reuse it, so every
+    * grouping's events stay in ONE bucket forever and grouping-pinned
+    * reads may prune to that bucket.
+    */
+  def subpartsOf(conf: org.apache.hadoop.conf.Configuration, root: String): Int = {
+    val m = new org.apache.hadoop.fs.Path(root, SubpartsMarker)
+    val fs = m.getFileSystem(conf)
+    if (!fs.exists(m)) 1
+    else {
+      val in = fs.open(m)
+      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim.toInt
+      finally in.close()
+    }
+  }
 
   /** Write a canonical [[EventFrame]] as an immutable store.
     *
@@ -47,23 +94,42 @@ object EsdbWriter {
     * extraction for attrs that were not declared at write time —
     * exactly the reference's behavior (no index → full scan).
     */
-  def write(ev: DataFrame, path: String, indexAttrs: Seq[String] = Nil): Unit = {
+  /** `subparts > 1` subpartitions every space into that many
+    * grouping-hash buckets (`space=X/bucket=B/`) — the documented hot-
+    * space lever: write parallelism becomes spaces × buckets instead
+    * of one task per space, and since a grouping's bucket is a pure
+    * hash, grouping-pinned reads prune to 1/subparts of the space.
+    * The count is recorded in a `_SUBPARTS` marker and fixed for the
+    * store's lifetime (appends and compaction reuse it).
+    */
+  def write(ev: DataFrame, path: String, indexAttrs: Seq[String] = Nil,
+            subparts: Int = 1): Unit = {
+    require(subparts >= 1, s"subparts must be >= 1, got $subparts")
     val indexed = indexAttrs.foldLeft(ev) { (df, name) =>
       df.withColumn(s"idx_$name", EventFrame.attr(name))
     }
     // bloom-filter every index column, both newly-derived and already-
     // materialized ones (rewrites/compaction carry idx_* columns in)
     val idxCols = indexed.columns.filter(_.startsWith("idx_")).map(_.drop(4)).toSeq
-    // the sort MUST lead with the partition column: FileFormatWriter
+    // the sort MUST lead with the partition column(s): FileFormatWriter
     // requires its output ordered by partition columns and silently
-    // plans its own non-stable sort by (space) alone when the incoming
-    // order does not satisfy that — which would scramble the
-    // (grouping, ts, id) layout the whole ordered-read design rests on
-    val writer = indexed.repartition(col("space"))
-      .sortWithinPartitions(col("space"), col("grouping"), col("ts_us").desc, col("event_id").asc)
-      .write
+    // plans its own non-stable sort when the incoming order does not
+    // satisfy that — which would scramble the (grouping, ts, id)
+    // layout the whole ordered-read design rests on
+    val (parted, partCols) =
+      if (subparts == 1)
+        (indexed.repartition(col("space"))
+          .sortWithinPartitions(col("space"), col("grouping"), col("ts_us").desc, col("event_id").asc),
+          Seq("space"))
+      else
+        (indexed.withColumn("bucket", pmod(xxhash64(col("grouping")), lit(subparts.toLong)))
+          .repartition(col("space"), col("bucket"))
+          .sortWithinPartitions(col("space"), col("bucket"), col("grouping"),
+            col("ts_us").desc, col("event_id").asc),
+          Seq("space", "bucket"))
+    val writer = parted.write
       .mode(SaveMode.ErrorIfExists)
-      .partitionBy("space")
+      .partitionBy(partCols: _*)
     // parquet bloom filters on the secondary-index columns: min/max
     // stats can't skip row groups for high-cardinality point lookups
     // (values interleave across the sort order), blooms can — this is
@@ -72,6 +138,11 @@ object EsdbWriter {
     idxCols.foldLeft(writer) { (w, name) =>
       w.option(s"parquet.bloom.filter.enabled#idx_$name", "true")
     }.parquet(path)
+    if (subparts > 1) {
+      val m = new org.apache.hadoop.fs.Path(path, SubpartsMarker)
+      val out = m.getFileSystem(hconf(ev.sparkSession)).create(m, true)
+      try out.write(subparts.toString.getBytes("UTF-8")) finally out.close()
+    }
     writeGroupingsManifest(ev.sparkSession, path, SaveMode.Overwrite)
     refreshTsRangeManifest(ev.sparkSession, path)
   }
@@ -102,10 +173,16 @@ object EsdbWriter {
     require(!isSealed(path), s"store at $path is sealed (immutable; compaction is for open stores)")
     GraftSession.tune(spark)
     val src = dataRoot(spark, path)
+    // subpartitioning is fixed at creation: the rewrite re-buckets with
+    // the same count (same hash), so groupings never change bucket
+    val subparts = subpartsOf(hconf(spark), src)
     Publish.publish(hconf(spark), path) { tmp =>
       // full-width read (not [[read]], which projects the canonical +
-      // idx_* columns): compaction must preserve every stored column
-      write(spark.read.option("basePath", src).parquet(src), tmp)
+      // idx_* columns): compaction must preserve every stored column;
+      // `bucket` is dropped because write() re-derives it
+      val full = spark.read.option("basePath", src).parquet(src)
+      write(if (full.columns.contains("bucket")) full.drop("bucket") else full,
+        tmp, subparts = subparts)
     }: Unit
   }
 
@@ -143,11 +220,23 @@ object EsdbWriter {
     val indexed = indexAttrs.foldLeft(ev) { (df, name) =>
       df.withColumn(s"idx_$name", EventFrame.attr(name))
     }
-    val writer = indexed.repartition(col("space"))
-      .sortWithinPartitions(col("space"), col("grouping"), col("ts_us").desc, col("event_id").asc)
-      .write
+    // the store's creation-time subpartitioning is authoritative: a
+    // grouping's events must land in the same bucket every append
+    val subparts = subpartsOf(hconf(ev.sparkSession), root)
+    val (parted, partCols) =
+      if (subparts == 1)
+        (indexed.repartition(col("space"))
+          .sortWithinPartitions(col("space"), col("grouping"), col("ts_us").desc, col("event_id").asc),
+          Seq("space"))
+      else
+        (indexed.withColumn("bucket", pmod(xxhash64(col("grouping")), lit(subparts.toLong)))
+          .repartition(col("space"), col("bucket"))
+          .sortWithinPartitions(col("space"), col("bucket"), col("grouping"),
+            col("ts_us").desc, col("event_id").asc),
+          Seq("space", "bucket"))
+    val writer = parted.write
       .mode(SaveMode.Append)
-      .partitionBy("space")
+      .partitionBy(partCols: _*)
     indexAttrs.foldLeft(writer) { (w, name) =>
       w.option(s"parquet.bloom.filter.enabled#idx_$name", "true")
     }.parquet(root)
@@ -208,10 +297,7 @@ object EsdbWriter {
         .flatMap { d =>
           val space = graft.sources.EsdbStoreSource
             .unescapePathName(d.getPath.getName.drop("space=".length))
-          fs.listStatus(d.getPath).toSeq
-            .filter(f => f.isFile && f.getLen > 0 &&
-              !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
-            .map(f => (space, f.getPath.toString))
+          relativeDataFiles(fs, d.getPath).map { case (_, f) => (space, f.getPath.toString) }
         }
     val par = math.max(1, math.min(files.size, spark.sparkContext.defaultParallelism))
     spark.createDataset(files).repartition(par)
@@ -510,12 +596,7 @@ object EsdbWriter {
       .map(_.select("file").as[String].collect().toSet).getOrElse(Set.empty)
     val fresh: Seq[String] = fs.listStatus(root).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("space="))
-      .flatMap { d =>
-        fs.listStatus(d.getPath).toSeq
-          .filter(f => f.isFile && f.getLen > 0 &&
-            !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
-          .map(f => s"${d.getPath.getName}/${f.getPath.getName}")
-      }
+      .flatMap(d => EsdbWriter.relativeDataFiles(fs, d.getPath).map(_._1))
       .filterNot(known.contains)
     if (fresh.isEmpty) return
     val rootStr = root.toString

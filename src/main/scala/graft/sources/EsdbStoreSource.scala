@@ -84,7 +84,11 @@ object EsdbStoreSource {
     * order canonical columns first.
     */
   def canonicalSchema(path: String): StructType = {
-    val raw = SparkSession.active.read.option("basePath", path).parquet(path).schema
+    // `bucket` is the hot-space subpartition dir, an implementation
+    // detail of the layout (like the reference's block boundaries) —
+    // never a queryable column
+    val raw = StructType(SparkSession.active.read.option("basePath", path).parquet(path)
+      .schema.filterNot(_.name == "bucket"))
     val lead = Seq("space", "grouping", "ts_us", "event_id", "value", "payload")
       .flatMap(n => raw.fields.find(_.name == n))
     val rest = raw.fields.filterNot(f => lead.exists(_.name == f.name))
@@ -370,32 +374,38 @@ final class EsdbScan(path: String, required: StructType, spaces: Option[Seq[Stri
                 if (hasTs) r.getLong(r.fieldIndex("max_ts")) else 0L))
           }.toMap
         }
+      // hot-space subpartitioning: a pinned grouping lives in exactly
+      // one bucket (pure hash of the grouping), so the scan reads
+      // 1/subparts of each space — the read-side half of the lever
+      val subparts = graft.engine.EsdbWriter.subpartsOf(hconf, path)
+      val wantBucket: Option[String] =
+        if (subparts > 1) grouping.map(g =>
+          s"bucket=${graft.engine.EsdbWriter.bucketOf(g, subparts)}")
+        else None
       val dirs = fs.listStatus(root).toSeq
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("space="))
         .map(s => (EsdbStoreSource.unescapePathName(s.getPath.getName.drop("space=".length)), s.getPath))
         .filter { case (v, _) => spaces.forall(_.contains(v)) && runtimeSpaces.forall(_.contains(v)) }
         .sortBy(_._1)
       dirs.flatMap { case (space, dir) =>
-        val files = fs.listStatus(dir).toSeq
-          .filter(f => f.isFile && isDataFile(f) && f.getLen > 0)
-          .filter { f =>
-            tsRanges.get(s"${dir.getName}/${f.getPath.getName}") match {
+        val files = graft.engine.EsdbWriter.relativeDataFiles(fs, dir)
+          .filter { case (rel, _) =>
+            wantBucket.forall(b => !rel.contains("/bucket=") || rel.contains(s"/$b/"))
+          }
+          .filter { case (rel, _) =>
+            tsRanges.get(rel) match {
               case Some((hasTs, mn, mx)) =>
                 hasTs && !(tsBounds.belowLower(mx) || tsBounds.aboveUpper(mn))
               case None => true
             }
           }
-          .sortBy(_.getPath.getName)
+          .map(_._2)
+          .sortBy(_.getPath.toString)
         if (files.isEmpty) None
         else Some(EsdbInputPartition(space, files.map(_.getPath.toString).toArray,
           files.map(_.getLen).sum))
       }.toArray
     }
-  }
-
-  private def isDataFile(f: FileStatus): Boolean = {
-    val n = f.getPath.getName
-    !n.startsWith("_") && !n.startsWith(".")
   }
 
   override def planInputPartitions(): Array[InputPartition] =

@@ -428,6 +428,66 @@ class OrderedStoreSpec extends SparkSpec {
     assert(o.where(col("ts_us") > 999999999L).count() == 0)
   }
 
+  test("hot-space subpartitioning: bucketed layout, pruned grouping scans, parity") {
+    import graft.sources.{EsdbInputPartition, EsdbScan, EsdbScanBuilder, EsdbStoreSource}
+    import org.apache.spark.sql.sources.EqualTo
+    val dir = java.nio.file.Files.createTempDirectory("ordbucket").toFile
+    dir.delete()
+    val path = dir.getAbsolutePath
+    val mk = (r: Range) => r.map(i => ("hot", s"g${i % 20}", (i % 40).toLong * 10, i.toLong,
+      i / 3.0, s"""{"k": ${i % 5}}"""))
+      .toDF("space", "grouping", "ts_us", "event_id", "value", "payload")
+    EsdbWriter.write(mk(1 to 400), path, subparts = 4)
+    EsdbWriter.append(mk(401 to 600), path)
+    val conf = spark.sparkContext.hadoopConfiguration
+    assert(EsdbWriter.subpartsOf(conf, path) == 4)
+    // layout: bucket subdirs under the space, no direct files
+    val spaceDir = new java.io.File(path, "space=hot")
+    val bucketDirs = spaceDir.listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("bucket=")).sorted
+    assert(bucketDirs.nonEmpty && bucketDirs.forall(b => b.drop(7).toInt < 4))
+    // the DSv2 schema never exposes the bucket implementation column
+    val o = EsdbWriter.readOrdered(spark, path)
+    assert(!o.columns.contains("bucket"))
+    // grouping-pinned scan reads ONLY the grouping's bucket
+    def plannedFiles(filters: Array[org.apache.spark.sql.sources.Filter]): Seq[String] = {
+      val b = new EsdbScanBuilder(path, EsdbStoreSource.canonicalSchema(path))
+      b.pushFilters(filters)
+      b.build().asInstanceOf[EsdbScan].planInputPartitions()
+        .flatMap(_.asInstanceOf[EsdbInputPartition].files).toSeq
+    }
+    val allFiles = plannedFiles(Array.empty)
+    val g7Bucket = EsdbWriter.bucketOf("g7", 4)
+    val pinned = plannedFiles(Array(EqualTo("grouping", "g7")))
+    assert(pinned.nonEmpty && pinned.size < allFiles.size)
+    assert(pinned.forall(_.contains(s"bucket=$g7Bucket/")),
+      s"pinned scan must read only bucket=$g7Bucket: $pinned")
+    // parity + order: bucketed ordered scan == vanilla re-sorted scan
+    val v = EsdbWriter.read(spark, path)
+    val gotScan = EventStore.scan(o, "hot", "g7")
+      .select("event_id", "ts_us", "value").collect().toSeq
+    val expScan = EventStore.scan(v, "hot", "g7")
+      .select("event_id", "ts_us", "value").collect().toSeq
+    assert(gotScan == expScan && gotScan.nonEmpty)
+    // whole-space iterate merges across buckets in (grouping, ts, id) order
+    val gotSpace = EventStore.scanSpace(o, "hot")
+      .select("grouping", "ts_us", "event_id").as[(String, Long, Long)].collect().toSeq
+    val expSpace = EventStore.scanSpace(v, "hot")
+      .select("grouping", "ts_us", "event_id").as[(String, Long, Long)].collect().toSeq
+    assert(gotSpace == expSpace && gotSpace.size == 600)
+    // compaction preserves the bucketing and every row
+    EsdbWriter.compact(spark, path)
+    assert(EsdbWriter.subpartsOf(conf,
+      graft.engine.Publish.resolve(conf, path)) == 4)
+    val afterCompact = EsdbWriter.readOrdered(spark, path)
+    assert(EventStore.scanSpace(afterCompact, "hot")
+      .select("grouping", "ts_us", "event_id").as[(String, Long, Long)].collect().toSeq == expSpace)
+    // index scans and storeStats still work over the bucketed layout
+    assert(EsdbWriter.storeStats(spark, path)
+      .as[(String, Long, Option[Long], Option[Long])].collect().toSeq ==
+      Seq(("hot", 600L, Some(0L), Some(390L))))
+  }
+
   test("sealed-store sidecar directories are invisible to the ordered source") {
     val dir = java.nio.file.Files.createTempDirectory("ordseal").toFile
     dir.delete()
