@@ -94,12 +94,13 @@ object Bench {
     val MaxRuns = 4
     // committed prior minima (same SF only) — read BEFORE this run
     // overwrites the file
+    val priorFileExists = new java.io.File("BENCH_SELF.json").isFile
     var priorSf: String = ""
     val priorMinima: Map[String, Double] = try {
-      val f = new java.io.File("BENCH_SELF.json")
-      if (!f.isFile) Map.empty
+      if (!priorFileExists) Map.empty
       else {
-        val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+        val root = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(new java.io.File("BENCH_SELF.json"))
         priorSf = root.path("sf").asText("")
         if (priorSf != sfDir) Map.empty
         else {
@@ -154,8 +155,12 @@ object Bench {
     // local sf0.001 contract check, say) must not clobber it and
     // silently disarm every floor; off-SF runs self-report to a
     // suffixed sibling instead
+    // an unreadable prior (corrupt file, merge artifact) must fail
+    // CLOSED: a file exists whose SF we cannot confirm, so don't
+    // overwrite it — only a confirmed same-SF prior (or none) is
+    // replaced in place
     val selfOut =
-      if (priorSf.isEmpty || priorSf == sfDir) "BENCH_SELF.json"
+      if (!priorFileExists || priorSf == sfDir) "BENCH_SELF.json"
       else s"BENCH_SELF.${new java.io.File(sfDir).getName}.json"
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(selfOut), full + "\n")
     catch { case _: Exception => () }

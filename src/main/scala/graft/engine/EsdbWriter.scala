@@ -37,6 +37,25 @@ object EsdbWriter {
   val TsRangeManifest = "_MANIFEST.tsrange"
   val SubpartsMarker = "_SUBPARTS"
 
+  /** The one place the store's physical order is decided: repartition
+    * to the layout's write tasks and sort each task (space[, bucket],
+    * grouping, ts desc, id) — the sort MUST lead with the partition
+    * columns (FileFormatWriter silently re-sorts non-conforming input
+    * by the partition columns alone, scrambling the layout). Used by
+    * both write() and append() so create and append can never diverge.
+    */
+  private def partitionForWrite(indexed: DataFrame, subparts: Int): (DataFrame, Seq[String]) =
+    if (subparts == 1)
+      (indexed.repartition(col("space"))
+        .sortWithinPartitions(col("space"), col("grouping"), col("ts_us").desc, col("event_id").asc),
+        Seq("space"))
+    else
+      (indexed.withColumn("bucket", pmod(xxhash64(col("grouping")), lit(subparts.toLong)))
+        .repartition(col("space"), col("bucket"))
+        .sortWithinPartitions(col("space"), col("bucket"), col("grouping"),
+          col("ts_us").desc, col("event_id").asc),
+        Seq("space", "bucket"))
+
   /** Data files under a space directory, one bucket level deep:
     * direct files plus `bucket=*` subdir files, as
     * (path-relative-to-the-space-dir's-parent, FileStatus) pairs —
@@ -111,22 +130,7 @@ object EsdbWriter {
     // bloom-filter every index column, both newly-derived and already-
     // materialized ones (rewrites/compaction carry idx_* columns in)
     val idxCols = indexed.columns.filter(_.startsWith("idx_")).map(_.drop(4)).toSeq
-    // the sort MUST lead with the partition column(s): FileFormatWriter
-    // requires its output ordered by partition columns and silently
-    // plans its own non-stable sort when the incoming order does not
-    // satisfy that — which would scramble the (grouping, ts, id)
-    // layout the whole ordered-read design rests on
-    val (parted, partCols) =
-      if (subparts == 1)
-        (indexed.repartition(col("space"))
-          .sortWithinPartitions(col("space"), col("grouping"), col("ts_us").desc, col("event_id").asc),
-          Seq("space"))
-      else
-        (indexed.withColumn("bucket", pmod(xxhash64(col("grouping")), lit(subparts.toLong)))
-          .repartition(col("space"), col("bucket"))
-          .sortWithinPartitions(col("space"), col("bucket"), col("grouping"),
-            col("ts_us").desc, col("event_id").asc),
-          Seq("space", "bucket"))
+    val (parted, partCols) = partitionForWrite(indexed, subparts)
     val writer = parted.write
       .mode(SaveMode.ErrorIfExists)
       .partitionBy(partCols: _*)
@@ -223,17 +227,7 @@ object EsdbWriter {
     // the store's creation-time subpartitioning is authoritative: a
     // grouping's events must land in the same bucket every append
     val subparts = subpartsOf(hconf(ev.sparkSession), root)
-    val (parted, partCols) =
-      if (subparts == 1)
-        (indexed.repartition(col("space"))
-          .sortWithinPartitions(col("space"), col("grouping"), col("ts_us").desc, col("event_id").asc),
-          Seq("space"))
-      else
-        (indexed.withColumn("bucket", pmod(xxhash64(col("grouping")), lit(subparts.toLong)))
-          .repartition(col("space"), col("bucket"))
-          .sortWithinPartitions(col("space"), col("bucket"), col("grouping"),
-            col("ts_us").desc, col("event_id").asc),
-          Seq("space", "bucket"))
+    val (parted, partCols) = partitionForWrite(indexed, subparts)
     val writer = parted.write
       .mode(SaveMode.Append)
       .partitionBy(partCols: _*)
@@ -244,7 +238,8 @@ object EsdbWriter {
     // which would make append cost grow with store size)
     ev.select("space", "grouping").distinct()
       .write.mode(SaveMode.Append).parquet(s"$root/$GroupingsManifest")
-    refreshTsRangeManifest(ev.sparkSession, path)
+    refreshTsRangeManifest(ev.sparkSession, path,
+      Some(ev.select("space").distinct().collect().map(_.getString(0)).toSet))
   }
 
   /** Seal: reference `Close()` writes the tails SSTable + footer magic
@@ -581,13 +576,16 @@ object EsdbWriter {
   }
 
   /** Manifest rows for data files not yet covered: one footer read per
-    * NEW file, distributed over the executors (write/append cost stays
-    * proportional to the batch, not the store). Files whose footer
-    * stats cannot PROVE a ts fact (stats missing/untyped) are simply
-    * omitted — readers keep unknown files, so the manifest can only
-    * skip work, never change results.
+    * NEW file, distributed over the executors. `touchedSpaces` limits
+    * the listing to the space dirs a batch actually wrote (appends pass
+    * the batch's spaces, so append cost stays proportional to the
+    * batch's spaces, not the store's). Files whose footer stats cannot
+    * PROVE a ts fact (stats missing/untyped) are simply omitted —
+    * readers keep unknown files, so the manifest can only skip work,
+    * never change results.
     */
-  private def refreshTsRangeManifest(spark: SparkSession, path: String): Unit = {
+  private def refreshTsRangeManifest(spark: SparkSession, path: String,
+                                     touchedSpaces: Option[Set[String]] = None): Unit = {
     import spark.implicits._
     val root = new org.apache.hadoop.fs.Path(dataRoot(spark, path))
     val fs = root.getFileSystem(hconf(spark))
@@ -596,14 +594,19 @@ object EsdbWriter {
       .map(_.select("file").as[String].collect().toSet).getOrElse(Set.empty)
     val fresh: Seq[String] = fs.listStatus(root).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("space="))
+      .filter(s => touchedSpaces.forall(_.contains(graft.sources.EsdbStoreSource
+        .unescapePathName(s.getPath.getName.drop("space=".length)))))
       .flatMap(d => EsdbWriter.relativeDataFiles(fs, d.getPath).map(_._1))
       .filterNot(known.contains)
     if (fresh.isEmpty) return
     val rootStr = root.toString
     val par = math.max(1, math.min(fresh.size, spark.sparkContext.defaultParallelism))
+    // session conf travels to the executors (object-store creds live
+    // there — a bare new Configuration() would fail the footer opens)
+    val serConf = new org.apache.spark.util.SerializableConfiguration(hconf(spark))
     val rows = spark.createDataset(fresh).repartition(par)
       .mapPartitions { it =>
-        val conf = new org.apache.hadoop.conf.Configuration()
+        val conf = serConf.value
         it.flatMap { rel =>
           val r = org.apache.parquet.hadoop.ParquetFileReader.open(
             org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
@@ -636,8 +639,13 @@ object EsdbWriter {
           } finally r.close()
         }
       }
-      .toDF("file", "min_ts", "max_ts", "has_ts")
-    rows.coalesce(1).write.mode(SaveMode.Append).parquet(s"$rootStr/$TsRangeManifest")
+      // collect, not a distributed write: one tiny row per NEW file, and
+      // materializing first avoids appending an empty part file when no
+      // footer yields a provable fact (the refreshLogManifest guard)
+      .collect()
+    if (rows.nonEmpty)
+      rows.toSeq.toDF("file", "min_ts", "max_ts", "has_ts")
+        .coalesce(1).write.mode(SaveMode.Append).parquet(s"$rootStr/$TsRangeManifest")
   }
 
   /** Bucketed layout: hash-bucket by `grouping`, sorted by (ts_us desc,

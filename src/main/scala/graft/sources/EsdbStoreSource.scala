@@ -350,6 +350,30 @@ final class EsdbScan(path: String, required: StructType, spaces: Option[Seq[Stri
     }
   }
 
+  // the manifest is one scan-lifetime fact about immutable files —
+  // memoized independently of the listing so a runtime filter's
+  // re-listing never re-reads (and re-collects) the sidecar
+  @volatile private var tsManifestCache: Map[String, (Boolean, Long, Long)] = _
+
+  private def tsManifestRanges: Map[String, (Boolean, Long, Long)] = {
+    if (!tsBounds.isBounded) return Map.empty
+    val cached = tsManifestCache
+    if (cached != null) return cached
+    val computed =
+      graft.engine.EsdbWriter.tsRangeManifest(SparkSession.active, path) match {
+        case None => Map.empty[String, (Boolean, Long, Long)]
+        case Some(m) => m.collect().map { r =>
+          val hasTs = r.getBoolean(r.fieldIndex("has_ts"))
+          (r.getString(r.fieldIndex("file")),
+            (hasTs,
+              if (hasTs) r.getLong(r.fieldIndex("min_ts")) else 0L,
+              if (hasTs) r.getLong(r.fieldIndex("max_ts")) else 0L))
+        }.toMap
+      }
+    tsManifestCache = computed
+    computed
+  }
+
   private def listPartitions(): Array[EsdbInputPartition] = {
     EsdbScan.ListingCount.incrementAndGet()
     val hconf = SparkSession.active.sparkContext.hadoopConfiguration
@@ -362,26 +386,17 @@ final class EsdbScan(path: String, required: StructType, spaces: Option[Seq[Stri
       // all-null-ts, which no bound admits — never open at all; the
       // file-level form of the reference's bounded block skip
       // (bounded/reader.go). Unknown files are conservatively kept.
-      val tsRanges: Map[String, (Boolean, Long, Long)] =
-        if (!tsBounds.isBounded) Map.empty
-        else graft.engine.EsdbWriter.tsRangeManifest(SparkSession.active, path) match {
-          case None => Map.empty
-          case Some(m) => m.collect().map { r =>
-            val hasTs = r.getBoolean(r.fieldIndex("has_ts"))
-            (r.getString(r.fieldIndex("file")),
-              (hasTs,
-                if (hasTs) r.getLong(r.fieldIndex("min_ts")) else 0L,
-                if (hasTs) r.getLong(r.fieldIndex("max_ts")) else 0L))
-          }.toMap
-        }
+      val tsRanges = tsManifestRanges
       // hot-space subpartitioning: a pinned grouping lives in exactly
       // one bucket (pure hash of the grouping), so the scan reads
-      // 1/subparts of each space — the read-side half of the lever
-      val subparts = graft.engine.EsdbWriter.subpartsOf(hconf, path)
-      val wantBucket: Option[String] =
-        if (subparts > 1) grouping.map(g =>
-          s"bucket=${graft.engine.EsdbWriter.bucketOf(g, subparts)}")
+      // 1/subparts of each space — the read-side half of the lever.
+      // The marker probe only happens when a grouping is pinned (the
+      // one case pruning can fire) — unpinned scans pay no round-trip.
+      val wantBucket: Option[String] = grouping.flatMap { g =>
+        val subparts = graft.engine.EsdbWriter.subpartsOf(hconf, path)
+        if (subparts > 1) Some(s"bucket=${graft.engine.EsdbWriter.bucketOf(g, subparts)}")
         else None
+      }
       val dirs = fs.listStatus(root).toSeq
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("space="))
         .map(s => (EsdbStoreSource.unescapePathName(s.getPath.getName.drop("space=".length)), s.getPath))

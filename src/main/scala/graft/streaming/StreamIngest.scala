@@ -47,11 +47,11 @@ object StreamIngest {
                         statePartitions: Int = DefaultStatePartitions): DataFrame = {
     graft.engine.GraftSession.tune(spark)
     val schema = spark.read.parquet(eventsParquet).schema
-    withStatePartitions(spark, statePartitions) {
+    withStatePartitions(spark, statePartitions) { s =>
       // the file stream source only accepts DIRECTORIES (it manages its
       // own basePath); a single-file table is staged into a per-table
       // temp dir once, by symlink (fallback: copy)
-      val stream = spark.readStream.schema(schema).parquet(stageDir(eventsParquet))
+      val stream = s.readStream.schema(schema).parquet(stageDir(eventsParquet))
       val tails = runningTails(EventFrame.fromEvents(stream), indexName)
       val qname = "graft_stream_tails_" + java.util.UUID.randomUUID().toString.replace("-", "")
       tails.writeStream.format("memory").queryName(qname)
@@ -59,11 +59,7 @@ object StreamIngest {
         .trigger(Trigger.AvailableNow())
         .start()
         .awaitTermination()
-      // previous runs' memory sinks are dropped once superseded, so
-      // repeated harness invocations don't accumulate retained tables
-      val prev = lastMemorySink.getAndSet(qname)
-      if (prev != null) spark.catalog.dropTempView(prev)
-      spark.table(qname).orderBy("attr")
+      s.table(qname).orderBy("attr")
     }
   }
 
@@ -79,14 +75,21 @@ object StreamIngest {
     */
   val DefaultStatePartitions = 4
 
-  private def withStatePartitions[A](spark: SparkSession, n: Int)(body: => A): A = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, n.toString)
-    try body finally spark.conf.set(key, prev)
+  /** Run `body` against a CHILD session (`newSession()`: own SQLConf +
+    * catalog, shared SparkContext) whose shuffle width is `n`. The
+    * parent session's conf is never touched — concurrent queries (the
+    * Verify harness runs four at a time on one session) can neither
+    * observe the narrowed width nor race a set/restore. The child's
+    * catalog — including the drain's memory-sink table — is discarded
+    * with the child, so sinks never accumulate across harness runs;
+    * the returned DataFrame keeps the one live reference.
+    */
+  private def withStatePartitions[A](spark: SparkSession, n: Int)(body: SparkSession => A): A = {
+    val s = spark.newSession()
+    graft.engine.GraftSession.tune(s)
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    body(s)
   }
-
-  private val lastMemorySink = new java.util.concurrent.atomic.AtomicReference[String]()
 
   /** Drain a WRITTEN log store through the micro-batch streaming source
     * ([[graft.sources.EsdbLogMicroBatch]]) with `Trigger.AvailableNow`
@@ -282,8 +285,8 @@ object StreamIngest {
                                  statePartitions: Int = DefaultStatePartitions): DataFrame = {
     graft.engine.GraftSession.tune(spark)
     val schema = spark.read.parquet(eventsParquet).schema
-    withStatePartitions(spark, statePartitions) {
-      val stream = spark.readStream.schema(schema).parquet(stageDir(eventsParquet))
+    withStatePartitions(spark, statePartitions) { s =>
+      val stream = s.readStream.schema(schema).parquet(stageDir(eventsParquet))
       val counts = windowedCounts(EventFrame.fromEvents(stream), window_)
         .select(unix_micros(col("window.start")).as("win_start_us"),
           col("space"), col("n_events"))
@@ -293,13 +296,10 @@ object StreamIngest {
         .trigger(Trigger.AvailableNow())
         .start()
         .awaitTermination()
-      val prev = lastWindowSink.getAndSet(qname)
-      if (prev != null) spark.catalog.dropTempView(prev)
-      spark.table(qname).orderBy("win_start_us", "space")
+      s.table(qname).orderBy("win_start_us", "space")
     }
   }
 
-  private val lastWindowSink = new java.util.concurrent.atomic.AtomicReference[String]()
 
   /** [[enrichInterval]] run end-to-end as a STREAM-STREAM join and
     * drained with `Trigger.AvailableNow`: left events of `leftSpace`
@@ -314,9 +314,9 @@ object StreamIngest {
                                  statePartitions: Int = DefaultStatePartitions): DataFrame = {
     graft.engine.GraftSession.tune(spark)
     val schema = spark.read.parquet(eventsParquet).schema
-    withStatePartitions(spark, statePartitions) {
+    withStatePartitions(spark, statePartitions) { s =>
       def src() = EventFrame.fromEvents(
-        spark.readStream.schema(schema).parquet(stageDir(eventsParquet)))
+        s.readStream.schema(schema).parquet(stageDir(eventsParquet)))
       val joined = enrichInterval(
         src().where(col("space") === leftSpace),
         src().where(col("space") === rightSpace),
@@ -328,13 +328,9 @@ object StreamIngest {
         .trigger(Trigger.AvailableNow())
         .start()
         .awaitTermination()
-      val prev = lastEnrichSink.getAndSet(qname)
-      if (prev != null) spark.catalog.dropTempView(prev)
-      spark.table(qname).orderBy("grouping", "l_event_id", "r_event_id")
+      s.table(qname).orderBy("grouping", "l_event_id", "r_event_id")
     }
   }
-
-  private val lastEnrichSink = new java.util.concurrent.atomic.AtomicReference[String]()
 
   /** Session windows (30 min gap) per grouping — streaming analog of
     * the batch [[graft.ops.Sessionize]]. Boundary semantics: an event
@@ -362,8 +358,8 @@ object StreamIngest {
                                 statePartitions: Int = DefaultStatePartitions): DataFrame = {
     graft.engine.GraftSession.tune(spark)
     val schema = spark.read.parquet(eventsParquet).schema
-    withStatePartitions(spark, statePartitions) {
-      val stream = spark.readStream.schema(schema).parquet(stageDir(eventsParquet))
+    withStatePartitions(spark, statePartitions) { s =>
+      val stream = s.readStream.schema(schema).parquet(stageDir(eventsParquet))
       val sessions = sessionCounts(EventFrame.fromEvents(stream), gap)
         .select(col("grouping"),
           unix_micros(col("session_window.start")).as("start_us"),
@@ -374,11 +370,7 @@ object StreamIngest {
         .trigger(Trigger.AvailableNow())
         .start()
         .awaitTermination()
-      val prev = lastSessionSink.getAndSet(qname)
-      if (prev != null) spark.catalog.dropTempView(prev)
-      spark.table(qname).orderBy("grouping", "start_us")
+      s.table(qname).orderBy("grouping", "start_us")
     }
   }
-
-  private val lastSessionSink = new java.util.concurrent.atomic.AtomicReference[String]()
 }
