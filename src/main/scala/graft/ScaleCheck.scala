@@ -187,6 +187,43 @@ object ScaleCheck {
       val to = math.min(time(fn, true), time(fn, true))
       println(f"ordered_$name%-22s vanilla=$tv%6.2f ordered=$to%6.2f ordered/vanilla=${to / tv}%4.2f")
     }
+    // hot-space subpartitioning: the same 10x store bucketed 8 ways.
+    // The write-side lever is measurable locally (spaces x buckets
+    // tasks instead of one task per space); the read-side lever —
+    // listing-time bucket pruning — shows as parity here because a
+    // freshly-written flat space is ONE file whose row-group stats
+    // already skip foreign groupings; it pays off when a space holds
+    // many files at object-store listing/open latencies
+    val bucketed = s"$bigDir/store_bucketed"
+    def timeBucketedWrite(out: String, subparts: Int): Double = {
+      val dir = new java.io.File(out)
+      if (dir.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(dir).deleteRecursively()
+      }
+      val evf = engine.EventFrame.fromEvents(engine.Tables.events(spark, bigDir))
+      val t0 = System.nanoTime()
+      engine.EsdbWriter.write(evf, out, subparts = subparts)
+      (System.nanoTime() - t0) / 1e9
+    }
+    val wFlat = math.min(timeBucketedWrite(s"$bigDir/store_wflat", 1),
+      timeBucketedWrite(s"$bigDir/store_wflat", 1))
+    val wBuck = math.min(timeBucketedWrite(bucketed, 8), timeBucketedWrite(bucketed, 8))
+    println(f"bucketed_write8            flat=$wFlat%6.2f bucketed=$wBuck%6.2f bucketed/flat=${wBuck / wFlat}%4.2f")
+    def bScan() = engine.EventStore.scan(
+      engine.EsdbWriter.readOrdered(spark, bucketed), "click", "7")
+    def fScan() = engine.EventStore.scan(
+      engine.EsdbWriter.readOrdered(spark, store), "click", "7")
+    def timeDf(fn: () => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      fn().queryExecution.toRdd.count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    timeDf(bScan _); timeDf(fScan _) // warm
+    val tb = math.min(timeDf(bScan _), timeDf(bScan _))
+    val tf = math.min(timeDf(fScan _), timeDf(fScan _))
+    println(f"ordered_scan_bucketed8     flat=$tf%6.2f bucketed=$tb%6.2f bucketed/flat=${tb / tf}%4.2f")
+
     // the log-layout dual: whole-log iterate (vectorized concatenation)
     // vs the same iterate over vanilla parquet (global sort planned)
     val logStore = s"$bigDir/log_ordered"
