@@ -173,14 +173,14 @@ object EsdbWriter {
     * no atomic rename (S3-class): a crash at any step leaves readers on
     * the previous version, never on a partial store.
     */
-  def compact(spark: SparkSession, path: String): Unit = {
+  def compact(spark: SparkSession, path: String, keepVersions: Int = 1): Unit = {
     require(!isSealed(path), s"store at $path is sealed (immutable; compaction is for open stores)")
     GraftSession.tune(spark)
     val src = dataRoot(spark, path)
     // subpartitioning is fixed at creation: the rewrite re-buckets with
     // the same count (same hash), so groupings never change bucket
     val subparts = subpartsOf(hconf(spark), src)
-    Publish.publish(hconf(spark), path) { tmp =>
+    Publish.publish(hconf(spark), path, keepVersions) { tmp =>
       // full-width read (not [[read]], which projects the canonical +
       // idx_* columns): compaction must preserve every stored column;
       // `bucket` is dropped because write() re-derives it
@@ -459,7 +459,8 @@ object EsdbWriter {
     * compaction, and the marker is what makes that replay a no-op
     * instead of a duplicate append.
     */
-  def compactLog(spark: SparkSession, path: String, numFiles: Int = 1): Unit = {
+  def compactLog(spark: SparkSession, path: String, numFiles: Int = 1,
+                 keepVersions: Int = 1): Unit = {
     require(!isSealed(path), s"stream at $path is closed (reference: closed_stream.go:48-50)")
     GraftSession.tune(spark)
     val conf = hconf(spark)
@@ -471,7 +472,7 @@ object EsdbWriter {
       val d = new org.apache.hadoop.fs.Path(src, LogCommits.Dir)
       if (fs.exists(d)) fs.listStatus(d).toSeq.filter(_.isFile).map(_.getPath) else Seq.empty
     }
-    Publish.publish(conf, path) { tmp =>
+    Publish.publish(conf, path, keepVersions) { tmp =>
       spark.read.parquet(visible: _*)
         .repartitionByRange(math.max(1, numFiles), col("event_id"))
         .sortWithinPartitions(col("event_id"))
@@ -675,6 +676,20 @@ object EsdbWriter {
   def readOrdered(spark: SparkSession, path: String): DataFrame = {
     GraftSession.tune(spark)
     spark.read.format("esdb").load(path)
+  }
+
+  /** [[readOrdered]] pinned to an older committed version: valid while
+    * the store's publish retention window ([[Publish.publish]]'s
+    * `keepVersions`, [[Publish.vacuum]]) keeps that version's data; a
+    * retired version fails loudly rather than reading different data.
+    * A superseded version is frozen as of the publish that replaced it
+    * (appends go to the current version), so the canonical uses are
+    * reproducible re-reads and auditing a compaction against the exact
+    * predecessor it rewrote.
+    */
+  def readOrderedAt(spark: SparkSession, path: String, version: Long): DataFrame = {
+    GraftSession.tune(spark)
+    spark.read.format("esdb").option("version", version).load(path)
   }
 
   /** Tail an OPEN store as a stream: every `append` batch becomes a

@@ -65,6 +65,65 @@ object Publish {
       .map { case (_, dir) => s"$root/$VersionsDir/$dir" }
       .getOrElse(root)
 
+  /** Data dir name of one committed version, if its pointer exists. */
+  def versionDir(conf: Configuration, root: String, version: Long): Option[String] = {
+    val p = new Path(new Path(root, PtrDir), s"$version.ptr")
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val name = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+                 finally in.close()
+      Some(name)
+    }
+  }
+
+  /** Resolve a PINNED version to its data root. Appends land in the
+    * CURRENT version's dir, so a superseded version is frozen at the
+    * moment the next publish committed — pinning yields that exact
+    * retained file set (reader reproducibility; auditing a compaction
+    * rewrite against the predecessor it replaced), not a per-append
+    * point-in-time history. Fails loudly when the version was never
+    * committed or its data has been retired (swept by a later publish's
+    * retention or [[vacuum]]): a pinned read must never silently fall
+    * back to different data.
+    */
+  def resolveAt(conf: Configuration, root: String, version: Long): String = {
+    val dir = versionDir(conf, root, version).getOrElse(
+      throw new java.io.FileNotFoundException(
+        s"version $version was never committed at $root"))
+    val data = new Path(root, s"$VersionsDir/$dir")
+    if (!data.getFileSystem(conf).exists(data))
+      throw new java.io.FileNotFoundException(
+        s"version $version at $root has been retired (vacuumed or outside the " +
+          "publish retention window); retained versions: " +
+          committedVersions(conf, root).filter(v => versionDataExists(conf, root, v._2))
+            .map(_._1).mkString(", "))
+    data.toString
+  }
+
+  /** All committed (version, dataDirName) pairs, ascending — pointers
+    * are immutable history, so this includes retired versions whose
+    * data is gone.
+    */
+  def committedVersions(conf: Configuration, root: String): Seq[(Long, String)] = {
+    val ptr = new Path(root, PtrDir)
+    val fs = ptr.getFileSystem(conf)
+    if (!fs.exists(ptr)) return Seq.empty
+    fs.listStatus(ptr).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".ptr"))
+      .flatMap { s =>
+        scala.util.Try(s.getPath.getName.stripSuffix(".ptr").toLong).toOption
+      }
+      .sorted
+      .flatMap(v => versionDir(conf, root, v).map(v -> _))
+  }
+
+  private def versionDataExists(conf: Configuration, root: String, dir: String): Boolean = {
+    val p = new Path(root, s"$VersionsDir/$dir")
+    p.getFileSystem(conf).exists(p)
+  }
+
   /** True when the root has at least one committed version OR legacy
     * direct-layout data (any non-sidecar entry).
     */
@@ -86,8 +145,21 @@ object Publish {
     * removed only after the pointer is durable. Returns the new data
     * root. Seal markers (`_CLOSED*`) always live at the logical root
     * and survive publishes.
+    *
+    * `keepVersions`: how many committed versions to RETAIN, counting
+    * the one being published. 1 (the default) retires superseded data
+    * immediately — right for a single-writer store whose readers scan
+    * within a publish interval. A deployment with long-running readers
+    * (a multi-hour 100 TB scan must survive a concurrent compaction)
+    * passes ≥2: a reader's DataFrame stays pinned to the version it
+    * resolved at load, and that version's files outlive the next
+    * `keepVersions - 1` publishes — the snapshot-retention scheme of
+    * log-structured table formats. Retired later by [[vacuum]] or the
+    * next publishes' sweeps.
     */
-  def publish(conf: Configuration, root: String)(write: String => Unit): String = {
+  def publish(conf: Configuration, root: String, keepVersions: Int = 1)(
+      write: String => Unit): String = {
+    require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
     val cur = currentVersion(conf, root)
     val next = cur.map(_._1 + 1).getOrElse(1L)
     val dirName = s"$next-" + java.util.UUID.randomUUID().toString.take(8)
@@ -126,15 +198,10 @@ object Publish {
     }
 
     // post-commit retirement (failure here is harmless: readers follow
-    // the pointer; leftovers are re-swept by the next publish). NOTE:
-    // retirement is immediate — right for a single-writer store with
-    // bounded scans (this engine's contract, like the reference's
-    // write-once files); a production deployment with long-running
-    // concurrent readers would apply a retention window before deleting
-    // superseded versions, exactly as snapshot-based table formats do.
+    // the pointer; leftovers are re-swept by the next publish)
     val rootPath = new Path(root)
     cur match {
-      case Some(_) => () // previous version dir swept below
+      case Some(_) => () // previous version dirs swept below
       case None => // legacy direct layout now shadowed by version 1
         if (fs.exists(rootPath)) fs.listStatus(rootPath).foreach { s =>
           val n = s.getPath.getName
@@ -143,15 +210,48 @@ object Publish {
           if (shadowed) fs.delete(s.getPath, true): Unit
         }
     }
-    val versions = new Path(root, VersionsDir)
-    if (fs.exists(versions)) fs.listStatus(versions).foreach { s =>
-      val n = s.getPath.getName
-      // sweep superseded versions and crashed-publish orphans at or
-      // below our version; never a (hypothetical) newer publisher's
-      // in-flight staging dir
-      val v = scala.util.Try(n.takeWhile(_.isDigit).toLong).toOption
-      if (n != dirName && v.exists(_ <= next)) fs.delete(s.getPath, true): Unit
-    }
+    sweepVersions(conf, root, next, keepVersions, dirName)
     dataDir
+  }
+
+  /** Delete version dirs outside the retention window. Retained: data
+    * dirs of committed versions in `(current - keep, current]` plus the
+    * just-published dir. Everything else numbered `<= current` goes —
+    * older committed versions AND crashed-publish orphans (staging dirs
+    * no pointer ever referenced). A (hypothetical) newer publisher's
+    * in-flight dir (`> current`) is never touched.
+    */
+  private def sweepVersions(conf: Configuration, root: String, current: Long,
+                            keep: Int, justPublished: String): Unit = {
+    val versions = new Path(root, VersionsDir)
+    val fs = versions.getFileSystem(conf)
+    if (!fs.exists(versions)) return
+    val retained = ((current - keep + 1) to current)
+      .flatMap(v => versionDir(conf, root, v)).toSet + justPublished
+    fs.listStatus(versions).foreach { s =>
+      val n = s.getPath.getName
+      val v = scala.util.Try(n.takeWhile(_.isDigit).toLong).toOption
+      if (!retained.contains(n) && v.exists(_ <= current)) fs.delete(s.getPath, true): Unit
+    }
+  }
+
+  /** Retire all but the newest `keep` committed versions NOW — the
+    * explicit form of the retention sweep, for stores published with a
+    * wide `keepVersions` once their readers have drained. Data dirs and
+    * the retired versions' pointer objects both go (a later
+    * [[resolveAt]] then fails as "never committed/retired" instead of
+    * dangling); the newest pointer is never touched, so concurrent
+    * readers of the CURRENT version are unaffected.
+    */
+  def vacuum(conf: Configuration, root: String, keep: Int = 1): Unit = {
+    require(keep >= 1, s"keep must be >= 1, got $keep")
+    val committed = committedVersions(conf, root)
+    if (committed.size <= keep) return
+    val fs = new Path(root).getFileSystem(conf)
+    val retire = committed.dropRight(keep)
+    retire.foreach { case (v, dir) =>
+      fs.delete(new Path(root, s"$VersionsDir/$dir"), true): Unit
+      fs.delete(new Path(new Path(root, PtrDir), s"$v.ptr"), false): Unit
+    }
   }
 }

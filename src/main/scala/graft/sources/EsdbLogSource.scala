@@ -42,11 +42,18 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 class EsdbLogSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "esdblog"
 
+  /** Table-load-time resolution pins a DataFrame to one store version;
+    * `option("version", n)` pins an older committed version while the
+    * publish retention window keeps it.
+    */
   private def pathOf(options: CaseInsensitiveStringMap): String = {
     val logical = Option(options.get("path"))
       .getOrElse(throw new IllegalArgumentException("esdblog source requires a path"))
-    graft.engine.Publish.resolve(
-      SparkSession.active.sparkContext.hadoopConfiguration, logical)
+    val hconf = SparkSession.active.sparkContext.hadoopConfiguration
+    Option(options.get("version")) match {
+      case Some(v) => graft.engine.Publish.resolveAt(hconf, logical, v.toLong)
+      case None => graft.engine.Publish.resolve(hconf, logical)
+    }
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =

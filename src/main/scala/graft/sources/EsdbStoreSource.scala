@@ -54,13 +54,18 @@ class EsdbStoreSource extends TableProvider with DataSourceRegister {
   /** Logical path → current data root ([[graft.engine.Publish]] version
     * pointer, or the path itself for direct-layout stores). Resolving at
     * table-load time pins a DataFrame to one store version — snapshot
-    * isolation across a concurrent compact's publish.
+    * isolation across a concurrent compact's publish. `option("version",
+    * n)` pins an OLDER committed version instead, valid while it is
+    * inside the store's publish retention window.
     */
   private def pathOf(options: CaseInsensitiveStringMap): String = {
     val logical = Option(options.get("path"))
       .getOrElse(throw new IllegalArgumentException("esdb source requires a path"))
-    graft.engine.Publish.resolve(
-      SparkSession.active.sparkContext.hadoopConfiguration, logical)
+    val hconf = SparkSession.active.sparkContext.hadoopConfiguration
+    Option(options.get("version")) match {
+      case Some(v) => graft.engine.Publish.resolveAt(hconf, logical, v.toLong)
+      case None => graft.engine.Publish.resolve(hconf, logical)
+    }
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -379,7 +384,13 @@ final class EsdbScan(path: String, required: StructType, spaces: Option[Seq[Stri
     val hconf = SparkSession.active.sparkContext.hadoopConfiguration
     val root = new Path(path)
     val fs = root.getFileSystem(hconf)
-    if (!fs.exists(root)) Array.empty
+    // schema inference already proved the data root existed at table
+    // load, so a missing root here means the pinned version was retired
+    // (swept by a later publish or vacuum) while this DataFrame was
+    // open — fail loudly; an empty result would be silently wrong
+    if (!fs.exists(root)) throw new java.io.FileNotFoundException(
+      s"store data root $path is gone — its version was retired while this reader " +
+        "was open; publish/compact with keepVersions >= 2 to protect long-running readers")
     else {
       // write-time ts-range manifest: under a ts bound, files whose
       // recorded (min,max) cannot intersect — or that are provably

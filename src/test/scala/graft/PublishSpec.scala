@@ -125,6 +125,74 @@ class PublishSpec extends SparkSpec {
     assert(EsdbWriter.manifestGroupings(spark, dir).get.count() == 2) // (s0,g),(s1,g)
   }
 
+  test("retention: keep=2 protects a long-running reader across compaction; the slide fails it loudly") {
+    val dir = freshDir()
+    EsdbWriter.write(ev(1 to 10), dir)
+    EsdbWriter.compact(spark, dir) // v1
+    val v1 = Publish.resolve(hconf, dir)
+    // a long-running reader: resolved v1 at table-load time
+    val pinned = EsdbWriter.readOrdered(spark, dir)
+    assert(pinned.count() == 10)
+    EsdbWriter.append(ev(11 to 12), dir) // appends land in the current (v1) dir
+    EsdbWriter.compact(spark, dir, keepVersions = 2) // v2; v1 frozen but retained
+    assert(new java.io.File(v1).exists(), "previous version must survive a keep=2 publish")
+    // every file the pinned reader can list still exists — it keeps working
+    // (it sees the pre-freeze appends too: 12 rows, same as current)
+    assert(pinned.count() == 12, "pinned reader must keep working across the compaction")
+    assert(EsdbWriter.read(spark, dir).count() == 12)
+    // the next keep=2 publish slides the window: v1 retires, v2 stays —
+    // and the still-pinned reader now fails LOUDLY, never silently empty
+    val v2 = Publish.resolve(hconf, dir)
+    EsdbWriter.compact(spark, dir, keepVersions = 2) // v3
+    assert(!new java.io.File(v1).exists(), "v1 must leave the window at v3")
+    assert(new java.io.File(v2).exists())
+    intercept[java.io.FileNotFoundException] { pinned.count() }
+    assert(EsdbWriter.read(spark, dir).count() == 12)
+  }
+
+  test("version pin: a retained predecessor equals the compaction that superseded it") {
+    val dir = freshDir()
+    EsdbWriter.write(ev(1 to 10), dir)
+    EsdbWriter.compact(spark, dir) // v1
+    EsdbWriter.append(ev(11 to 14), dir) // lands in v1, pre-freeze
+    EsdbWriter.compact(spark, dir, keepVersions = 2) // v2 rewrite; v1 frozen at this instant
+    val at1 = EsdbWriter.readOrderedAt(spark, dir, 1)
+      .select("event_id").as[Long].collect().toSet
+    val cur = EsdbWriter.readOrdered(spark, dir)
+      .select("event_id").as[Long].collect().toSet
+    assert(at1 == (1L to 14L).toSet)
+    // the rewrite-preserves-content audit only a retained predecessor allows
+    assert(cur == at1)
+    // a version that was never committed fails loudly
+    intercept[java.io.FileNotFoundException] { EsdbWriter.readOrderedAt(spark, dir, 5) }
+  }
+
+  test("vacuum retires all but the newest keep; retired time travel fails, current read unaffected") {
+    val dir = freshDir()
+    EsdbWriter.write(ev(1 to 10), dir)
+    EsdbWriter.compact(spark, dir) // v1
+    EsdbWriter.compact(spark, dir, keepVersions = 9) // v2 — window wide, nothing retires
+    EsdbWriter.compact(spark, dir, keepVersions = 9) // v3
+    assert(Publish.committedVersions(hconf, dir).map(_._1) == Seq(1L, 2L, 3L))
+    assert(EsdbWriter.readOrderedAt(spark, dir, 1).count() == 10)
+    Publish.vacuum(hconf, dir, keep = 1)
+    assert(Publish.committedVersions(hconf, dir).map(_._1) == Seq(3L))
+    assert(EsdbWriter.read(spark, dir).count() == 10)
+    assert(EsdbWriter.readOrdered(spark, dir).count() == 10)
+    intercept[java.io.FileNotFoundException] { EsdbWriter.readOrderedAt(spark, dir, 1) }
+  }
+
+  test("log store: retention + version pin through the esdblog source") {
+    val dir = freshDir()
+    graft.engine.Publish.publish(hconf, dir) { tmp =>
+      EsdbWriter.writeLog(ev(1 to 10), tmp)
+    } // v1
+    EsdbWriter.appendLog(ev(11 to 13), dir) // lands in v1, pre-freeze
+    EsdbWriter.compactLog(spark, dir, keepVersions = 2) // v2; v1 frozen but retained
+    assert(spark.read.format("esdblog").option("version", 1).load(dir).count() == 13)
+    assert(EsdbWriter.readLog(spark, dir).count() == 13)
+  }
+
   test("IVF index publish: crashed build leaves no trusted index; rebuild commits v2") {
     val docs = (0 until 40).map(i => (i.toLong, Array.tabulate(8)(d => (i * 8 + d).toFloat / 10f)))
       .toDF("vec_id", "embedding")
