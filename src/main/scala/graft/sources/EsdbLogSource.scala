@@ -201,7 +201,12 @@ final class EsdbLogScan(path: String, required: StructType, idBounds: TsBounds,
     val spark = SparkSession.active
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) return Array.empty
+    // schema inference proved the data root existed at table load; a
+    // missing root now means the pinned version was retired under this
+    // reader — fail loudly, never silently empty (see EsdbStoreSource)
+    if (!fs.exists(root)) throw new java.io.FileNotFoundException(
+      s"log data root $path is gone — its version was retired while this reader " +
+        "was open; publish/compact with keepVersions >= 2 to protect long-running readers")
     // LogCommits visibility: an in-flight/crashed streaming batch's
     // files (no commit marker yet) are not part of the log
     val files = graft.engine.LogCommits.visibleDataFiles(fs, root)

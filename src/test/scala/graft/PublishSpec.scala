@@ -188,8 +188,14 @@ class PublishSpec extends SparkSpec {
       EsdbWriter.writeLog(ev(1 to 10), tmp)
     } // v1
     EsdbWriter.appendLog(ev(11 to 13), dir) // lands in v1, pre-freeze
+    val pinned = EsdbWriter.readLog(spark, dir) // resolved v1 at load
     EsdbWriter.compactLog(spark, dir, keepVersions = 2) // v2; v1 frozen but retained
     assert(spark.read.format("esdblog").option("version", 1).load(dir).count() == 13)
+    assert(pinned.count() == 13, "pinned log reader must survive the keep=2 compaction")
+    assert(EsdbWriter.readLog(spark, dir).count() == 13)
+    // window slides: v1 retires and the pinned reader fails loudly
+    EsdbWriter.compactLog(spark, dir, keepVersions = 2) // v3
+    intercept[java.io.FileNotFoundException] { pinned.count() }
     assert(EsdbWriter.readLog(spark, dir).count() == 13)
   }
 
