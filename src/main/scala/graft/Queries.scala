@@ -1100,6 +1100,34 @@ object Queries {
              |       array_to_string(toks[(j*24+1):least(j*24+32, len(toks))], ' ') AS chunk_text
              |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)),
 
+    // deterministic epoch shuffle: the per-epoch global training order
+    // as pure hash arithmetic — rank of md5(seed:epoch:doc_id),
+    // assigned by range-partition + zipWithIndex, never a
+    // single-partition window (Corpus.epochShuffle)
+    QuerySpec("corpus_shuffle",
+      (s, d) => graft.ops.Corpus.epochShuffle(Tables.documents(s, d), seed = "shuffle", epoch = 3)
+        .orderBy("epoch_pos"),
+      Some("""SELECT row_number() OVER (
+             |         ORDER BY md5('shuffle:3:' || CAST(doc_id AS VARCHAR)), doc_id) AS epoch_pos,
+             |       doc_id,
+             |       md5('shuffle:3:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+             |FROM documents ORDER BY epoch_pos""".stripMargin)),
+
+    // domain-mixture sampling: keep each doc with its source's mixture
+    // probability, decided by hash — a pure scan-stage filter, no RNG,
+    // no shuffle; reproducible subcorpus (Corpus.mixSample)
+    QuerySpec("corpus_mix",
+      (s, d) => graft.ops.Corpus.mixSample(Tables.documents(s, d),
+        weights = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
+        defaultWeight = 0.1, seed = "mix"),
+      Some("""SELECT doc_id, source,
+             |  ('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 AS bucket
+             |FROM documents
+             |WHERE ('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000
+             |  < CASE source WHEN 'src0' THEN 1000000 WHEN 'src1' THEN 500000
+             |                WHEN 'src2' THEN 250000 ELSE 100000 END
+             |ORDER BY doc_id""".stripMargin)),
+
     QuerySpec("corpus_clean",
       (s, d) => graft.ops.Corpus.cleanCorpus(Tables.documents(s, d)),
       Some(s"""WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),

@@ -97,6 +97,63 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** Deterministic epoch shuffle: the global training-order
+    * permutation every pre-training run draws per epoch, as pure hash
+    * arithmetic — position = rank of md5("<seed>:<epoch>:<doc_id>").
+    * Changing `epoch` re-permutes; the same (seed, epoch) reproduces
+    * the identical order on any engine, with no RNG state to
+    * checkpoint.
+    *
+    * Shape at 100 TB: hash keys are uniform, so the single
+    * range-partitioned sort behind the global rank is perfectly
+    * balanced — and that one exchange IS the shuffle (a training
+    * shuffle is definitionally a global reorder). A production writer
+    * that only needs shuffled SHARDS (file = hash mod N, order within
+    * shard free) drops the sort entirely and writes from the scan
+    * stage; the total order here is the strictest, certifiable form.
+    * Positions are assigned as in [[graft.engine.EventLog.merge]]:
+    * range-partition on the key, sort within partitions, zipWithIndex
+    * — never a single-partition row_number window.
+    */
+  def epochShuffle(docs: DataFrame, seed: String = "shuffle", epoch: Int = 0): DataFrame = {
+    val sp = docs.sparkSession
+    val key = expr(
+      s"md5(concat('$seed:', '$epoch', ':', CAST(doc_id AS STRING)))")
+    val ordered = docs.select(col("doc_id"), key.as("shuffle_key"))
+      .repartitionByRange(col("shuffle_key"), col("doc_id"))
+      .sortWithinPartitions(col("shuffle_key"), col("doc_id"))
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("epoch_pos",
+        org.apache.spark.sql.types.LongType, nullable = false) +: ordered.schema.fields)
+    val rows = ordered.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq((i + 1L) +: r.toSeq)
+    }
+    sp.createDataFrame(rows, schema)
+  }
+
+  /** Domain-mixture sampling: keep each document with its source's
+    * mixture probability, decided by hash — a document is kept iff
+    * md5("<seed>:<doc_id>") mod 1e6 < weight(source)·1e6. The standard
+    * corpus-reweighting step (upweight curated sources, downweight
+    * crawl) as a pure scan-stage filter: no RNG, no shuffle, no state;
+    * the same (seed, weights) reproduces the exact subcorpus anywhere,
+    * and a document's fate never changes as neighbors are added —
+    * the sampling analog of [[splitAssign]]'s stability.
+    */
+  def mixSample(docs: DataFrame, weights: Map[String, Double],
+                defaultWeight: Double = 1.0, seed: String = "mix"): DataFrame = {
+    require((weights.values.toSeq :+ defaultWeight).forall(w => w >= 0 && w <= 1),
+      "mixture weights must be probabilities in [0, 1]")
+    val bucket = expr(
+      s"CAST(conv(substring(md5(concat('$seed:', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT) % 1000000")
+    val threshold = weights.foldLeft(lit((defaultWeight * 1e6).toLong)) {
+      case (acc, (src, w)) => when(col("source") === src, lit((w * 1e6).toLong)).otherwise(acc)
+    }
+    docs.select(col("doc_id"), col("source"), bucket.as("bucket"))
+      .where(col("bucket") < threshold)
+      .orderBy("doc_id")
+  }
+
   /** Documents surviving: exact-dedup keeper, predicted language ==
     * `lang`, quality_x1000 >= `minQualityX1000`. Output one row per
     * kept doc: (doc_id, n_chars, lang_pred, quality_x1000).

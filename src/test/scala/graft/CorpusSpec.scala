@@ -45,4 +45,49 @@ class CorpusSpec extends SparkSpec {
     assert(got.map(_._4).mkString(" ") == doc(9))
     assert(got.map(_._3) == Seq(4L, 4L, 1L))
   }
+
+  test("epochShuffle: a permutation, reproducible, epoch-dependent, hash-ordered") {
+    val docs = (1L to 200L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val e0 = Corpus.epochShuffle(docs, epoch = 0)
+      .select("epoch_pos", "doc_id").as[(Long, Long)].collect().sortBy(_._1)
+    // a permutation: positions 1..n, every doc exactly once
+    assert(e0.map(_._1).toSeq == (1L to 200L))
+    assert(e0.map(_._2).toSet == (1L to 200L).toSet)
+    // not the identity (the hash actually shuffles)
+    assert(e0.map(_._2).toSeq != (1L to 200L))
+    // reproducible run-to-run; a different epoch re-permutes
+    val e0b = Corpus.epochShuffle(docs, epoch = 0)
+      .select("epoch_pos", "doc_id").as[(Long, Long)].collect().sortBy(_._1)
+    assert(e0b.toSeq == e0.toSeq)
+    val e1 = Corpus.epochShuffle(docs, epoch = 1)
+      .select("epoch_pos", "doc_id").as[(Long, Long)].collect().sortBy(_._1)
+    assert(e1.map(_._2).toSeq != e0.map(_._2).toSeq)
+    // the order is exactly md5-rank — the property any engine can replay
+    val byHand = (1L to 200L).map { id =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"shuffle:0:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (h, id)
+    }.sorted.map(_._2)
+    assert(e0.map(_._2).toSeq == byHand)
+  }
+
+  test("mixSample: per-source keep rates track the weights; stable under corpus growth") {
+    val docs = (1L to 3000L).map(i => (i, s"src${i % 3}", s"d$i"))
+      .toDF("doc_id", "source", "text")
+    val kept = Corpus.mixSample(docs,
+      weights = Map("src0" -> 1.0, "src1" -> 0.5), defaultWeight = 0.0)
+      .select("doc_id", "source").as[(Long, String)].collect().toSeq
+    val bySrc = kept.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(bySrc.getOrElse("src0", 0) == 1000, "weight 1.0 keeps everything")
+    assert(bySrc.getOrElse("src2", 0) == 0, "default weight 0 drops everything")
+    val r1 = bySrc.getOrElse("src1", 0) / 1000.0
+    assert(r1 > 0.4 && r1 < 0.6, s"src1 keep rate $r1 should track weight 0.5")
+    // growth stability: the same docs keep/drop identically in a larger corpus
+    val grown = (1L to 6000L).map(i => (i, s"src${i % 3}", s"d$i"))
+      .toDF("doc_id", "source", "text")
+    val keptGrown = Corpus.mixSample(grown,
+      weights = Map("src0" -> 1.0, "src1" -> 0.5), defaultWeight = 0.0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.map(_._1).toSet == keptGrown.filter(_ <= 3000L))
+  }
 }
