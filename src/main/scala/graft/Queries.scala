@@ -233,6 +233,25 @@ object Queries {
              |       min(epoch_us(ts)) AS min_ts_us, max(epoch_us(ts)) AS max_ts_us
              |FROM events GROUP BY space ORDER BY space""".stripMargin)),
 
+    // the same scan issued as PURE SQL TEXT through the catalog plugin
+    // (EsdbCatalog): the store is a named table, the predicate pushes
+    // into the same DSv2 scan, and the injected ElideOrderedScanSort
+    // rule keeps the plan Sort-free — proving a SQL-only user gets the
+    // DataFrame facade's semantics and plan shape
+    QuerySpec("store_sql_catalog",
+      (s, d) => {
+        val p = ensureStore(s, d)
+        val name = new java.io.File(p).getName
+        s.conf.set("spark.sql.catalog.esdb_sql", classOf[graft.sources.EsdbCatalog].getName)
+        s.conf.set("spark.sql.catalog.esdb_sql.root", new java.io.File(p).getParent)
+        s.sql(s"""SELECT event_id, ts_us, value, payload FROM esdb_sql.`$name`
+                 |WHERE space = '$Space' AND grouping = '$Grouping'
+                 |ORDER BY ts_us DESC, event_id""".stripMargin)
+      },
+      Some(s"""SELECT event_id, epoch_us(ts) AS ts_us, value, props AS payload
+              |FROM events WHERE event_type = '$Space' AND user_id = $Grouping
+              |ORDER BY ts_us DESC, event_id""".stripMargin)),
+
     // ---- stream parity (stream/stream.go, open_stream.go, merge.go) ------
 
     QuerySpec("stream_iterate",

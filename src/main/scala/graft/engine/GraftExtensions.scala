@@ -19,6 +19,10 @@ import graft.functions.VecDot
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // SQL ORDER BY over a single-partition esdb ordered scan: drop the
+    // Exchange+Sort the planner adds around already-ordered data (the
+    // DataFrame facade avoids it structurally; SQL text can't)
+    ext.injectQueryStagePrepRule(graft.plans.ElideOrderedScanSort(_))
     ext.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),

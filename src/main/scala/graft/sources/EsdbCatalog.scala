@@ -1,0 +1,231 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.engine.{EsdbWriter, Publish}
+
+/** SQL catalog over a directory tree of engine-written stores: register
+  * with
+  * {{{
+  * spark.sql.catalog.esdb      = graft.sources.EsdbCatalog
+  * spark.sql.catalog.esdb.root = /data/stores
+  * }}}
+  * and every store published under the root is a plain SQL table —
+  * `SELECT ... FROM esdb.payments`, `SHOW TABLES IN esdb`,
+  * `FROM esdb.payments VERSION AS OF 3` — no DataFrame code required.
+  * This is the piece that lets a reference user's ad-hoc SQL tooling
+  * see stores the way `esdb.Open` does (esdb.go:23-38): the directory
+  * IS the catalog state, so there is no metastore to run or to drift —
+  * exactly the reference's files-are-the-database stance, lifted to
+  * Spark's catalog plugin surface.
+  *
+  * Semantics:
+  *  - a TABLE is any directory under the root holding a committed
+  *    publish version or legacy direct-layout data; subdirectories in
+  *    between are NAMESPACES (`esdb.prod.payments` ≡
+  *    `<root>/prod/payments`);
+  *  - layout is auto-detected per table: a log-layout store (flat
+  *    `_MANIFEST.log` dual of the reference's stream file) binds to
+  *    [[EsdbLogTable]], a bucketed store to [[EsdbStoreTable]] — both
+  *    keep their full pushdown/ordering contracts, so SQL text gets
+  *    the same Sort-free ordered plans as the DataFrame surface;
+  *  - `VERSION AS OF v` resolves through [[Publish.resolveAt]]: reads
+  *    pin the retained snapshot and fail loudly when `v` is retired,
+  *    never silently serving different data;
+  *  - tables are CREATED by writing ([[EsdbWriter.write]]/`writeLog` +
+  *    [[Publish.publish]]) — `CREATE TABLE` is rejected because a bare
+  *    DDL statement cannot establish the layout invariants (ts-desc
+  *    clustering, manifests, blooms) that make a store a store;
+  *    `DROP TABLE` deletes the store directory.
+  *
+  * Catalog calls resolve against the live filesystem on every
+  * invocation (the listing memoization in the scan layer still
+  * applies per query): correctness over staleness, and at catalog
+  * frequency — human-issued DDL/SQL — listing cost is irrelevant.
+  */
+class EsdbCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var root: String = _
+
+  private def conf: Configuration =
+    SparkSession.active.sparkContext.hadoopConfiguration
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = Option(options.get("root")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog $name requires spark.sql.catalog.$name.root=<stores dir>"))
+  }
+
+  override def name(): String = catalogName
+
+  private def dirFor(parts: Seq[String]): String =
+    (root +: parts).mkString("/")
+
+  private def tablePath(ident: Identifier): String =
+    dirFor(ident.namespace.toSeq :+ ident.name)
+
+  /** A directory is a table iff it holds a committed publish version
+    * or direct store-layout markers (partition dirs, parquet files, a
+    * write's `_SUCCESS`/manifest sidecars). A namespace directory whose
+    * children are tables has none of these at its own level, so
+    * namespaces and tables never collide.
+    */
+  private def isTable(dir: String): Boolean = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p) || !fs.getFileStatus(p).isDirectory) return false
+    if (Publish.currentVersion(conf, dir).isDefined) return true
+    fs.listStatus(p).exists { s =>
+      val n = s.getPath.getName
+      (s.isFile && (n.endsWith(".parquet") || n == "_SUCCESS" || n.startsWith("_MANIFEST"))) ||
+        (s.isDirectory && n.contains("="))
+    }
+  }
+
+  private def isDir(dir: String): Boolean = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(conf)
+    fs.exists(p) && fs.getFileStatus(p).isDirectory
+  }
+
+  /** Child directories that are neither publish machinery nor data
+    * files — namespace candidates and table roots.
+    */
+  private def childDirs(dir: String): Seq[String] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return Seq.empty
+    fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && !s.getPath.getName.startsWith("_"))
+      .map(_.getPath.getName)
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val ns = dirFor(namespace.toSeq)
+    if (!isDir(ns)) throw new NoSuchNamespaceException(catalogName +: namespace)
+    childDirs(ns).filter(n => isTable(s"$ns/$n"))
+      .sorted.map(Identifier.of(namespace, _)).toArray
+  }
+
+  /** Bind the resolved data root to the layout-matching table. Version
+    * resolution happens HERE, at load time, so one SQL statement reads
+    * one snapshot even across a concurrent compact's publish (same
+    * contract as the path-based sources).
+    */
+  private def bind(logical: String, resolved: String): Table = {
+    val isLog = {
+      val m = new Path(resolved, EsdbWriter.LogManifest)
+      m.getFileSystem(conf).exists(m)
+    }
+    if (isLog) new EsdbLogTable(resolved, EsdbLogSource.canonicalSchema(resolved))
+    else new EsdbStoreTable(resolved, EsdbStoreSource.canonicalSchema(resolved))
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val logical = tablePath(ident)
+    if (!isTable(logical)) throw new NoSuchTableException(ident)
+    bind(logical, Publish.resolve(conf, logical))
+  }
+
+  /** `FOR VERSION AS OF v` — pin a committed publish version. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val logical = tablePath(ident)
+    if (!isTable(logical)) throw new NoSuchTableException(ident)
+    val v = try version.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"esdb versions are integers (got '$version'); " +
+          s"see committed versions via Publish.committedVersions")
+    }
+    bind(logical, Publish.resolveAt(conf, logical, v))
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    isTable(tablePath(ident))
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: java.util.Map[String, String]): Table =
+    throw new UnsupportedOperationException(
+      "esdb stores are created by writing (EsdbWriter.write/writeLog under " +
+        "Publish.publish), which establishes the clustering, manifests, and " +
+        "bloom filters a bare CREATE TABLE cannot; write to " +
+        s"${tablePath(ident)} and the table appears")
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "esdb store schemas are fixed by their written layout; rewrite via " +
+        "EsdbWriter + Publish.publish instead of ALTER TABLE")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = tablePath(ident)
+    if (!isTable(dir)) return false
+    val p = new Path(dir)
+    p.getFileSystem(conf).delete(p, true)
+  }
+
+  override def renameTable(from: Identifier, to: Identifier): Unit = {
+    val src = tablePath(from)
+    if (!isTable(src)) throw new NoSuchTableException(from)
+    val dst = new Path(tablePath(to))
+    val fs = dst.getFileSystem(conf)
+    if (fs.exists(dst))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(to)
+    fs.mkdirs(dst.getParent) // cross-namespace rename: ensure the target namespace dir
+    if (!fs.rename(new Path(src), dst))
+      throw new IllegalStateException(s"rename $src -> $dst failed")
+  }
+
+  // ---- namespaces: directories between the root and table roots ----------
+
+  override def listNamespaces(): Array[Array[String]] =
+    childDirs(root).filterNot(n => isTable(s"$root/$n"))
+      .sorted.map(Array(_)).toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    if (namespace.isEmpty) return listNamespaces()
+    val ns = dirFor(namespace.toSeq)
+    if (!isDir(ns)) throw new NoSuchNamespaceException(catalogName +: namespace)
+    childDirs(ns).filterNot(n => isTable(s"$ns/$n"))
+      .sorted.map(n => namespace :+ n).toArray
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || {
+      val dir = dirFor(namespace.toSeq)
+      isDir(dir) && !isTable(dir)
+    }
+
+  override def loadNamespaceMetadata(namespace: Array[String]): java.util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new NoSuchNamespaceException(catalogName +: namespace)
+    java.util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: java.util.Map[String, String]): Unit = {
+    val p = new Path(dirFor(namespace.toSeq))
+    p.getFileSystem(conf).mkdirs(p): Unit
+  }
+
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("esdb namespaces carry no metadata")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val dir = dirFor(namespace.toSeq)
+    if (!namespaceExists(namespace)) return false
+    if (!cascade && (childDirs(dir).nonEmpty || isTable(dir)))
+      throw new org.apache.spark.sql.catalyst.analysis.NonEmptyNamespaceException(
+        catalogName +: namespace)
+    val p = new Path(dir)
+    p.getFileSystem(conf).delete(p, true)
+  }
+}

@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.engine.{EsdbWriter, Publish}
+
+/** The SQL catalog plugin: stores published under a root directory are
+  * plain SQL tables — SELECT, SHOW TABLES, nested namespaces, VERSION
+  * AS OF time travel — with the same Sort-free ordered plans as the
+  * DataFrame surface, because the catalog binds to the same DSv2
+  * tables.
+  */
+class EsdbCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Cat = "esdbtest"
+
+  /** Root with a bucketed store at `payments` (two publish versions:
+    * v1 = 200 rows, v2 = 400), a log store at `prod.clicks`, and an
+    * empty namespace dir `empty_ns`.
+    */
+  private lazy val root: String = {
+    val dir = java.nio.file.Files.createTempDirectory("esdbcat").toString
+    val conf = spark.sparkContext.hadoopConfiguration
+    def ev(n: Int): DataFrame =
+      (1 to n).map(i => (s"s${i % 2}", s"g${i % 5}", (i % 40).toLong * 1000,
+        i.toLong, i / 10.0, s"""{"k": ${i % 3}}"""))
+        .toDF("space", "grouping", "ts_us", "event_id", "value", "payload")
+    Publish.publish(conf, s"$dir/payments", keepVersions = 2) { tmp =>
+      EsdbWriter.write(ev(200), tmp)
+    }
+    Publish.publish(conf, s"$dir/payments", keepVersions = 2) { tmp =>
+      EsdbWriter.write(ev(400), tmp)
+    }
+    Publish.publish(conf, s"$dir/prod/clicks") { tmp =>
+      EsdbWriter.writeLog(ev(300), tmp)
+    }
+    new java.io.File(s"$dir/empty_ns").mkdirs()
+    spark.conf.set(s"spark.sql.catalog.$Cat", classOf[graft.sources.EsdbCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$Cat.root", dir)
+    dir
+  }
+
+  private def executed(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def hasSortNode(plan: String): Boolean =
+    """(?m)^\W*\*?\(?\d*\)?\s*Sort """.r.findFirstIn(plan).isDefined ||
+      plan.contains(") Sort [") || plan.contains("+- Sort [")
+
+  test("SELECT over a catalog store matches the path-based ordered read") {
+    root
+    val sql = spark.sql(
+      s"""SELECT event_id, ts_us, value FROM $Cat.payments
+         |WHERE space = 's1' AND grouping = 'g3'
+         |ORDER BY ts_us DESC, event_id""".stripMargin)
+    val viaPath = graft.engine.EventStore.scan(
+      EsdbWriter.readOrdered(spark, s"$root/payments"), "s1", "g3")
+      .select("event_id", "ts_us", "value")
+    assert(sql.collect().toSeq == viaPath.collect().toSeq)
+    assert(sql.count() > 0)
+  }
+
+  test("catalog scans keep the layout-order contract: no Sort in the plan") {
+    root
+    val plan = executed(spark.sql(
+      s"""SELECT event_id, ts_us, value FROM $Cat.payments
+         |WHERE space = 's1' AND grouping = 'g3'
+         |ORDER BY ts_us DESC, event_id""".stripMargin))
+    assert(!hasSortNode(plan), "catalog-bound store scan must not re-sort:\n" + plan)
+    assert(plan.contains("BatchScan"), plan)
+  }
+
+  test("log-layout stores bind to the log table: global id order, no Sort") {
+    root
+    val q = spark.sql(s"SELECT event_id FROM $Cat.prod.clicks ORDER BY event_id")
+    val got = q.collect().map(_.getLong(0)).toSeq
+    assert(got == (1L to 300L))
+    assert(!hasSortNode(executed(
+      spark.sql(s"SELECT event_id FROM $Cat.prod.clicks ORDER BY event_id"))))
+  }
+
+  test("SHOW TABLES and namespaces reflect the directory tree") {
+    root
+    val top = spark.sql(s"SHOW TABLES IN $Cat").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(top == Set(("", "payments")))
+    val prod = spark.sql(s"SHOW TABLES IN $Cat.prod").collect()
+      .map(_.getString(1)).toSet
+    assert(prod == Set("clicks"))
+    val ns = spark.sql(s"SHOW NAMESPACES IN $Cat").collect().map(_.getString(0)).toSet
+    assert(ns == Set("prod", "empty_ns"))
+  }
+
+  test("VERSION AS OF pins a committed publish; retired/unknown versions fail loudly") {
+    root
+    val v2 = spark.sql(s"SELECT count(*) AS n FROM $Cat.payments").head().getLong(0)
+    val v1 = spark.sql(s"SELECT count(*) AS n FROM $Cat.payments VERSION AS OF 1")
+      .head().getLong(0)
+    assert(v1 == 200L && v2 == 400L)
+    val e = intercept[Exception](
+      spark.sql(s"SELECT * FROM $Cat.payments VERSION AS OF 99").collect())
+    assert(e.getMessage.contains("never committed"), e.getMessage)
+  }
+
+  test("DDL surface: CREATE/ALTER rejected with guidance, DROP deletes, rename moves") {
+    root
+    val e = intercept[Exception](
+      spark.sql(s"CREATE TABLE $Cat.newstore (id BIGINT) USING esdb"))
+    assert(e.getMessage.contains("EsdbWriter"), e.getMessage)
+
+    // rename then drop a throwaway store; payments stays for other tests
+    val conf = spark.sparkContext.hadoopConfiguration
+    Publish.publish(conf, s"$root/scratch") { tmp =>
+      EsdbWriter.writeLog(Seq(("s0", "g0", 0L, 1L, 0.0, "{}"))
+        .toDF("space", "grouping", "ts_us", "event_id", "value", "payload"), tmp)
+    }
+    // the RENAME target resolves within the same catalog (a qualified
+    // target would read as a namespace path)
+    spark.sql(s"ALTER TABLE $Cat.scratch RENAME TO scratch2")
+    assert(spark.sql(s"SELECT count(*) FROM $Cat.scratch2").head().getLong(0) == 1L)
+    spark.sql(s"DROP TABLE $Cat.scratch2")
+    assert(!new java.io.File(s"$root/scratch2").exists())
+    assert(spark.sql(s"SHOW TABLES IN $Cat").collect()
+      .map(_.getString(1)).toSet == Set("payments"))
+  }
+}
