@@ -69,7 +69,16 @@ object ScaleCheck {
       "text_vocab_topk",        // explode + count + top-k
       "text_span_dedup",        // span explode + hash-only shuffle
       "corpus_pack",            // per-source running-total window
-      "corpus_chunk")           // per-partition chunking kernel
+      "corpus_chunk",           // per-partition chunking kernel
+      "corpus_shuffle",         // global md5-rank permutation (range sort)
+      "corpus_mix")             // hash-threshold scan-stage sampling
+
+    // `families=a,b` runs just those rows (adding a new family doesn't
+    // require re-measuring the rest of the harness)
+    val famFilter = args.collectFirst {
+      case a if a.startsWith("families=") => a.drop("families=".length).split(",").toSet
+    }
+    val chosen = famFilter.map(f => families.filter(f)).getOrElse(families)
 
     def time(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
@@ -80,13 +89,14 @@ object ScaleCheck {
     }
 
     // warm both paths once so JIT/codegen is steady before measuring
-    families.foreach { n => time(n, sfDir); time(n, bigDir) }
+    chosen.foreach { n => time(n, sfDir); time(n, bigDir) }
     println(f"${"query"}%-24s ${"t_1x"}%8s ${"t_10x"}%8s ratio")
-    families.foreach { n =>
+    chosen.foreach { n =>
       val t1 = math.min(time(n, sfDir), time(n, sfDir))
       val t10 = math.min(time(n, bigDir), time(n, bigDir))
       println(f"$n%-24s $t1%8.2f $t10%8.2f ${t10 / t1}%5.1f")
     }
+    if (famFilter.isDefined) { spark.stop(); return }
 
     // write path: the reference's own benchmark shapes are bulk writes
     // (writer_test.go: 10k/100k/1M events) — time the full store write
