@@ -983,6 +983,21 @@ object Queries {
              |        // (length(text) - length(replace(text, ' ', '')) + 1)) AS quality_x1000
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // corpus-trained unigram surprisal (the CCNet perplexity-filter
+    // shape) in exact integer bits: token cost = bit-width of
+    // total DIV count — monotone in -log2 p(tok), zero floats, so the
+    // cross-engine compare is hash-exact
+    QuerySpec("text_surprisal",
+      (s, d) => TextOps.unigramSurprisal(Tables.documents(s, d)),
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+             |              FROM documents),
+             |     tot AS (SELECT count(*) AS total FROM toks),
+             |     vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             |       CAST((sum(length(bin(total // c))) * 1000) // count(*) AS BIGINT) AS surprisal_x1000
+             |FROM toks JOIN vocab USING (tok) CROSS JOIN tot
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     QuerySpec("text_lang_id",
       (s, d) => TextOps.langId(Tables.documents(s, d)),
       Some(TextOps.langIdOracleSql)),

@@ -56,6 +56,38 @@ object TextOps {
       expr("least(1000, ((length(text) - length(replace(text, 'the', ''))) div 3) * 1000 div (length(text) - length(replace(text, ' ', '')) + 1))").as("quality_x1000"))
       .orderBy("doc_id")
 
+  /** Corpus-trained unigram surprisal — the LM-perplexity quality
+    * filter of CCNet-style pipelines, in exact integer math so the
+    * score reproduces bit-for-bit on any engine. Pass 1 trains the
+    * model (token counts + corpus total); pass 2 scores each document
+    * by its mean token surprisal, where a token seen `c` times in a
+    * corpus of `total` tokens costs `length(bin(total DIV c))` bits
+    * (= floor(log2(total/c)) + 1 — the integer bit-width of the
+    * inverse frequency; monotone in true surprisal, zero floating
+    * point). High scores = rare-token-heavy documents, the same tail
+    * a real perplexity filter trims.
+    *
+    * Shape at 100 TB: the vocab aggregate partial-combines map-side
+    * (shuffle = distinct tokens per task, Heaps'-law sublinear); the
+    * scoring join shuffles the token stream once on `tok` — AQE
+    * broadcasts the vocab side when it fits, which natural-language
+    * vocabularies usually do. The corpus total broadcasts as one row.
+    * Output: (doc_id, n_tokens, surprisal_x1000) ordered by doc_id.
+    */
+  def unigramSurprisal(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(split(lower(col("text")), " ")).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val total = toks.agg(count(lit(1)).as("total"))
+    toks.join(vocab, "tok")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), length(bin(expr("total DIV c"))).as("bits"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        expr("(sum(bits) * 1000) DIV count(1)").as("surprisal_x1000"))
+      .orderBy("doc_id")
+  }
+
   /** Tiny deterministic stopword profiles for heuristic language ID.
     * Real deployments load per-language frequency tables; the mechanism
     * (score per profile, argmax) is what matters for the pipeline.

@@ -103,6 +103,18 @@ class TextOpsSpec extends SparkSpec {
     assert(got == got.sortBy(_._1), "output must be ordered by span_hash")
   }
 
+  test("unigramSurprisal: exact bit-width surprisal, rare tokens score higher") {
+    // corpus tokens: a a b a c -> total=5; counts a=3, b=1, c=1
+    // bits: a = len(bin(5 DIV 3 = 1)) = 1; b = len(bin(5)) = 3; c = 3
+    val docs = Seq((1L, "a A b"), (2L, "a c")).toDF("doc_id", "text")
+    val got = rowsOf(TextOps.unigramSurprisal(docs))
+    // doc1: (1+1+3)*1000 DIV 3 = 1666; doc2: (1+3)*1000 DIV 2 = 2000
+    assert(got == Seq(Seq(1L, 3L, 1666L), Seq(2L, 2L, 2000L)))
+    // the rare-token-heavy doc scores strictly higher — the tail a
+    // perplexity filter trims
+    assert(got(1)(2).asInstanceOf[Long] > got(0)(2).asInstanceOf[Long])
+  }
+
   test("sessionize splits on gaps > 30min") {
     val ev = Seq(
       ("u1", 0L, 1L), ("u1", 60L * 1000000, 2L),                  // session 1: 0s, 60s
