@@ -355,6 +355,14 @@ object Queries {
              |       event_type AS space, count(*) AS n_events
              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // streaming exact dedup drained from the static fixture: one
+    // survivor per distinct payload through the real state-store path
+    // (16-byte fp keys); the payload SET is the deterministic
+    // certificate (which arrival survives is processing-order)
+    QuerySpec("stream_dedup",
+      (s, d) => graft.streaming.StreamIngest.dedupExactAvailableNow(s, s"$d/events.parquet"),
+      Some("SELECT DISTINCT props AS payload FROM events ORDER BY payload")),
+
     // the STREAM-STREAM join surface, oracled: purchases enriched with
     // same-user clicks from the prior hour, drained with AvailableNow —
     // the buffered interval join must equal the batch join exactly

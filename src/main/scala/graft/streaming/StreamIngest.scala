@@ -301,6 +301,32 @@ object StreamIngest {
   }
 
 
+  /** [[dedupExact]] drained with `Trigger.AvailableNow` over a static
+    * fixture, watermark effectively unbounded: the survivor set is then
+    * exactly one event per distinct payload. WHICH arrival survives is
+    * processing-order-dependent (first seen wins), so the certified
+    * output is the payload set alone — while the drain still runs the
+    * real dedup state machinery (16-byte fingerprint keys in the state
+    * store). Watermark-bounded eviction is pinned by StreamingSpec.
+    */
+  def dedupExactAvailableNow(spark: SparkSession, eventsParquet: String,
+                             statePartitions: Int = DefaultStatePartitions): DataFrame = {
+    graft.engine.GraftSession.tune(spark)
+    val schema = spark.read.parquet(eventsParquet).schema
+    withStatePartitions(spark, statePartitions) { s =>
+      val stream = EventFrame.fromEvents(
+        s.readStream.schema(schema).parquet(stageDir(eventsParquet)))
+      val deduped = dedupExact(stream, watermark = "3650 days").select("payload")
+      val qname = "graft_stream_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      deduped.writeStream.format("memory").queryName(qname)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+      s.table(qname).orderBy("payload")
+    }
+  }
+
   /** [[enrichInterval]] run end-to-end as a STREAM-STREAM join and
     * drained with `Trigger.AvailableNow`: left events of `leftSpace`
     * enriched with same-grouping `rightSpace` events from the prior
