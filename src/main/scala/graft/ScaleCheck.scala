@@ -42,6 +42,7 @@ object ScaleCheck {
     if (args.contains("skew")) { skewCheck(spark, sfDir, bigDir); spark.stop(); return }
     if (args.contains("ordered")) { orderedCheck(spark, sfDir, bigDir); spark.stop(); return }
     if (args.contains("ingest")) { ingestCheck(spark, sfDir, bigDir); spark.stop(); return }
+    if (args.contains("compaction")) { compactionCheck(spark, sfDir, bigDir); spark.stop(); return }
     // user_id not offset: groupings keep their cardinality and grow in
     // length, the dominant real-world growth mode for an event store
     replicate(engine.Tables.events(spark, sfDir), Seq("event_id"), s"$bigDir/events.parquet")
@@ -257,6 +258,47 @@ object ScaleCheck {
       val lo = math.min(logTime(ordered = true, from), logTime(ordered = true, from))
       println(f"ordered_$name%-22s vanilla=$lv%6.2f ordered=$lo%6.2f ordered/vanilla=${lo / lv}%4.2f")
     }
+  }
+
+  /** Write-amplification evidence at 10×: a store where ONE of five
+    * spaces is fragmented by appends, compacted full-rewrite vs
+    * incrementally. The incremental path rewrites the fragmented space
+    * and file-copies the rest — locally the copy still moves bytes, so
+    * the measured win is the skipped decode+sort+encode; on an object
+    * store the copy is a metadata-priced server-side COPY and the gap
+    * widens to the fragmented fraction.
+    */
+  private def compactionCheck(spark: SparkSession, sfDir: String, bigDir: String): Unit = {
+    if (!new java.io.File(s"$bigDir/events.parquet").exists())
+      replicate(engine.Tables.events(spark, sfDir), Seq("event_id"), s"$bigDir/events.parquet")
+    val conf = spark.sparkContext.hadoopConfiguration
+    def build(out: String): Unit = {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(out)).deleteRecursively()
+      val evf = engine.EventFrame.fromEvents(engine.Tables.events(spark, bigDir))
+      engine.Publish.publish(conf, out) { tmp =>
+        engine.EsdbWriter.write(evf, tmp)
+      }: Unit
+      val clicks = evf.where(col("space") === "click")
+      (0 until 6).foreach { i =>
+        engine.EsdbWriter.append(clicks.where(pmod(col("event_id"), lit(64)) === i), out)
+      }
+    }
+    def time(fn: => Unit): Double = {
+      val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
+    }
+    build(s"$bigDir/store_cfull"); build(s"$bigDir/store_cincr") // fresh pair per run
+    val tFull = time(engine.EsdbWriter.compact(spark, s"$bigDir/store_cfull"))
+    val tIncr = time {
+      require(engine.EsdbWriter.compactIncremental(spark, s"$bigDir/store_cincr",
+        maxFilesPerSpace = 3), "incremental compaction found nothing fragmented")
+    }
+    // both paths must converge to the same row set before times mean anything
+    val nFull = engine.EsdbWriter.readOrdered(spark, s"$bigDir/store_cfull").count()
+    val nIncr = engine.EsdbWriter.readOrdered(spark, s"$bigDir/store_cincr").count()
+    require(nFull == nIncr, s"compaction paths diverged: $nFull != $nIncr")
+    println(f"${"compact_full"}%-24s $tFull%8.2f")
+    println(f"${"compact_incremental"}%-24s $tIncr%8.2f  incr/full=${tIncr / tFull}%4.2f")
   }
 
   /** Hot-key evidence for [[ops.Skew.saltedTails]]: a replica of the

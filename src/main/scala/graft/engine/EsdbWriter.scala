@@ -190,6 +190,81 @@ object EsdbWriter {
     }: Unit
   }
 
+  /** Incremental compaction: rewrite ONLY spaces whose merge width
+    * (data-file count) exceeds `maxFilesPerSpace`; carry already-
+    * compact spaces into the new version verbatim. A full [[compact]]
+    * re-encodes the entire store per run — write amplification that
+    * grows with store size, not with append volume; here the rewrite
+    * cost tracks the fragmented fraction, and the carried spaces cost
+    * one file copy each (a server-side COPY on object stores — no
+    * decode/sort/encode, no bytes through the cluster). Relative file
+    * paths are preserved by the copy, so carried ts-range manifest
+    * entries stay valid; manifest entries for rewritten files key on
+    * now-absent names no reader ever looks up. Same snapshot
+    * guarantees as [[compact]]: one pointer-commit publishes the new
+    * version, a crash leaves readers on the previous one.
+    *
+    * The reference's LSM analog: size-tiered compaction touches only
+    * runs past the width threshold, never the whole keyspace.
+    *
+    * Returns true when a new version was published; false when no
+    * space was fragmented enough to justify one (no version churn).
+    */
+  def compactIncremental(spark: SparkSession, path: String,
+                         maxFilesPerSpace: Int = 4, keepVersions: Int = 1): Boolean = {
+    require(maxFilesPerSpace >= 1, s"maxFilesPerSpace must be >= 1, got $maxFilesPerSpace")
+    require(!isSealed(path), s"store at $path is sealed (immutable; compaction is for open stores)")
+    GraftSession.tune(spark)
+    val conf = hconf(spark)
+    val src = dataRoot(spark, path)
+    val srcPath = new org.apache.hadoop.fs.Path(src)
+    val fs = srcPath.getFileSystem(conf)
+    val spaceDirs = fs.listStatus(srcPath).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("space="))
+    val (frag, keep) = spaceDirs.partition(d =>
+      relativeDataFiles(fs, d.getPath).size > maxFilesPerSpace)
+    if (frag.isEmpty) return false
+    val subparts = subpartsOf(conf, src)
+    Publish.publish(conf, path, keepVersions) { tmp =>
+      // 1. the fragmented spaces go through the standard write path:
+      //    merge width back to one file per space/bucket, blooms and
+      //    manifests rebuilt for exactly these spaces
+      val fragDf = spark.read.option("basePath", src)
+        .parquet(frag.map(_.getPath.toString): _*)
+      write(if (fragDf.columns.contains("bucket")) fragDf.drop("bucket") else fragDf,
+        tmp, subparts = subparts)
+      // 2. carry compact spaces verbatim (recursive copy, bucket dirs
+      //    included; on object stores this is a metadata-priced COPY)
+      val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+      keep.foreach { d =>
+        org.apache.hadoop.fs.FileUtil.copy(fs, d.getPath, fs,
+          new org.apache.hadoop.fs.Path(tmpPath, d.getPath.getName),
+          /* deleteSource = */ false, conf): Unit
+      }
+      // 3. manifests: the rewrite covered only fragmented spaces —
+      //    carry the previous version's manifest files alongside
+      //    (groupings only ever accumulate under compaction, and the
+      //    readers distinct across batches; stale ts-range rows for
+      //    rewritten files are never looked up)
+      Seq(GroupingsManifest, TsRangeManifest).foreach { m =>
+        val old = new org.apache.hadoop.fs.Path(srcPath, m)
+        if (fs.exists(old)) {
+          val dst = new org.apache.hadoop.fs.Path(tmpPath, m)
+          fs.mkdirs(dst)
+          fs.listStatus(old).toSeq
+            .filter(f => f.isFile && f.getLen > 0 &&
+              !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+            .foreach { f =>
+              org.apache.hadoop.fs.FileUtil.copy(fs, f.getPath, fs,
+                new org.apache.hadoop.fs.Path(dst, s"carry-${f.getPath.getName}"),
+                /* deleteSource = */ false, conf): Unit
+            }
+        }
+      }
+    }: Unit
+    true
+  }
+
   /** The write-time groupings manifest — the analog of the reference's
     * key index: `Db.Iterate`/`Space.Iterate` are index-only reads there
     * (esdb.go:63-76, space.go:45-60), so enumeration here must not scan

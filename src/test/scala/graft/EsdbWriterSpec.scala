@@ -108,4 +108,44 @@ class EsdbWriterSpec extends SparkSpec {
     assert(EventLog.iterate(back).count() == 4)
     assert(EventLog.first(back, "i", "i1").as[Long].collect().toSeq == Seq(9L))
   }
+
+  test("incremental compaction rewrites only fragmented spaces, carries the rest") {
+    val dir = freshDir()
+    val conf = spark.sparkContext.hadoopConfiguration
+    def batch(space: String, ids: Range) =
+      ids.map(i => (space, s"g${i % 3}", i.toLong * 10, i.toLong, i / 2.0, s"""{"k": $i}"""))
+        .toDF("space", "grouping", "ts_us", "event_id", "value", "payload")
+    EsdbWriter.write(batch("a", 1 to 20).unionByName(batch("b", 100 to 120)), dir)
+    // fragment space a only
+    (1 to 5).foreach(i => EsdbWriter.append(batch("a", (20 + i * 10) to (29 + i * 10)), dir))
+    val before = EsdbWriter.readOrdered(spark, dir).collect().toSet
+
+    def files(space: String): Seq[String] = {
+      val root = new org.apache.hadoop.fs.Path(EsdbWriter.dataRoot(spark, dir), s"space=$space")
+      val fs = root.getFileSystem(conf)
+      EsdbWriter.relativeDataFiles(fs, root).map(_._1)
+    }
+    assert(files("a").size == 6 && files("b").size == 1)
+    val bFilesBefore = files("b")
+
+    assert(EsdbWriter.compactIncremental(spark, dir, maxFilesPerSpace = 3))
+    // fragmented space collapsed; untouched space carried verbatim
+    assert(files("a").size == 1)
+    assert(files("b") == bFilesBefore, "compact-enough space must be copied, not rewritten")
+    // lossless: identical row set, ordered read still green
+    assert(EsdbWriter.readOrdered(spark, dir).collect().toSet == before)
+    // manifests carried: groupings enumeration still index-only-complete,
+    // ts-range pruning entries still present for the carried file
+    assert(EsdbWriter.manifestGroupings(spark, dir).get
+      .select("space").distinct().collect().map(_.getString(0)).toSet == Set("a", "b"))
+    import spark.implicits._
+    val tsFiles = EsdbWriter.tsRangeManifest(spark, dir).get
+      .select("file").as[String].collect().toSet
+    assert(bFilesBefore.forall(tsFiles.contains),
+      "carried files must keep their ts-range manifest entries")
+    // nothing fragmented now: no version churn
+    val vBefore = graft.engine.Publish.committedVersions(conf, dir).map(_._1).max
+    assert(!EsdbWriter.compactIncremental(spark, dir, maxFilesPerSpace = 3))
+    assert(graft.engine.Publish.committedVersions(conf, dir).map(_._1).max == vBefore)
+  }
 }
