@@ -148,4 +148,42 @@ class EsdbWriterSpec extends SparkSpec {
     assert(!EsdbWriter.compactIncremental(spark, dir, maxFilesPerSpace = 3))
     assert(graft.engine.Publish.committedVersions(conf, dir).map(_._1).max == vBefore)
   }
+
+  test("store lifecycle fuzz: random append/compact sequences never lose or reorder rows") {
+    val rnd = new scala.util.Random(42) // seeded: failures reproduce
+    (1 to 3).foreach { trial =>
+      val dir = freshDir()
+      var nextId = 0L
+      def batch(nSpaces: Int, n: Int) = {
+        val rows = (1 to n).map { _ =>
+          nextId += 1
+          (s"s${rnd.nextInt(nSpaces)}", s"g${rnd.nextInt(4)}",
+            rnd.nextInt(100).toLong, nextId, 0.0, s"""{"k": ${rnd.nextInt(5)}}""")
+        }
+        rows.toDF("space", "grouping", "ts_us", "event_id", "value", "payload")
+      }
+      EsdbWriter.write(batch(3, 30), dir)
+      var expect = EsdbWriter.readOrdered(spark, dir)
+        .select("space", "grouping", "ts_us", "event_id").collect().toSet
+      (1 to 8).foreach { _ =>
+        rnd.nextInt(4) match {
+          case 0 | 1 =>
+            val b = batch(3, 5 + rnd.nextInt(15))
+            EsdbWriter.append(b, dir)
+            expect = expect ++ b.select("space", "grouping", "ts_us", "event_id").collect()
+          case 2 => EsdbWriter.compact(spark, dir)
+          case 3 => EsdbWriter.compactIncremental(spark, dir,
+            maxFilesPerSpace = 1 + rnd.nextInt(3)): Unit
+        }
+        val got = EsdbWriter.readOrdered(spark, dir)
+          .select("space", "grouping", "ts_us", "event_id").collect().toSet
+        assert(got == expect, s"trial $trial: store diverged from the append history")
+        // the ordered contract survives every lifecycle step
+        val scan = EventStore.scan(EsdbWriter.readOrdered(spark, dir), "s0", "g1")
+          .select("ts_us", "event_id").as[(Long, Long)].collect().toSeq
+        assert(scan == scan.sortBy { case (t, id) => (-t, id) },
+          s"trial $trial: scan order broken")
+      }
+    }
+  }
 }
