@@ -66,6 +66,7 @@ final class EsdbLogMergeReader(part: EsdbLogPartition, required: StructType,
       current = reader.read()
       if (current == null) return false
       EsdbMergeReader.RowsRead.incrementAndGet()
+      rowsPulled += 1
       keyIdNull = !(idIdx >= 0 && current.getFieldRepetitionCount(idIdx) > 0)
       // ASC + NULLS FIRST: Spark's default null ordering for the ASC
       // ordering this scan reports — the sentinel must agree or the
@@ -85,6 +86,15 @@ final class EsdbLogMergeReader(part: EsdbLogPartition, required: StructType,
   private var done = false // ascending early exit latched
   private val cursors = new java.util.ArrayList[Cursor]()
   private val heap = new java.util.PriorityQueue[Cursor](math.max(1, part.files.length), cmp)
+  private var filesOpened = 0L
+  private var rowsPulled = 0L
+
+  override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(
+      EsdbMetrics.Task(EsdbMetrics.FilesOpened, filesOpened),
+      EsdbMetrics.Task(EsdbMetrics.RowsMerged, rowsPulled),
+      EsdbMetrics.Task(EsdbMetrics.EarlyExits,
+        (if (done) 1L else 0L) + (if (remaining == 0L) 1L else 0L)))
 
   private def idPredicates: Seq[FilterPredicate] = {
     val c = FilterApi.longColumn("event_id")
@@ -117,6 +127,7 @@ final class EsdbLogMergeReader(part: EsdbLogPartition, required: StructType,
           .build()
         val c = new Cursor(reader, projected)
         cursors.add(c)
+        filesOpened += 1
         if (c.advance()) heap.add(c) else reader.close()
       }
     }

@@ -171,6 +171,9 @@ final class EsdbLogScan(path: String, required: StructType, idBounds: TsBounds,
 
   override def toBatch: Batch = this
 
+  override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    EsdbMetrics.supported
+
   /** Streaming consumption from a resumable event_id offset — the
     * reference's open-stream read loop (see [[EsdbLogMicroBatch]]).
     */

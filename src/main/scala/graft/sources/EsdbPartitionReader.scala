@@ -101,6 +101,7 @@ final class EsdbMergeReader(part: EsdbInputPartition, required: StructType,
       current = reader.read()
       if (current == null) return false
       EsdbMergeReader.RowsRead.incrementAndGet()
+      rowsPulled += 1
       keyGrouping =
         if (gIdx >= 0 && current.getFieldRepetitionCount(gIdx) > 0)
           UTF8String.fromBytes(current.getBinary(gIdx, 0).getBytes)
@@ -140,6 +141,17 @@ final class EsdbMergeReader(part: EsdbInputPartition, required: StructType,
   private var done = false // ts-desc early exit latched (grouping pinned)
   private val cursors = new java.util.ArrayList[Cursor]()
   private val heap = new java.util.PriorityQueue[Cursor](math.max(1, part.files.length), cmp)
+  // per-task observability (EsdbMetrics; RowsRead stays the JVM-wide
+  // test observable)
+  private var filesOpened = 0L
+  private var rowsPulled = 0L
+
+  override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(
+      EsdbMetrics.Task(EsdbMetrics.FilesOpened, filesOpened),
+      EsdbMetrics.Task(EsdbMetrics.RowsMerged, rowsPulled),
+      EsdbMetrics.Task(EsdbMetrics.EarlyExits,
+        (if (done) 1L else 0L) + (if (remaining == 0L) 1L else 0L)))
 
   /** Equality hint → parquet predicate, typed from THIS file's schema;
     * None when the column is absent or the physical type doesn't match
@@ -213,6 +225,7 @@ final class EsdbMergeReader(part: EsdbInputPartition, required: StructType,
         .build()
       val c = new Cursor(reader, projected)
       cursors.add(c)
+      filesOpened += 1
       if (c.advance()) heap.add(c) else reader.close()
       }
     }

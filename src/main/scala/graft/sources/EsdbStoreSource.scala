@@ -495,6 +495,9 @@ final class EsdbScan(path: String, required: StructType, spaces: Option[Seq[Stri
     override def sizeInBytes(): OptionalLong = OptionalLong.of(partitions.map(_.totalBytes).sum)
     override def numRows(): OptionalLong = OptionalLong.empty()
   }
+
+  override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    EsdbMetrics.supported
 }
 
 object EsdbScan {

@@ -69,6 +69,13 @@ final class EsdbVectorReader(files: Seq[(String, Long)], required: StructType,
   private var inner: ColumnarBatch = _
   private var out: ColumnarBatch = _
   private var remaining: Long = limit.map(_.toLong).getOrElse(Long.MaxValue)
+  private var rowsPulled = 0L
+
+  override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(
+      EsdbMetrics.Task(EsdbMetrics.FilesOpened, (fileIdx + 1).toLong),
+      EsdbMetrics.Task(EsdbMetrics.RowsMerged, rowsPulled),
+      EsdbMetrics.Task(EsdbMetrics.EarlyExits, if (remaining == 0L) 1L else 0L))
 
   /** Open files(i) through the production split initializer — the
     * session's (serialized) Hadoop conf rides in, so object-store
@@ -114,6 +121,7 @@ final class EsdbVectorReader(files: Seq[(String, Long)], required: StructType,
         remaining -= n
         EsdbMergeReader.RowsRead.addAndGet(n)
         EsdbVectorReader.BatchesRead.incrementAndGet()
+        rowsPulled += n
         return true
       }
       reader.close()

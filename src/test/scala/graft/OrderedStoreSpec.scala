@@ -70,6 +70,24 @@ class OrderedStoreSpec extends SparkSpec {
     assert(!plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("scan observability: files/rows/early-exit surface as DSv2 custom metrics") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false") // executedPlan stays inspectable
+    try {
+      val q = EventStore.scan(ordered, "s1", "g3", Some(5)).select("event_id")
+      q.collect()
+      val scan = q.queryExecution.executedPlan.collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }.get
+      import graft.sources.EsdbMetrics
+      // fixture writes two batches -> two sorted files merged per space
+      assert(scan.metrics(EsdbMetrics.FilesOpened).value == 2, scan.metrics)
+      assert(scan.metrics(EsdbMetrics.RowsMerged).value >= 5, scan.metrics)
+      // pushed top-N stops the reader before EOF
+      assert(scan.metrics(EsdbMetrics.EarlyExits).value >= 1, scan.metrics)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("space predicate prunes to one directory (one partition, SinglePartition plan)") {
     val q = ordered.where(col("space") === "s2")
     assert(q.rdd.getNumPartitions == 1)
