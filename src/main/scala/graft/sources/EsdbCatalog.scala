@@ -4,7 +4,7 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
-import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, StagedTable, StagingTableCatalog, SupportsNamespaces, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -50,7 +50,7 @@ import graft.engine.{EsdbWriter, Publish}
   * applies per query): correctness over staleness, and at catalog
   * frequency — human-issued DDL/SQL — listing cost is irrelevant.
   */
-class EsdbCatalog extends TableCatalog with SupportsNamespaces {
+class EsdbCatalog extends TableCatalog with SupportsNamespaces with StagingTableCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -121,19 +121,23 @@ class EsdbCatalog extends TableCatalog with SupportsNamespaces {
     * one snapshot even across a concurrent compact's publish (same
     * contract as the path-based sources).
     */
-  private def bind(logical: String, resolved: String): Table = {
+  private def bind(logical: String, resolved: String,
+                   writable: Boolean = false): Table = {
     val isLog = {
       val m = new Path(resolved, EsdbWriter.LogManifest)
       m.getFileSystem(conf).exists(m)
     }
-    if (isLog) new EsdbLogTable(resolved, EsdbLogSource.canonicalSchema(resolved))
-    else new EsdbStoreTable(resolved, EsdbStoreSource.canonicalSchema(resolved))
+    // writes always target the LOGICAL root (the append path re-resolves
+    // the live version itself); a version-pinned load is read-only
+    val wp = if (writable) Some(logical) else None
+    if (isLog) new EsdbLogTable(resolved, EsdbLogSource.canonicalSchema(resolved), wp)
+    else new EsdbStoreTable(resolved, EsdbStoreSource.canonicalSchema(resolved), wp)
   }
 
   override def loadTable(ident: Identifier): Table = {
     val logical = tablePath(ident)
     if (!isTable(logical)) throw new NoSuchTableException(ident)
-    bind(logical, Publish.resolve(conf, logical))
+    bind(logical, Publish.resolve(conf, logical), writable = true)
   }
 
   /** `FOR VERSION AS OF v` — pin a committed publish version. */
@@ -157,8 +161,57 @@ class EsdbCatalog extends TableCatalog with SupportsNamespaces {
     throw new UnsupportedOperationException(
       "esdb stores are created by writing (EsdbWriter.write/writeLog under " +
         "Publish.publish), which establishes the clustering, manifests, and " +
-        "bloom filters a bare CREATE TABLE cannot; write to " +
-        s"${tablePath(ident)} and the table appears")
+        "bloom filters a bare CREATE TABLE cannot; use CREATE TABLE ... AS " +
+        s"SELECT (creation by writing), or write to ${tablePath(ident)} directly")
+
+  // ---- CTAS/RTAS: the SQL form of "stores are created by writing" --------
+
+  /** CREATE TABLE ... AS SELECT — unlike bare CREATE TABLE, the query
+    * result flows through the engine writer, which establishes every
+    * layout invariant; see [[EsdbStagedTable]] for the TBLPROPERTIES
+    * (layout/indexAttrs/subparts/keepVersions) and the commit protocol.
+    */
+  override def stageCreate(ident: Identifier,
+                           info: org.apache.spark.sql.connector.catalog.TableInfo): StagedTable = {
+    if (tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
+    staged(ident, info)
+  }
+
+  /** REPLACE TABLE ... AS SELECT — a versioned publish over the existing
+    * store: readers pinned to the replaced snapshot keep it while the
+    * retention window (`keepVersions` ≥ 2) holds.
+    */
+  override def stageReplace(ident: Identifier,
+                            info: org.apache.spark.sql.connector.catalog.TableInfo): StagedTable = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    staged(ident, info)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier,
+                                    info: org.apache.spark.sql.connector.catalog.TableInfo): StagedTable =
+    staged(ident, info)
+
+  /** Fail-fast schema contract: the canonical event-frame columns must
+    * be present with their layout types before any data moves (the
+    * writer sorts/partitions on them; a late failure would burn the
+    * whole SELECT's work).
+    */
+  private def staged(ident: Identifier,
+                     info: org.apache.spark.sql.connector.catalog.TableInfo): StagedTable = {
+    val schema = info.schema()
+    def req(n: String, t: org.apache.spark.sql.types.DataType): Unit = {
+      val f = schema.fields.find(_.name == n).getOrElse(throw new IllegalArgumentException(
+        s"esdb CTAS requires canonical column $n (event frame: space, grouping, ts_us, event_id)"))
+      require(f.dataType == t,
+        s"esdb CTAS column $n must be $t, got ${f.dataType} — cast in the SELECT")
+    }
+    req("space", org.apache.spark.sql.types.StringType)
+    req("grouping", org.apache.spark.sql.types.StringType)
+    req("ts_us", org.apache.spark.sql.types.LongType)
+    req("event_id", org.apache.spark.sql.types.LongType)
+    new EsdbStagedTable(tablePath(ident), schema, info.properties())
+  }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     throw new UnsupportedOperationException(

@@ -4,9 +4,10 @@ import java.util.OptionalLong
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, Transform, SortOrder => VSortOrder}
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -60,8 +61,11 @@ class EsdbLogSource extends TableProvider with DataSourceRegister {
     EsdbLogSource.canonicalSchema(pathOf(options))
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        props: java.util.Map[String, String]): Table =
-    new EsdbLogTable(pathOf(new CaseInsensitiveStringMap(props)), schema)
+                        props: java.util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(props)
+    new EsdbLogTable(pathOf(opts), schema,
+      writePath = if (opts.containsKey("version")) None else Option(opts.get("path")))
+  }
 
   override def supportsExternalMetadata(): Boolean = true
 }
@@ -77,13 +81,29 @@ object EsdbLogSource {
   }
 }
 
-final class EsdbLogTable(path: String, tableSchema: StructType) extends Table with SupportsRead {
+/** `writePath` is the LOGICAL store root when this binding may accept
+  * appends; `None` marks a read-only binding (version-pinned snapshot).
+  */
+final class EsdbLogTable(path: String, tableSchema: StructType,
+                         writePath: Option[String] = None)
+  extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"esdblog:$path"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    if (writePath.isDefined)
+      // BATCH_WRITE admits the write at analysis; V1_BATCH_WRITE routes
+      // execution through the V1Write fallback the builder produces
+      java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+        TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE)
+    else java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new EsdbLogScanBuilder(path, tableSchema)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    writePath match {
+      case Some(logical) => new EsdbWriteBuilder(logical, tableSchema, logLayout = true)
+      case None => throw new UnsupportedOperationException(
+        s"$name is a version-pinned snapshot and read-only; write to the live store path")
+    }
 }
 
 final class EsdbLogScanBuilder(path: String, tableSchema: StructType)

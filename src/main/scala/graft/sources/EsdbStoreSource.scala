@@ -6,9 +6,10 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, Transform, SortOrder => VSortOrder}
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -72,13 +73,18 @@ class EsdbStoreSource extends TableProvider with DataSourceRegister {
     EsdbStoreSource.canonicalSchema(pathOf(options))
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        props: java.util.Map[String, String]): Table =
+                        props: java.util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(props)
     // the reader emits UTF8String for `space` unconditionally, so a
     // user-supplied schema typing it Int/Long would ClassCastException
     // downstream — pin it to StringType exactly as canonicalSchema does
-    new EsdbStoreTable(pathOf(new CaseInsensitiveStringMap(props)),
+    new EsdbStoreTable(pathOf(opts),
       StructType(schema.map(f =>
-        if (f.name == "space") f.copy(dataType = org.apache.spark.sql.types.StringType) else f)))
+        if (f.name == "space") f.copy(dataType = org.apache.spark.sql.types.StringType) else f)),
+      // a version-pinned binding reads a retired snapshot root —
+      // appends only ever target the live store
+      writePath = if (opts.containsKey("version")) None else Option(opts.get("path")))
+  }
 
   override def supportsExternalMetadata(): Boolean = true
 }
@@ -124,13 +130,31 @@ object EsdbStoreSource {
   }
 }
 
-final class EsdbStoreTable(path: String, tableSchema: StructType) extends Table with SupportsRead {
+/** `writePath` is the LOGICAL store root when this binding may accept
+  * appends; `None` marks a read-only binding (version-pinned snapshot,
+  * whose `path` is a retired data root appends must never land in).
+  */
+final class EsdbStoreTable(path: String, tableSchema: StructType,
+                           writePath: Option[String] = None)
+  extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"esdb:$path"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    if (writePath.isDefined)
+      // BATCH_WRITE admits the write at analysis (DataFrameWriter.save
+      // requires it); V1_BATCH_WRITE routes execution through the
+      // V1Write fallback our WriteBuilder actually produces
+      java.util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE)
+    else java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new EsdbScanBuilder(path, tableSchema)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    writePath match {
+      case Some(logical) => new EsdbWriteBuilder(logical, tableSchema, logLayout = false)
+      case None => throw new UnsupportedOperationException(
+        s"$name is a version-pinned snapshot and read-only; write to the live store path")
+    }
 }
 
 final class EsdbScanBuilder(path: String, tableSchema: StructType)

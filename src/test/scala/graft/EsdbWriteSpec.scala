@@ -1,0 +1,182 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.engine.{EsdbWriter, EventStore, Publish}
+
+/** The DSv2 write bridge: `df.write.format("esdb").mode("append")` and
+  * SQL `INSERT INTO` through the catalog land as engine appends —
+  * same layout invariants as [[EsdbWriter.append]], because they ARE
+  * [[EsdbWriter.append]] (V1Write bridge, one copy of the contract).
+  */
+class EsdbWriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(ids: Range): DataFrame =
+    ids.map(i => (s"s${i % 3}", s"g${i % 7}", (i % 50).toLong * 1000, i.toLong,
+      i / 10.0, s"""{"k": ${i % 9}}"""))
+      .toDF("space", "grouping", "ts_us", "event_id", "value", "payload")
+
+  private def freshDir(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix).toFile
+    dir.delete()
+    dir.getAbsolutePath
+  }
+
+  private def hasSortNode(plan: String): Boolean =
+    """(?m)^\W*\*?\(?\d*\)?\s*Sort """.r.findFirstIn(plan).isDefined ||
+      plan.contains(") Sort [") || plan.contains("+- Sort [")
+
+  test("DataFrame append mode lands through the engine writer: visible and still Sort-free") {
+    val path = freshDir("dsvwrite")
+    EsdbWriter.write(ev(1 to 100), path)
+
+    ev(101 to 200).write.format("esdb").mode("append").save(path)
+
+    val ordered = EsdbWriter.readOrdered(spark, path)
+    assert(ordered.count() == 200)
+    // the appended rows merge into the layout order — the ordered scan
+    // contract survives a DSv2-path append with no Sort node
+    val q = EventStore.scan(ordered, "s1", "g3")
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!hasSortNode(plan), "append must preserve the sorted layout:\n" + plan)
+    val got = q.select("event_id", "ts_us").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = (1 to 200)
+      .filter(i => i % 3 == 1 && i % 7 == 3)
+      .map(i => (i.toLong, (i % 50).toLong * 1000))
+      .sortBy { case (id, ts) => (-ts, id) }
+    assert(got.toSeq == want)
+  }
+
+  test("INSERT INTO through the catalog appends to the live store and recomputes idx columns") {
+    val root = freshDir("dsvwritecat")
+    val conf = spark.sparkContext.hadoopConfiguration
+    Publish.publish(conf, s"$root/orders") { tmp =>
+      EsdbWriter.write(ev(1 to 60), tmp, indexAttrs = Seq("k"))
+    }
+    val cat = "esdbwtest"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.EsdbCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+
+    // supply a WRONG idx_k on purpose: the write path derives idx_* from
+    // the payload, so an INSERT can't desynchronize an index
+    spark.sql(
+      s"""INSERT INTO $cat.orders
+         |VALUES ('s1', 'g3', 99000, 9001, 1.5, '{"k": 7}', 'WRONG')""".stripMargin)
+
+    val row = spark.sql(
+      s"SELECT idx_k, value FROM $cat.orders WHERE event_id = 9001").collect()
+    assert(row.length == 1)
+    assert(row(0).getString(0) == "7", "idx_k must be recomputed from payload")
+    assert(row(0).getDouble(1) == 1.5)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.orders").head().getLong(0) == 61)
+  }
+
+  test("log-layout append mode keeps global event_id order") {
+    val path = freshDir("dsvwritelog")
+    EsdbWriter.writeLog(ev(1 to 80), path)
+
+    ev(81 to 120).write.format("esdblog").mode("append").save(path)
+
+    val q = graft.engine.EventLog.iterate(EsdbWriter.readLog(spark, path))
+    val ids = q.select("event_id").collect().map(_.getLong(0)).toSeq
+    assert(ids == (1L to 120L))
+  }
+
+  test("version-pinned bindings and overwrite mode are refused") {
+    val root = freshDir("dsvwritepin")
+    val conf = spark.sparkContext.hadoopConfiguration
+    Publish.publish(conf, s"$root/t", keepVersions = 2) { tmp => EsdbWriter.write(ev(1 to 30), tmp) }
+    Publish.publish(conf, s"$root/t", keepVersions = 2) { tmp => EsdbWriter.write(ev(1 to 50), tmp) }
+
+    // a version-pinned table binding advertises no write capability
+    intercept[Exception] {
+      ev(51 to 60).write.format("esdb")
+        .option("version", "1").mode("append").save(s"$root/t")
+    }
+    // overwrite would bypass the versioned-publish snapshot contract
+    intercept[Exception] {
+      ev(51 to 60).write.format("esdb").mode("overwrite").save(s"$root/t")
+    }
+    // neither refused path may have mutated the store
+    assert(EsdbWriter.read(spark, s"$root/t").count() == 50)
+  }
+
+  private def freshCatalog(prefix: String): (String, String) = {
+    val root = freshDir(prefix)
+    val cat = prefix.filter(_.isLetter)
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.EsdbCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    (cat, root)
+  }
+
+  test("CREATE TABLE AS SELECT creates an indexed store; bare CREATE TABLE stays rejected") {
+    val (cat, _) = freshCatalog("ctasbase")
+    ev(1 to 90).createOrReplaceTempView("ctas_src")
+
+    spark.sql(
+      s"CREATE TABLE $cat.docs TBLPROPERTIES ('indexAttrs'='k') AS SELECT * FROM ctas_src")
+
+    assert(spark.sql(s"SELECT count(*) FROM $cat.docs").head().getLong(0) == 90)
+    // the writer materialized the index column from the payload
+    val k = spark.sql(s"SELECT idx_k FROM $cat.docs WHERE event_id = 13").head().getString(0)
+    assert(k == (13 % 9).toString)
+    // a bare CREATE TABLE cannot establish the layout invariants
+    val e = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.bare (space STRING, grouping STRING, " +
+        "ts_us BIGINT, event_id BIGINT)")
+    }
+    assert(e.getMessage.contains("AS"), e.getMessage)
+  }
+
+  test("REPLACE TABLE AS SELECT is a versioned publish: pinned readers keep the old snapshot") {
+    val (cat, _) = freshCatalog("ctasrepl")
+    ev(1 to 40).createOrReplaceTempView("rtas_v1")
+    ev(1 to 70).createOrReplaceTempView("rtas_v2")
+    spark.sql(s"CREATE TABLE $cat.t TBLPROPERTIES ('keepVersions'='2') AS SELECT * FROM rtas_v1")
+
+    spark.sql(s"REPLACE TABLE $cat.t TBLPROPERTIES ('keepVersions'='2') AS SELECT * FROM rtas_v2")
+
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").head().getLong(0) == 70)
+    // time travel still serves the replaced snapshot inside the window
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t VERSION AS OF 1").head().getLong(0) == 40)
+    // replacing a missing table is an error (REPLACE ≠ CREATE)
+    intercept[Exception] { spark.sql(s"REPLACE TABLE $cat.missing AS SELECT * FROM rtas_v1") }
+  }
+
+  test("CTAS layout=log creates a log store: global id order, no Sort") {
+    val (cat, root) = freshCatalog("ctaslog")
+    ev(1 to 50).createOrReplaceTempView("ctas_log_src")
+    spark.sql(
+      s"CREATE TABLE $cat.stream TBLPROPERTIES ('layout'='log') AS SELECT * FROM ctas_log_src")
+
+    val ids = graft.engine.EventLog.iterate(EsdbWriter.readLog(spark, s"$root/stream"))
+      .select("event_id").collect().map(_.getLong(0)).toSeq
+    assert(ids == (1L to 50L))
+  }
+
+  test("CTAS fails fast on a missing or mistyped canonical column") {
+    val (cat, _) = freshCatalog("ctasbad")
+    // ts_us as INT: refuse before any data moves, with cast guidance
+    val e = intercept[Exception] {
+      spark.sql(s"""CREATE TABLE $cat.bad AS SELECT 's' AS space, 'g' AS grouping,
+           |CAST(1 AS INT) AS ts_us, CAST(1 AS BIGINT) AS event_id""".stripMargin)
+    }
+    assert(e.getMessage.contains("cast"), e.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.bad2 AS SELECT 's' AS space")
+    }
+    assert(e2.getMessage.contains("canonical"), e2.getMessage)
+  }
+
+  test("appends to a sealed stream are refused through the DSv2 path too") {
+    val path = freshDir("dsvwriteseal")
+    EsdbWriter.writeLog(ev(1 to 40), path)
+    EsdbWriter.seal(spark, path, "k")
+    val e = intercept[Exception] {
+      ev(41 to 50).write.format("esdblog").mode("append").save(path)
+    }
+    assert(e.getMessage.contains("closed"), e.getMessage)
+  }
+}
