@@ -252,6 +252,29 @@ object Queries {
               |FROM events WHERE event_type = '$Space' AND user_id = $Grouping
               |ORDER BY ts_us DESC, event_id""".stripMargin)),
 
+    // store CREATION as pure SQL: CTAS through the StagingTableCatalog
+    // runs the engine writer under a versioned publish (build once per
+    // sfDir, like ensureStore); aggregating the created store against
+    // the raw events oracle proves the SQL write path lossless
+    QuerySpec("store_sql_ctas",
+      (s, d) => {
+        val key = d.replaceAll("[^A-Za-z0-9._-]", "_")
+        val parent = s"${System.getProperty("java.io.tmpdir")}/graft-ctas/$key"
+        s.conf.set("spark.sql.catalog.esdb_ctas", classOf[graft.sources.EsdbCatalog].getName)
+        s.conf.set("spark.sql.catalog.esdb_ctas.root", parent)
+        synchronized {
+          val conf = s.sparkContext.hadoopConfiguration
+          if (graft.engine.Publish.currentVersion(conf, s"$parent/events_ctas").isEmpty) {
+            ev(s, d).createOrReplaceTempView("ctas_src_events")
+            s.sql("CREATE TABLE esdb_ctas.events_ctas AS SELECT * FROM ctas_src_events"): Unit
+          }
+        }
+        s.sql("""SELECT space, count(*) AS n_events, sum(value) AS sum_value
+                |FROM esdb_ctas.events_ctas GROUP BY space ORDER BY space""".stripMargin)
+      },
+      Some("""SELECT event_type AS space, count(*) AS n_events, sum(value) AS sum_value
+             |FROM events GROUP BY space ORDER BY space""".stripMargin)),
+
     // ---- stream parity (stream/stream.go, open_stream.go, merge.go) ------
 
     QuerySpec("stream_iterate",
