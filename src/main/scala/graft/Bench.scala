@@ -111,23 +111,29 @@ object Bench {
         }
       }
     } catch { case _: Exception => Map.empty }
-    def timedRun(fn: (SparkSession, String) => DataFrame): Option[Double] = {
+    def timedRun(name: String, fn: (SparkSession, String) => DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
       val res = try {
         fn(spark, sfDir).queryExecution.toRdd.count()
         Some((System.nanoTime() - t0) / 1e9)
-      } catch { case _: Throwable => None }
+      } catch { case e: Throwable =>
+        // the failure still lands in `failed` (and poisons the headline
+        // to -1), but WHY must be greppable from the run log — a bare
+        // failed:["name"] with no diagnostic is undebuggable
+        System.err.println(s"[bench] $name failed: $e")
+        None
+      }
       graft.ops.Caches.clear() // per-run cold plan: release operator-persisted frames
       res
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      var times = (1 to 2).flatMap(_ => timedRun(fn))
+      var times = (1 to 2).flatMap(_ => timedRun(name, fn))
       var attempts = 2 // the base runs; bound on ATTEMPTS, not successes:
       // a query that starts failing mid-loop must not re-run forever
       def spreadBad = times.max / times.min > OutlierSpread
       def floorBad = priorMinima.get(name).exists(p => times.min > SanityFactor * p)
       while (times.nonEmpty && attempts < MaxRuns && (spreadBad || floorBad)) {
-        times = times ++ timedRun(fn)
+        times = times ++ timedRun(name, fn)
         attempts += 1
       }
       name -> times

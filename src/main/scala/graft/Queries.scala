@@ -258,19 +258,25 @@ object Queries {
     // the raw events oracle proves the SQL write path lossless
     QuerySpec("store_sql_ctas",
       (s, d) => {
+        // one FIXED catalog root, sfDir-keyed TABLE names (same shape as
+        // store_sql_catalog): Spark caches catalog instances on first
+        // use, so a per-sfDir root would silently pin the catalog to
+        // whichever sfDir ran first in this session (Bench warms every
+        // query at sf0.001 before timing the target SF)
         val key = d.replaceAll("[^A-Za-z0-9._-]", "_")
-        val parent = s"${System.getProperty("java.io.tmpdir")}/graft-ctas/$key"
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft-ctas"
+        val table = s"events_$key"
         s.conf.set("spark.sql.catalog.esdb_ctas", classOf[graft.sources.EsdbCatalog].getName)
-        s.conf.set("spark.sql.catalog.esdb_ctas.root", parent)
+        s.conf.set("spark.sql.catalog.esdb_ctas.root", root)
         synchronized {
           val conf = s.sparkContext.hadoopConfiguration
-          if (graft.engine.Publish.currentVersion(conf, s"$parent/events_ctas").isEmpty) {
+          if (graft.engine.Publish.currentVersion(conf, s"$root/$table").isEmpty) {
             ev(s, d).createOrReplaceTempView("ctas_src_events")
-            s.sql("CREATE TABLE esdb_ctas.events_ctas AS SELECT * FROM ctas_src_events"): Unit
+            s.sql(s"CREATE TABLE esdb_ctas.`$table` AS SELECT * FROM ctas_src_events"): Unit
           }
         }
-        s.sql("""SELECT space, count(*) AS n_events, sum(value) AS sum_value
-                |FROM esdb_ctas.events_ctas GROUP BY space ORDER BY space""".stripMargin)
+        s.sql(s"""SELECT space, count(*) AS n_events, sum(value) AS sum_value
+                 |FROM esdb_ctas.`$table` GROUP BY space ORDER BY space""".stripMargin)
       },
       Some("""SELECT event_type AS space, count(*) AS n_events, sum(value) AS sum_value
              |FROM events GROUP BY space ORDER BY space""".stripMargin)),
