@@ -99,6 +99,22 @@ object Queries {
     p
   }
 
+  /** [[ensureIngestedLog]]'s twin through the NATIVE DSv2 streaming
+    * sink (`writeStream.format("esdblog")`) — the fixture behind
+    * `stream_log_native`.
+    */
+  private def ensureNativeLog(s: SparkSession, dir: String): String = synchronized {
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft-lognative/$key"
+    val root = new org.apache.hadoop.fs.Path(p)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (graft.engine.LogCommits.committedEpochs(fs, root).isEmpty) {
+      graft.streaming.StreamIngest.ingestLogNative(
+        s, s"$dir/events.parquet", p, s"$p-ckpt")
+    }
+    p
+  }
+
   /** Write the canonical event frame as an esdb store once, committed
     * through the [[graft.engine.Publish]] version pointer — a crashed
     * build leaves no pointer, so a half-written fixture is never read.
@@ -335,6 +351,18 @@ object Queries {
     // proves the sink's sorted layout, manifest, and commit visibility
     QuerySpec("stream_log_ingest",
       (s, d) => EventLog.iterate(graft.engine.EsdbWriter.readLog(s, ensureIngestedLog(s, d)))
+        .select("event_id", "ts_us", "space", "grouping", "value", "payload"),
+      Some("""SELECT event_id, epoch_us(ts) AS ts_us, event_type AS space,
+             |       CAST(user_id AS VARCHAR) AS grouping, value, props AS payload
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // same pipeline through the NATIVE DSv2 streaming sink (writeStream
+    // .format("esdblog"): executors write final-named files, the epoch
+    // marker is the commit, micro-batches are range-sorted by the
+    // required distribution) — the same lossless-round-trip oracle over
+    // the other sink implementation
+    QuerySpec("stream_log_native",
+      (s, d) => EventLog.iterate(graft.engine.EsdbWriter.readLog(s, ensureNativeLog(s, d)))
         .select("event_id", "ts_us", "space", "grouping", "value", "payload"),
       Some("""SELECT event_id, epoch_us(ts) AS ts_us, event_type AS space,
              |       CAST(user_id AS VARCHAR) AS grouping, value, props AS payload

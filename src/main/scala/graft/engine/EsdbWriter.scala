@@ -493,8 +493,21 @@ object EsdbWriter {
       dst.getName
     }
     fs.delete(stage, true)
-    // commit point: one marker object, created only after every data
-    // file is durable (same single-small-object commit as Publish)
+    commitEpochMarker(fs, conf, root, epochId, names)
+    refreshLogManifest(spark, path)
+  }
+
+  /** The commit point of one streaming epoch: one marker object,
+    * created only after every data file is durable (same
+    * single-small-object commit as [[Publish]]). Loses a marker race
+    * gracefully: a concurrent committer of the SAME epoch (possible
+    * only under a misconfigured double-run) wins, and this attempt's
+    * files — shadowed duplicates — are removed in deference.
+    */
+  private def commitEpochMarker(fs: org.apache.hadoop.fs.FileSystem,
+                                conf: org.apache.hadoop.conf.Configuration,
+                                root: org.apache.hadoop.fs.Path,
+                                epochId: Long, names: Seq[String]): Unit = {
     val dir = new org.apache.hadoop.fs.Path(root, LogCommits.Dir)
     fs.mkdirs(dir)
     val tmp = new org.apache.hadoop.fs.Path(dir,
@@ -507,13 +520,30 @@ object EsdbWriter {
         .rename(tmp, marker)
     } catch {
       case e: Exception =>
-        // a concurrent committer of the SAME epoch won the marker race
-        // (possible only under a misconfigured double-run): our files
-        // are shadowed duplicates — remove them and defer to the winner
         fs.delete(tmp, false)
         names.foreach(n => fs.delete(new org.apache.hadoop.fs.Path(root, n), false))
         if (!LogCommits.committedEpochs(fs, root).contains(epochId)) throw e
     }
+  }
+
+  /** Driver-side commit of a NATIVE streaming-sink epoch
+    * ([[graft.sources.EsdbLogSource]]'s `writeStream` path): the
+    * epoch's data files are already durable under their final
+    * `stream-<epoch>-*` names (invisible — no marker yet); this makes
+    * them visible and extends the id-range manifest. A replay of an
+    * epoch that already committed deletes the replay's duplicate files
+    * and keeps the original — the no-op half of exactly-once.
+    */
+  private[graft] def commitStreamEpoch(spark: SparkSession, path: String,
+                                       epochId: Long, names: Seq[String]): Unit = {
+    val conf = hconf(spark)
+    val root = new org.apache.hadoop.fs.Path(dataRoot(spark, path))
+    val fs = root.getFileSystem(conf)
+    if (LogCommits.committedEpochs(fs, root).contains(epochId)) {
+      names.foreach(n => fs.delete(new org.apache.hadoop.fs.Path(root, n), false))
+      return
+    }
+    commitEpochMarker(fs, conf, root, epochId, names)
     refreshLogManifest(spark, path)
   }
 

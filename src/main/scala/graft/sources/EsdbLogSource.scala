@@ -92,15 +92,18 @@ final class EsdbLogTable(path: String, tableSchema: StructType,
   override def capabilities(): java.util.Set[TableCapability] =
     if (writePath.isDefined)
       // BATCH_WRITE admits the write at analysis; V1_BATCH_WRITE routes
-      // execution through the V1Write fallback the builder produces
+      // batch execution through the V1Write fallback the builder
+      // produces; STREAMING_WRITE enables the native exactly-once
+      // writeStream sink (EsdbLogStreamingWrite)
       java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-        TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE)
+        TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+        TableCapability.STREAMING_WRITE)
     else java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new EsdbLogScanBuilder(path, tableSchema)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     writePath match {
-      case Some(logical) => new EsdbWriteBuilder(logical, tableSchema, logLayout = true)
+      case Some(logical) => new EsdbWriteBuilder(logical, tableSchema, logLayout = true, Some(info))
       case None => throw new UnsupportedOperationException(
         s"$name is a version-pinned snapshot and read-only; write to the live store path")
     }

@@ -1,11 +1,17 @@
 package graft.sources
 
-import org.apache.spark.sql.DataFrame
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{StagedTable, SupportsWrite, TableCapability}
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
+import org.apache.spark.sql.connector.write.{DataWriter, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, V1Write, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.InsertableRelation
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{LongType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.util.SerializableConfiguration
 
 /** DSv2 write path for engine stores: `INSERT INTO esdb.ns.table ...`
   * and `df.write.format("esdb"|"esdblog").mode("append").save(path)`
@@ -35,23 +41,176 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * supplies idx values explicitly.
   */
 final class EsdbWriteBuilder(logicalPath: String, tableSchema: StructType,
-                             logLayout: Boolean) extends WriteBuilder {
-  override def build(): Write = new V1Write {
-    override def toInsertableRelation: InsertableRelation = new InsertableRelation {
-      override def insert(data: DataFrame, overwrite: Boolean): Unit = {
-        if (overwrite) throw new UnsupportedOperationException(
-          s"esdb store at $logicalPath is append-only: rewrites go through " +
-            "EsdbWriter.write/compact under Publish.publish (snapshot-isolated " +
-            "versioned replace), not INSERT OVERWRITE")
-        if (logLayout) graft.engine.EsdbWriter.appendLog(data, logicalPath)
-        else {
-          val indexAttrs = tableSchema.fieldNames.toSeq
-            .filter(_.startsWith("idx_")).map(_.stripPrefix("idx_"))
-          graft.engine.EsdbWriter.append(data, logicalPath, indexAttrs)
-        }
+                             logLayout: Boolean,
+                             info: Option[LogicalWriteInfo] = None) extends WriteBuilder {
+
+  private def relation: InsertableRelation = new InsertableRelation {
+    override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+      if (overwrite) throw new UnsupportedOperationException(
+        s"esdb store at $logicalPath is append-only: rewrites go through " +
+          "EsdbWriter.write/compact under Publish.publish (snapshot-isolated " +
+          "versioned replace), not INSERT OVERWRITE")
+      if (logLayout) graft.engine.EsdbWriter.appendLog(data, logicalPath)
+      else {
+        val indexAttrs = tableSchema.fieldNames.toSeq
+          .filter(_.startsWith("idx_")).map(_.stripPrefix("idx_"))
+        graft.engine.EsdbWriter.append(data, logicalPath, indexAttrs)
       }
     }
   }
+
+  override def build(): Write =
+    if (!logLayout) new V1Write {
+      override def toInsertableRelation: InsertableRelation = relation
+    }
+    else {
+      // the log-layout Write is also the NATIVE streaming sink
+      // (`df.writeStream.format("esdblog")`). RequiresDistributionAndOrdering
+      // makes every micro-batch arrive range-partitioned and sorted by
+      // event_id, so each file an executor writes is internally sorted —
+      // the invariant the log reader's k-way merge rests on (the batch
+      // V1 path re-sorts inside appendLog either way).
+      val writeSchema = info.map(_.schema()).getOrElse(tableSchema)
+      val filesPerBatch = info.map(_.options)
+        .flatMap(o => Option(o.get("filesPerBatch"))).map(_.toInt).getOrElse(1)
+      new V1Write with RequiresDistributionAndOrdering {
+        override def toInsertableRelation: InsertableRelation = relation
+        override def requiredDistribution(): Distribution =
+          Distributions.ordered(EsdbLogSink.order)
+        override def requiredOrdering(): Array[SortOrder] = EsdbLogSink.order
+        override def requiredNumPartitions(): Int = filesPerBatch
+        override def toStreaming: StreamingWrite = {
+          // validate at query START, not first batch: unsupported nested
+          // columns and a missing id must fail before any state exists
+          require(writeSchema.fields.exists(f =>
+            f.name == "event_id" && f.dataType == LongType),
+            "log stores require an event_id BIGINT column (the merge/order key)")
+          EsdbRowParquetWriter.messageType(writeSchema): Unit
+          new EsdbLogStreamingWrite(logicalPath, writeSchema)
+        }
+      }
+    }
+}
+
+private[sources] object EsdbLogSink {
+  /** The one ordering of a log store: insertion order (event_id ASC). */
+  val order: Array[SortOrder] =
+    Array(Expressions.sort(Expressions.column("event_id"), SortDirection.ASCENDING))
+}
+
+/** One streaming task's output file for one epoch (empty name = the
+  * task had no rows, or a replayed epoch was already committed).
+  */
+final case class EsdbStreamFileMessage(name: String, rows: Long) extends WriterCommitMessage
+
+/** The native exactly-once streaming sink for log stores — the
+  * reference's `Stream.Write` loop (open_stream.go:77-105) as a first-
+  * class `writeStream` target, built on the [[graft.engine.LogCommits]]
+  * marker protocol:
+  *
+  *  - executors write each micro-batch partition STRAIGHT to its final
+  *    `stream-<epoch>-p<partition>-<uuid>.parquet` name — files are
+  *    invisible to every reader until the epoch's marker exists, so
+  *    there is no staging dir and no rename anywhere (object-store
+  *    safe);
+  *  - the driver's `commit(epoch)` writes the one marker object and
+  *    extends the id-range manifest (footer reads for the new files
+  *    only);
+  *  - a replayed epoch whose marker already exists writes nothing
+  *    (writers check the marker once per task) and `commit` deletes
+  *    any stragglers — exactly-once, not at-least-once;
+  *  - `abort` deletes the attempt's (invisible) files; a crash without
+  *    abort leaves only invisible garbage that the epoch's replay
+  *    re-resolves.
+  */
+final class EsdbLogStreamingWrite(logicalPath: String, schema: StructType)
+  extends StreamingWrite {
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new EsdbLogWriterFactory(logicalPath, schema,
+      new SerializableConfiguration(EsdbVectorReader.sessionConf()))
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val names = messages.toSeq.collect {
+      case EsdbStreamFileMessage(n, _) if n != null && n.nonEmpty => n
+    }
+    graft.engine.EsdbWriter.commitStreamEpoch(
+      SparkSession.active, logicalPath, epochId, names)
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val root = new Path(graft.engine.Publish.resolve(conf, logicalPath))
+    val fs = root.getFileSystem(conf)
+    messages.foreach {
+      case EsdbStreamFileMessage(n, _) if n != null && n.nonEmpty =>
+        fs.delete(new Path(root, n), false): Unit
+      case _ => ()
+    }
+  }
+}
+
+final class EsdbLogWriterFactory(logicalPath: String, schema: StructType,
+                                 conf: SerializableConfiguration)
+  extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] = {
+    val hconf = conf.value
+    val logical = new Path(logicalPath)
+    val fs = logical.getFileSystem(hconf)
+    // seal + replay checks are per-task but O(1) metadata reads; the
+    // data root is re-resolved per task so a concurrent compact's
+    // publish redirects the NEXT batch, never tears this one
+    if (fs.exists(new Path(logical, graft.engine.EsdbWriter.SealMarker)))
+      throw new IllegalStateException(
+        s"stream at $logicalPath is closed (reference: closed_stream.go:48-50)")
+    val root = new Path(graft.engine.Publish.resolve(hconf, logicalPath))
+    fs.mkdirs(root)
+    val marker = new Path(new Path(root, graft.engine.LogCommits.Dir), s"$epochId.commit")
+    if (fs.exists(marker)) new EsdbNoopStreamWriter
+    else new EsdbLogDataWriter(root, schema, epochId, partitionId, hconf)
+  }
+}
+
+/** Replay of an already-committed epoch: write nothing, so the
+  * committed original is never shadowed even transiently.
+  */
+private final class EsdbNoopStreamWriter extends DataWriter[InternalRow] {
+  override def write(row: InternalRow): Unit = ()
+  override def commit(): WriterCommitMessage = EsdbStreamFileMessage("", 0L)
+  override def abort(): Unit = ()
+  override def close(): Unit = ()
+}
+
+final class EsdbLogDataWriter(root: Path, schema: StructType, epochId: Long,
+                              partitionId: Int,
+                              conf: org.apache.hadoop.conf.Configuration)
+  extends DataWriter[InternalRow] {
+  private var writer: org.apache.parquet.hadoop.ParquetWriter[InternalRow] = _
+  private var file: Path = _
+  private var rows = 0L
+
+  override def write(row: InternalRow): Unit = {
+    if (writer == null) { // lazily: an empty partition leaves no file
+      file = new Path(root, f"stream-$epochId-p$partitionId%05d-" +
+        java.util.UUID.randomUUID().toString.take(8) + ".parquet")
+      writer = EsdbRowParquetWriter.open(file, schema, conf)
+    }
+    writer.write(row)
+    rows += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (writer != null) writer.close()
+    EsdbStreamFileMessage(if (file == null) "" else file.getName, rows)
+  }
+
+  override def abort(): Unit = {
+    if (writer != null) { try writer.close() catch { case _: Exception => () } }
+    if (file != null) { file.getFileSystem(conf).delete(file, false): Unit }
+  }
+
+  override def close(): Unit = ()
 }
 
 /** CTAS/RTAS target: `CREATE TABLE esdb.ns.t AS SELECT …` (and

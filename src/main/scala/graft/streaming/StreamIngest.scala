@@ -263,6 +263,34 @@ object StreamIngest {
       .awaitTermination()
   }
 
+  /** [[ingestLogAvailableNow]]'s sibling through the NATIVE DSv2 sink
+    * (`writeStream.format("esdblog")` —
+    * [[graft.sources.EsdbLogStreamingWrite]]): executors write each
+    * micro-batch partition straight to final-named `stream-<epoch>-*`
+    * files and the driver's epoch commit is one marker object — no
+    * foreachBatch, no staging, no renames. The store is seeded with an
+    * empty write when missing (the sink binds to an existing table for
+    * its schema — the reference's `stream.New` before `Stream.Write`,
+    * stream/stream.go:45-52).
+    */
+  def ingestLogNative(spark: SparkSession, eventsParquet: String,
+                      path: String, checkpoint: String): Unit = {
+    graft.engine.GraftSession.tune(spark)
+    val batch = spark.read.parquet(eventsParquet)
+    if (!new java.io.File(path).exists())
+      graft.engine.EsdbWriter.writeLog(
+        EventFrame.fromEvents(batch).limit(0).repartition(1), path)
+    val stream = spark.readStream.schema(batch.schema).parquet(stageDir(eventsParquet))
+    EventFrame.fromEvents(stream).writeStream
+      .format("esdblog")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+  }
+
   /** Watermarked tumbling-window event counts per space. Expects a
     * TimestampType `ts` column (`timestamp_micros(ts_us)`).
     */

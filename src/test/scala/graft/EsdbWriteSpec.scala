@@ -170,6 +170,87 @@ class EsdbWriteSpec extends SparkSpec {
     assert(e2.getMessage.contains("canonical"), e2.getMessage)
   }
 
+  test("native writeStream sink: epochs commit exactly-once, merge order stays global") {
+    val path = freshDir("dsvsink")
+    EsdbWriter.writeLog(ev(1 to 30), path)
+
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, String, Long, Long, Double, String)]
+    val src = mem.toDF.toDF("space", "grouping", "ts_us", "event_id", "value", "payload")
+    def rows(ids: Range) = ids.map(i => (s"s${i % 3}", s"g${i % 7}",
+      (i % 50).toLong * 1000, i.toLong, i / 10.0, s"""{"k": ${i % 9}}"""))
+    val ckpt = freshDir("dsvsink-ckpt")
+
+    // REVERSED input: the sink's RequiresDistributionAndOrdering must
+    // sort the micro-batch before the writers see it, or the written
+    // file violates the log reader's sorted-file invariant and the
+    // global iterate order below breaks
+    mem.addData(rows(31 to 60).reverse: _*)
+    val q = src.writeStream.format("esdblog").option("path", path)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    // resumed query with the same checkpoint: epoch ids continue
+    mem.addData(rows(61 to 90): _*)
+    val q2 = src.writeStream.format("esdblog").option("path", path)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q2.awaitTermination(120000)
+
+    val ids = graft.engine.EventLog.iterate(EsdbWriter.readLog(spark, path))
+      .select("event_id").collect().map(_.getLong(0)).toSeq
+    assert(ids == (1L to 90L))
+    // the sink's files carry the LogCommits naming + marker protocol
+    val root = new java.io.File(path)
+    val streamFiles = root.listFiles().filter(_.getName.startsWith("stream-"))
+    assert(streamFiles.nonEmpty)
+    assert(new java.io.File(root, "_STREAM_COMMITS").listFiles()
+      .count(_.getName.endsWith(".commit")) >= 2)
+  }
+
+  test("a replayed committed epoch's stragglers are swept, never double-read") {
+    val path = freshDir("dsvsinkreplay")
+    EsdbWriter.writeLog(ev(1 to 20), path)
+    graft.engine.EsdbWriter.appendLogBatch(ev(21 to 40), path, epochId = 7L)
+    val before = graft.engine.EventLog.iterate(EsdbWriter.readLog(spark, path)).count()
+
+    // simulate a replay of committed epoch 7 that got as far as writing
+    // a duplicate file before commit ran
+    val dup = new java.io.File(path, "stream-7-p00001-deadbeef.parquet")
+    ev(21 to 40).coalesce(1).write.parquet(dup.getAbsolutePath + ".tmpdir")
+    val part = new java.io.File(dup.getAbsolutePath + ".tmpdir").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath, dup.toPath)
+
+    graft.engine.EsdbWriter.commitStreamEpoch(spark, path, 7L, Seq(dup.getName))
+
+    assert(!dup.exists(), "duplicate replay file must be deleted on commit")
+    val after = graft.engine.EventLog.iterate(EsdbWriter.readLog(spark, path)).count()
+    assert(after == before)
+  }
+
+  test("the native sink refuses a sealed stream") {
+    val path = freshDir("dsvsinkseal")
+    EsdbWriter.writeLog(ev(1 to 10), path)
+    EsdbWriter.seal(spark, path, "k")
+
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, String, Long, Long, Double, String)]
+    val src = mem.toDF.toDF("space", "grouping", "ts_us", "event_id", "value", "payload")
+    mem.addData(("s1", "g1", 1000L, 11L, 1.1, "{}"))
+    val q = src.writeStream.format("esdblog").option("path", path)
+      .option("checkpointLocation", freshDir("dsvsinkseal-ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination(120000)
+    }
+    assert(e.getMessage.contains("closed") ||
+      Option(e.getCause).exists(_.getMessage.contains("closed")), e.getMessage)
+  }
+
   test("appends to a sealed stream are refused through the DSv2 path too") {
     val path = freshDir("dsvwriteseal")
     EsdbWriter.writeLog(ev(1 to 40), path)
