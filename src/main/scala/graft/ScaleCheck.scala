@@ -165,6 +165,38 @@ object ScaleCheck {
     val n = engine.EsdbWriter.readLog(spark, s"$bigDir/ingest_10x").count()
     val want = spark.read.parquet(s"$bigDir/events.parquet").count()
     require(n == want, s"ingest round-trip lost rows: $n != $want")
+    // the same ingest through the NATIVE DSv2 sink
+    // (writeStream.format("esdblog") — executors write final-named
+    // stream-<epoch> files, the driver's epoch commit is one marker
+    // object): no foreachBatch, so the driver never re-plans a batch
+    // write per micro-batch, and no staging dirs or renames
+    def timeNative(srcDir: String, out: String): Double = {
+      import scala.reflect.io.Directory
+      Seq(out, s"$out-ckpt").foreach(p => new Directory(new java.io.File(p)).deleteRecursively())
+      val schema = spark.read.parquet(srcDir).schema
+      val t0 = System.nanoTime()
+      // seed: the sink binds to an existing store for its schema (the
+      // reference's stream.New before Stream.Write, stream/stream.go:45-52)
+      engine.EsdbWriter.writeLog(
+        engine.EventFrame.fromEvents(spark.read.parquet(srcDir)).limit(0).repartition(1), out)
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 8).parquet(srcDir)
+      engine.EventFrame.fromEvents(stream).writeStream
+        .format("esdblog").option("path", out)
+        .option("checkpointLocation", s"$out-ckpt")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+      (System.nanoTime() - t0) / 1e9
+    }
+    timeNative(oneX, s"$bigDir/ingest_native_warm")
+    val n1 = math.min(timeNative(oneX, s"$bigDir/ingest_native_1x"),
+      timeNative(oneX, s"$bigDir/ingest_native_1x"))
+    val n10 = math.min(timeNative(s"$bigDir/events.parquet", s"$bigDir/ingest_native_10x"),
+      timeNative(s"$bigDir/events.parquet", s"$bigDir/ingest_native_10x"))
+    println(f"${"log_native_ingest"}%-24s $n1%8.2f $n10%8.2f ${n10 / n1}%5.1f")
+    val nn = engine.EsdbWriter.readLog(spark, s"$bigDir/ingest_native_10x").count()
+    require(nn == want, s"native ingest round-trip lost rows: $nn != $want")
   }
 
   /** Ordered-read evidence at 10×: the same scans through the vanilla
