@@ -1136,6 +1136,79 @@ object Queries {
              |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
              |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin)),
 
+    // frequent items (heavy hitters): exact bigram top-k — the n-gram
+    // statistic behind boilerplate/contamination screens — and the
+    // oracle-checked exact twin of the sketch pair below
+    QuerySpec("text_bigram_topk",
+      (s, d) => TextOps.bigrams(Tables.documents(s, d))
+        .groupBy("bigram")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram").asc)
+        .limit(20),
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+             |                     generate_subscripts(string_split(text, ' '), 1) AS i
+             |              FROM documents),
+             |bi AS (SELECT a.tok || ' ' || b.tok AS bigram
+             |       FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1)
+             |SELECT bigram, count(*) AS n FROM bi GROUP BY bigram
+             |ORDER BY n DESC, bigram LIMIT 20""".stripMargin)),
+
+    // the 100 TB path for the same statistic: a mergeable Misra-Gries
+    // summary (functions/FreqTopK.scala) — each task shuffles at most
+    // 2*capacity counters instead of every distinct n-gram's partial
+    // count. count_lb values are partitioning-dependent (only the
+    // bounds are invariant) → rows-only, certified by the query below
+    QuerySpec("text_bigram_topk_sketch",
+      (s, d) => {
+        graft.functions.SampleFunctions.register(s)
+        TextOps.bigrams(Tables.documents(s, d))
+          .agg(call_function("freq_topk", col("bigram"), lit(20), lit(256)).as("top"))
+          .select(posexplode(col("top")))
+          .select(col("pos").as("rank"), col("col.item").as("bigram"),
+            col("col.count_lb").as("count_lb"), col("col.err_ub").as("err_ub"))
+      }, None),
+
+    // error-bound certificate for the frequent-items sketch, in the
+    // agg_approx_distinct_bounded pattern: the engine computes BOTH the
+    // exact top-20 and the full summary (k = 2*capacity dumps every
+    // counter) and asserts the Misra-Gries invariants in-row — present:
+    // count_lb <= exact <= count_lb + err; absent: exact <= err. The
+    // 256-counter summary genuinely overflows on this corpus (916+
+    // distinct bigrams), so the certificate exercises real compactions;
+    // the invariants hold under ANY partitioning, so the booleans are
+    // deterministic even though the counters aren't.
+    QuerySpec("text_bigram_topk_bounded",
+      (s, d) => {
+        graft.functions.SampleFunctions.register(s)
+        val bi = TextOps.bigrams(Tables.documents(s, d))
+        val exact = bi.groupBy("bigram")
+          .agg(count(lit(1)).as("exact_n"))
+          .orderBy(col("exact_n").desc, col("bigram").asc)
+          .limit(20)
+        val sketch = bi
+          .agg(call_function("freq_topk", col("bigram"), lit(512), lit(256)).as("top"))
+          .select(explode(col("top")).as("e"))
+          .select(col("e.item").as("bigram"), col("e.count_lb").as("count_lb"),
+            col("e.err_ub").as("err_ub"))
+        val err = sketch.agg(max(col("err_ub")).as("err"))
+        exact.join(sketch.drop("err_ub"), Seq("bigram"), "left")
+          .crossJoin(broadcast(err))
+          .select(col("bigram"), col("exact_n"),
+            when(col("count_lb").isNotNull,
+              col("count_lb") <= col("exact_n") &&
+                col("exact_n") <= col("count_lb") + col("err"))
+              .otherwise(col("exact_n") <= col("err")).as("mg_invariant_ok"))
+          .orderBy(col("exact_n").desc, col("bigram").asc)
+      },
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+             |                     generate_subscripts(string_split(text, ' '), 1) AS i
+             |              FROM documents),
+             |bi AS (SELECT a.tok || ' ' || b.tok AS bigram
+             |       FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1)
+             |SELECT bigram, count(*) AS exact_n, TRUE AS mg_invariant_ok
+             |FROM bi GROUP BY bigram
+             |ORDER BY exact_n DESC, bigram LIMIT 20""".stripMargin)),
+
     // end-to-end curation: dedup keep-list × language × quality — the
     // composition a training pipeline runs; each stage reuses the
     // operator (and oracle fragment) verified on its own above

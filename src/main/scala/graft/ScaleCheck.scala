@@ -68,6 +68,7 @@ object ScaleCheck {
       "dedup_minhash",          // LSH banding self-join
       "similarity_topk",        // broadcast nested-loop scoring
       "text_vocab_topk",        // explode + count + top-k
+      "text_bigram_topk_sketch", // Misra-Gries heavy hitters (cap-bounded shuffle)
       "text_span_dedup",        // span explode + hash-only shuffle
       "corpus_pack",            // per-source running-total window
       "corpus_chunk",           // per-partition chunking kernel

@@ -128,5 +128,9 @@ object SampleFunctions {
       "top_k_by_score",
       exprs => TopKByScore(exprs.head, exprs(1), exprs(2)).toAggregateExpression(),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "freq_topk",
+      exprs => FreqTopK(exprs.head, exprs(1), exprs(2)).toAggregateExpression(),
+      "built-in")
   }
 }

@@ -298,6 +298,25 @@ object TextOps {
       .orderBy("span_hash")
   }
 
+  /** Word-bigram stream: one row per adjacent token pair, corpus-wide.
+    * The item stream behind frequent-n-gram statistics (boilerplate
+    * detection, contamination screens). A per-partition kernel for the
+    * same reason as [[crossDocSpans]]: slice/transform column
+    * expressions re-split the whole text once per bigram under
+    * Catalyst's HOF inlining; the kernel splits once and streams pairs.
+    */
+  def bigrams(docs: DataFrame): DataFrame = {
+    val sp = docs.sparkSession
+    import sp.implicits._
+    docs.select(col("text")).as[String]
+      .mapPartitions(it => it.flatMap { text =>
+        // limit -1: trailing empty tokens count, like string_split's
+        val toks = text.split(" ", -1)
+        (0 until toks.length - 1).iterator.map(i => toks(i) + " " + toks(i + 1))
+      })
+      .toDF("bigram")
+  }
+
   /** Order-sensitive rolling fingerprint: polynomial fold of per-token
     * hashes, `acc = (31*acc + h(token)) mod 2^56`. Unlike md5 of the raw
     * string it is whitespace-normalization-invariant. Token hash = first
