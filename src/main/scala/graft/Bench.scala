@@ -71,6 +71,23 @@ object Bench {
     // sfDir puts the parquet bytes in the OS page cache — the state a
     // long-lived cluster's subsequent queries actually see.
     primePageCache(sfDir)
+    // Timed-phase cold-start drain (BENCH_r06: agg_approx_distinct — the
+    // alphabetically-first timed query — paid 2.2s on its first run vs
+    // 0.39s steady, and on a loaded box the cost recurred across BOTH
+    // base runs, defeating the min). Two causes, both one-time and both
+    // landing on whichever query runs first at the timed SF:
+    //  - heap/metaspace debt from the 92-query warmup (GC + JIT deopt
+    //    storms during the first timed runs), and
+    //  - first-job-at-sfDir session costs (file listing, scan-exec
+    //    codegen for the larger-batch shapes, shuffle init).
+    // Drain both untimed: an explicit GC after the warmup garbage, then
+    // sacrificial runs of the first timed queries at the timed SF.
+    System.gc()
+    SparkEntry.queries.toSeq.sortBy(_._1).take(2).foreach { case (_, fn) =>
+      try { fn(spark, sfDir).queryExecution.toRdd.count(); () }
+      catch { case _: Throwable => () }
+    }
+    graft.ops.Caches.clear()
     // best-of-N per query: repeat runs reuse JIT'd codegen classes and
     // the OS page cache, which is the steady-state a long-lived cluster
     // sees; the min damps local-mode scheduler noise. Caches.clear()
@@ -152,7 +169,15 @@ object Bench {
     // any failure makes the headline incomparable-by-construction:
     // a broken slow query must not read as a round-over-round speedup
     val total = if (failed.nonEmpty) -1.0 else results.flatMap(_._2.minOption).sum
+    // the per-query map is ~3.5 KB at 92 queries; a tail-capture of the
+    // run log (the driver keeps ~2 KB) would truncate the HEAD of a
+    // single long line — including "value". So stdout ends with TWO
+    // lines: the full line (queries map included) first, then an
+    // ultra-compact final line guaranteed to fit whole in any tail
+    // window. Line-oriented parsers reading the LAST line always get
+    // complete JSON with the total.
     val headline = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"suspect":$suspectJson,"sf":"$sfDir"}"""
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"failed":$failedJson,"suspect":$suspectJson,"sf":"$sfDir"}"""
     // full detail (raw per-run times) goes to the self-report file only:
     // sbt prefixes stdout with [info] and may wrap long lines, which can
     // defeat line-oriented JSON parsing downstream
@@ -172,8 +197,9 @@ object Bench {
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(selfOut), full + "\n")
     catch { case _: Exception => () }
     spark.stop()
-    // the compact headline is the LAST stdout line of the process —
+    // headline (with per-query map) then the compact line LAST —
     // nothing (not even spark.stop() chatter) may print after it
     println(headline)
+    println(compact)
   }
 }
