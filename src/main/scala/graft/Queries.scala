@@ -368,6 +368,25 @@ object Queries {
              |       CAST(user_id AS VARCHAR) AS grouping, value, props AS payload
              |FROM events ORDER BY event_id""".stripMargin)),
 
+    // PARALLEL replay of the written log: one scan partition per
+    // manifest-proven disjoint id-range file group (vs the single
+    // global-cursor merge of stream_log_iterate) — the 100 TB replay
+    // path for order-insensitive consumers. The aggregation is
+    // order-free, so the oracle pins the full-history replay exactly;
+    // LogStoreSpec separately proves the partition count and the
+    // per-partition ordering.
+    QuerySpec("stream_log_replay_parallel",
+      (s, d) => graft.engine.EsdbWriter.readLogParallel(s, ensureLogStore(s, d))
+        .groupBy("space")
+        .agg(count(lit(1)).as("n_events"),
+          sum(round(col("value") * 100).cast("long")).as("sum_cents"),
+          max("event_id").as("max_event_id"))
+        .orderBy("space"),
+      Some("""SELECT event_type AS space, count(*) AS n_events,
+             |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents,
+             |       max(event_id) AS max_event_id
+             |FROM events GROUP BY space ORDER BY space""".stripMargin)),
+
     QuerySpec("stream_scan_index",
       (s, d) => EventLog.scanIndex(ev(s, d), IdxName, IdxValue)
         .select("event_id", "ts_us", "space", "grouping", "value", "payload"),

@@ -600,6 +600,21 @@ object EsdbWriter {
     spark.read.format("esdblog").load(path)
   }
 
+  /** Open a log store for PARALLEL replay: one scan partition per
+    * manifest-proven disjoint id-range file group, each ordered by
+    * event_id within itself (the DSv2 per-partition ordering
+    * contract), groups ascending. A full-history replay of an N-group
+    * log runs N-wide instead of serializing through the single global
+    * cursor — the 100 TB path for consumers (aggregation, per-key
+    * state rebuild, enrichment) that don't need one global iterator.
+    * Falls back to the single-partition global merge when the manifest
+    * can't prove the grouping.
+    */
+  def readLogParallel(spark: SparkSession, path: String): DataFrame = {
+    GraftSession.tune(spark)
+    spark.read.format("esdblog").option("parallel", "true").load(path)
+  }
+
   /** Open a log store as a STREAM: micro-batches of exactly the events
     * appended since the checkpointed event_id offset — the reference's
     * open-stream consumption loop (`Iterate(offset, fn)` re-called as
@@ -628,6 +643,37 @@ object EsdbWriter {
     * read per NEW file (append cost stays proportional to the batch,
     * not the store), appended to the sidecar.
     */
+  /** The same per-file (min, max) event_id map, read DIRECTLY with
+    * parquet-mr — no Spark job. Scan planning calls this (listing +
+    * manifest + footer probes happen before any task launches, so a
+    * Spark job here would put a whole query's latency inside another
+    * query's planner). `root` is the already-resolved data root.
+    */
+  def logManifestRanges(conf: org.apache.hadoop.conf.Configuration,
+                        root: String): Option[Map[String, (Long, Long)]] = {
+    val dir = new org.apache.hadoop.fs.Path(root, LogManifest)
+    val fs = dir.getFileSystem(conf)
+    if (!fs.exists(dir)) return None
+    val parts = fs.listStatus(dir).filter { f =>
+      val n = f.getPath.getName
+      f.isFile && f.getLen > 0 && !n.startsWith("_") && !n.startsWith(".")
+    }
+    val out = scala.collection.mutable.HashMap[String, (Long, Long)]()
+    parts.foreach { p =>
+      val reader = org.apache.parquet.hadoop.ParquetReader
+        .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(), p.getPath)
+        .withConf(conf).build()
+      try {
+        var g = reader.read()
+        while (g != null) {
+          out(g.getString("file", 0)) = (g.getLong("min_id", 0), g.getLong("max_id", 0))
+          g = reader.read()
+        }
+      } finally reader.close()
+    }
+    Some(out.toMap)
+  }
+
   private def refreshLogManifest(spark: SparkSession, path: String): Unit = {
     import spark.implicits._
     val root = new org.apache.hadoop.fs.Path(dataRoot(spark, path))

@@ -34,9 +34,8 @@ final class EsdbLogMicroBatch(path: String, required: StructType)
   private def spark = SparkSession.active
 
   private def manifestRanges(): Map[String, (Long, Long)] =
-    graft.engine.EsdbWriter.logManifest(spark, path)
-      .map(_.collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap)
-      .getOrElse(Map.empty)
+    graft.engine.EsdbWriter.logManifestRanges(
+      spark.sparkContext.hadoopConfiguration, path).getOrElse(Map.empty)
 
   /** Newest event_id currently in the log: manifest max for covered
     * files, footer stats for any the manifest misses (a store written
@@ -95,7 +94,6 @@ final class EsdbLogMicroBatch(path: String, required: StructType)
     val from = start.asInstanceOf[LogOffset].lastSeen
     val to = end.asInstanceOf[LogOffset].lastSeen
     rememberBounds(from, to)
-    batchPartition = null
     if (to <= from) return Array.empty
     // manifest file pruning, as in the batch scan: files wholly at or
     // below the consumed offset never open; unmanifested files are
@@ -114,32 +112,27 @@ final class EsdbLogMicroBatch(path: String, required: StructType)
       .sortBy(_.getPath.getName)
     if (kept.isEmpty) Array.empty
     else {
+      // the batch bounds (from, to] ride the exact bounded merge
+      // reader — or, when the footer proof holds (disjoint null-free
+      // ranges wholly inside (from, to], the steady state for both a
+      // full drain and a file-aligned suffix read), the vectorized
+      // concatenation path, carried on the partition itself
       val part = EsdbLogPartition(kept.map(_.getPath.toString).toArray,
         kept.map(_.getLen).toArray, kept.map(_.getLen).sum)
-      batchPartition = part
-      Array(part)
+      Array(part.copy(vectorFiles = EsdbLogScan.vectorOrder(part, required, batchBounds,
+        spark.sparkContext.hadoopConfiguration)))
     }
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = {
-    // the batch bounds (from, to] ride the exact bounded merge reader —
-    // or, when the footer proof holds (disjoint null-free ranges wholly
-    // inside (from, to], the steady state for both a full drain and a
-    // file-aligned suffix read), the vectorized concatenation path
-    val vf = Option(batchPartition).flatMap(p =>
-      EsdbLogScan.vectorOrder(p, required, batchBounds,
-        spark.sparkContext.hadoopConfiguration))
+  override def createReaderFactory(): PartitionReaderFactory =
     new EsdbLogReaderFactory(required, batchBounds, limit = None,
       conf = new org.apache.spark.util.SerializableConfiguration(
-        EsdbVectorReader.sessionConf()),
-      vectorFiles = vf)
-  }
+        EsdbVectorReader.sessionConf()))
 
   // planInputPartitions and createReaderFactory are called once per
   // batch, in that order, with the same offsets — capture the bounds
-  // and the planned partition for the factory
+  // for the factory
   @volatile private var batchBounds: TsBounds = TsBounds.unbounded
-  @volatile private var batchPartition: EsdbLogPartition = _
 
   override def commit(end: Offset): Unit = () // checkpoint-managed
 

@@ -29,23 +29,24 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 final class EsdbLogReaderFactory(required: StructType, idBounds: TsBounds,
                                  limit: Option[Int],
-                                 conf: org.apache.spark.util.SerializableConfiguration,
-                                 vectorFiles: Option[Array[(String, Long)]] = None)
+                                 conf: org.apache.spark.util.SerializableConfiguration)
   extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new EsdbLogMergeReader(p.asInstanceOf[EsdbLogPartition], required, idBounds, limit,
       conf.value)
 
-  // disjoint-range concatenation path; [[EsdbLogScan.vectorOrder]]
-  // verifies the preconditions (footer-proven disjoint null-free id
-  // ranges, any claimed bound vacuous, canonical column types) and
-  // fixes the read order before attaching the file list
-  override def supportColumnarReads(p: InputPartition): Boolean = vectorFiles.isDefined
+  // disjoint-range concatenation path, decided PER PARTITION at
+  // planning: [[EsdbLogScan.vectorOrder]] verifies the preconditions
+  // (footer-proven disjoint null-free id ranges, any claimed bound
+  // vacuous, canonical column types) and fixes the read order before
+  // attaching the file list to the partition
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    p.asInstanceOf[EsdbLogPartition].vectorFiles.isDefined
 
   override def createColumnarReader(p: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
-    new EsdbVectorReader(vectorFiles.get.toSeq, required, limit, constSpace = None,
-      conf = conf.value)
+    new EsdbVectorReader(p.asInstanceOf[EsdbLogPartition].vectorFiles.get.toSeq,
+      required, limit, constSpace = None, conf = conf.value)
 }
 
 final class EsdbLogMergeReader(part: EsdbLogPartition, required: StructType,

@@ -100,7 +100,8 @@ final class EsdbLogTable(path: String, tableSchema: StructType,
         TableCapability.STREAMING_WRITE)
     else java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new EsdbLogScanBuilder(path, tableSchema)
+    new EsdbLogScanBuilder(path, tableSchema,
+      parallel = options.getBoolean("parallel", false))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     writePath match {
       case Some(logical) => new EsdbWriteBuilder(logical, tableSchema, logLayout = true, Some(info))
@@ -109,7 +110,15 @@ final class EsdbLogTable(path: String, tableSchema: StructType,
     }
 }
 
-final class EsdbLogScanBuilder(path: String, tableSchema: StructType)
+/** `parallel = true` opts into replay mode: the scan plans one
+  * partition per manifest-proven disjoint id-range file group instead
+  * of one global merge, trading the single global cursor for
+  * near-linear replay parallelism (order stays exact WITHIN each
+  * partition — the reported DSv2 ordering is per-partition by
+  * contract). Consumers that need one global cursor keep the default.
+  */
+final class EsdbLogScanBuilder(path: String, tableSchema: StructType,
+                               parallel: Boolean = false)
   extends ScanBuilder
   with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns
@@ -177,20 +186,24 @@ final class EsdbLogScanBuilder(path: String, tableSchema: StructType)
     else false
   }
 
-  /** One partition always → the pushed TopN/limit is the global one. */
-  override def isPartiallyPushed(): Boolean = false
+  /** Default single-partition scan → the pushed TopN/limit is the
+    * global one. Parallel replay plans many partitions, so a pushed
+    * limit is only per-partition there — Spark must keep the global
+    * Sort/Limit on top (each partition still stops after `l` rows).
+    */
+  override def isPartiallyPushed(): Boolean = parallel
 
-  override def build(): Scan = new EsdbLogScan(path, required, idBounds, limit)
+  override def build(): Scan = new EsdbLogScan(path, required, idBounds, limit, parallel)
 }
 
 final class EsdbLogScan(path: String, required: StructType, idBounds: TsBounds,
-                        limit: Option[Int])
+                        limit: Option[Int], parallel: Boolean = false)
   extends Scan with Batch with SupportsReportOrdering with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
 
   override def description(): String =
-    s"EsdbLog $path ids=$idBounds limit=${limit.getOrElse(-1)}"
+    s"EsdbLog $path ids=$idBounds limit=${limit.getOrElse(-1)} parallel=$parallel"
 
   override def toBatch: Batch = this
 
@@ -221,12 +234,22 @@ final class EsdbLogScan(path: String, required: StructType, idBounds: TsBounds,
     * min/max event_id, the analog of the reference log's offset
     * arithmetic): files wholly outside the pushed id range never open.
     * Files missing from the manifest are conservatively kept.
+    *
+    * Default: ONE partition merging every surviving file (global
+    * cursor). `parallel`: the manifest's ranges partition the kept
+    * files into maximal groups whose id ranges are mutually disjoint —
+    * each group becomes its own InputPartition (ordered within itself,
+    * groups in ascending id order), so a full replay of an N-group log
+    * runs N-wide instead of serializing through one task. Any kept
+    * file the manifest doesn't cover makes grouping unprovable → fall
+    * back to the single global merge (correct, just not parallel).
     */
   private def listPartitions(): Array[EsdbLogPartition] = {
     EsdbScan.ListingCount.incrementAndGet()
     val spark = SparkSession.active
+    val hconf = spark.sparkContext.hadoopConfiguration
     val root = new Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = root.getFileSystem(hconf)
     // schema inference proved the data root existed at table load; a
     // missing root now means the pinned version was retired under this
     // reader — fail loudly, never silently empty (see EsdbStoreSource)
@@ -238,51 +261,54 @@ final class EsdbLogScan(path: String, required: StructType, idBounds: TsBounds,
     val files = graft.engine.LogCommits.visibleDataFiles(fs, root)
       .sortBy(_.getPath.getName)
     if (files.isEmpty) return Array.empty
+    val ranges: Map[String, (Long, Long)] =
+      if (!idBounds.isBounded && !parallel) Map.empty
+      else graft.engine.EsdbWriter.logManifestRanges(hconf, path).getOrElse(Map.empty)
     val kept =
       if (!idBounds.isBounded) files
-      else graft.engine.EsdbWriter.logManifest(spark, path) match {
-        case None => files
-        case Some(m) =>
-          val ranges: Map[String, (Long, Long)] = m.collect()
-            .map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
-          files.filter { f =>
-            ranges.get(f.getPath.getName) match {
-              case Some((mn, mx)) => !(idBounds.belowLower(mx) || idBounds.aboveUpper(mn))
-              case None => true
-            }
-          }
+      else files.filter { f =>
+        ranges.get(f.getPath.getName) match {
+          case Some((mn, mx)) => !(idBounds.belowLower(mx) || idBounds.aboveUpper(mn))
+          case None => true
+        }
       }
-    if (kept.isEmpty) Array.empty
-    else Array(EsdbLogPartition(kept.map(_.getPath.toString).toArray,
-      kept.map(_.getLen).toArray, kept.map(_.getLen).sum))
+    if (kept.isEmpty) return Array.empty
+    def mkPart(group: Seq[org.apache.hadoop.fs.FileStatus]): EsdbLogPartition = {
+      val p = EsdbLogPartition(group.map(_.getPath.toString).toArray,
+        group.map(_.getLen).toArray, group.map(_.getLen).sum)
+      p.copy(vectorFiles = EsdbLogScan.vectorOrder(p, required, idBounds, hconf))
+    }
+    if (!parallel || kept.lengthCompare(1) == 0 ||
+        kept.exists(f => !ranges.contains(f.getPath.getName)))
+      Array(mkPart(kept))
+    else {
+      // sweep files in ascending min-id order; a group closes when the
+      // next file starts past everything seen so far (disjointness is
+      // exactly "no later file reaches back into this group's range")
+      val sorted = kept.sortBy(f => ranges(f.getPath.getName)._1)
+      val groups = scala.collection.mutable.ArrayBuffer(
+        scala.collection.mutable.ArrayBuffer(sorted.head))
+      var groupMax = ranges(sorted.head.getPath.getName)._2
+      sorted.tail.foreach { f =>
+        val (mn, mx) = ranges(f.getPath.getName)
+        if (mn > groupMax) groups += scala.collection.mutable.ArrayBuffer(f)
+        else groups.last += f
+        groupMax = math.max(groupMax, mx)
+      }
+      // per-group footer probes in parallel (order-preserving): the
+      // planner's cost is one footer latency, not groups × latency
+      import scala.collection.parallel.CollectionConverters._
+      groups.toVector.par.map(g => mkPart(g.toSeq)).toArray
+    }
   }
 
   override def planInputPartitions(): Array[InputPartition] =
     partitions.asInstanceOf[Array[InputPartition]]
 
-  /** Vectorized concatenation order (see [[EsdbVectorReader]]): when
-    * footer stats prove every file's id range disjoint from the others
-    * and free of null ids, reading the files sequentially in
-    * ascending-range order IS the merge — steady state for a log, whose
-    * appends carry ever-higher ids. A claimed id bound (`iterate`
-    * always claims `event_id >= offset`) is allowed only when provably
-    * VACUOUS on every surviving file — its whole id range inside the
-    * bounds — since the vectorized decoder cannot enforce it row-wise;
-    * the listing's manifest pruning has already dropped wholly-outside
-    * files, so resumes from a file boundary vectorize and mid-file
-    * resumes keep the exact row merge. Interleaved ranges and
-    * stat-less files keep the merge heap too.
-    */
-  private def vectorOrder: Option[Array[(String, Long)]] =
-    if (partitions.isEmpty) None
-    else EsdbLogScan.vectorOrder(partitions.head, required, idBounds,
-      SparkSession.active.sparkContext.hadoopConfiguration)
-
   override def createReaderFactory(): PartitionReaderFactory =
     new EsdbLogReaderFactory(required, idBounds, limit,
       conf = new org.apache.spark.util.SerializableConfiguration(
-        EsdbVectorReader.sessionConf()),
-      vectorFiles = vectorOrder)
+        EsdbVectorReader.sessionConf()))
 
   /** Global (single-partition) insertion order — the log's defining
     * property, reported only when event_id survives column pruning.
@@ -309,12 +335,17 @@ object EsdbLogScan {
     */
   def vectorOrder(part: EsdbLogPartition, required: StructType, idBounds: TsBounds,
                   hconf: org.apache.hadoop.conf.Configuration): Option[Array[(String, Long)]] = {
-    val ranged = part.files.zip(part.fileLengths).map { case (f, len) =>
+    // footer probes are independent driver-side IO — run them in
+    // parallel so planning a many-file log costs one footer round-trip,
+    // not files × latency (matters for parallel replay, whose planning
+    // probes every group before any task launches)
+    import scala.collection.parallel.CollectionConverters._
+    val ranged = part.files.zip(part.fileLengths).par.map { case (f, len) =>
       EsdbVectorReader.probe(hconf, f, required, constSpace = false, statCols = Seq("event_id"))
         .flatMap(_.get("event_id"))
         .flatMap(facts => facts.range.filter(_ => facts.nulls.contains(0L)))
         .map(r => ((f, len), r))
-    }
+    }.toArray
     if (ranged.exists(_.isEmpty)) return None
     val sorted = ranged.flatten.sortBy(_._2._1)
     val disjoint = sorted.sliding(2).forall {
@@ -328,9 +359,14 @@ object EsdbLogScan {
   }
 }
 
-/** The whole log: one merge unit (sequential consumption, as in the
-  * reference's flat file).
+/** One merge unit: the whole log by default (sequential consumption,
+  * as in the reference's flat file), or one disjoint id-range file
+  * group under parallel replay. `vectorFiles` is the planner's
+  * footer-proof for THIS unit (see [[EsdbLogScan.vectorOrder]]): when
+  * set, sequential columnar decode of the files in that order IS the
+  * merge; when None the reader keeps the exact row-at-a-time heap.
   */
 final case class EsdbLogPartition(files: Array[String], fileLengths: Array[Long],
-                                  totalBytes: Long)
+                                  totalBytes: Long,
+                                  vectorFiles: Option[Array[(String, Long)]] = None)
   extends InputPartition

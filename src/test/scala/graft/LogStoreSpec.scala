@@ -129,6 +129,59 @@ class LogStoreSpec extends SparkSpec {
     assert(seq.count() == 600L)
   }
 
+  test("parallel replay: one partition per disjoint id-range group, ordered within, exact fallback on overlap") {
+    // disjoint-batch log: writeLog range-partitions each batch and the
+    // batches' id ranges don't interleave → every file's range is
+    // disjoint from every other's, so parallel replay plans one
+    // partition per file
+    val dir = java.nio.file.Files.createTempDirectory("logpar").toFile
+    dir.delete()
+    def mk(ids: Seq[Int]) = ids.map(i => (s"s${i % 3}", s"g${i % 7}", (i % 50).toLong * 1000,
+      i.toLong, i / 10.0, s"""{"k": ${i % 9}}"""))
+      .toDF("space", "grouping", "ts_us", "event_id", "value", "payload")
+    EsdbWriter.writeLog(mk(1 to 300), dir.getAbsolutePath)
+    EsdbWriter.appendLog(mk(301 to 600), dir.getAbsolutePath)
+    val nFiles = EsdbWriter.logManifest(spark, dir.getAbsolutePath).get.count().toInt
+    val par = EsdbWriter.readLogParallel(spark, dir.getAbsolutePath)
+    // partition count: one per file (all ranges disjoint), > 1 — the
+    // replay parallelism the single-cursor default cannot have
+    val parts = par.select("event_id").as[Long]
+      .mapPartitions(it => Iterator.single(it.toSeq)).collect().toSeq
+    assert(parts.size == nFiles && nFiles > 1,
+      s"expected $nFiles partitions, planned ${parts.size}")
+    // within each partition the log's order holds; across partitions
+    // the id ranges are disjoint and ascending by partition index
+    parts.foreach(p => assert(p == p.sorted, "a replay partition must be id-ordered"))
+    val nonEmpty = parts.filter(_.nonEmpty)
+    assert(nonEmpty.sliding(2).forall {
+      case Seq(a, b) => a.last < b.head
+      case _ => true
+    }, "partition id ranges must be disjoint and ascending")
+    assert(parts.flatten.sorted == (1L to 600L))
+    // singleton groups satisfy the footer proof → columnar decode
+    val before = graft.sources.EsdbVectorReader.BatchesRead.get()
+    assert(par.count() == 600L)
+    assert(graft.sources.EsdbVectorReader.BatchesRead.get() > before,
+      "disjoint singleton groups must decode through the vectorized reader")
+    // no Sort node: per-partition consumption needs none
+    val plan = executed(par.select("event_id", "space", "value"))
+    assert(!hasSortNode(plan), plan)
+    // a resume offset still prunes files and rows in parallel mode
+    val resumed = par.where(col("event_id") >= 550L).select("event_id").as[Long]
+      .collect().toSeq.sorted
+    assert(resumed == (550L to 600L))
+    // pushed limit is only per-partition here: Spark must keep the
+    // global limit and the row count must be exact
+    assert(par.limit(5).collect().length == 5)
+    // the shared fixture's batches INTERLEAVE ids: grouping collapses
+    // to the single global merge — same rows, same global order
+    val fallback = EsdbWriter.readLogParallel(spark, logPath)
+    val fparts = fallback.select("event_id").as[Long]
+      .mapPartitions(it => Iterator.single(it.toSeq)).collect().toSeq
+    assert(fparts.size == 1, "overlapping ranges must fall back to one global merge")
+    assert(fparts.head == (1L to 500L))
+  }
+
   test("streaming consumption: AvailableNow drains the log, a resumed run reads only the appended suffix") {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
     val dir = java.nio.file.Files.createTempDirectory("logmb").toFile
