@@ -1425,17 +1425,61 @@ object Queries {
       Some("""SELECT doc_id, strlen(text) AS n_bytes, 'text/plain' AS media_type
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
-    // decode stub derives fake dims from md5 of the media bytes and the
-    // checksum is a plain byte sum, so the whole row is recomputable in
-    // SQL (documents.text is ASCII: code points == bytes)
+    // REAL decode, end-to-end oracled: synthesize one actual media
+    // container per doc (PPM P6 / 24bpp BMP / PCM16 WAV, parameters
+    // pure doc_id arithmetic), then parse it back at the header +
+    // pixel/sample level. The oracle recomputes every feature from the
+    // construction arithmetic — a decoder that misreads endianness,
+    // row padding, or header offsets cannot match the sums/dims.
     QuerySpec("multimodal_features",
-      (s, d) => Multimodal.extractFeatures(s, Multimodal.manifest(Tables.documents(s, d)))
+      (s, d) => Multimodal.extractFeatures(s,
+          Multimodal.synthesize(Tables.documents(s, d)))
+        .toDF().orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CASE doc_id % 3 WHEN 0 THEN 'image/x-portable-pixmap'
+             |                  WHEN 1 THEN 'image/bmp' ELSE 'audio/wav' END AS media_type,
+             |  CASE doc_id % 3 WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp' ELSE 'wav' END AS format,
+             |  CASE doc_id % 3
+             |    WHEN 0 THEN 9 + strlen(CAST(16 + doc_id % 32 AS VARCHAR))
+             |                + strlen(CAST(8 + doc_id % 16 AS VARCHAR))
+             |                + (16 + doc_id % 32) * (8 + doc_id % 16) * 3
+             |    WHEN 1 THEN 54 + ((( (16 + doc_id % 32) * 3 + 3) // 4) * 4) * (8 + doc_id % 16)
+             |    ELSE 44 + 80 * (1 + doc_id % 40) * 2 END AS n_bytes,
+             |  CASE WHEN doc_id % 3 IN (0, 1) THEN CAST(16 + doc_id % 32 AS INTEGER) END AS width,
+             |  CASE WHEN doc_id % 3 IN (0, 1) THEN CAST(8 + doc_id % 16 AS INTEGER) END AS height,
+             |  CASE WHEN doc_id % 3 IN (0, 1) THEN 3 ELSE 1 END AS channels,
+             |  CASE WHEN doc_id % 3 = 2 THEN 8000 END AS sample_rate,
+             |  CASE WHEN doc_id % 3 = 2 THEN 10 * (1 + doc_id % 40) END AS duration_ms,
+             |  CASE doc_id % 3 WHEN 2 THEN 80 * (1 + doc_id % 40)
+             |       ELSE (16 + doc_id % 32) * (8 + doc_id % 16) * 3 END AS n_values,
+             |  CASE doc_id % 3 WHEN 2 THEN 80 * (1 + doc_id % 40) * (doc_id % 997 - 498)
+             |       ELSE (16 + doc_id % 32) * (8 + doc_id % 16) * 3 * (doc_id % 251) END AS sum_values
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // text modality keeps its own feature pass (byte length + exact
+    // byte sum — documents.text is ASCII, so code points == bytes)
+    QuerySpec("multimodal_text_features",
+      (s, d) => Multimodal.textFeatures(s, Multimodal.manifest(Tables.documents(s, d)))
         .toDF().orderBy("doc_id"),
       Some("""SELECT doc_id, strlen(text) AS n_bytes, 'text/plain' AS media_type,
-             |  CAST(64 + ('0x' || substr(md5(text), 1, 8))::BIGINT % 1024 AS INTEGER) AS width,
-             |  CAST(64 + ('0x' || substr(md5(text), 9, 8))::BIGINT % 1024 AS INTEGER) AS height,
              |  CAST(coalesce(list_aggregate(list_transform(string_split(text, ''), x -> unicode(x)), 'sum'), 0) AS BIGINT) AS checksum
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // the resize kernel, round-trip checked: decode → nearest-neighbor
+    // scale → re-encode PPM → DECODE AGAIN; constant-color sources make
+    // the resized pixel sum exactly predictable
+    QuerySpec("multimodal_resize",
+      (s, d) => Multimodal.extractFeatures(s,
+          Multimodal.resize(s,
+            Multimodal.synthesize(Tables.documents(s, d))
+              .filter(col("doc_id") % 3 =!= 2), 32, 24)
+            .select(col("doc_id"), col("media"), col("media_type")).as[Multimodal.MediaRow](
+              org.apache.spark.sql.Encoders.product[Multimodal.MediaRow]))
+        .select(col("doc_id"), col("width"), col("height"), col("sum_values"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, CAST(32 AS INTEGER) AS width, CAST(24 AS INTEGER) AS height,
+             |       32 * 24 * 3 * (doc_id % 251) AS sum_values
+             |FROM documents WHERE doc_id % 3 IN (0, 1) ORDER BY doc_id""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

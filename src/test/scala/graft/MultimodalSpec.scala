@@ -2,10 +2,16 @@ package graft
 
 import graft.ops.Multimodal
 
+/** Real pure-JVM media decode (PPM P6 / 24bpp BMP / PCM16 WAV) plus
+  * the binary-column plumbing around it.
+  */
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
   private lazy val docs = Seq((1L, "hello world"), (2L, "spark")).toDF("doc_id", "text")
+
+  private lazy val mediaDocs =
+    (1L to 12L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
 
   test("manifest exposes media as binary with type metadata") {
     val m = Multimodal.manifest(docs)
@@ -14,14 +20,100 @@ class MultimodalSpec extends SparkSpec {
     assert(new String(bytes, "UTF-8") == "hello world")
   }
 
-  test("resize re-encodes deterministically at target dims") {
-    val r1 = Multimodal.resize(spark, Multimodal.manifest(docs), 128, 128).collect().sortBy(_.doc_id)
-    val r2 = Multimodal.resize(spark, Multimodal.manifest(docs), 128, 128).collect().sortBy(_.doc_id)
-    assert(r1.zip(r2).forall { case (a, b) => a.media.sameElements(b.media) })
-    assert(r1.forall(r => r.width == 128 && r.height == 128 && r.media.nonEmpty))
+  test("ppm decode recovers header dims and exact pixel sum from real bytes") {
+    val b = Multimodal.encodePpm(17, 9, 200)
+    val d = Multimodal.decodeMedia(b)
+    assert(d.format == "ppm" && d.width == 17 && d.height == 9 && d.channels == 3)
+    assert(d.nValues == 17L * 9 * 3 && d.sumValues == 17L * 9 * 3 * 200)
+    // comments in the header are part of the public format
+    val commented = ("P6\n# a comment\n17 9\n255\n".getBytes("US-ASCII") ++
+      Array.fill(17 * 9 * 3)(200.toByte))
+    val dc = Multimodal.decodePpm(commented)
+    assert(dc.width == 17 && dc.height == 9 && dc.sumValues == d.sumValues)
   }
 
-  test("frame sampling explodes one row per sampled frame, no shuffle") {
+  test("bmp decode honors row padding, offsets, and bottom-up layout") {
+    // width 17 → row 51 bytes padded to 52: a parser that sums padding
+    // or misreads the offset cannot produce this sum
+    val b = Multimodal.encodeBmp(17, 9, 77)
+    val d = Multimodal.decodeMedia(b)
+    assert(d.format == "bmp" && d.width == 17 && d.height == 9)
+    assert(d.sumValues == 17L * 9 * 3 * 77)
+    // pixel decode normalizes bottom-up BGR to top-down RGB: paint the
+    // BOTTOM-LEFT pixel (first stored) red and expect it at row h-1
+    b(54) = 0; b(55) = 0; b(56) = 255.toByte // stored BGR: blue=0 green=0 red=255
+    val (w, h, px) = Multimodal.decodePixels(b)
+    assert(w == 17 && h == 9)
+    val bottomLeft = ((h - 1) * w + 0) * 3
+    assert((px(bottomLeft) & 0xff) == 255 && (px(bottomLeft + 1) & 0xff) == 0 &&
+      (px(bottomLeft + 2) & 0xff) == 0)
+  }
+
+  test("wav decode walks RIFF chunks and sums signed 16-bit samples") {
+    val b = Multimodal.encodeWav(8000, 160, (-300).toShort)
+    val d = Multimodal.decodeMedia(b)
+    assert(d.format == "wav" && d.sampleRate == 8000 && d.channels == 1)
+    assert(d.nValues == 160L && d.sumValues == -300L * 160)
+    // an unknown chunk between fmt and data must be skipped, not choke
+    val extra = java.nio.ByteBuffer.allocate(b.length + 12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    extra.put(b, 0, 36) // RIFF..WAVE + fmt chunk
+    extra.put("LIST".getBytes("US-ASCII")).putInt(4).putInt(0)
+    extra.put(b, 36, b.length - 36) // data chunk
+    val withList = extra.array()
+    val dl = Multimodal.decodeWav(withList)
+    assert(dl.nValues == 160L && dl.sumValues == -300L * 160)
+  }
+
+  test("malformed payloads fail loudly, never decode to zeros") {
+    intercept[IllegalArgumentException](Multimodal.decodeMedia("not media".getBytes))
+    intercept[IllegalArgumentException](
+      Multimodal.decodeMedia(Multimodal.encodePpm(4, 4, 9).take(20))) // truncated pixels
+  }
+
+  test("synthesized corpus decodes end-to-end; features match construction arithmetic") {
+    val feats = Multimodal.extractFeatures(spark, Multimodal.synthesize(mediaDocs))
+      .collect().sortBy(_.doc_id)
+    assert(feats.length == 12)
+    feats.foreach { f =>
+      val id = f.doc_id
+      (id % 3) match {
+        case 0 | 1 =>
+          assert(f.width.contains(16 + (id % 32).toInt) && f.height.contains(8 + (id % 16).toInt))
+          assert(f.sum_values == (16 + id % 32) * (8 + id % 16) * 3 * (id % 251))
+          assert(f.duration_ms.isEmpty)
+        case _ =>
+          assert(f.sample_rate.contains(8000))
+          assert(f.duration_ms.contains(10L * (1 + id % 40)))
+          assert(f.sum_values == 80L * (1 + id % 40) * (id % 997 - 498))
+      }
+    }
+  }
+
+  test("resize is a real decode→scale→re-encode round trip at target dims") {
+    val images = Multimodal.synthesize(mediaDocs).filter($"doc_id" % 3 =!= 2)
+    val resized = Multimodal.resize(spark, images, 32, 24)
+    // the output is itself decodable and constant color survives
+    // nearest-neighbor exactly
+    val redecoded = Multimodal.extractFeatures(spark,
+      resized.select($"doc_id", $"media", $"media_type").as[Multimodal.MediaRow])
+      .collect().sortBy(_.doc_id)
+    redecoded.foreach { f =>
+      assert(f.width.contains(32) && f.height.contains(24))
+      assert(f.sum_values == 32L * 24 * 3 * (f.doc_id % 251))
+    }
+    // deterministic bytes
+    val r1 = resized.collect().sortBy(_.doc_id)
+    val r2 = Multimodal.resize(spark, images, 32, 24).collect().sortBy(_.doc_id)
+    assert(r1.zip(r2).forall { case (a, b) => a.media.sameElements(b.media) })
+    // audio refuses to resize
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.resize(spark,
+        Multimodal.synthesize(mediaDocs).filter($"doc_id" % 3 === 2), 32, 24).collect()
+    }
+  }
+
+  test("frame sampling explodes one row per sampled frame, no shuffle; wav windows skip the header") {
     val big = Seq((1L, "x" * 4096)).toDF("doc_id", "text")
     val frames = Multimodal.frameSample(spark, Multimodal.manifest(big), everyN = 4)
     val rows = frames.collect()
@@ -29,6 +121,20 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.forall(_.frame.length == 256))
     val plan = frames.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
+    // a WAV payload windows the PCM body: every byte of every window is
+    // sample data (constant s → constant LE byte pairs), no RIFF header
+    val wav = Multimodal.synthesize((5L to 5L).map(i => (i, "a")).toDF("doc_id", "text"))
+      .select($"doc_id", $"media", $"media_type").toDF()
+    val wrows = Multimodal.frameSample(spark, wav, everyN = 1, frameBytes = 64).collect()
+    assert(wrows.nonEmpty)
+    val s = ((5 % 997) - 498).toShort
+    val lo = (s & 0xff).toByte
+    val hi = ((s >> 8) & 0xff).toByte
+    wrows.foreach { fr =>
+      fr.frame.zipWithIndex.foreach { case (b, i) =>
+        assert(b == (if (i % 2 == 0) lo else hi))
+      }
+    }
   }
 
   test("streaming append sink lands micro-batches as parquet") {
@@ -47,12 +153,11 @@ class MultimodalSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("feature extraction is deterministic and byte-accurate") {
-    val f1 = Multimodal.extractFeatures(spark, Multimodal.manifest(docs)).collect().sortBy(_.doc_id)
-    val f2 = Multimodal.extractFeatures(spark, Multimodal.manifest(docs)).collect().sortBy(_.doc_id)
+  test("text features are deterministic and byte-accurate") {
+    val f1 = Multimodal.textFeatures(spark, Multimodal.manifest(docs)).collect().sortBy(_.doc_id)
+    val f2 = Multimodal.textFeatures(spark, Multimodal.manifest(docs)).collect().sortBy(_.doc_id)
     assert(f1.sameElements(f2))
-    assert(f1(0).n_bytes == 11L)
+    assert(f1(0).n_bytes == 11L && f1(0).checksum == "hello world".getBytes.map(_ & 0xff).sum)
     assert(f1(1).n_bytes == 5L)
-    assert(f1.forall(r => r.width >= 64 && r.height >= 64))
   }
 }
