@@ -113,24 +113,29 @@ final class EsdbLogMergeReader(part: EsdbLogPartition, required: StructType,
       val p = new Path(file)
       val footer = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
       val fileSchema = try footer.getFileMetaData.getSchema finally footer.close()
-      // a file with no event_id column is all-null ids: under an active
-      // bound nothing in it can match, so it never opens
-      if (!idBounds.isBounded || fileSchema.containsField("event_id")) {
-        val needed = (required.fieldNames.toSeq :+ "event_id").distinct
-        val projected = new org.apache.parquet.schema.MessageType(fileSchema.getName,
-          fileSchema.getFields.asScala.filter(f => needed.contains(f.getName)).asJava)
-        val fconf = new Configuration(conf)
-        fconf.set(ReadSupport.PARQUET_READ_SCHEMA, projected.toString)
-        val builder = ParquetReader.builder(new GroupReadSupport(), p).withConf(fconf)
-        val preds = if (idBounds.isBounded) idPredicates else Nil
-        val reader = preds.reduceOption(FilterApi.and)
-          .fold(builder)(fp => builder.withFilter(FilterCompat.get(fp)))
-          .build()
-        val c = new Cursor(reader, projected)
-        cursors.add(c)
-        filesOpened += 1
-        if (c.advance()) heap.add(c) else reader.close()
+      // a log file with no event_id column cannot be engine-written
+      // (the log writer sorts by event_id, so the column always
+      // exists); under a claimed id bound, silently dropping the file
+      // (or its predicate) would hide a corrupt store — fail naming it
+      if (idBounds.isBounded && !fileSchema.containsField("event_id")) {
+        throw new IllegalStateException(
+          s"log file $file has no event_id column but this scan claimed an id bound; " +
+            "the log writer always materializes event_id — foreign or corrupt file in the log")
       }
+      val needed = (required.fieldNames.toSeq :+ "event_id").distinct
+      val projected = new org.apache.parquet.schema.MessageType(fileSchema.getName,
+        fileSchema.getFields.asScala.filter(f => needed.contains(f.getName)).asJava)
+      val fconf = new Configuration(conf)
+      fconf.set(ReadSupport.PARQUET_READ_SCHEMA, projected.toString)
+      val builder = ParquetReader.builder(new GroupReadSupport(), p).withConf(fconf)
+      val preds = if (idBounds.isBounded) idPredicates else Nil
+      val reader = preds.reduceOption(FilterApi.and)
+        .fold(builder)(fp => builder.withFilter(FilterCompat.get(fp)))
+        .build()
+      val c = new Cursor(reader, projected)
+      cursors.add(c)
+      filesOpened += 1
+      if (c.advance()) heap.add(c) else reader.close()
     }
     opened = true
   }

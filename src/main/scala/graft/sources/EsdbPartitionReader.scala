@@ -206,9 +206,22 @@ final class EsdbMergeReader(part: EsdbInputPartition, required: StructType,
       // always projected so the heap can order rows
       val footer = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
       val fileSchema = try footer.getFileMetaData.getSchema finally footer.close()
-      // a file with no ts column has only null ts rows — none can
-      // satisfy an active bound, so the whole file drops out
-      if (!tsBounds.isBounded || fileSchema.containsField("ts_us")) {
+      // A data file missing a column whose predicate this scan CLAIMED
+      // handled (grouping, or ts_us under an active bound) cannot be an
+      // engine-written store file — the writer always materializes
+      // both. Skipping the predicate would silently return the foreign
+      // file's rows unfiltered, and skipping the file would silently
+      // hide them; either way the store is corrupt — say so, loudly,
+      // naming the file.
+      if (tsBounds.isBounded && !fileSchema.containsField("ts_us"))
+        throw new IllegalStateException(
+          s"store file $file has no ts_us column but this scan claimed a ts bound; " +
+            "the engine writer always materializes ts_us — foreign or corrupt file in the store")
+      if ((grouping.isDefined || groupingNotNull) && !fileSchema.containsField("grouping"))
+        throw new IllegalStateException(
+          s"store file $file has no grouping column but this scan claimed a grouping " +
+            "predicate; the engine writer always materializes grouping — foreign or " +
+            "corrupt file in the store")
       val needed = (required.fieldNames.toSeq ++ KeyCols).distinct.filterNot(_ == "space")
       val projected = new MessageType(fileSchema.getName,
         fileSchema.getFields.asScala.filter(f => needed.contains(f.getName)).asJava)
@@ -217,7 +230,7 @@ final class EsdbMergeReader(part: EsdbInputPartition, required: StructType,
       val builder = ParquetReader.builder(new GroupReadSupport(), p).withConf(fconf)
       // grouping + ts-bound predicates (exact, fully handled) + hint
       // predicates (best-effort skipping; Spark re-verifies post-scan)
-      val preds = groupingPred.filter(_ => fileSchema.containsField("grouping")).toSeq ++
+      val preds = groupingPred.toSeq ++
         (if (tsBounds.isBounded) tsPredicates else Nil) ++
         hints.flatMap { case (c, v) => hintPredicate(fileSchema, c, v) }
       val reader = preds.reduceOption(FilterApi.and)
@@ -227,7 +240,6 @@ final class EsdbMergeReader(part: EsdbInputPartition, required: StructType,
       cursors.add(c)
       filesOpened += 1
       if (c.advance()) heap.add(c) else reader.close()
-      }
     }
     opened = true
   }

@@ -105,6 +105,29 @@ class EsdbCatalogSpec extends SparkSpec {
     assert(e.getMessage.contains("never committed"), e.getMessage)
   }
 
+  test("readStream.table over a catalog log table drains to the batch iterate") {
+    root
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val ckpt = java.nio.file.Files.createTempDirectory("catstream").toString
+    val got = java.util.Collections.synchronizedList(new java.util.ArrayList[Long]())
+    spark.readStream.table(s"$Cat.prod.clicks")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.select("event_id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+          .collect().foreach(got.add)
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+    import scala.jdk.CollectionConverters._
+    // the SQL-only user's streaming drain equals the batch iterate
+    val batchIds = spark.sql(s"SELECT event_id FROM $Cat.prod.clicks ORDER BY event_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got.asScala.toSeq.sorted == batchIds && batchIds == (1L to 300L))
+  }
+
   test("DDL surface: CREATE/ALTER rejected with guidance, DROP deletes, rename moves") {
     root
     val e = intercept[Exception](

@@ -182,6 +182,32 @@ class LogStoreSpec extends SparkSpec {
     assert(fparts.head == (1L to 500L))
   }
 
+  test("a foreign log file without event_id fails a bounded read loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("logforeign").toFile
+    dir.delete()
+    def mk(ids: Seq[Int]) = ids.map(i => (s"s${i % 3}", s"g${i % 7}", (i % 50).toLong * 1000,
+      i.toLong, i / 10.0, s"""{"k": ${i % 9}}"""))
+      .toDF("space", "grouping", "ts_us", "event_id", "value", "payload")
+    EsdbWriter.writeLog(mk(1 to 100), dir.getAbsolutePath)
+    val root = graft.engine.Publish.resolve(
+      spark.sparkContext.hadoopConfiguration, dir.getAbsolutePath)
+    val stage = java.nio.file.Files.createTempDirectory("logforeignsrc").toString
+    Seq(("x", 1.0)).toDF("space", "value")
+      .coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .find(f => f.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(part.toPath,
+      new java.io.File(s"$root/zzz-foreign.parquet").toPath)
+    // a resume offset claims event_id >= from: the foreign file can't
+    // honor the claim — the read must fail naming it, not skip it
+    val e = intercept[org.apache.spark.SparkException] {
+      EventLog.iterate(EsdbWriter.readLog(spark, dir.getAbsolutePath), 50L)
+        .select("event_id").collect()
+    }
+    assert(e.getMessage.contains("zzz-foreign.parquet") ||
+      Option(e.getCause).exists(_.getMessage.contains("zzz-foreign.parquet")), e.getMessage)
+  }
+
   test("streaming consumption: AvailableNow drains the log, a resumed run reads only the appended suffix") {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
     val dir = java.nio.file.Files.createTempDirectory("logmb").toFile

@@ -506,6 +506,41 @@ class OrderedStoreSpec extends SparkSpec {
       Seq(("hot", 600L, Some(0L), Some(390L))))
   }
 
+  test("a foreign file missing a claimed-filter column fails loudly, never silently filters") {
+    val dir = java.nio.file.Files.createTempDirectory("ordforeign").toFile
+    dir.delete()
+    val ev = (1 to 40).map(i => ("s", s"g${i % 2}", i.toLong, i.toLong, 0.0, s"""{"k": ${i % 3}}"""))
+      .toDF("space", "grouping", "ts_us", "event_id", "value", "payload")
+    EsdbWriter.write(ev, dir.getAbsolutePath)
+    // drop a parquet WITHOUT grouping/ts_us into the space dir — not
+    // engine-written, so any scan claiming those filters must throw
+    // naming the file rather than return rows the claimed (and
+    // planner-trusted) predicate never saw
+    val root = graft.engine.Publish.resolve(
+      spark.sparkContext.hadoopConfiguration, dir.getAbsolutePath)
+    val stage = java.nio.file.Files.createTempDirectory("foreignsrc").toString
+    Seq((999L, 9.9)).toDF("event_id", "value")
+      .coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .find(f => f.getName.endsWith(".parquet")).get
+    val target = new java.io.File(s"$root/space=s/zzz-foreign.parquet")
+    java.nio.file.Files.copy(part.toPath, target.toPath)
+    val e1 = intercept[org.apache.spark.SparkException] {
+      EventStore.scan(EsdbWriter.readOrdered(spark, dir.getAbsolutePath), "s", "g1").collect()
+    }
+    assert(e1.getMessage.contains("zzz-foreign.parquet") ||
+      Option(e1.getCause).exists(_.getMessage.contains("zzz-foreign.parquet")), e1.getMessage)
+    val e2 = intercept[org.apache.spark.SparkException] {
+      graft.engine.EventStore.scanSince(
+        EsdbWriter.readOrdered(spark, dir.getAbsolutePath), "s", "g1", 5L).collect()
+    }
+    assert(e2.getMessage.contains("foreign") ||
+      Option(e2.getCause).exists(_.getMessage.contains("foreign")), e2.getMessage)
+    // an unfiltered scan has claimed nothing, so it still reads (the
+    // foreign rows surface with null grouping — visible, not hidden)
+    assert(EsdbWriter.readOrdered(spark, dir.getAbsolutePath).count() == 41)
+  }
+
   test("sealed-store sidecar directories are invisible to the ordered source") {
     val dir = java.nio.file.Files.createTempDirectory("ordseal").toFile
     dir.delete()
