@@ -1143,6 +1143,26 @@ object Queries {
              |       ELSE 'test' END AS split
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // benchmark decontamination: train docs sharing any n-token window
+    // with a test doc (split from the deterministic hash buckets
+    // above). Production screens use n=8..13; the declared query uses
+    // n=4 so the synthetic corpus yields a NON-EMPTY oracled result at
+    // every SF (n=8 finds zero cross-split windows here — a trivially
+    // empty compare would prove nothing).
+    QuerySpec("corpus_decontaminate",
+      (s, d) => graft.ops.Corpus.decontaminate(Tables.documents(s, d), n = 4),
+      Some("""WITH buck AS (
+             |  SELECT doc_id, text,
+             |    ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS b
+             |  FROM documents),
+             |tok AS (SELECT doc_id, b, string_split(text, ' ') AS ts FROM buck),
+             |sh AS (SELECT DISTINCT doc_id, b, md5(array_to_string(ts[i:i+3], ' ')) AS h
+             |       FROM tok, UNNEST(generate_series(1, len(ts) - 3)) AS u(i))
+             |SELECT tr.doc_id, count(*) AS n_hits
+             |FROM (SELECT doc_id, h FROM sh WHERE b < 90) tr
+             |JOIN (SELECT DISTINCT h FROM sh WHERE b >= 95) te USING (h)
+             |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin)),
+
     // generator family (§2.10): explode tokens → global frequency top-k
     QuerySpec("text_vocab_topk",
       (s, d) => Tables.documents(s, d)

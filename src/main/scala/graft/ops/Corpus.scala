@@ -158,6 +158,50 @@ object Corpus {
     * `lang`, quality_x1000 >= `minQualityX1000`. Output one row per
     * kept doc: (doc_id, n_chars, lang_pred, quality_x1000).
     */
+  /** Benchmark decontamination: flag TRAIN documents sharing any
+    * n-token shingle with a TEST document — the standard contamination
+    * screen run before training (a test answer verbatim inside a
+    * training document inflates the benchmark). Splits come from
+    * [[splitAssign]]'s deterministic buckets; the overlap unit is the
+    * md5 of the n-token window.
+    *
+    * 100 TB shape: each side reduces to (doc_id, 16-byte shingle hash)
+    * in the scan stage — document text never crosses the wire — and
+    * the per-doc local HashSet dedupes windows before the shuffle. The
+    * test side (benchmarks, a few per mille of the corpus) is
+    * broadcast, so the screen costs one scan of the train corpus plus
+    * a broadcast hash join; the result is a small keep/flag list to
+    * anti-join against, the same pattern as the dedup keeper tables.
+    */
+  def decontaminate(docs: DataFrame, n: Int = 8, seed: String = "split",
+                    trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bucketed = splitAssign(docs.select("doc_id"), seed, trainPct, valPct)
+      .join(docs.select("doc_id", "text"), "doc_id")
+    def shingles(side: DataFrame): DataFrame =
+      side.select($"doc_id".as[Long], $"text".as[String]).mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text) =>
+          val toks = text.split(" ", -1)
+          val seen = new scala.collection.mutable.HashSet[String]()
+          (0 to toks.length - n).iterator.flatMap { i =>
+            val h = md.digest(toks.slice(i, i + n).mkString(" ")
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              .map("%02x".format(_)).mkString
+            if (seen.add(h)) Some((id, h)) else None
+          }
+        }
+      }.toDF("doc_id", "shingle")
+    val train = shingles(bucketed.where($"split" === "train"))
+    val test = shingles(bucketed.where($"split" === "test"))
+      .select("shingle").distinct()
+    train.join(broadcast(test), "shingle")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits")) // per-doc shingles pre-deduped
+      .orderBy("doc_id")
+  }
+
   def cleanCorpus(docs: DataFrame, lang: String = "en",
                   minQualityX1000: Long = 25L): DataFrame = {
     val keep = Dedup.exact(docs).select(col("keep_doc_id").as("doc_id"))

@@ -71,6 +71,36 @@ class CorpusSpec extends SparkSpec {
     assert(e0.map(_._2).toSeq == byHand)
   }
 
+  test("decontaminate: train docs sharing an n-gram with a test doc are flagged, broadcast join, no text shuffle") {
+    // hand-built corpus: find doc_ids landing in train/test buckets,
+    // then plant a shared 4-gram between one train and one test doc
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"split:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16) % 100
+    }
+    val trainIds = (1L to 400L).filter(bucket(_) < 90)
+    val testIds = (1L to 400L).filter(bucket(_) >= 95)
+    val secret = "alpha beta gamma delta"
+    val docs = (1L to 400L).map { id =>
+      val base = s"filler${id}a filler${id}b filler${id}c filler${id}d filler${id}e"
+      val text =
+        if (id == trainIds.head || id == trainIds(1) || id == testIds.head)
+          s"$base $secret" // two train docs + one test doc share the 4-gram
+        else base
+      (id, text)
+    }.toDF("doc_id", "text")
+    val hits = Corpus.decontaminate(docs, n = 4)
+    val got = hits.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((trainIds.head, 1L), (trainIds(1), 1L)),
+      s"expected exactly the two planted train docs, got $got")
+    // scale shape: the test side broadcasts; document text never
+    // enters an exchange (only doc_id + 32-char shingle hashes do)
+    val plan = hits.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("mixSample: per-source keep rates track the weights; stable under corpus growth") {
     val docs = (1L to 3000L).map(i => (i, s"src${i % 3}", s"d$i"))
       .toDF("doc_id", "source", "text")
