@@ -1143,6 +1143,34 @@ object Queries {
              |       ELSE 'test' END AS split
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // PII scrub: deterministic synthetic PII (email/phone/IPv4 derived
+    // from doc_id, appended on BOTH sides) counted and redacted with
+    // engine-portable regexes — the oracle proves byte-identical
+    // redaction output across Java regex and RE2
+    QuerySpec("text_redact_pii",
+      (s, d) => graft.ops.TextOps.redactPii(
+        Tables.documents(s, d).select(col("doc_id"),
+          concat(col("text"),
+            lit(" contact user"), col("doc_id"), lit("@example.com call 555-867-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+            lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+            lit("."), (col("doc_id") % 100).cast("string")).as("text"))),
+      Some("""WITH aug AS (
+             |  SELECT doc_id,
+             |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com call 555-867-' ||
+             |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' from 10.0.' ||
+             |    CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR) AS t
+             |  FROM documents)
+             |SELECT doc_id,
+             |  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+             |  len(regexp_extract_all(t, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS n_phones,
+             |  len(regexp_extract_all(t, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS n_ips,
+             |  regexp_replace(regexp_replace(regexp_replace(t,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+             |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS clean_text
+             |FROM aug ORDER BY doc_id""".stripMargin)),
+
     // benchmark decontamination: train docs sharing any n-token window
     // with a test doc (split from the deterministic hash buckets
     // above). Production screens use n=8..13; the declared query uses

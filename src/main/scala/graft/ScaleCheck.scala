@@ -74,7 +74,8 @@ object ScaleCheck {
       "corpus_pack",            // per-source running-total window
       "corpus_chunk",           // per-partition chunking kernel
       "corpus_shuffle",         // global md5-rank permutation (range sort)
-      "corpus_mix")             // hash-threshold scan-stage sampling
+      "corpus_mix",             // hash-threshold scan-stage sampling
+      "corpus_decontaminate")   // shingle-hash broadcast join, text never shuffles
 
     // `families=a,b` runs just those rows (adding a new family doesn't
     // require re-measuring the rest of the harness)

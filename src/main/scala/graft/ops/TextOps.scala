@@ -40,6 +40,34 @@ object TextOps {
       expr(s"CAST(size(regexp_extract_all(text, '$SubwordPattern', 0)) AS LONG)").as("n_subtokens"))
       .orderBy("doc_id")
 
+  /** PII patterns shared with the oracle: deliberately restricted to
+    * the regex subset where Java (Spark codegen) and RE2 (DuckDB,
+    * Go/Rust scanners) agree — character classes, bounded repetition,
+    * no lookaround, no backreferences — so a redacted corpus is
+    * byte-identical across engines.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  val IpRe = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  /** PII scrub: count and redact emails / phone numbers / IPv4s in one
+    * projection — a scan-stage kernel (codegen regex, no shuffle, no
+    * UDF), the shape a 100 TB redaction pass needs. Counts are taken
+    * BEFORE redaction; replacements are typed placeholders so
+    * downstream tokenization sees a stable vocabulary.
+    */
+  def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(
+      col("doc_id"),
+      regexp_count(col(textCol), lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(col(textCol), lit(PhoneRe)).cast("long").as("n_phones"),
+      regexp_count(col(textCol), lit(IpRe)).cast("long").as("n_ips"),
+      regexp_replace(regexp_replace(regexp_replace(col(textCol),
+        lit(EmailRe), lit("<EMAIL>")),
+        lit(PhoneRe), lit("<PHONE>")),
+        lit(IpRe), lit("<IP>")).as("clean_text"))
+      .orderBy("doc_id")
+
   /** Quality scoring: length / avg-token-length / stopword-density
     * signals, in fixed-point integers. Columns:
     *  - n_tokens

@@ -115,6 +115,23 @@ class TextOpsSpec extends SparkSpec {
     assert(got(1)(2).asInstanceOf[Long] > got(0)(2).asInstanceOf[Long])
   }
 
+  test("redactPii counts then redacts emails/phones/IPs; clean text keeps everything else") {
+    val docs = Seq(
+      (1L, "mail a.b+c@sub.example.org now or 10.0.0.1 or call 555-123-4567 twice 555-123-4567"),
+      (2L, "no pii here at all"),
+      (3L, "two mails x@y.io and z@w.co")
+    ).toDF("doc_id", "text")
+    val got = graft.ops.TextOps.redactPii(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toSeq
+    assert(got(0) == ((1L, 1L, 2L, 1L,
+      "mail <EMAIL> now or <IP> or call <PHONE> twice <PHONE>")))
+    assert(got(1) == ((2L, 0L, 0L, 0L, "no pii here at all")))
+    assert(got(2) == ((3L, 2L, 0L, 0L, "two mails <EMAIL> and <EMAIL>")))
+    // scan-stage kernel: no exchange anywhere before the final sort
+    val plan = graft.ops.TextOps.redactPii(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("sessionize splits on gaps > 30min") {
     val ev = Seq(
       ("u1", 0L, 1L), ("u1", 60L * 1000000, 2L),                  // session 1: 0s, 60s
