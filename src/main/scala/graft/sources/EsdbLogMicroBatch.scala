@@ -112,15 +112,23 @@ final class EsdbLogMicroBatch(path: String, required: StructType)
       .sortBy(_.getPath.getName)
     if (kept.isEmpty) Array.empty
     else {
-      // the batch bounds (from, to] ride the exact bounded merge
+      // The batch bounds (from, to] ride the exact bounded merge
       // reader — or, when the footer proof holds (disjoint null-free
       // ranges wholly inside (from, to], the steady state for both a
       // full drain and a file-aligned suffix read), the vectorized
-      // concatenation path, carried on the partition itself
-      val part = EsdbLogPartition(kept.map(_.getPath.toString).toArray,
-        kept.map(_.getLen).toArray, kept.map(_.getLen).sum)
-      Array(part.copy(vectorFiles = EsdbLogScan.vectorOrder(part, required, batchBounds,
-        spark.sparkContext.hadoopConfiguration)))
+      // concatenation path, carried on each partition.
+      //
+      // The batch itself splits into one partition per manifest-proven
+      // disjoint id-range file group: a backlog replay (the
+      // reference's `populate`, open_stream.go:219-241) runs as wide
+      // as the log's file groups instead of serializing one reader
+      // per micro-batch. Structured Streaming imposes no
+      // cross-partition order inside a batch, and every rows-level
+      // guarantee (exact (from, to] coverage) is enforced per reader;
+      // order-sensitive consumers aggregate or sort per key anyway.
+      val groups = EsdbLogScan.disjointGroups(kept, ranges).getOrElse(Seq(kept))
+      EsdbLogScan.groupPartitions(groups, required, batchBounds,
+        spark.sparkContext.hadoopConfiguration).asInstanceOf[Array[InputPartition]]
     }
   }
 

@@ -273,33 +273,10 @@ final class EsdbLogScan(path: String, required: StructType, idBounds: TsBounds,
         }
       }
     if (kept.isEmpty) return Array.empty
-    def mkPart(group: Seq[org.apache.hadoop.fs.FileStatus]): EsdbLogPartition = {
-      val p = EsdbLogPartition(group.map(_.getPath.toString).toArray,
-        group.map(_.getLen).toArray, group.map(_.getLen).sum)
-      p.copy(vectorFiles = EsdbLogScan.vectorOrder(p, required, idBounds, hconf))
-    }
-    if (!parallel || kept.lengthCompare(1) == 0 ||
-        kept.exists(f => !ranges.contains(f.getPath.getName)))
-      Array(mkPart(kept))
-    else {
-      // sweep files in ascending min-id order; a group closes when the
-      // next file starts past everything seen so far (disjointness is
-      // exactly "no later file reaches back into this group's range")
-      val sorted = kept.sortBy(f => ranges(f.getPath.getName)._1)
-      val groups = scala.collection.mutable.ArrayBuffer(
-        scala.collection.mutable.ArrayBuffer(sorted.head))
-      var groupMax = ranges(sorted.head.getPath.getName)._2
-      sorted.tail.foreach { f =>
-        val (mn, mx) = ranges(f.getPath.getName)
-        if (mn > groupMax) groups += scala.collection.mutable.ArrayBuffer(f)
-        else groups.last += f
-        groupMax = math.max(groupMax, mx)
-      }
-      // per-group footer probes in parallel (order-preserving): the
-      // planner's cost is one footer latency, not groups × latency
-      import scala.collection.parallel.CollectionConverters._
-      groups.toVector.par.map(g => mkPart(g.toSeq)).toArray
-    }
+    val groups =
+      if (!parallel || kept.lengthCompare(1) == 0) Seq(kept)
+      else EsdbLogScan.disjointGroups(kept, ranges).getOrElse(Seq(kept))
+    EsdbLogScan.groupPartitions(groups, required, idBounds, hconf)
   }
 
   override def planInputPartitions(): Array[InputPartition] =
@@ -325,6 +302,41 @@ final class EsdbLogScan(path: String, required: StructType, idBounds: TsBounds,
 }
 
 object EsdbLogScan {
+  /** Partition `files` into maximal groups whose manifest id ranges
+    * are mutually disjoint (groups ascending by min id, order inside a
+    * group preserved). None when any file lacks a manifest range —
+    * grouping is then unprovable and callers keep one global merge.
+    */
+  def disjointGroups(files: Seq[org.apache.hadoop.fs.FileStatus],
+                     ranges: Map[String, (Long, Long)]): Option[Seq[Seq[org.apache.hadoop.fs.FileStatus]]] = {
+    if (files.exists(f => !ranges.contains(f.getPath.getName))) return None
+    val sorted = files.sortBy(f => ranges(f.getPath.getName)._1)
+    val groups = scala.collection.mutable.ArrayBuffer(
+      scala.collection.mutable.ArrayBuffer(sorted.head))
+    var groupMax = ranges(sorted.head.getPath.getName)._2
+    sorted.tail.foreach { f =>
+      val (mn, mx) = ranges(f.getPath.getName)
+      if (mn > groupMax) groups += scala.collection.mutable.ArrayBuffer(f)
+      else groups.last += f
+      groupMax = math.max(groupMax, mx)
+    }
+    Some(groups.map(_.toSeq).toSeq)
+  }
+
+  /** Build one partition per group with its vector-order proof, probing
+    * footers in parallel (order-preserving).
+    */
+  def groupPartitions(groups: Seq[Seq[org.apache.hadoop.fs.FileStatus]],
+                      required: StructType, idBounds: TsBounds,
+                      hconf: org.apache.hadoop.conf.Configuration): Array[EsdbLogPartition] = {
+    import scala.collection.parallel.CollectionConverters._
+    groups.toVector.par.map { g =>
+      val p = EsdbLogPartition(g.map(_.getPath.toString).toArray,
+        g.map(_.getLen).toArray, g.map(_.getLen).sum)
+      p.copy(vectorFiles = vectorOrder(p, required, idBounds, hconf))
+    }.toArray
+  }
+
   /** Footer-proof for the vectorized concatenation path, shared by the
     * batch scan and the micro-batch stream: Some(files in ascending-
     * range order) when every file's event_id range is disjoint from

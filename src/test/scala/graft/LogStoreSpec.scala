@@ -252,6 +252,37 @@ class LogStoreSpec extends SparkSpec {
     assert(drain().isEmpty)
   }
 
+  test("streaming replay runs wide: a multi-file backlog drains over one partition per disjoint group") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val dir = java.nio.file.Files.createTempDirectory("logmbpar").toFile
+    dir.delete()
+    def mk(ids: Seq[Int]) = ids.map(i => (s"s${i % 3}", s"g${i % 7}", (i % 50).toLong * 1000,
+      i.toLong, i / 10.0, s"""{"k": ${i % 9}}"""))
+      .toDF("space", "grouping", "ts_us", "event_id", "value", "payload")
+    EsdbWriter.writeLog(mk(1 to 300), dir.getAbsolutePath)   // 4 disjoint files
+    EsdbWriter.appendLog(mk(301 to 600), dir.getAbsolutePath) // 4 more, disjoint
+    val nFiles = EsdbWriter.logManifest(spark, dir.getAbsolutePath).get.count().toInt
+    assert(nFiles > 1)
+    val widths = java.util.Collections.synchronizedList(new java.util.ArrayList[Int]())
+    val got = java.util.Collections.synchronizedList(new java.util.ArrayList[Long]())
+    EsdbWriter.readLogStream(spark, dir.getAbsolutePath)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        widths.add(batch.rdd.getNumPartitions)
+        batch.select("event_id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+          .collect().foreach(got.add)
+      }
+      .option("checkpointLocation", java.nio.file.Files.createTempDirectory("logmbparck").toString)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+    import scala.jdk.CollectionConverters._
+    assert(got.asScala.toSeq.sorted == (1L to 600L))
+    assert(widths.asScala.exists(_ == nFiles),
+      s"backlog drain should plan $nFiles partitions, planned ${widths.asScala}")
+  }
+
   test("null event_ids: the log's reported ASC order is NULLS FIRST; bounds exclude nulls") {
     val dir = java.nio.file.Files.createTempDirectory("lognullid").toFile
     dir.delete()
