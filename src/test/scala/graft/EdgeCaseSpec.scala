@@ -129,6 +129,38 @@ class EdgeCaseSpec extends SparkSpec {
     assert(EventStore.scan(back, "a", "g").select("event_id").as[Long].collect().toSeq == Seq(2L, 1L))
   }
 
+  test("decontaminate edge cases: short docs, n longer than any doc, empty test split") {
+    import graft.ops.Corpus
+    // docs shorter than the window produce no shingles and cannot flag
+    val tiny = Seq((1L, "a b"), (2L, "c"), (3L, "d e f")).toDF("doc_id", "text")
+    assert(Corpus.decontaminate(tiny, n = 4).collect().isEmpty)
+    // an empty test split (every doc lands in train/val buckets) flags
+    // nothing rather than failing — bucket membership is hash luck, so
+    // force it by keeping only ids whose bucket is < 95
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"split:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16) % 100
+    }
+    val noTest = (1L to 200L).filter(bucket(_) < 95)
+      .map(id => (id, "shared four gram text here")).toDF("doc_id", "text")
+    assert(Corpus.decontaminate(noTest, n = 4).collect().isEmpty)
+  }
+
+  test("redactPii edge cases: pii at string edges, adjacent pii, unicode neighbors") {
+    import graft.ops.TextOps
+    val docs = Seq(
+      (1L, "a@b.co"),                               // entire text is the email
+      (2L, "10.1.2.3 555-000-1111"),                // adjacent, space-separated
+      (3L, "héllo wörld a@b.io ünïcode")            // unicode neighbors intact
+    ).toDF("doc_id", "text")
+    val got = TextOps.redactPii(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toSeq
+    assert(got(0) == ((1L, 1L, 0L, 0L, "<EMAIL>")))
+    assert(got(1) == ((2L, 0L, 1L, 1L, "<IP> <PHONE>")))
+    assert(got(2) == ((3L, 1L, 0L, 0L, "héllo wörld <EMAIL> ünïcode")))
+  }
+
   test("single-token and single-char documents survive the dedup pipeline") {
     val docs = Seq((1L, "a"), (2L, "a"), (3L, "b c"), (4L, "")).toDF("doc_id", "text")
     val pairs = Dedup.minhashNearDups(docs, 0.9)
