@@ -1184,7 +1184,7 @@ object Queries {
              |    ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS b
              |  FROM documents),
              |tok AS (SELECT doc_id, b, string_split(text, ' ') AS ts FROM buck),
-             |sh AS (SELECT DISTINCT doc_id, b, md5(array_to_string(ts[i:i+3], ' ')) AS h
+             |sh AS (SELECT DISTINCT doc_id, b, substr(md5(array_to_string(ts[i:i+3], ' ')), 1, 16) AS h
              |       FROM tok, UNNEST(generate_series(1, len(ts) - 3)) AS u(i))
              |SELECT tr.doc_id, count(*) AS n_hits
              |FROM (SELECT doc_id, h FROM sh WHERE b < 90) tr

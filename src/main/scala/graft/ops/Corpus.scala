@@ -179,6 +179,10 @@ object Corpus {
     import spark.implicits._
     val bucketed = splitAssign(docs.select("doc_id"), seed, trainPct, valPct)
       .join(docs.select("doc_id", "text"), "doc_id")
+    // 64-bit shingle keys (first 16 md5 hex chars): half the shuffle
+    // bytes of a full digest, collision odds ~n²/2^64 — vanishing for
+    // a screen that tolerates the odd extra flag — and still exactly
+    // recomputable by any engine (substr(md5(x), 1, 16))
     def shingles(side: DataFrame): DataFrame =
       side.select($"doc_id".as[Long], $"text".as[String]).mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
@@ -188,7 +192,7 @@ object Corpus {
           (0 to toks.length - n).iterator.flatMap { i =>
             val h = md.digest(toks.slice(i, i + n).mkString(" ")
               .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-              .map("%02x".format(_)).mkString
+              .take(8).map("%02x".format(_)).mkString
             if (seen.add(h)) Some((id, h)) else None
           }
         }
