@@ -564,6 +564,13 @@ object EsdbWriter {
     * compaction, and the marker is what makes that replay a no-op
     * instead of a duplicate append.
     */
+  /** `numFiles` also sets the compacted log's PARALLEL REPLAY width:
+    * output files are range-partitioned on event_id (mutually
+    * disjoint), so `readLogParallel` and the streaming micro-batch
+    * planner get exactly `numFiles` partitions afterwards. At scale,
+    * size it for O(100 MB) files — 1 (the small-store default) gives
+    * one vectorizable file but a single-cursor replay.
+    */
   def compactLog(spark: SparkSession, path: String, numFiles: Int = 1,
                  keepVersions: Int = 1): Unit = {
     require(!isSealed(path), s"stream at $path is closed (reference: closed_stream.go:48-50)")

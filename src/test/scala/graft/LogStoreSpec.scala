@@ -426,6 +426,15 @@ class LogStoreSpec extends SparkSpec {
     EsdbWriter.appendLogBatch(mk(301 to 350), path, 3L)
     assert(EventLog.iterate(EsdbWriter.readLog(spark, path))
       .select("event_id").as[Long].collect().toSeq == (1L to 350L))
+    // compacting WIDE keeps replay parallelism: numFiles range-disjoint
+    // outputs -> exactly numFiles parallel-replay partitions
+    EsdbWriter.compactLog(spark, path, numFiles = 4)
+    assert(dataFiles.size == 4)
+    val parts = EsdbWriter.readLogParallel(spark, path).select("event_id").as[Long]
+      .mapPartitions(it => Iterator.single(it.toSeq)).collect().toSeq
+    assert(parts.size == 4, s"wide compaction should keep 4 replay groups, got ${parts.size}")
+    assert(parts.flatten.sorted == (1L to 350L))
+    parts.foreach(p => assert(p == p.sorted))
   }
 
   test("scan index and first over the stored log match the in-memory stream surface") {
