@@ -25,11 +25,17 @@ object Corpus {
     * neighbors are added), and embarrassingly parallel: a projection in
     * the scan stage, no shuffle at any corpus size.
     */
+  /** The split-bucket column (0..99) for a doc_id, shared by
+    * [[splitAssign]] and [[decontaminate]] so both sides of any screen
+    * agree on membership by construction.
+    */
+  def splitBucket(seed: String): org.apache.spark.sql.Column = expr(
+    s"CAST(conv(substring(md5(concat('$seed:', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT) % 100")
+
   def splitAssign(docs: DataFrame, seed: String = "split",
                   trainPct: Int = 90, valPct: Int = 5): DataFrame = {
     require(trainPct + valPct < 100, "train+val must leave room for test")
-    val bucket = expr(
-      s"CAST(conv(substring(md5(concat('$seed:', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT) % 100")
+    val bucket = splitBucket(seed)
     docs.select(
       col("doc_id"),
       bucket.as("bucket"),
@@ -177,8 +183,11 @@ object Corpus {
                     trainPct: Int = 90, valPct: Int = 5): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val bucketed = splitAssign(docs.select("doc_id"), seed, trainPct, valPct)
-      .join(docs.select("doc_id", "text"), "doc_id")
+    require(trainPct + valPct < 100, "train+val must leave room for test")
+    // bucket is a scan-stage projection on each side — no join, no
+    // sort; each side's filter prunes before the shingle kernel runs
+    val tagged = docs.select(col("doc_id"), col("text"),
+      splitBucket(seed).as("bucket"))
     // 64-bit shingle keys (first 16 md5 hex chars): half the shuffle
     // bytes of a full digest, collision odds ~n²/2^64 — vanishing for
     // a screen that tolerates the odd extra flag — and still exactly
@@ -197,8 +206,8 @@ object Corpus {
           }
         }
       }.toDF("doc_id", "shingle")
-    val train = shingles(bucketed.where($"split" === "train"))
-    val test = shingles(bucketed.where($"split" === "test"))
+    val train = shingles(tagged.where($"bucket" < trainPct))
+    val test = shingles(tagged.where($"bucket" >= trainPct + valPct))
       .select("shingle").distinct()
     train.join(broadcast(test), "shingle")
       .groupBy("doc_id")
