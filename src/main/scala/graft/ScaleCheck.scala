@@ -162,19 +162,20 @@ object ScaleCheck {
     // the consumption: every canonical column decoded (a replay feeds
     // downstream state, not a count(*) — column pruning must not turn
     // this into a metadata read)
+    var groups = 0
     def replay(parallel: Boolean): Double = {
       val df = (if (parallel) engine.EsdbWriter.readLogParallel(spark, logPath)
                 else engine.EsdbWriter.readLog(spark, logPath))
         .select("event_id", "ts_us", "space", "grouping", "value", "payload")
       val t0 = System.nanoTime()
-      df.queryExecution.toRdd.count()
+      val rdd = df.queryExecution.toRdd
+      rdd.count()
+      if (parallel) groups = rdd.getNumPartitions
       (System.nanoTime() - t0) / 1e9
     }
     replay(parallel = false); replay(parallel = true) // warm
     val single = math.min(replay(parallel = false), replay(parallel = false))
     val par = math.min(replay(parallel = true), replay(parallel = true))
-    val groups = engine.EsdbWriter.readLogParallel(spark, logPath)
-      .queryExecution.toRdd.getNumPartitions
     println(f"replay_log10x              single=$single%6.2f parallel=$par%6.2f " +
       f"groups=$groups%3d speedup=${single / par}%4.1f")
   }

@@ -629,9 +629,17 @@ object EsdbWriter {
     * by Structured Streaming's checkpoint instead of the caller.
     * `Trigger.AvailableNow` drains to the current head and stops.
     */
-  def readLogStream(spark: SparkSession, path: String): DataFrame = {
+  /** `parallel = true` opts each micro-batch into one partition per
+    * disjoint id-range file group (a wide `populate` replay) at the
+    * cost of the per-batch single-cursor global order — use it for
+    * order-insensitive consumers (aggregation, per-key state, sinks
+    * that sort); the default keeps the merge-ordered single partition.
+    */
+  def readLogStream(spark: SparkSession, path: String,
+                    parallel: Boolean = false): DataFrame = {
     GraftSession.tune(spark)
-    spark.readStream.format("esdblog").load(path)
+    spark.readStream.format("esdblog")
+      .option("parallel", parallel.toString).load(path)
   }
 
   /** Per-file (min, max) event_id from the write-time manifest — the
@@ -685,8 +693,11 @@ object EsdbWriter {
     import spark.implicits._
     val root = new org.apache.hadoop.fs.Path(dataRoot(spark, path))
     val fs = root.getFileSystem(hconf(spark))
-    val known: Set[String] = logManifest(spark, path)
-      .map(_.select("file").as[String].collect().toSet).getOrElse(Set.empty)
+    // direct parquet-mr read: every append commits through here, and a
+    // Spark job just to list known file names would tax the write path
+    // the same way it taxed scan planning
+    val known: Set[String] = logManifestRanges(hconf(spark), root.toString)
+      .map(_.keySet).getOrElse(Set.empty)
     // visibility-filtered: an uncommitted streaming batch's files must
     // not enter the manifest (they may be swept and rewritten on replay)
     val fresh = LogCommits.visibleDataFiles(fs, root)

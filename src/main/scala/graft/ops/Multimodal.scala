@@ -153,10 +153,13 @@ object Multimodal {
       s"unrecognized media container (${b.length} bytes, magic ${b.take(4).map("%02x".format(_)).mkString})")
   }
 
-  /** PPM P6 parser: ASCII header (whitespace-separated tokens, `#`
-    * comments) then raw big-endian RGB bytes.
+  /** PPM P6 header parse: (width, height, raster offset). The raster
+    * starts exactly one whitespace byte after the maxval token — both
+    * the feature pass and the pixel decoder anchor THERE (never at the
+    * end of the buffer, which would mis-window a payload with trailing
+    * bytes).
     */
-  private[graft] def decodePpm(b: Array[Byte]): Decoded = {
+  private[graft] def ppmHeader(b: Array[Byte]): (Int, Int, Int) = {
     var pos = 2 // past "P6"
     def nextInt(): Int = {
       // skip whitespace and '#' comments
@@ -176,6 +179,14 @@ object Multimodal {
     require(w > 0 && h > 0 && maxval == 255, s"unsupported PPM header w=$w h=$h maxval=$maxval")
     pos += 1 // the single whitespace after maxval
     require(b.length - pos >= w * h * 3, s"PPM truncated: ${b.length - pos} < ${w * h * 3}")
+    (w, h, pos)
+  }
+
+  /** PPM P6 parser: ASCII header (whitespace-separated tokens, `#`
+    * comments) then raw big-endian RGB bytes.
+    */
+  private[graft] def decodePpm(b: Array[Byte]): Decoded = {
+    val (w, h, pos) = ppmHeader(b)
     var sum = 0L
     var i = pos
     val end = pos + w * h * 3
@@ -222,6 +233,9 @@ object Multimodal {
       val id = new String(b, pos, 4, "US-ASCII")
       val size = buf.getInt(pos + 4)
       val body = pos + 8
+      // a negative size field would stall the walk (pos stops
+      // advancing) or yield negative sample counts — fail loudly
+      require(size >= 0, s"WAV chunk '$id' has negative size $size")
       id match {
         case "fmt " =>
           val fmt = buf.getShort(body)
@@ -337,9 +351,8 @@ object Multimodal {
     */
   private[graft] def decodePixels(b: Array[Byte]): (Int, Int, Array[Byte]) = {
     if (b.length >= 2 && b(0) == 'P' && b(1) == '6') {
-      val d = decodePpm(b)
-      val pixels = java.util.Arrays.copyOfRange(b, b.length - d.width * d.height * 3, b.length)
-      (d.width, d.height, pixels)
+      val (w, h, pos) = ppmHeader(b)
+      (w, h, java.util.Arrays.copyOfRange(b, pos, pos + w * h * 3))
     } else if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') {
       val buf = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
       val d = decodeBmp(b)

@@ -26,7 +26,8 @@ import org.apache.spark.sql.types.StructType
   * drains to the current head and terminates — the batch-equivalent
   * form the correctness gate oracles.
   */
-final class EsdbLogMicroBatch(path: String, required: StructType)
+final class EsdbLogMicroBatch(path: String, required: StructType,
+                              parallel: Boolean = false)
   extends MicroBatchStream {
 
   import EsdbLogMicroBatch._
@@ -118,15 +119,18 @@ final class EsdbLogMicroBatch(path: String, required: StructType)
       // full drain and a file-aligned suffix read), the vectorized
       // concatenation path, carried on each partition.
       //
-      // The batch itself splits into one partition per manifest-proven
-      // disjoint id-range file group: a backlog replay (the
-      // reference's `populate`, open_stream.go:219-241) runs as wide
-      // as the log's file groups instead of serializing one reader
-      // per micro-batch. Structured Streaming imposes no
-      // cross-partition order inside a batch, and every rows-level
-      // guarantee (exact (from, to] coverage) is enforced per reader;
-      // order-sensitive consumers aggregate or sort per key anyway.
-      val groups = EsdbLogScan.disjointGroups(kept, ranges).getOrElse(Seq(kept))
+      // Under option("parallel") the batch itself splits into one
+      // partition per manifest-proven disjoint id-range file group: a
+      // backlog replay (the reference's `populate`,
+      // open_stream.go:219-241) runs as wide as the log's file groups
+      // instead of serializing one reader per micro-batch. Exact
+      // (from, to] coverage is enforced per reader either way; what
+      // the option trades away is the single-cursor per-batch global
+      // order, so it is OPT-IN — default consumers keep the
+      // one-partition merge order they were built against.
+      val groups =
+        if (!parallel) Seq(kept)
+        else EsdbLogScan.disjointGroups(kept, ranges).getOrElse(Seq(kept))
       EsdbLogScan.groupPartitions(groups, required, batchBounds,
         spark.sparkContext.hadoopConfiguration).asInstanceOf[Array[InputPartition]]
     }

@@ -214,7 +214,7 @@ final class EsdbLogScan(path: String, required: StructType, idBounds: TsBounds,
     * reference's open-stream read loop (see [[EsdbLogMicroBatch]]).
     */
   override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new EsdbLogMicroBatch(path, required)
+    new EsdbLogMicroBatch(path, required, parallel)
 
   // driver-side listing, memoized: planning + statistics + execution
   // share one filesystem listing (and one manifest read when bounded)
@@ -324,17 +324,24 @@ object EsdbLogScan {
   }
 
   /** Build one partition per group with its vector-order proof, probing
-    * footers in parallel (order-preserving).
+    * footers in parallel (order-preserving). Spark requires every
+    * partition of one scan to agree on columnar-vs-row
+    * (DataSourceV2ScanExecBase: "Cannot mix row-based and columnar
+    * input partitions"), so if ANY group fails the footer proof the
+    * whole scan falls back to row merge — a mixed plan would throw at
+    * execution, not run slower.
     */
   def groupPartitions(groups: Seq[Seq[org.apache.hadoop.fs.FileStatus]],
                       required: StructType, idBounds: TsBounds,
                       hconf: org.apache.hadoop.conf.Configuration): Array[EsdbLogPartition] = {
     import scala.collection.parallel.CollectionConverters._
-    groups.toVector.par.map { g =>
+    val parts = groups.toVector.par.map { g =>
       val p = EsdbLogPartition(g.map(_.getPath.toString).toArray,
         g.map(_.getLen).toArray, g.map(_.getLen).sum)
       p.copy(vectorFiles = vectorOrder(p, required, idBounds, hconf))
     }.toArray
+    if (parts.exists(_.vectorFiles.isEmpty)) parts.map(_.copy(vectorFiles = None))
+    else parts
   }
 
   /** Footer-proof for the vectorized concatenation path, shared by the

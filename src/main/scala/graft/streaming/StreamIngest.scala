@@ -102,7 +102,9 @@ object StreamIngest {
     */
   def drainLog(spark: SparkSession, path: String): DataFrame = {
     val qname = "graft_log_drain_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    graft.engine.EsdbWriter.readLogStream(spark, path)
+    // parallel replay: the drain re-sorts at the end, so it trades
+    // nothing for the per-group width
+    graft.engine.EsdbWriter.readLogStream(spark, path, parallel = true)
       .writeStream.format("memory").queryName(qname)
       .outputMode(OutputMode.Append())
       .trigger(Trigger.AvailableNow())

@@ -182,6 +182,31 @@ class LogStoreSpec extends SparkSpec {
     assert(fparts.head == (1L to 500L))
   }
 
+  test("mixed provable/unprovable groups: parallel replay falls back to all-row partitions, never a mixed scan") {
+    // files: several disjoint singletons (columnar-provable) plus two
+    // INTERLEAVED append batches forming one row-merge group — Spark
+    // rejects a scan mixing columnar and row partitions, so the scan
+    // must homogenize to row merge and stay correct
+    val dir = java.nio.file.Files.createTempDirectory("logmixed").toFile
+    dir.delete()
+    val path = dir.getAbsolutePath
+    def mk(ids: Seq[Int]) = ids.map(i => (s"s${i % 3}", s"g${i % 7}", (i % 50).toLong * 1000,
+      i.toLong, i / 10.0, s"""{"k": ${i % 9}}"""))
+      .toDF("space", "grouping", "ts_us", "event_id", "value", "payload")
+    EsdbWriter.writeLog(mk(1 to 100), path) // up to 4 disjoint files
+    EsdbWriter.appendLogBatch(mk((101 to 300).filter(_ % 2 == 0)), path, 0L)
+    EsdbWriter.appendLogBatch(mk((101 to 300).filter(_ % 2 == 1)), path, 1L)
+    val par = EsdbWriter.readLogParallel(spark, path)
+    val parts = par.select("event_id").as[Long]
+      .mapPartitions(it => Iterator.single(it.toSeq)).collect().toSeq
+    assert(parts.size > 1, "disjoint singletons plus one merge group should still plan wide")
+    assert(parts.flatten.sorted == (1L to 300L))
+    parts.foreach(p => assert(p == p.sorted))
+    // streaming drain over the same mixed log: same fallback, same rows
+    assert(graft.streaming.StreamIngest.drainLog(spark, path)
+      .select("event_id").as[Long].collect().toSeq == (1L to 300L))
+  }
+
   test("a foreign log file without event_id fails a bounded read loudly") {
     val dir = java.nio.file.Files.createTempDirectory("logforeign").toFile
     dir.delete()
@@ -265,7 +290,7 @@ class LogStoreSpec extends SparkSpec {
     assert(nFiles > 1)
     val widths = java.util.Collections.synchronizedList(new java.util.ArrayList[Int]())
     val got = java.util.Collections.synchronizedList(new java.util.ArrayList[Long]())
-    EsdbWriter.readLogStream(spark, dir.getAbsolutePath)
+    EsdbWriter.readLogStream(spark, dir.getAbsolutePath, parallel = true)
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         widths.add(batch.rdd.getNumPartitions)

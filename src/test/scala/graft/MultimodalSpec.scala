@@ -69,6 +69,21 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException](Multimodal.decodeMedia("not media".getBytes))
     intercept[IllegalArgumentException](
       Multimodal.decodeMedia(Multimodal.encodePpm(4, 4, 9).take(20))) // truncated pixels
+    // a negative RIFF chunk size must throw, not stall the chunk walk
+    // or return negative sample counts
+    val wav = Multimodal.encodeWav(8000, 4, 7)
+    val evil = java.nio.ByteBuffer.wrap(wav.clone()).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    evil.putInt(16, -8) // fmt chunk size field
+    intercept[IllegalArgumentException](Multimodal.decodeWav(evil.array()))
+  }
+
+  test("ppm raster anchors after the header: trailing bytes don't shift pixel decode") {
+    val b = Multimodal.encodePpm(5, 3, 42)
+    val trailing = b :+ '\n'.toByte // P6 tolerates trailing whitespace
+    val (w, h, px) = Multimodal.decodePixels(trailing)
+    assert(w == 5 && h == 3)
+    assert(px.forall(_ == 42.toByte), "pixels must come from the raster, not a shifted window")
+    assert(Multimodal.decodeMedia(trailing).sumValues == 5L * 3 * 3 * 42)
   }
 
   test("synthesized corpus decodes end-to-end; features match construction arithmetic") {
