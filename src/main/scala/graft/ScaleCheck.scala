@@ -75,7 +75,9 @@ object ScaleCheck {
       "corpus_chunk",           // per-partition chunking kernel
       "corpus_shuffle",         // global md5-rank permutation (range sort)
       "corpus_mix",             // hash-threshold scan-stage sampling
-      "corpus_decontaminate")   // shingle-hash broadcast join, text never shuffles
+      "corpus_decontaminate",   // shingle-hash broadcast join, text never shuffles
+      "multimodal_features",    // real container decode kernel, no shuffle
+      "text_redact_pii")        // codegen regex scrub, scan-stage only
 
     // `families=a,b` runs just those rows (adding a new family doesn't
     // require re-measuring the rest of the harness)
