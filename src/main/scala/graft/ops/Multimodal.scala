@@ -107,25 +107,26 @@ object Multimodal {
     buf.array()
   }
 
-  /** WAV: RIFF/WAVE with a PCM `fmt ` chunk and a 16-bit mono `data`
-    * chunk of `n` samples, every sample `s`.
+  /** WAV: RIFF/WAVE with a PCM `fmt ` chunk and a 16-bit `data` chunk
+    * of `n` FRAMES (n × channels interleaved samples), every sample `s`.
     */
-  private[graft] def encodeWav(rate: Int, n: Int, s: Short): Array[Byte] = {
-    val dataSize = n * 2
+  private[graft] def encodeWav(rate: Int, n: Int, s: Short,
+                               channels: Int = 1): Array[Byte] = {
+    val dataSize = n * 2 * channels
     val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
     buf.put("WAVE".getBytes("US-ASCII"))
     buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
-    buf.putShort(1)            // PCM
-    buf.putShort(1)            // mono
+    buf.putShort(1)                      // PCM
+    buf.putShort(channels.toShort)
     buf.putInt(rate)
-    buf.putInt(rate * 2)       // byte rate
-    buf.putShort(2)            // block align
-    buf.putShort(16)           // bits per sample
+    buf.putInt(rate * 2 * channels)      // byte rate
+    buf.putShort((2 * channels).toShort) // block align
+    buf.putShort(16)                     // bits per sample
     buf.put("data".getBytes("US-ASCII")).putInt(dataSize)
     var i = 0
-    while (i < n) { buf.putShort(s); i += 1 }
+    while (i < n * channels) { buf.putShort(s); i += 1 }
     buf.array()
   }
 
@@ -178,7 +179,9 @@ object Multimodal {
     val w = nextInt(); val h = nextInt(); val maxval = nextInt()
     require(w > 0 && h > 0 && maxval == 255, s"unsupported PPM header w=$w h=$h maxval=$maxval")
     pos += 1 // the single whitespace after maxval
-    require(b.length - pos >= w * h * 3, s"PPM truncated: ${b.length - pos} < ${w * h * 3}")
+    // long math: hostile header dims must not wrap the bound check
+    require(b.length.toLong - pos >= w.toLong * h * 3,
+      s"PPM truncated: ${b.length - pos} < ${w.toLong * h * 3}")
     (w, h, pos)
   }
 
@@ -194,11 +197,12 @@ object Multimodal {
     Decoded("ppm", w, h, 3, 0, w.toLong * h * 3, sum)
   }
 
-  /** BMP parser: BITMAPFILEHEADER + BITMAPINFOHEADER, 24bpp
-    * uncompressed; rows are 4-byte aligned, row padding excluded from
-    * the pixel sum.
+  /** BMP header parse shared by [[decodeBmp]] and [[decodePixels]]:
+    * (width, height, dataOffset, topDown, rowSize). 24bpp uncompressed
+    * only; truncation checked in long math so hostile dims can't wrap
+    * the bound.
     */
-  private[graft] def decodeBmp(b: Array[Byte]): Decoded = {
+  private[graft] def bmpHeader(b: Array[Byte]): (Int, Int, Int, Boolean, Int) = {
     val buf = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     val dataOffset = buf.getInt(10)
     val w = buf.getInt(18)
@@ -208,8 +212,17 @@ object Multimodal {
     val compression = buf.getInt(30)
     require(w > 0 && h > 0 && bpp == 24 && compression == 0,
       s"unsupported BMP w=$w h=$hRaw bpp=$bpp compression=$compression")
-    val rowSize = ((w * 3 + 3) / 4) * 4
-    require(b.length >= dataOffset + rowSize * h, "BMP truncated")
+    val rowSize = ((w.toLong * 3 + 3) / 4 * 4)
+    require(dataOffset >= 54 && dataOffset.toLong + rowSize * h <= b.length, "BMP truncated")
+    (w, h, dataOffset, hRaw < 0, rowSize.toInt)
+  }
+
+  /** BMP parser: BITMAPFILEHEADER + BITMAPINFOHEADER, 24bpp
+    * uncompressed; rows are 4-byte aligned, row padding excluded from
+    * the pixel sum.
+    */
+  private[graft] def decodeBmp(b: Array[Byte]): Decoded = {
+    val (w, h, dataOffset, _, rowSize) = bmpHeader(b)
     var sum = 0L
     var r = 0
     while (r < h) {
@@ -221,42 +234,56 @@ object Multimodal {
     Decoded("bmp", w, h, 3, 0, w.toLong * h * 3, sum)
   }
 
-  /** WAV parser: RIFF chunk walk for `fmt ` (must be PCM 16-bit) and
-    * `data`; samples summed as signed 16-bit little-endian.
+  /** RIFF chunk walk: (channels, sampleRate, dataOffset, dataSize).
+    * Shared by [[decodeWav]] and [[frameSample]] so every consumer
+    * agrees on where the PCM body starts (chunks before `data` —
+    * LIST/INFO/fact — are skipped, never windowed as audio). Guards
+    * are overflow-safe (a huge size field must not wrap the
+    * truncation check) and every rejection names the defect.
     */
-  private[graft] def decodeWav(b: Array[Byte]): Decoded = {
+  private[graft] def wavLayout(b: Array[Byte]): (Int, Int, Int, Int) = {
+    require(b.length >= 12 && new String(b, 0, 4, "US-ASCII") == "RIFF" &&
+      new String(b, 8, 4, "US-ASCII") == "WAVE", "not a RIFF/WAVE payload")
     val buf = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    var pos = 12 // past RIFF<size>WAVE
-    var rate = 0; var channels = 0; var bits = 0
-    var nSamples = 0L; var sum = 0L; var sawData = false
+    var pos = 12
+    var rate = 0; var channels = 0
+    var dataOff = -1; var dataSize = 0
     while (pos + 8 <= b.length) {
       val id = new String(b, pos, 4, "US-ASCII")
       val size = buf.getInt(pos + 4)
       val body = pos + 8
-      // a negative size field would stall the walk (pos stops
-      // advancing) or yield negative sample counts — fail loudly
+      // a negative size would stall the walk (pos stops advancing);
+      // long math so a huge positive size cannot wrap the bound check
       require(size >= 0, s"WAV chunk '$id' has negative size $size")
+      require(body.toLong + size <= b.length, s"WAV truncated in chunk '$id'")
       id match {
         case "fmt " =>
+          require(size >= 16, s"WAV fmt chunk too small ($size bytes)")
           val fmt = buf.getShort(body)
           require(fmt == 1, s"unsupported WAV format code $fmt (PCM only)")
           channels = buf.getShort(body + 2)
+          require(channels >= 1, s"WAV has $channels channels")
           rate = buf.getInt(body + 4)
-          bits = buf.getShort(body + 14)
+          val bits = buf.getShort(body + 14)
           require(bits == 16, s"unsupported WAV bit depth $bits")
         case "data" =>
           require(rate > 0, "WAV data chunk before fmt")
-          require(body + size <= b.length, "WAV truncated")
-          var i = body
-          while (i + 1 < body + size) { sum += buf.getShort(i).toLong; i += 2 }
-          nSamples = size / 2
-          sawData = true
+          dataOff = body; dataSize = size
         case _ => () // LIST/INFO/etc: skip
       }
       pos = body + size + (size & 1) // chunks are 2-byte aligned
     }
-    require(sawData, "WAV has no data chunk")
-    Decoded("wav", 0, 0, channels, rate, nSamples, sum)
+    require(dataOff >= 0, "WAV has no data chunk")
+    (channels, rate, dataOff, dataSize)
+  }
+
+  private[graft] def decodeWav(b: Array[Byte]): Decoded = {
+    val (channels, rate, off, dsize) = wavLayout(b)
+    val buf = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var sum = 0L
+    var i = off
+    while (i + 1 < off + dsize) { sum += buf.getShort(i).toLong; i += 2 }
+    Decoded("wav", 0, 0, channels, rate, dsize / 2, sum)
   }
 
   // ------------------------------------------------------------------
@@ -286,7 +313,10 @@ object Multimodal {
           height = if (isImage) Some(d.height) else None,
           channels = d.channels,
           sample_rate = if (isImage) None else Some(d.sampleRate),
-          duration_ms = if (isImage) None else Some(d.nValues * 1000L / d.sampleRate),
+          // nValues counts interleaved samples; duration is FRAMES
+          // (samples per channel) over the rate
+          duration_ms = if (isImage) None
+            else Some(d.nValues / math.max(1, d.channels) * 1000L / d.sampleRate),
           n_values = d.nValues, sum_values = d.sumValues)
       }
     }
@@ -354,25 +384,21 @@ object Multimodal {
       val (w, h, pos) = ppmHeader(b)
       (w, h, java.util.Arrays.copyOfRange(b, pos, pos + w * h * 3))
     } else if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') {
-      val buf = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      val d = decodeBmp(b)
-      val dataOffset = buf.getInt(10)
-      val topDown = buf.getInt(22) < 0
-      val rowSize = ((d.width * 3 + 3) / 4) * 4
-      val out = new Array[Byte](d.width * d.height * 3)
+      val (w, h, dataOffset, topDown, rowSize) = bmpHeader(b)
+      val out = new Array[Byte](w * h * 3)
       var y = 0
-      while (y < d.height) {
-        val srcRow = if (topDown) y else d.height - 1 - y
+      while (y < h) {
+        val srcRow = if (topDown) y else h - 1 - y
         var x = 0
-        while (x < d.width) {
+        while (x < w) {
           val src = dataOffset + srcRow * rowSize + x * 3
-          val dst = (y * d.width + x) * 3
+          val dst = (y * w + x) * 3
           out(dst) = b(src + 2); out(dst + 1) = b(src + 1); out(dst + 2) = b(src) // BGR→RGB
           x += 1
         }
         y += 1
       }
-      (d.width, d.height, out)
+      (w, h, out)
     } else throw new IllegalArgumentException("not a PPM/BMP image payload")
   }
 
@@ -391,17 +417,20 @@ object Multimodal {
     import spark.implicits._
     mf.as[MediaRow].mapPartitions { it =>
       it.flatMap { m =>
-        val (payload, off) =
-          if (m.media.length >= 12 && m.media(0) == 'R' && m.media(1) == 'I' &&
-            new String(m.media, 8, 4, "US-ASCII") == "WAVE")
-            (m.media, 44) // window the PCM data, not the RIFF header
-          else (m.media, 0)
-        val body = payload.length - off
-        val nFrames = math.max(1, body / frameBytes)
+        // WAV: window exactly the PCM body located by the same chunk
+        // walk the decoder uses (a chunk between fmt and data must
+        // never be emitted as audio); anything else: raw byte chunks
+        val (off, limit) =
+          if (m.media.length >= 12 && new String(m.media, 0, 4, "US-ASCII") == "RIFF" &&
+            new String(m.media, 8, 4, "US-ASCII") == "WAVE") {
+            val (_, _, dataOff, dataSize) = wavLayout(m.media)
+            (dataOff, dataOff + dataSize)
+          } else (0, m.media.length)
+        val nFrames = math.max(1, (limit - off) / frameBytes)
         (0 until nFrames by everyN).iterator.map { f =>
           val start = off + f * frameBytes
-          val end = math.min(start + frameBytes, payload.length)
-          FrameRow(m.doc_id, f, java.util.Arrays.copyOfRange(payload, start, end))
+          val end = math.min(start + frameBytes, limit)
+          FrameRow(m.doc_id, f, java.util.Arrays.copyOfRange(m.media, start, end))
         }
       }
     }

@@ -54,6 +54,15 @@ class MultimodalSpec extends SparkSpec {
     val d = Multimodal.decodeMedia(b)
     assert(d.format == "wav" && d.sampleRate == 8000 && d.channels == 1)
     assert(d.nValues == 160L && d.sumValues == -300L * 160)
+    // stereo: nValues counts interleaved samples, duration counts FRAMES
+    val st = Multimodal.decodeMedia(Multimodal.encodeWav(8000, 160, 5, channels = 2))
+    assert(st.channels == 2 && st.nValues == 320L && st.sumValues == 5L * 320)
+    val sf = Multimodal.extractFeatures(spark,
+      spark.createDataset(Seq(Multimodal.MediaRow(1L,
+        Multimodal.encodeWav(8000, 8000, 5, channels = 2), "audio/wav")))(
+        org.apache.spark.sql.Encoders.product[Multimodal.MediaRow])).collect().head
+    assert(sf.duration_ms.contains(1000L),
+      s"stereo 8000 frames at 8 kHz is 1000 ms, got ${sf.duration_ms}")
     // an unknown chunk between fmt and data must be skipped, not choke
     val extra = java.nio.ByteBuffer.allocate(b.length + 12)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -75,6 +84,12 @@ class MultimodalSpec extends SparkSpec {
     val evil = java.nio.ByteBuffer.wrap(wav.clone()).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     evil.putInt(16, -8) // fmt chunk size field
     intercept[IllegalArgumentException](Multimodal.decodeWav(evil.array()))
+    // a huge positive size must not wrap the truncation check into
+    // passing (int overflow) — named error, not IndexOutOfBounds
+    val huge = java.nio.ByteBuffer.wrap(wav.clone()).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    huge.putInt(40, 0x7ffffff0) // data chunk size field
+    val e = intercept[IllegalArgumentException](Multimodal.decodeWav(huge.array()))
+    assert(e.getMessage.contains("truncated"), e.getMessage)
   }
 
   test("ppm raster anchors after the header: trailing bytes don't shift pixel decode") {
@@ -150,6 +165,25 @@ class MultimodalSpec extends SparkSpec {
         assert(b == (if (i % 2 == 0) lo else hi))
       }
     }
+    // a chunk between fmt and data (LIST/INFO) must never be windowed
+    // as audio: frames come from the chunk-walked data body only
+    val plain = Multimodal.encodeWav(8000, 96, 11)
+    val withList = {
+      val buf = java.nio.ByteBuffer.allocate(plain.length + 12)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put(plain, 0, 36)
+      buf.put("LIST".getBytes("US-ASCII")).putInt(4).putInt(0)
+      buf.put(plain, 36, plain.length - 36)
+      buf.array()
+    }
+    val listed = Seq((9L, withList, "audio/wav")).toDF("doc_id", "media", "media_type")
+    val lrows = Multimodal.frameSample(spark, listed, everyN = 1, frameBytes = 32).collect()
+    assert(lrows.nonEmpty)
+    val llo = (11 & 0xff).toByte
+    lrows.foreach(fr => fr.frame.zipWithIndex.foreach { case (b, i) =>
+      assert(b == (if (i % 2 == 0) llo else 0.toByte),
+        "LIST chunk bytes leaked into audio windows")
+    })
   }
 
   test("streaming append sink lands micro-batches as parquet") {
