@@ -128,6 +128,28 @@ class EsdbCatalogSpec extends SparkSpec {
     assert(got.asScala.toSeq.sorted == batchIds && batchIds == (1L to 300L))
   }
 
+  test("read options flow to catalog tables: option(parallel) plans a wide log scan") {
+    root
+    // a multi-file log (append batches land as separate files)
+    def ev(r: Range): DataFrame =
+      r.map(i => (s"s${i % 2}", s"g${i % 5}", (i % 40).toLong * 1000,
+        i.toLong, i / 10.0, s"""{"k": ${i % 3}}"""))
+        .toDF("space", "grouping", "ts_us", "event_id", "value", "payload")
+    val conf = spark.sparkContext.hadoopConfiguration
+    Publish.publish(conf, s"$root/prod/wide") { tmp =>
+      EsdbWriter.writeLog(ev(1 to 300), tmp)
+    }
+    EsdbWriter.appendLog(ev(301 to 600), s"$root/prod/wide")
+    val par = spark.read.option("parallel", "true").table(s"$Cat.prod.wide")
+    val widths = par.select("event_id").queryExecution.toRdd.getNumPartitions
+    assert(widths > 1, s"catalog log table with option(parallel) should plan wide, got $widths")
+    assert(par.select("event_id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().sorted.toSeq == (1L to 600L))
+    // default stays the single global cursor
+    assert(spark.read.table(s"$Cat.prod.wide")
+      .select("event_id").queryExecution.toRdd.getNumPartitions == 1)
+  }
+
   test("DDL surface: CREATE/ALTER rejected with guidance, DROP deletes, rename moves") {
     root
     val e = intercept[Exception](
