@@ -1386,6 +1386,38 @@ object Queries {
               |JOIN qual ON d.doc_id = qual.doc_id
               |ORDER BY d.doc_id""".stripMargin)),
 
+    // the full curation pipeline in one call — clean keep-list, minus
+    // contaminated train docs, split-assigned, per-split totals; the
+    // oracle recomposes every stage as CTEs
+    QuerySpec("corpus_curate_pipeline",
+      (s, d) => graft.ops.Corpus.curatePipeline(Tables.documents(s, d)),
+      Some(s"""WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+              |lang AS (SELECT doc_id FROM (${TextOps.langIdOracleSql.replace("\n", " ")})
+              |         WHERE lang_pred = 'en'),
+              |qual AS (SELECT doc_id FROM (
+              |           SELECT doc_id, least(1000,
+              |             ((length(text) - length(replace(text, 'the', ''))) // 3) * 1000
+              |               // (length(text) - length(replace(text, ' ', '')) + 1)) AS quality_x1000
+              |           FROM documents) q
+              |         WHERE quality_x1000 >= 25),
+              |clean AS (SELECT d.doc_id, length(d.text) AS n_chars FROM documents d
+              |          JOIN keep USING (doc_id) JOIN lang USING (doc_id) JOIN qual USING (doc_id)),
+              |buck AS (SELECT doc_id, text,
+              |           ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS b
+              |         FROM documents),
+              |tok AS (SELECT doc_id, b, string_split(text, ' ') AS ts FROM buck),
+              |sh AS (SELECT DISTINCT doc_id, b, substr(md5(array_to_string(ts[i:i+3], ' ')), 1, 16) AS h
+              |       FROM tok, UNNEST(generate_series(1, len(ts) - 3)) AS u(i)),
+              |contaminated AS (SELECT DISTINCT tr.doc_id
+              |  FROM (SELECT doc_id, h FROM sh WHERE b < 90) tr
+              |  JOIN (SELECT DISTINCT h FROM sh WHERE b >= 95) te USING (h)),
+              |final AS (SELECT c.doc_id, c.n_chars,
+              |    CASE WHEN bk.b < 90 THEN 'train' WHEN bk.b < 95 THEN 'val' ELSE 'test' END AS split
+              |  FROM clean c JOIN buck bk USING (doc_id)
+              |  WHERE c.doc_id NOT IN (SELECT doc_id FROM contaminated))
+              |SELECT split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
+              |FROM final GROUP BY split ORDER BY split""".stripMargin)),
+
     QuerySpec("text_normalize_scrub",
       (s, d) => TextOps.normalizeScrub(Tables.documents(s, d)),
       Some("""SELECT doc_id,

@@ -215,6 +215,28 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** The full curation pipeline, composed end-to-end: quality/language/
+    * dedup keep-list ([[cleanCorpus]]) minus contaminated train docs
+    * ([[decontaminate]]), split-assigned, reported as per-split doc and
+    * char counts — the one-call form of the standard pre-training prep.
+    * Every stage keeps its own scale shape; the composition adds only
+    * keep-list anti-joins (small doc_id sets, broadcastable) — document
+    * text never shuffles anywhere in the pipeline.
+    */
+  def curatePipeline(docs: DataFrame, n: Int = 4, seed: String = "split",
+                     trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+    val kept = cleanCorpus(docs).select("doc_id", "n_chars")
+    val flagged = decontaminate(docs, n, seed, trainPct, valPct).select("doc_id")
+    kept.join(flagged, Seq("doc_id"), "left_anti")
+      .withColumn("bucket", splitBucket(seed))
+      .withColumn("split", when(col("bucket") < trainPct, "train")
+        .when(col("bucket") < trainPct + valPct, "val")
+        .otherwise("test"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").cast("long").as("n_chars"))
+      .orderBy("split")
+  }
+
   def cleanCorpus(docs: DataFrame, lang: String = "en",
                   minQualityX1000: Long = 25L): DataFrame = {
     val keep = Dedup.exact(docs).select(col("keep_doc_id").as("doc_id"))

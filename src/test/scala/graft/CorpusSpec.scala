@@ -101,6 +101,41 @@ class CorpusSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("curatePipeline composes keep-list, decontamination, and splits exactly") {
+    import graft.ops.Corpus
+    // corpus where every stage has work: an exact duplicate pair
+    // (dedup), a train/test doc sharing a 4-gram (decontamination)
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"split:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16) % 100
+    }
+    val trainIds = (1L to 300L).filter(bucket(_) < 90)
+    val testIds = (1L to 300L).filter(bucket(_) >= 95)
+    val secret = "the alpha the beta"
+    val docs = (1L to 300L).map { id =>
+      val text =
+        if (id == trainIds.head || id == testIds.head)
+          s"the quick the lazy the dog over fence $id $secret" // shared 4-gram
+        else if (id == trainIds(1) || id == trainIds(2))
+          "the quick the lazy the dog duplicated exactly"       // exact dup pair
+        else s"the quick the lazy the dog over fence $id"
+      (id, text)
+    }.toDF("doc_id", "text")
+    // the composition must equal its components composed by hand
+    val clean = Corpus.cleanCorpus(docs).select("doc_id").as[Long].collect().toSet
+    val flagged = Corpus.decontaminate(docs, n = 4).select("doc_id").as[Long].collect().toSet
+    assert(flagged.contains(trainIds.head), "planted contamination must flag")
+    assert(clean.contains(trainIds(1)) && !clean.contains(trainIds(2)),
+      "exact dup keeps the smaller doc_id only")
+    val expect = (clean -- flagged).groupBy { id =>
+      if (bucket(id) < 90) "train" else if (bucket(id) < 95) "val" else "test"
+    }.view.mapValues(_.size.toLong).toMap
+    val got = Corpus.curatePipeline(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expect, s"pipeline $got != composed-by-hand $expect")
+  }
+
   test("mixSample: per-source keep rates track the weights; stable under corpus growth") {
     val docs = (1L to 3000L).map(i => (i, s"src${i % 3}", s"d$i"))
       .toDF("doc_id", "source", "text")
