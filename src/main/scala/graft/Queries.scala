@@ -147,6 +147,39 @@ object Queries {
        |          // len(list_distinct(list_concat(a.grams, b.grams))) AS BIGINT) AS jaccard_x1000
        |      FROM g a JOIN g b ON a.doc_id < b.doc_id)""".stripMargin
 
+  /** Shared oracle fragment: two unrolled Lloyd rounds of
+    * [[graft.ops.Embeddings.kmeansAssign]] in DuckDB — floor(x*1e6)
+    * integer vectors, exact Long squared-L2, seed = k smallest
+    * vec_ids, ties to the smallest cluster, centroid = floor(sum/n).
+    * Ends at CTE `a2` (rn = 1 rows are the final assignment).
+    */
+  private def kmeansCtes(k: Int): String =
+    s"""fxv AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS v
+       |  FROM embeddings),
+       |init AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster, v AS c
+       |  FROM (SELECT vec_id, v FROM fxv ORDER BY vec_id LIMIT $k)),
+       |a1 AS (
+       |  SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+       |  FROM (SELECT f.vec_id, i.cluster,
+       |          list_sum(list_transform(range(1,65), j -> (f.v[j]-i.c[j])*(f.v[j]-i.c[j]))) AS dist
+       |        FROM fxv f CROSS JOIN init i)),
+       |cells1 AS (
+       |  SELECT a.cluster, p.pos, f.v[p.pos] AS x
+       |  FROM a1 a JOIN fxv f ON a.vec_id = f.vec_id AND a.rn = 1
+       |  CROSS JOIN (SELECT unnest(range(1,65)) AS pos) p),
+       |cent1 AS (
+       |  SELECT cluster, list(cx ORDER BY pos) AS c
+       |  FROM (SELECT cluster, pos, CAST(floor(CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS cx
+       |        FROM cells1 GROUP BY cluster, pos)
+       |  GROUP BY cluster),
+       |a2 AS (
+       |  SELECT vec_id, cluster, dist, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+       |  FROM (SELECT f.vec_id, i.cluster,
+       |          list_sum(list_transform(range(1,65), j -> (f.v[j]-i.c[j])*(f.v[j]-i.c[j]))) AS dist
+       |        FROM fxv f CROSS JOIN cent1 i))""".stripMargin
+
   private def ngramJaccardOracle(thresholdX1000: Int): String =
     s"""WITH ${ngramJaccardCtes(thresholdX1000)}
        |SELECT a, b, jaccard_x1000 FROM p
@@ -247,6 +280,27 @@ object Queries {
       (s, d) => graft.engine.EsdbWriter.storeStats(s, ensureStore(s, d)),
       Some("""SELECT event_type AS space, count(*) AS n_events,
              |       min(epoch_us(ts)) AS min_ts_us, max(epoch_us(ts)) AS max_ts_us
+             |FROM events GROUP BY space ORDER BY space""".stripMargin)),
+
+    // the same footer-only statistics, but as a PLAIN relational
+    // aggregate over the DSv2 source: SupportsPushDownAggregates
+    // rewrites count/min/max (grouped by space) into EsdbAggScan,
+    // which answers from parquet footers without reading a data page —
+    // at 100 TB a full-store profile costs one footer read per file
+    // (AggPushdownSpec asserts zero rows pulled off parquet)
+    QuerySpec("store_agg_pushdown",
+      (s, d) => {
+        val p = ensureStore(s, d)
+        graft.engine.EsdbWriter.readOrdered(s, p)
+          .groupBy("space")
+          .agg(count(lit(1)).as("n_events"), count(col("value")).as("n_value"),
+            min(col("ts_us")).as("min_ts_us"), max(col("ts_us")).as("max_ts_us"),
+            min(col("event_id")).as("min_event_id"), max(col("event_id")).as("max_event_id"))
+          .orderBy("space")
+      },
+      Some("""SELECT event_type AS space, count(*) AS n_events, count(value) AS n_value,
+             |       min(epoch_us(ts)) AS min_ts_us, max(epoch_us(ts)) AS max_ts_us,
+             |       min(event_id) AS min_event_id, max(event_id) AS max_event_id
              |FROM events GROUP BY space ORDER BY space""".stripMargin)),
 
     // the same scan issued as PURE SQL TEXT through the catalog plugin
@@ -1311,6 +1365,42 @@ object Queries {
              |SELECT label, CAST(pos AS BIGINT) AS pos, count(*) AS n,
              |       CAST(floor(CAST(sum(fx) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS centroid_x1e6
              |FROM cells GROUP BY label, pos ORDER BY label, pos""".stripMargin)),
+
+    // deterministic Lloyd's k-means (k=4, 2 rounds, exact integer math
+    // end to end — ops/Embeddings.kmeansAssign): the oracle unrolls the
+    // same two rounds as CTEs, so the ASSIGNMENT ITSELF hash-matches
+    // bit-for-bit, not just summary statistics. The clustering that
+    // SemDeDup-style curation builds on.
+    QuerySpec("embeddings_kmeans",
+      (s, d) => graft.ops.Embeddings.kmeansAssign(Tables.embeddings(s, d), k = 4, iters = 2),
+      Some(s"""WITH ${kmeansCtes(k = 4)}
+              |SELECT vec_id, cluster, CAST(dist AS BIGINT) AS dist_fx2
+              |FROM a2 WHERE rn = 1 ORDER BY vec_id""".stripMargin)),
+
+    // SemDeDup-shaped semantic near-duplicates: pairs compared only
+    // WITHIN a k-means cluster, cosine >= 2/5 tested in exact rational
+    // arithmetic (dot > 0 and 25*dot^2 >= 4*|a|^2*|b|^2 over
+    // floor(x*1e3) integers) — no sqrt, no float compare, hash-exact
+    QuerySpec("dedup_semantic",
+      (s, d) => graft.ops.Embeddings.semanticNearDups(Tables.embeddings(s, d), k = 4, iters = 2),
+      Some(s"""WITH ${kmeansCtes(k = 4)},
+              |asn AS (SELECT vec_id, cluster FROM a2 WHERE rn = 1),
+              |f3 AS (
+              |  SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
+              |  FROM embeddings),
+              |n3 AS (
+              |  SELECT vec_id, v, CAST(list_sum(list_transform(range(1,65), j -> v[j]*v[j])) AS BIGINT) AS n2
+              |  FROM f3),
+              |prs AS (
+              |  SELECT aa.vec_id AS a, bb.vec_id AS b, ka.cluster,
+              |         CAST(list_sum(list_transform(range(1,65), j -> aa.v[j]*bb.v[j])) AS BIGINT) AS dot,
+              |         aa.n2 AS na2, bb.n2 AS nb2
+              |  FROM asn ka JOIN asn kb ON ka.cluster = kb.cluster AND ka.vec_id < kb.vec_id
+              |  JOIN n3 aa ON aa.vec_id = ka.vec_id
+              |  JOIN n3 bb ON bb.vec_id = kb.vec_id)
+              |SELECT a, b, cluster, dot, na2, nb2 FROM prs
+              |WHERE dot > 0 AND dot*dot*25 >= 4*na2*nb2
+              |ORDER BY a, b""".stripMargin)),
 
     // greedy sequence packing: per-source running token total, seq_id =
     // floor(start_offset / budget) — sources pack independently and in

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Embedding-column maintenance operators for the `embeddings` table
@@ -81,4 +81,143 @@ object Embeddings {
         floor(col("sum_fx").cast("double") / col("n").cast("double"))
           .cast("long").as("centroid_x1e6"))
       .orderBy("label", "pos")
+
+  /** Fixed-point copies of the embedding vectors: element d becomes
+    * floor(x_d * scale) as a Long, so every downstream sum/product is
+    * exact integer arithmetic — order-independent and bit-identical
+    * across engines.
+    */
+  private def fxVectors(emb: DataFrame, scale: Double): Dataset[(Long, Array[Long])] = {
+    val sp = emb.sparkSession
+    import sp.implicits._
+    emb.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        it.map { case (id, v) =>
+          val a = new Array[Long](v.length)
+          var i = 0
+          while (i < v.length) { a(i) = math.floor(v(i).toDouble * scale).toLong; i += 1 }
+          (id, a)
+        }
+      }
+  }
+
+  /** Deterministic Lloyd's k-means over the embedding column, entirely
+    * in exact integer math so a DuckDB oracle hash-matches the
+    * assignment bit-for-bit: vectors quantized to floor(x*1e6) Longs,
+    * squared-L2 distances are exact Long sums (unit-norm 64-dim ⇒
+    * ≤ 2.6e14 « 2^53), centroid update is floor(sum/n) (exact while
+    * the sum < 2^53, same argument as [[labelCentroids]]), seeding is
+    * the k smallest vec_ids, and distance ties break to the smallest
+    * cluster id. Runs a FIXED `iters` Lloyd rounds (no convergence
+    * test), so the oracle can unroll the same rounds as CTEs.
+    *
+    * Shape at 100 TB: per round, assignment is one broadcast-centroid
+    * kernel pass (no shuffle) and the update shuffles k × dims
+    * partially-aggregated cells per task — the classic scalable KMeans
+    * step. Centroids (k × dims Longs) live on the driver between
+    * rounds, which is the nature of Lloyd's: OK for the k ≲ 10^5 of a
+    * SemDeDup/curation run, never proportional to the corpus.
+    *
+    * Returns (vec_id, cluster, dist_fx2) — the final assignment and
+    * its exact squared distance in (1e6 fixed-point)² units.
+    */
+  def kmeansAssign(emb: DataFrame, k: Int = 4, iters: Int = 2): DataFrame = {
+    val sp = emb.sparkSession
+    import sp.implicits._
+    val fx = fxVectors(emb, 1e6)
+    Caches.track(fx.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).toDF())
+
+    // seed: the k lexicographically-smallest vec_ids, cluster id =
+    // rank in that order (k × dims Longs — driver-side by design)
+    var centroids: Array[Array[Long]] =
+      fx.orderBy("_1").limit(k).collect().map(_._2)
+
+    // nearest centroid by exact squared L2; strict < keeps the
+    // smallest cluster id on ties (the oracle's ORDER BY dist, cluster)
+    def bestOf(cents: Array[Array[Long]], v: Array[Long]): (Int, Long) = {
+      var best = 0; var bestDist = Long.MaxValue
+      var c = 0
+      while (c < cents.length) {
+        val cent = cents(c)
+        var d = 0L
+        var i = 0
+        while (i < v.length) { val t = v(i) - cent(i); d += t * t; i += 1 }
+        if (d < bestDist) { bestDist = d; best = c }
+        c += 1
+      }
+      (best, bestDist)
+    }
+
+    var round = 1
+    while (round < iters) {
+      // update: one fused kernel pass assigns AND explodes to
+      // (cluster, pos, x) cells; partial aggregation folds them to
+      // ≤ k×dims rows per task before the one small shuffle
+      val bc = sp.sparkContext.broadcast(centroids)
+      val cells = fx.flatMap { case (_, v) =>
+        val cluster = bestOf(bc.value, v)._1
+        v.iterator.zipWithIndex.map { case (x, pos) => (cluster, pos, x) }
+      }
+        .toDF("cluster", "pos", "x")
+        .groupBy("cluster", "pos")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sum_fx"))
+        .collect()
+      val next = scala.collection.mutable.Map.empty[Int, Array[Long]]
+      cells.foreach { r =>
+        val cl = r.getInt(0)
+        val arr = next.getOrElseUpdate(cl, new Array[Long](centroids(0).length))
+        arr(r.getInt(1)) = math.floor(r.getLong(3).toDouble / r.getLong(2).toDouble).toLong
+      }
+      // empty clusters drop out (their centroid disappears), matching
+      // the oracle's group-by; remap to a dense, id-ordered array? No:
+      // cluster ids must stay stable, so keep a sparse map → ordered seq
+      val kept = next.keys.toSeq.sorted
+      centroids = kept.map(next).toArray
+      // note: if a cluster emptied, ids after it would shift — forbid
+      // silently-wrong ids by keeping position only when dense
+      require(kept == (0 until kept.size), s"k-means cluster ids not dense: $kept")
+      round += 1
+    }
+    val bc = sp.sparkContext.broadcast(centroids)
+    fx.map { case (id, v) =>
+      val (cluster, dist) = bestOf(bc.value, v)
+      (id, cluster.toLong, dist)
+    }
+      .toDF("vec_id", "cluster", "dist_fx2")
+      .orderBy("vec_id")
+  }
+
+  /** SemDeDup-style semantic near-duplicates: k-means-cluster the
+    * embeddings ([[kmeansAssign]]), then compare pairs ONLY within a
+    * cluster, keeping those whose cosine ≥ 2/5. The threshold test is
+    * exact rational arithmetic — dot > 0 ∧ 25·dot² ≥ 4·‖a‖²·‖b‖² over
+    * floor(x*1e3) Longs (unit-norm 64-dim ⇒ every term ≤ 1.6e17 « 2^63)
+    * — so no sqrt ever runs and the oracle hash-matches.
+    *
+    * Shape at 100 TB: clustering bounds the candidate set — pairs form
+    * within a cluster, never across the corpus (the all-pairs
+    * explosion is the reason SemDeDup clusters first; k grows with n
+    * to cap cluster size). The pair dot products are codegen'd
+    * zip_with/aggregate over the integer vectors; the cluster-side
+    * join broadcasts the (vec_id, cluster, v, n2) frame, which is the
+    * per-cluster working set by construction.
+    */
+  def semanticNearDups(emb: DataFrame, k: Int = 4, iters: Int = 2): DataFrame = {
+    val sp = emb.sparkSession
+    import sp.implicits._
+    val asn = kmeansAssign(emb, k, iters).select(col("vec_id"), col("cluster"))
+    val f3 = fxVectors(emb, 1e3).toDF("vec_id", "v")
+      .withColumn("n2",
+        aggregate(zip_with(col("v"), col("v"), (x, y) => x * y), lit(0L), _ + _))
+    val side = asn.join(f3, "vec_id")
+    val l = side.as("l")
+    val r = broadcast(side).as("r")
+    val dot = aggregate(zip_with(col("l.v"), col("r.v"), (x, y) => x * y), lit(0L), _ + _)
+    l.join(r, col("l.cluster") === col("r.cluster") && col("l.vec_id") < col("r.vec_id"))
+      .select(col("l.vec_id").as("a"), col("r.vec_id").as("b"), col("l.cluster").as("cluster"),
+        dot.as("dot"), col("l.n2").as("na2"), col("r.n2").as("nb2"))
+      .where(col("dot") > 0 &&
+        col("dot") * col("dot") * lit(25L) >= lit(4L) * col("na2") * col("nb2"))
+      .orderBy("a", "b")
+  }
 }

@@ -20,6 +20,13 @@ object EsdbMetrics {
 
   final case class Task(override val name: String, override val value: Long)
     extends CustomTaskMetric
+
+  /** Parquet footers opened by footer-only aggregate readers in this
+    * JVM — a local-mode observable: AggPushdownSpec asserts the agg
+    * path touches footers while [[EsdbMergeReader.RowsRead]] stays
+    * flat (no data pages).
+    */
+  val FooterReads = new java.util.concurrent.atomic.AtomicLong()
 }
 
 final class FilesOpenedMetric extends CustomSumMetric {

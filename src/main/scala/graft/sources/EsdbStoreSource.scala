@@ -8,6 +8,7 @@ import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, Transform, SortOrder => VSortOrder}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
@@ -162,7 +163,8 @@ final class EsdbScanBuilder(path: String, tableSchema: StructType)
   with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns
   with SupportsPushDownLimit
-  with SupportsPushDownTopN {
+  with SupportsPushDownTopN
+  with SupportsPushDownAggregates {
 
   private var required: StructType = tableSchema
   private var spaces: Option[Seq[String]] = None // None = all spaces
@@ -272,8 +274,70 @@ final class EsdbScanBuilder(path: String, tableSchema: StructType)
     */
   override def isPartiallyPushed(): Boolean = !spaces.exists(_.size == 1)
 
-  override def build(): Scan =
-    new EsdbScan(path, required, spaces, grouping, groupingNotNull, tsBounds, hints, limit)
+  private var pushedAgg: Option[PushedAggSpec] = None
+
+  /** Footer-only aggregate pushdown (see [[EsdbAggScan]] for the
+    * correctness rules): COUNT(* | col) / MIN / MAX over orderable
+    * stats-exact columns, globally or grouped by `space`. Eligible
+    * only when no row-level pruning state was pushed — a grouping
+    * equality, ts bound, idx hint, or limit filters rows AFTER the
+    * footer counted them, so those scans stay on the row path.
+    */
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (grouping.isDefined || groupingNotNull || tsBounds.isBounded ||
+        hints.nonEmpty || limit.isDefined) return false
+
+    def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] = e match {
+      case nr: org.apache.spark.sql.connector.expressions.NamedReference
+        if nr.fieldNames.length == 1 => Some(nr.fieldNames.head)
+      case _ => None
+    }
+    // parquet footer min/max is exact for these physical types only
+    // (binary stats may be truncated → strings never push)
+    def orderable(name: String): Option[org.apache.spark.sql.types.DataType] =
+      tableSchema.fields.find(_.name == name).map(_.dataType).filter {
+        case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.DoubleType | org.apache.spark.sql.types.FloatType |
+             org.apache.spark.sql.types.BooleanType | org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.DateType => true
+        case _ => false
+      }
+
+    val groupBySpace = agg.groupByExpressions match {
+      case Array() => false
+      case Array(e) if fieldOf(e).contains("space") => true
+      case _ => return false
+    }
+    val funcs = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => PushedAggFunc.CountStarF
+      case c: Count if !c.isDistinct =>
+        fieldOf(c.column).filter(n => tableSchema.fieldNames.contains(n)) match {
+          case Some(n) => PushedAggFunc.CountColF(n)
+          case None => return false
+        }
+      case m: Min =>
+        fieldOf(m.column).flatMap(n => orderable(n).map(dt => PushedAggFunc.MinF(n, dt))) match {
+          case Some(f) => f
+          case None => return false
+        }
+      case m: Max =>
+        fieldOf(m.column).flatMap(n => orderable(n).map(dt => PushedAggFunc.MaxF(n, dt))) match {
+          case Some(f) => f
+          case None => return false
+        }
+      case _ => return false
+    }
+    pushedAgg = Some(PushedAggSpec(groupBySpace, funcs))
+    true
+  }
+
+  override def build(): Scan = pushedAgg match {
+    case Some(spec) =>
+      new EsdbAggScan(path, spaces, spec,
+        new org.apache.spark.util.SerializableConfiguration(EsdbVectorReader.sessionConf()))
+    case None =>
+      new EsdbScan(path, required, spaces, grouping, groupingNotNull, tsBounds, hints, limit)
+  }
 }
 
 /** Timestamp range pushed into the ordered reader (micros, matching the
