@@ -303,6 +303,43 @@ object Queries {
              |       min(event_id) AS min_event_id, max(event_id) AS max_event_id
              |FROM events GROUP BY space ORDER BY space""".stripMargin)),
 
+    // storage-partitioned join: the DSv2 store scan reports
+    // KeyGroupedPartitioning(space) — one input partition per space
+    // directory — so BOTH per-space aggregations run exchange-free on
+    // the layout partitioning, and the join on space co-locates without
+    // a hash shuffle (Spark's SPJ path, v2 bucketing; the grouping-
+    // pinned side may prune whole spaces — pushPartValues re-aligns the
+    // sides). At 100 TB the removed exchanges ARE the query: only
+    // final per-space rows cross the wire for the presentation sort.
+    // PlanSpec asserts zero `Exchange hashpartitioning` in the
+    // executed plan.
+    QuerySpec("store_join_copartitioned",
+      (s, d) => {
+        val p = ensureStore(s, d)
+        val pinned = graft.engine.EsdbWriter.readOrdered(s, p)
+          .filter(col("grouping") === Grouping)
+          .groupBy("space").agg(count(lit(1)).as("n_pinned"))
+        val totals = graft.engine.EsdbWriter.readOrdered(s, p)
+          .groupBy("space")
+          .agg(count(lit(1)).as("n_events"),
+            sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+        totals.join(pinned, Seq("space"), "left")
+          .select(col("space"), col("n_events"), col("sum_cents"),
+            coalesce(col("n_pinned"), lit(0L)).as("n_pinned"))
+          .orderBy("space")
+      },
+      Some(s"""WITH pinned AS (
+              |  SELECT event_type AS space, count(*) AS n_pinned
+              |  FROM events WHERE user_id = $Grouping GROUP BY 1),
+              |totals AS (
+              |  SELECT event_type AS space, count(*) AS n_events,
+              |         CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
+              |  FROM events GROUP BY 1)
+              |SELECT t.space, t.n_events, t.sum_cents,
+              |       COALESCE(p.n_pinned, 0) AS n_pinned
+              |FROM totals t LEFT JOIN pinned p ON t.space = p.space
+              |ORDER BY t.space""".stripMargin)),
+
     // the same scan issued as PURE SQL TEXT through the catalog plugin
     // (EsdbCatalog): the store is a named table, the predicate pushes
     // into the same DSv2 scan, and the injected ElideOrderedScanSort

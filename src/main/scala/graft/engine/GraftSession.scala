@@ -21,6 +21,12 @@ object GraftSession {
       // and without this flag every shuffle over them keeps the static
       // partition count (32 near-empty tasks) instead of coalescing
       spark.conf.set("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      // honor the KeyGroupedPartitioning the esdb store scan reports
+      // (one partition per space): exchange-free groupBy(space) and
+      // storage-partitioned store<->store joins; pushPartValues lets a
+      // join proceed when the two stores hold different space sets
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
     }
     catch { case _: Exception => () } // conf locked down: proceed, reads may still work
     // engine-native functions available on every session the engine

@@ -393,7 +393,7 @@ final class EsdbScan(path: String, required: StructType, spaces: Option[Seq[Stri
                      grouping: Option[String], groupingNotNull: Boolean,
                      tsBounds: TsBounds, hints: Seq[(String, Any)], limit: Option[Int])
   extends Scan with Batch with SupportsReportOrdering with SupportsReportStatistics
-  with SupportsRuntimeFiltering {
+  with SupportsReportPartitioning with SupportsRuntimeFiltering {
 
   override def readSchema(): StructType = required
 
@@ -563,6 +563,24 @@ final class EsdbScan(path: String, required: StructType, spaces: Option[Seq[Stri
         EsdbVectorReader.sessionConf()),
       columnar = columnarEligible)
 
+  /** The store IS key-grouped by `space` — one input partition per
+    * space directory, every row in it carrying that space — so report
+    * [[org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning]]
+    * and let Spark's storage-partitioned-join machinery (v2 bucketing)
+    * drop the Exchange from `groupBy(space)` aggregations and from
+    * store↔store joins keyed on space. This is the DSv2 analog of the
+    * reference holding each space in its own SSTable run (esdb.go:41-60):
+    * work keyed by space is already co-located by layout, and at 100 TB
+    * the shuffle this removes IS the query cost. Reported only while
+    * `space` survives column pruning (partitioning may only reference
+    * output columns).
+    */
+  override def outputPartitioning(): partitioning.Partitioning =
+    if (required.fieldNames.contains("space"))
+      new partitioning.KeyGroupedPartitioning(
+        Array(Expressions.identity("space")), partitions.length)
+    else new partitioning.UnknownPartitioning(partitions.length)
+
   /** Per-partition ordering of the merged stream, truncated to columns
     * that survive pruning (an ordering may only reference output
     * columns).
@@ -595,6 +613,14 @@ object EsdbScan {
   val ListingCount = new java.util.concurrent.atomic.AtomicLong()
 }
 
-/** One space directory: the unit of ordered merge. */
+/** One space directory: the unit of ordered merge. [[HasPartitionKey]]
+  * exposes the space as the partition's key so Spark can group/validate
+  * partitions for storage-partitioned joins and exchange-free
+  * aggregation (every row in the partition carries exactly this space).
+  */
 final case class EsdbInputPartition(space: String, files: Array[String], totalBytes: Long)
-  extends InputPartition
+  extends InputPartition with HasPartitionKey {
+  override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(space)))
+}

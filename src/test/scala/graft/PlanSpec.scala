@@ -116,6 +116,31 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("store scan reports key-grouped partitioning: groupBy(space) plans no hash exchange") {
+    val df = Queries.queries("store_join_copartitioned")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the only allowed exchange is the rangepartitioning of the final
+    // presentation ORDER BY — every per-space aggregation and the join
+    // itself must ride the layout partitioning (one partition per
+    // space directory, reported via KeyGroupedPartitioning)
+    assert(!p.contains("Exchange hashpartitioning"),
+      "store-keyed agg/join must not hash-shuffle\n" + p)
+  }
+
+  test("two scans of a key-grouped store join storage-partitioned under forced SMJ") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = Queries.queries("store_join_copartitioned")(spark, dir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange hashpartitioning"),
+        "SPJ must co-locate the two store scans without a shuffle\n" + p)
+      assert(p.contains("SortMergeJoin"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("json_attr is a codegen expression inside the index-scan stage") {
     assert(!classOf[org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback]
       .isAssignableFrom(classOf[graft.functions.JsonAttr]))

@@ -24,6 +24,8 @@ object SparkSpec {
       .appName("graft-test")
       .config("spark.sql.warehouse.dir", warehouse)
       .config("spark.sql.extensions", "graft.engine.GraftExtensions")
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
