@@ -36,6 +36,78 @@ object EsdbWriter {
   val LogManifest = "_MANIFEST.log"
   val TsRangeManifest = "_MANIFEST.tsrange"
   val SubpartsMarker = "_SUBPARTS"
+  val SchemaManifest = "_MANIFEST.schema"
+
+  /** Schema evolution, additive-only: union by NAME; a same-named
+    * column must keep its type (a type change would silently corrupt
+    * every already-written file — refuse loudly), new columns append
+    * and read as null from files written before them (both merge
+    * readers and Spark's parquet reader fill absent columns).
+    */
+  def unionSchemas(base: org.apache.spark.sql.types.StructType,
+                   add: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType = {
+    val baseNames = base.fieldNames.toSet
+    val merged = base.map { f =>
+      add.find(_.name == f.name) match {
+        case Some(g) if g.dataType != f.dataType =>
+          throw new IllegalStateException(
+            s"schema evolution conflict on column '${f.name}': stored " +
+              s"${f.dataType.simpleString} vs batch ${g.dataType.simpleString} — " +
+              "adding columns is supported, changing a column's type is not")
+        case Some(g) => f.copy(nullable = f.nullable || g.nullable)
+        case None => f
+      }
+    }
+    org.apache.spark.sql.types.StructType(
+      merged ++ add.filterNot(f => baseNames.contains(f.name)))
+  }
+
+  /** Write-time schema sidecar: ONE small object holds the store's
+    * merged logical schema, so table load costs one read instead of a
+    * footer sweep (at 100 TB, "what columns does this store have" must
+    * not be a job over 100k file footers). Created at write(), unioned
+    * on every append; legacy stores without one fall back to Spark's
+    * `mergeSchema` footer inference — correct, just not O(1).
+    */
+  def writeSchemaManifest(conf: org.apache.hadoop.conf.Configuration, root: String,
+                          schema: org.apache.spark.sql.types.StructType): Unit = {
+    val p = new org.apache.hadoop.fs.Path(root, SchemaManifest)
+    // every column is nullable AS STORED: files written before a column
+    // was added (or by a batch that omitted it) read null for it — a
+    // non-nullable field in a read schema makes codegen skip the null
+    // check and surface garbage instead (0.0 where null belongs)
+    val nullable = org.apache.spark.sql.types.StructType(
+      schema.map(_.copy(nullable = true)))
+    val out = p.getFileSystem(conf).create(p, true)
+    try out.write(nullable.json.getBytes("UTF-8")) finally out.close()
+  }
+
+  def schemaManifest(conf: org.apache.hadoop.conf.Configuration,
+                     root: String): Option[org.apache.spark.sql.types.StructType] = {
+    val p = new org.apache.hadoop.fs.Path(root, SchemaManifest)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val bytes =
+        try {
+          val buf = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 8192, false)
+          buf.toByteArray
+        } finally in.close()
+      Some(org.apache.spark.sql.types.DataType.fromJson(new String(bytes, "UTF-8"))
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    }
+  }
+
+  /** Extend an existing sidecar with an appended batch's columns; a
+    * legacy store without a sidecar stays on merged-footer inference
+    * (writing just the batch schema would under-report the store).
+    */
+  def mergeSchemaManifest(conf: org.apache.hadoop.conf.Configuration, root: String,
+                          batch: org.apache.spark.sql.types.StructType): Unit =
+    schemaManifest(conf, root).foreach(base =>
+      writeSchemaManifest(conf, root, unionSchemas(base, batch)))
 
   /** The one place the store's physical order is decided: repartition
     * to the layout's write tasks and sort each task (space[, bucket],
@@ -149,6 +221,7 @@ object EsdbWriter {
     }
     writeGroupingsManifest(ev.sparkSession, path, SaveMode.Overwrite)
     refreshTsRangeManifest(ev.sparkSession, path)
+    writeSchemaManifest(hconf(ev.sparkSession), path, indexed.schema)
   }
 
   /** Hadoop conf for path resolution (object-store creds etc. travel
@@ -182,9 +255,12 @@ object EsdbWriter {
     val subparts = subpartsOf(hconf(spark), src)
     Publish.publish(hconf(spark), path, keepVersions) { tmp =>
       // full-width read (not [[read]], which projects the canonical +
-      // idx_* columns): compaction must preserve every stored column;
+      // idx_* columns): compaction must preserve every stored column —
+      // mergeSchema, because files written before a column was added
+      // don't carry it and single-footer inference could DROP it here;
       // `bucket` is dropped because write() re-derives it
-      val full = spark.read.option("basePath", src).parquet(src)
+      val full = spark.read.option("mergeSchema", "true")
+        .option("basePath", src).parquet(src)
       write(if (full.columns.contains("bucket")) full.drop("bucket") else full,
         tmp, subparts = subparts)
     }: Unit
@@ -229,10 +305,14 @@ object EsdbWriter {
       // 1. the fragmented spaces go through the standard write path:
       //    merge width back to one file per space/bucket, blooms and
       //    manifests rebuilt for exactly these spaces
-      val fragDf = spark.read.option("basePath", src)
+      val fragDf = spark.read.option("mergeSchema", "true").option("basePath", src)
         .parquet(frag.map(_.getPath.toString): _*)
       write(if (fragDf.columns.contains("bucket")) fragDf.drop("bucket") else fragDf,
         tmp, subparts = subparts)
+      // the rewrite's sidecar covers only the fragmented spaces'
+      // columns — fold the previous version's sidecar in so columns
+      // living only in carried spaces stay declared
+      schemaManifest(conf, src).foreach(old => mergeSchemaManifest(conf, tmp, old))
       // 2. carry compact spaces verbatim (recursive copy, bucket dirs
       //    included; on object stores this is a metadata-priced COPY)
       val tmpPath = new org.apache.hadoop.fs.Path(tmp)
@@ -299,6 +379,10 @@ object EsdbWriter {
     val indexed = indexAttrs.foldLeft(ev) { (df, name) =>
       df.withColumn(s"idx_$name", EventFrame.attr(name))
     }
+    // validate schema evolution BEFORE any data lands: a type-changing
+    // batch must refuse outright, not fail after writing its files
+    val evolved = schemaManifest(hconf(ev.sparkSession), root)
+      .map(base => unionSchemas(base, indexed.schema))
     // the store's creation-time subpartitioning is authoritative: a
     // grouping's events must land in the same bucket every append
     val subparts = subpartsOf(hconf(ev.sparkSession), root)
@@ -315,6 +399,7 @@ object EsdbWriter {
       .write.mode(SaveMode.Append).parquet(s"$root/$GroupingsManifest")
     refreshTsRangeManifest(ev.sparkSession, path,
       Some(ev.select("space").distinct().collect().map(_.getString(0)).toSet))
+    evolved.foreach(s => writeSchemaManifest(hconf(ev.sparkSession), root, s))
   }
 
   /** Seal: reference `Close()` writes the tails SSTable + footer magic
@@ -425,6 +510,7 @@ object EsdbWriter {
       .sortWithinPartitions(col("event_id"))
       .write.mode(SaveMode.ErrorIfExists).parquet(path)
     refreshLogManifest(ev.sparkSession, path)
+    writeSchemaManifest(hconf(ev.sparkSession), path, ev.schema)
   }
 
   /** Append a batch to an open log store (reference append,
@@ -435,10 +521,14 @@ object EsdbWriter {
   def appendLog(ev: DataFrame, path: String): Unit = {
     require(!isSealed(path), s"stream at $path is closed (reference: closed_stream.go:48-50)")
     val root = dataRoot(ev.sparkSession, path)
+    // validate evolution before data lands (type changes refuse here)
+    val evolved = schemaManifest(hconf(ev.sparkSession), root)
+      .map(base => unionSchemas(base, ev.schema))
     ev.repartitionByRange(col("event_id"))
       .sortWithinPartitions(col("event_id"))
       .write.mode(SaveMode.Append).parquet(root)
     refreshLogManifest(ev.sparkSession, path)
+    evolved.foreach(s => writeSchemaManifest(hconf(ev.sparkSession), root, s))
   }
 
   /** Append ONE streaming micro-batch to an open log store, exactly
@@ -467,6 +557,9 @@ object EsdbWriter {
     val fs = root.getFileSystem(conf)
     fs.mkdirs(root)
     if (LogCommits.committedEpochs(fs, root).contains(epochId)) return
+    // validate evolution before data lands (type changes refuse here)
+    val evolved = schemaManifest(conf, root.toString)
+      .map(base => unionSchemas(base, batch.schema))
     // a crashed attempt's files are invisible (no marker) — sweep them
     // so the rewrite below cannot double-count
     fs.listStatus(root).foreach { f =>
@@ -495,6 +588,7 @@ object EsdbWriter {
     fs.delete(stage, true)
     commitEpochMarker(fs, conf, root, epochId, names)
     refreshLogManifest(spark, path)
+    evolved.foreach(s => writeSchemaManifest(conf, root.toString, s))
   }
 
   /** The commit point of one streaming epoch: one marker object,
@@ -585,11 +679,13 @@ object EsdbWriter {
       if (fs.exists(d)) fs.listStatus(d).toSeq.filter(_.isFile).map(_.getPath) else Seq.empty
     }
     Publish.publish(conf, path, keepVersions) { tmp =>
-      spark.read.parquet(visible: _*)
+      val full = spark.read.option("mergeSchema", "true").parquet(visible: _*)
+      full
         .repartitionByRange(math.max(1, numFiles), col("event_id"))
         .sortWithinPartitions(col("event_id"))
         .write.parquet(tmp)
       refreshLogManifest(spark, tmp)
+      writeSchemaManifest(conf, tmp, full.schema)
       if (markers.nonEmpty) {
         val dst = new org.apache.hadoop.fs.Path(tmp, LogCommits.Dir)
         fs.mkdirs(dst)
@@ -885,9 +981,18 @@ object EsdbWriter {
   def read(spark: SparkSession, path: String): DataFrame = {
     GraftSession.tune(spark)
     val root = dataRoot(spark, path)
-    val df = spark.read.option("basePath", root).parquet(root)
-    val idxCols = df.columns.filter(_.startsWith("idx_")).toSeq
-    df.select(("space" +: "grouping" +: "ts_us" +: "event_id" +: "value" +: "payload" +: idxCols)
-      .map(col): _*)
+    // evolved stores: the schema sidecar is authoritative (one read);
+    // without one, mergeSchema — plain inference picks ONE footer and
+    // races between pre- and post-evolution files
+    val df = schemaManifest(hconf(spark), root) match {
+      case Some(s) => spark.read.schema(s).option("basePath", root).parquet(root)
+      case None =>
+        spark.read.option("mergeSchema", "true").option("basePath", root).parquet(root)
+    }
+    // canonical columns lead; every other LOGICAL column (idx_*,
+    // evolution-added) follows — only the bucket layout dir is hidden
+    val lead = Seq("space", "grouping", "ts_us", "event_id", "value", "payload")
+    val rest = df.columns.filterNot(c => lead.contains(c) || c == "bucket").toSeq
+    df.select((lead ++ rest).map(col): _*)
   }
 }

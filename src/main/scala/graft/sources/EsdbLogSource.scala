@@ -71,9 +71,16 @@ class EsdbLogSource extends TableProvider with DataSourceRegister {
 }
 
 object EsdbLogSource {
-  /** Spark's own parquet inference, canonical columns first. */
+  /** The write-time schema sidecar when present (one small read; kept
+    * unioned across appends/epochs), else Spark's mergeSchema footer
+    * inference — single-footer inference would race between pre- and
+    * post-evolution files. Canonical columns first either way.
+    */
   def canonicalSchema(path: String): StructType = {
-    val raw = SparkSession.active.read.parquet(path).schema
+    val spark = SparkSession.active
+    val raw = graft.engine.EsdbWriter
+      .schemaManifest(spark.sparkContext.hadoopConfiguration, path)
+      .getOrElse(spark.read.option("mergeSchema", "true").parquet(path).schema)
     val lead = Seq("space", "grouping", "ts_us", "event_id", "value", "payload")
       .flatMap(n => raw.fields.find(_.name == n))
     val rest = raw.fields.filterNot(f => lead.exists(_.name == f.name))

@@ -98,9 +98,17 @@ object EsdbStoreSource {
   def canonicalSchema(path: String): StructType = {
     // `bucket` is the hot-space subpartition dir, an implementation
     // detail of the layout (like the reference's block boundaries) —
-    // never a queryable column
-    val raw = StructType(SparkSession.active.read.option("basePath", path).parquet(path)
-      .schema.filterNot(_.name == "bucket"))
+    // never a queryable column.
+    // Schema evolution: the write-time sidecar holds the store's merged
+    // logical schema (one small read); a legacy store without one pays
+    // a mergeSchema footer sweep — single-footer inference would race
+    // between pre- and post-evolution files and silently drop columns
+    val spark = SparkSession.active
+    val inferred = graft.engine.EsdbWriter
+      .schemaManifest(spark.sparkContext.hadoopConfiguration, path)
+      .getOrElse(spark.read.option("mergeSchema", "true")
+        .option("basePath", path).parquet(path).schema)
+    val raw = StructType(inferred.filterNot(_.name == "bucket"))
     val lead = Seq("space", "grouping", "ts_us", "event_id", "value", "payload")
       .flatMap(n => raw.fields.find(_.name == n))
     val rest = raw.fields.filterNot(f => lead.exists(_.name == f.name))

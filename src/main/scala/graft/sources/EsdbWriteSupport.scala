@@ -136,6 +136,11 @@ final class EsdbLogStreamingWrite(logicalPath: String, schema: StructType)
     }
     graft.engine.EsdbWriter.commitStreamEpoch(
       SparkSession.active, logicalPath, epochId, names)
+    // keep the schema sidecar in step with evolving streamed batches
+    // (additive columns; type changes refuse at unionSchemas)
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    graft.engine.EsdbWriter.mergeSchemaManifest(
+      conf, graft.engine.Publish.resolve(conf, logicalPath), schema)
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {

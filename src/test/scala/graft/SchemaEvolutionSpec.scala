@@ -1,0 +1,155 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.engine.{EsdbWriter, EventStore}
+
+/** Additive schema evolution: stores live for years and events gain
+  * fields. An appended batch may carry NEW columns; every read path
+  * (DSv2 ordered scan, vanilla parquet read, log scan) must see the
+  * union schema, with pre-evolution rows reading null — consistently,
+  * not depending on which file inference happened to sample. The
+  * write-time `_MANIFEST.schema` sidecar makes "what columns does this
+  * store have" one small read instead of a 100k-footer sweep; legacy
+  * stores without one fall back to mergeSchema inference. Type CHANGES
+  * refuse before any data lands.
+  */
+class SchemaEvolutionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix).toFile
+    dir.delete()
+    dir.getAbsolutePath
+  }
+
+  private def base(ids: Range): DataFrame =
+    ids.map(i => (s"s${i % 2}", s"g${i % 3}", i.toLong * 1000, i.toLong, i / 10.0, "{}"))
+      .toDF("space", "grouping", "ts_us", "event_id", "value", "payload")
+
+  private def withScore(ids: Range): DataFrame =
+    ids.map(i => (s"s${i % 2}", s"g${i % 3}", i.toLong * 1000, i.toLong, i / 10.0, "{}",
+        i * 2.5))
+      .toDF("space", "grouping", "ts_us", "event_id", "value", "payload", "score")
+
+  test("store append with a new column: every read path sees the union, old rows null") {
+    val p = tmp("evostore")
+    EsdbWriter.write(base(1 to 40), p)
+    EsdbWriter.append(withScore(41 to 80), p)
+
+    // sidecar records the union
+    val conf = spark.sparkContext.hadoopConfiguration
+    val side = EsdbWriter.schemaManifest(conf, p)
+    assert(side.exists(_.fieldNames.contains("score")), side.toString)
+
+    // DSv2 ordered scan
+    val dsv2 = EsdbWriter.readOrdered(spark, p)
+    assert(dsv2.columns.contains("score"))
+    val got = dsv2.select("event_id", "score").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got(10L).isEmpty, "pre-evolution row must read null")
+    assert(got(50L).contains(125.0))
+    assert(got.size == 80)
+
+    // vanilla parquet read path
+    val vanilla = EsdbWriter.read(spark, p)
+    assert(vanilla.columns.contains("score"))
+    assert(vanilla.where(col("score").isNull).count() == 40)
+    assert(vanilla.where(col("score") === 125.0).count() == 1)
+
+    // ordered scan with a pinned grouping still merges correctly
+    val pinned = EventStore.scan(dsv2, "s0", "g0")
+    assert(pinned.columns.contains("score"))
+    assert(pinned.count() > 0)
+  }
+
+  test("legacy store without a sidecar still sees the union via mergeSchema inference") {
+    val p = tmp("evolegacy")
+    EsdbWriter.write(base(1 to 40), p)
+    EsdbWriter.append(withScore(41 to 80), p)
+    // simulate a store created before the sidecar existed
+    val fs = new org.apache.hadoop.fs.Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(p, EsdbWriter.SchemaManifest), false)
+
+    assert(EsdbWriter.readOrdered(spark, p).columns.contains("score"))
+    assert(EsdbWriter.read(spark, p).columns.contains("score"))
+  }
+
+  test("a type-changing append refuses before any data lands") {
+    val p = tmp("evoconflict")
+    EsdbWriter.write(base(1 to 20), p)
+    val filesBefore = EsdbWriter.read(spark, p).inputFiles.sorted.toSeq
+    val bad = (21 to 30)
+      .map(i => (s"s${i % 2}", s"g${i % 3}", i.toLong * 1000, i.toLong, s"oops-$i", "{}"))
+      .toDF("space", "grouping", "ts_us", "event_id", "value", "payload")
+    val e = intercept[IllegalStateException] { EsdbWriter.append(bad, p) }
+    assert(e.getMessage.contains("value"), e.getMessage)
+    assert(EsdbWriter.read(spark, p).inputFiles.sorted.toSeq == filesBefore,
+      "refused append must not have written data files")
+  }
+
+  test("full compaction preserves evolved columns and rebuilds the sidecar") {
+    val p = tmp("evocompact")
+    EsdbWriter.write(base(1 to 40), p)
+    EsdbWriter.append(withScore(41 to 80), p)
+    EsdbWriter.compact(spark, p)
+    val df = EsdbWriter.readOrdered(spark, p)
+    assert(df.columns.contains("score"))
+    assert(df.where(col("score").isNull).count() == 40)
+    assert(df.where(col("score") === 125.0).count() == 1)
+    assert(EsdbWriter.schemaManifest(spark.sparkContext.hadoopConfiguration,
+      EsdbWriter.dataRoot(spark, p)).exists(_.fieldNames.contains("score")))
+  }
+
+  test("incremental compaction keeps columns living only in carried spaces declared") {
+    val p = tmp("evoincr")
+    // one space fragmented WITHOUT the new column; the evolved batch
+    // lands only in the carried (compact) space — the rewrite must not
+    // lose `score` from the sidecar
+    val old = (1 to 40)
+      .map(i => ("hot", s"g${i % 3}", i.toLong * 1000, i.toLong, i / 10.0, "{}"))
+      .toDF("space", "grouping", "ts_us", "event_id", "value", "payload")
+    EsdbWriter.write(old, p)
+    (1 to 5).foreach { b =>
+      val more = (b * 100 to b * 100 + 9)
+        .map(i => ("hot", s"g${i % 3}", i.toLong * 1000, i.toLong, i / 10.0, "{}"))
+        .toDF("space", "grouping", "ts_us", "event_id", "value", "payload")
+      EsdbWriter.append(more, p)
+    }
+    val cold = (1000 to 1009)
+      .map(i => ("cold", s"g${i % 3}", i.toLong * 1000, i.toLong, i / 10.0, "{}", i * 1.5))
+      .toDF("space", "grouping", "ts_us", "event_id", "value", "payload", "score")
+    EsdbWriter.append(cold, p)
+    assert(EsdbWriter.compactIncremental(spark, p, maxFilesPerSpace = 3))
+    val df = EsdbWriter.readOrdered(spark, p)
+    assert(df.columns.contains("score"), df.columns.mkString(","))
+    assert(df.where(col("space") === "cold" && col("score").isNotNull).count() == 10)
+  }
+
+  test("log append with a new column: merged scan, nulls for old rows, compactLog keeps it") {
+    val p = tmp("evolog")
+    EsdbWriter.writeLog(base(1 to 40), p)
+    EsdbWriter.appendLog(withScore(41 to 80), p)
+    val df = EsdbWriter.readLog(spark, p)
+    assert(df.columns.contains("score"))
+    assert(df.where(col("score").isNull).count() == 40)
+    assert(df.select("event_id").as[Long].collect().toSeq == (1L to 80L),
+      "log merge order must survive evolution")
+    EsdbWriter.compactLog(spark, p)
+    val df2 = EsdbWriter.readLog(spark, p)
+    assert(df2.columns.contains("score"))
+    assert(df2.where(col("score") === 125.0).count() == 1)
+  }
+
+  test("subpartitioned store evolution: sidecar-typed read survives bucket dirs") {
+    val p = tmp("evosub")
+    EsdbWriter.write(base(1 to 40), p, subparts = 4)
+    EsdbWriter.append(withScore(41 to 80), p)
+    val df = EsdbWriter.read(spark, p)
+    assert(df.columns.contains("score"))
+    assert(df.count() == 80)
+    val dsv2 = EsdbWriter.readOrdered(spark, p)
+    assert(dsv2.where(col("score").isNotNull).count() == 40)
+  }
+}
