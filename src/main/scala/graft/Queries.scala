@@ -115,6 +115,25 @@ object Queries {
     p
   }
 
+  /** Store with grouping [[Grouping]] DELETED (GDPR scrub fixture):
+    * built once per sfDir, the delete applied once — idempotent because
+    * the post-delete manifest no longer lists the grouping.
+    */
+  private def ensureDeletedStore(s: SparkSession, dir: String): String = synchronized {
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft-delstore/$key"
+    val conf = s.sparkContext.hadoopConfiguration
+    if (graft.engine.Publish.currentVersion(conf, p).isEmpty) {
+      graft.engine.Publish.publish(conf, p) { tmp =>
+        graft.engine.EsdbWriter.write(ev(s, dir), tmp)
+      }: Unit
+    }
+    if (graft.engine.EsdbWriter.manifestGroupings(s, p)
+        .exists(_.filter(col("grouping") === Grouping).count() > 0))
+      graft.engine.EsdbWriter.delete(s, p, groupings = Some(Set(Grouping)))
+    p
+  }
+
   /** Write the canonical event frame as an esdb store once, committed
     * through the [[graft.engine.Publish]] version pointer — a crashed
     * build leaves no pointer, so a half-written fixture is never read.
@@ -339,6 +358,28 @@ object Queries {
               |       COALESCE(p.n_pinned, 0) AS n_pinned
               |FROM totals t LEFT JOIN pinned p ON t.space = p.space
               |ORDER BY t.space""".stripMargin)),
+
+    // GDPR scrub as a first-class engine operation: a grouping (user)
+    // deleted from the store via the manifest-targeted rewrite
+    // (EsdbWriter.delete — only spaces/buckets PROVEN to hold the
+    // grouping rewrite; the rest is metadata copies), then the whole
+    // store re-aggregated — the oracle recomputes from raw events
+    // minus the user, proving the delete exact and nothing else lost
+    QuerySpec("store_delete_grouping",
+      (s, d) => {
+        val p = ensureDeletedStore(s, d)
+        graft.engine.EsdbWriter.readOrdered(s, p)
+          .groupBy("space")
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct(col("grouping")).as("n_groupings"),
+            sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+          .orderBy("space")
+      },
+      Some(s"""SELECT event_type AS space, count(*) AS n_events,
+              |       count(DISTINCT CAST(user_id AS VARCHAR)) AS n_groupings,
+              |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
+              |FROM events WHERE user_id <> $Grouping
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // the same scan issued as PURE SQL TEXT through the catalog plugin
     // (EsdbCatalog): the store is a named table, the predicate pushes

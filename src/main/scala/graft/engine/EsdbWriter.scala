@@ -219,8 +219,19 @@ object EsdbWriter {
       val out = m.getFileSystem(hconf(ev.sparkSession)).create(m, true)
       try out.write(subparts.toString.getBytes("UTF-8")) finally out.close()
     }
-    writeGroupingsManifest(ev.sparkSession, path, SaveMode.Overwrite)
-    refreshTsRangeManifest(ev.sparkSession, path)
+    // an empty frame writes no space dirs — manifests have nothing to
+    // index (read-back would fail schema inference); the schema sidecar
+    // below still records the store's logical schema
+    val anySpace = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(hconf(ev.sparkSession))
+      fs.exists(p) && fs.listStatus(p).exists(s =>
+        s.isDirectory && s.getPath.getName.startsWith("space="))
+    }
+    if (anySpace) {
+      writeGroupingsManifest(ev.sparkSession, path, SaveMode.Overwrite)
+      refreshTsRangeManifest(ev.sparkSession, path)
+    }
     writeSchemaManifest(hconf(ev.sparkSession), path, indexed.schema)
   }
 
@@ -343,6 +354,157 @@ object EsdbWriter {
       }
     }: Unit
     true
+  }
+
+  /** Row-level delete (GDPR scrub / retention): remove whole spaces
+    * and/or specific groupings, committed as a NEW version via the
+    * [[Publish]] pointer — readers keep their snapshot; the erasure
+    * completes when retention/vacuum sweeps the old versions.
+    *
+    * Delete cost tracks the DOOMED DATA's locations, not store size:
+    * the groupings manifest proves which spaces hold a doomed grouping
+    * (the reference's key-index lookup, esdb.go:63-76) — every other
+    * space is carried verbatim (a metadata-priced COPY on object
+    * stores); within a subpartitioned hit space, only the grouping's
+    * hash bucket rewrites (files in other buckets CANNOT hold it).
+    * Deleting one user from a 100 TB store touches exactly the
+    * spaces×(1/subparts) that user's events live in.
+    */
+  def delete(spark: SparkSession, path: String,
+             spaces: Option[Set[String]] = None,
+             groupings: Option[Set[String]] = None,
+             keepVersions: Int = 1): Unit = {
+    require(!isSealed(path), s"store at $path is sealed (immutable; no deletes)")
+    require(spaces.isDefined || groupings.isDefined,
+      "unbounded delete: use truncate() to empty a store")
+    // a contradictory predicate (space='a' AND space='b') deletes nothing
+    if (spaces.exists(_.isEmpty) || groupings.exists(_.isEmpty)) return
+    GraftSession.tune(spark)
+    val conf = hconf(spark)
+    val src = dataRoot(spark, path)
+    val srcPath = new org.apache.hadoop.fs.Path(src)
+    val fs = srcPath.getFileSystem(conf)
+    val subparts = subpartsOf(conf, src)
+    def spaceName(d: org.apache.hadoop.fs.FileStatus): String =
+      graft.sources.EsdbStoreSource.unescapePathName(d.getPath.getName.drop("space=".length))
+    val spaceDirs = fs.listStatus(srcPath).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("space="))
+    val inScope: Set[String] = spaces.getOrElse(spaceDirs.map(spaceName).toSet)
+    // manifest-driven targeting: only spaces PROVEN to hold a doomed
+    // grouping are rewritten; a store without a manifest conservatively
+    // rewrites every in-scope space
+    val affected: Set[String] = groupings match {
+      case None => inScope
+      case Some(gs) =>
+        manifestGroupings(spark, path) match {
+          case Some(m) =>
+            m.filter(col("grouping").isin(gs.toSeq: _*))
+              .select("space").distinct().collect().map(_.getString(0)).toSet
+              .intersect(inScope)
+          case None => inScope
+        }
+    }
+    if (affected.isEmpty) return // the manifest proved the delete a no-op
+    Publish.publish(conf, path, keepVersions) { tmp =>
+      val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+      val (hit, carry) = spaceDirs.partition(d => affected.contains(spaceName(d)))
+      val gs = groupings.map(_.toSeq).getOrElse(Nil)
+      val wantedBuckets: Option[Set[Int]] =
+        if (groupings.isDefined && subparts > 1) Some(gs.map(bucketOf(_, subparts)).toSet)
+        else None
+      // within hit spaces, files in a bucket no doomed grouping hashes
+      // to are carried, not rewritten
+      val hitFiles =
+        if (groupings.isDefined) hit.flatMap(d => relativeDataFiles(fs, d.getPath)) else Nil
+      val (rw, carryWithin) = hitFiles.partition { case (rel, _) =>
+        wantedBuckets.forall(bs =>
+          !rel.contains("/bucket=") || bs.exists(b => rel.contains(s"/bucket=$b/")))
+      }
+      if (groupings.isDefined && rw.nonEmpty) {
+        val df = spark.read.option("mergeSchema", "true").option("basePath", src)
+          .parquet(rw.map(_._2.getPath.toString): _*)
+        val kept = df.filter(!col("grouping").isin(gs: _*) || col("grouping").isNull)
+        write(if (kept.columns.contains("bucket")) kept.drop("bucket") else kept,
+          tmp, subparts = subparts)
+      } else {
+        fs.mkdirs(tmpPath)
+        val m = new org.apache.hadoop.fs.Path(srcPath, SubpartsMarker)
+        if (fs.exists(m))
+          org.apache.hadoop.fs.FileUtil.copy(fs, m, fs,
+            new org.apache.hadoop.fs.Path(tmpPath, SubpartsMarker), false, conf): Unit
+      }
+      carry.foreach { d =>
+        org.apache.hadoop.fs.FileUtil.copy(fs, d.getPath, fs,
+          new org.apache.hadoop.fs.Path(tmpPath, d.getPath.getName), false, conf): Unit
+      }
+      carryWithin.foreach { case (rel, f) =>
+        val dst = new org.apache.hadoop.fs.Path(tmpPath, rel)
+        fs.mkdirs(dst.getParent)
+        org.apache.hadoop.fs.FileUtil.copy(fs, f.getPath, fs, dst, false, conf): Unit
+      }
+      // groupings manifest: the rewrite's manifest covers surviving
+      // rewritten rows; fold in carried rows — none can be doomed (a
+      // carried space holds no doomed grouping by the manifest proof; a
+      // carried bucket is one no doomed grouping hashes to)
+      val oldManifest = new org.apache.hadoop.fs.Path(srcPath, GroupingsManifest)
+      if (fs.exists(oldManifest)) {
+        val m = spark.read.parquet(s"$src/$GroupingsManifest").distinct()
+        val keepCarried = m.filter(!col("space").isin(affected.toSeq: _*))
+        val keepWithin = wantedBuckets match {
+          case Some(bs) =>
+            m.filter(col("space").isin(affected.toSeq: _*) &&
+              !pmod(xxhash64(col("grouping")), lit(subparts.toLong))
+                .isin(bs.toSeq.map(_.toLong): _*))
+          case None => m.limit(0)
+        }
+        keepCarried.union(keepWithin)
+          .write.mode(SaveMode.Append).parquet(s"$tmp/$GroupingsManifest")
+      }
+      // ts-range rows for carried files (their names are preserved by
+      // the copy); stale rows for rewritten files are never looked up
+      val oldTs = new org.apache.hadoop.fs.Path(srcPath, TsRangeManifest)
+      if (fs.exists(oldTs)) {
+        val dst = new org.apache.hadoop.fs.Path(tmpPath, TsRangeManifest)
+        fs.mkdirs(dst)
+        fs.listStatus(oldTs).toSeq
+          .filter(f => f.isFile && f.getLen > 0 &&
+            !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+          .foreach { f =>
+            org.apache.hadoop.fs.FileUtil.copy(fs, f.getPath, fs,
+              new org.apache.hadoop.fs.Path(dst, s"carry-${f.getPath.getName}"), false, conf): Unit
+          }
+      }
+      // schema sidecar: columns living only in carried spaces stay
+      // declared (deletes never narrow the logical schema)
+      schemaManifest(conf, src).foreach { old =>
+        schemaManifest(conf, tmp) match {
+          case Some(cur) => writeSchemaManifest(conf, tmp, unionSchemas(cur, old))
+          case None => writeSchemaManifest(conf, tmp, old)
+        }
+      }
+    }: Unit
+  }
+
+  /** Empty the store (SQL TRUNCATE / unbounded DELETE): publish a
+    * version holding only the schema sidecar and layout marker — the
+    * logical table survives with zero rows; old versions age out via
+    * retention/vacuum.
+    */
+  def truncate(spark: SparkSession, path: String, keepVersions: Int = 1): Unit = {
+    require(!isSealed(path), s"store at $path is sealed (immutable; no truncate)")
+    val conf = hconf(spark)
+    val src = dataRoot(spark, path)
+    val srcPath = new org.apache.hadoop.fs.Path(src)
+    val fs = srcPath.getFileSystem(conf)
+    Publish.publish(conf, path, keepVersions) { tmp =>
+      val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+      fs.mkdirs(tmpPath)
+      val m = new org.apache.hadoop.fs.Path(srcPath, SubpartsMarker)
+      if (fs.exists(m))
+        org.apache.hadoop.fs.FileUtil.copy(fs, m, fs,
+          new org.apache.hadoop.fs.Path(tmpPath, SubpartsMarker), false, conf): Unit
+      schemaManifest(conf, src).foreach(s => writeSchemaManifest(conf, tmp, s))
+    }: Unit
   }
 
   /** The write-time groupings manifest — the analog of the reference's

@@ -145,8 +145,58 @@ object EsdbStoreSource {
   */
 final class EsdbStoreTable(path: String, tableSchema: StructType,
                            writePath: Option[String] = None)
-  extends Table with SupportsRead with SupportsWrite {
+  extends Table with SupportsRead with SupportsWrite
+  with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = s"esdb:$path"
+
+  /** SQL `DELETE FROM` (GDPR scrub as pure SQL): accepted when the
+    * conjunction reduces to space/grouping equality or IN — exactly
+    * the deletes the layout executes as metadata-plus-targeted-rewrite
+    * ([[graft.engine.EsdbWriter.delete]]); anything else refuses at
+    * analysis rather than forcing a full-store rewrite. IsNotNull on a
+    * column is accepted only alongside a value predicate on it (the
+    * equality already implies it — alone it would target null rows,
+    * which a keyed delete cannot express).
+    */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean = {
+    def valueCol(c: String) = filters.exists {
+      case EqualTo(`c`, _: String) => true
+      case In(`c`, vs) => vs.forall(_.isInstanceOf[String])
+      case _ => false
+    }
+    writePath.isDefined && filters.forall {
+      case EqualTo("space", _: String) | EqualTo("grouping", _: String) => true
+      case In("space", vs) => vs.forall(_.isInstanceOf[String])
+      case In("grouping", vs) => vs.forall(_.isInstanceOf[String])
+      case IsNotNull(c @ ("space" | "grouping")) => valueCol(c)
+      case _: org.apache.spark.sql.sources.AlwaysTrue => true
+      case _ => false
+    }
+  }
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val logical = writePath.getOrElse(throw new UnsupportedOperationException(
+      s"$name is a version-pinned snapshot and read-only"))
+    val spark = SparkSession.active
+    def vals(c: String): Option[Set[String]] = {
+      val sets = filters.collect {
+        case EqualTo(`c`, v: String) => Set(v)
+        case In(`c`, vs) => vs.collect { case s: String => s }.toSet
+      }
+      if (sets.isEmpty) None else Some(sets.reduce(_ intersect _))
+    }
+    (vals("space"), vals("grouping")) match {
+      case (None, None) => graft.engine.EsdbWriter.truncate(spark, logical)
+      case (sp, gr) => graft.engine.EsdbWriter.delete(spark, logical, sp, gr)
+    }
+  }
+
+  override def truncateTable(): Boolean = {
+    val logical = writePath.getOrElse(throw new UnsupportedOperationException(
+      s"$name is a version-pinned snapshot and read-only"))
+    graft.engine.EsdbWriter.truncate(SparkSession.active, logical)
+    true
+  }
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     if (writePath.isDefined)
