@@ -485,6 +485,122 @@ object EsdbWriter {
     }: Unit
   }
 
+  /** Time-based retention: delete every row with `ts_us < cutoffUs`
+    * (`<=` when `inclusive`), committed as a new version. The ts-range
+    * manifest classifies each file WITHOUT opening it: a file whose
+    * whole range is expired is simply not carried (pure metadata — at
+    * 100 TB this is the common case, since the layout is ts-clustered
+    * within groupings and appends arrive in rough time order); a file
+    * whose whole range survives is carried verbatim; only STRADDLERS
+    * rewrite. All-null-ts files survive whole (SQL: null fails every
+    * comparison — retention never deletes null-ts rows). Unmanifested
+    * files conservatively rewrite. The groupings manifest is rebuilt
+    * from the survivors (a grouping whose every event expired must
+    * stop being listed) — a 2-dictionary-column scan, the same cost
+    * [[write]] pays, acceptable for a periodic maintenance op.
+    */
+  def deleteOlderThan(spark: SparkSession, path: String, cutoffUs: Long,
+                      inclusive: Boolean = false, keepVersions: Int = 1): Unit = {
+    require(!isSealed(path), s"store at $path is sealed (immutable; no deletes)")
+    GraftSession.tune(spark)
+    val conf = hconf(spark)
+    val src = dataRoot(spark, path)
+    val srcPath = new org.apache.hadoop.fs.Path(src)
+    val fs = srcPath.getFileSystem(conf)
+    val subparts = subpartsOf(conf, src)
+    // (has_ts, min, max, null_free) per file; null_free missing/null in
+    // rows appended before the column existed → false (conservative)
+    val ranges: Map[String, (Boolean, Long, Long, Boolean)] =
+      tsRangeManifest(spark, path) match {
+        case None => Map.empty
+        case Some(m) =>
+          val hasNf = m.columns.contains("null_free")
+          m.collect().map { r =>
+            val hasTs = r.getBoolean(r.fieldIndex("has_ts"))
+            val nf = hasNf && {
+              val i = r.fieldIndex("null_free")
+              !r.isNullAt(i) && r.getBoolean(i)
+            }
+            (r.getString(r.fieldIndex("file")),
+              (hasTs,
+                if (hasTs) r.getLong(r.fieldIndex("min_ts")) else 0L,
+                if (hasTs) r.getLong(r.fieldIndex("max_ts")) else 0L,
+                nf))
+          }.toMap
+      }
+    def expired(ts: Long): Boolean = if (inclusive) ts <= cutoffUs else ts < cutoffUs
+    val spaceDirs = fs.listStatus(srcPath).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("space="))
+    val files = spaceDirs.flatMap(d => relativeDataFiles(fs, d.getPath))
+    // drop = whole range expired AND provably no null-ts rows (a null
+    // fails every comparison, so null rows must survive any retention);
+    // carry = whole range survives (or all null ts); rewrite =
+    // straddles the cutoff, has unproven nulls, or unknown to the manifest
+    val (drop, rest) = files.partition { case (rel, _) =>
+      ranges.get(rel).exists { case (hasTs, _, mx, nullFree) =>
+        hasTs && nullFree && expired(mx)
+      }
+    }
+    val (carry, rewrite) = rest.partition { case (rel, _) =>
+      ranges.get(rel).exists { case (hasTs, mn, _, _) => !hasTs || !expired(mn) }
+    }
+    if (drop.isEmpty && rewrite.isEmpty) return // nothing expired: no version churn
+    Publish.publish(conf, path, keepVersions) { tmp =>
+      val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+      if (rewrite.nonEmpty) {
+        val df = spark.read.option("mergeSchema", "true").option("basePath", src)
+          .parquet(rewrite.map(_._2.getPath.toString): _*)
+        val survives =
+          if (inclusive) col("ts_us").isNull || col("ts_us") > cutoffUs
+          else col("ts_us").isNull || col("ts_us") >= cutoffUs
+        val kept = df.filter(survives)
+        write(if (kept.columns.contains("bucket")) kept.drop("bucket") else kept,
+          tmp, subparts = subparts)
+      } else {
+        fs.mkdirs(tmpPath)
+        val m = new org.apache.hadoop.fs.Path(srcPath, SubpartsMarker)
+        if (fs.exists(m))
+          org.apache.hadoop.fs.FileUtil.copy(fs, m, fs,
+            new org.apache.hadoop.fs.Path(tmpPath, SubpartsMarker), false, conf): Unit
+      }
+      carry.foreach { case (rel, f) =>
+        val dst = new org.apache.hadoop.fs.Path(tmpPath, rel)
+        fs.mkdirs(dst.getParent)
+        org.apache.hadoop.fs.FileUtil.copy(fs, f.getPath, fs, dst, false, conf): Unit
+      }
+      // ts-range rows for carried files (names preserved); rewritten
+      // files were re-manifested by write()
+      val oldTs = new org.apache.hadoop.fs.Path(srcPath, TsRangeManifest)
+      if (carry.nonEmpty && fs.exists(oldTs)) {
+        val dst = new org.apache.hadoop.fs.Path(tmpPath, TsRangeManifest)
+        fs.mkdirs(dst)
+        fs.listStatus(oldTs).toSeq
+          .filter(f => f.isFile && f.getLen > 0 &&
+            !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+          .foreach { f =>
+            org.apache.hadoop.fs.FileUtil.copy(fs, f.getPath, fs,
+              new org.apache.hadoop.fs.Path(dst, s"carry-${f.getPath.getName}"), false, conf): Unit
+          }
+      }
+      // schema sidecar survives even an everything-expired retention
+      schemaManifest(conf, src).foreach { old =>
+        schemaManifest(conf, tmp) match {
+          case Some(cur) => writeSchemaManifest(conf, tmp, unionSchemas(cur, old))
+          case None => writeSchemaManifest(conf, tmp, old)
+        }
+      }
+      // groupings manifest: rebuilt from survivors — stale rows must
+      // not list groupings whose every event expired
+      val anySpace = fs.exists(tmpPath) && fs.listStatus(tmpPath).exists(s =>
+        s.isDirectory && s.getPath.getName.startsWith("space="))
+      if (anySpace) writeGroupingsManifest(spark, tmp, SaveMode.Overwrite)
+      else {
+        val gm = new org.apache.hadoop.fs.Path(tmpPath, GroupingsManifest)
+        if (fs.exists(gm)) fs.delete(gm, true): Unit
+      }
+    }: Unit
+  }
+
   /** Empty the store (SQL TRUNCATE / unbounded DELETE): publish a
     * version holding only the schema sidecar and layout marker — the
     * logical table survives with zero rows; old versions age out via
@@ -1000,7 +1116,10 @@ object EsdbWriter {
     val root = dataRoot(spark, path)
     val m = new org.apache.hadoop.fs.Path(root, TsRangeManifest)
     if (!m.getFileSystem(hconf(spark)).exists(m)) None
-    else Some(spark.read.parquet(s"$root/$TsRangeManifest"))
+    // mergeSchema: rows appended before the null_free column existed
+    // coexist with new ones; readers treat a missing/null null_free as
+    // "unknown" (conservative)
+    else Some(spark.read.option("mergeSchema", "true").parquet(s"$root/$TsRangeManifest"))
   }
 
   /** Manifest rows for data files not yet covered: one footer read per
@@ -1044,11 +1163,18 @@ object EsdbWriter {
             var mx = Option.empty[Long]
             var provable = true
             var sawTs = false
+            // null_free: PROVEN zero null ts rows (numNulls set and 0 in
+            // every block) — the license for time-retention to drop an
+            // expired file whole without opening it (null ts fails every
+            // comparison, so a null row must survive `ts_us < cutoff`)
+            var nullFree = true
             r.getFooter.getBlocks.forEach { b =>
               b.getColumns.forEach { c =>
                 if (c.getPath.toDotString == "ts_us") {
                   sawTs = true
                   val st = c.getStatistics
+                  if (st == null || !st.isNumNullsSet || st.getNumNulls > 0)
+                    nullFree = false
                   if (st == null) provable = false
                   else if (st.hasNonNullValue) st.genericGetMin match {
                     case lo: java.lang.Long =>
@@ -1063,7 +1189,7 @@ object EsdbWriter {
               }
             }
             if (!provable || !sawTs) None
-            else Some((rel, mn, mx, mn.isDefined))
+            else Some((rel, mn, mx, mn.isDefined, nullFree))
           } finally r.close()
         }
       }
@@ -1072,7 +1198,7 @@ object EsdbWriter {
       // footer yields a provable fact (the refreshLogManifest guard)
       .collect()
     if (rows.nonEmpty)
-      rows.toSeq.toDF("file", "min_ts", "max_ts", "has_ts")
+      rows.toSeq.toDF("file", "min_ts", "max_ts", "has_ts", "null_free")
         .coalesce(1).write.mode(SaveMode.Append).parquet(s"$rootStr/$TsRangeManifest")
   }
 

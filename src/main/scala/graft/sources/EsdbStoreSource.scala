@@ -164,7 +164,7 @@ final class EsdbStoreTable(path: String, tableSchema: StructType,
       case In(`c`, vs) => vs.forall(_.isInstanceOf[String])
       case _ => false
     }
-    writePath.isDefined && filters.forall {
+    val keyed = filters.forall {
       case EqualTo("space", _: String) | EqualTo("grouping", _: String) => true
       case In("space", vs) => vs.forall(_.isInstanceOf[String])
       case In("grouping", vs) => vs.forall(_.isInstanceOf[String])
@@ -172,6 +172,20 @@ final class EsdbStoreTable(path: String, tableSchema: StructType,
       case _: org.apache.spark.sql.sources.AlwaysTrue => true
       case _ => false
     }
+    // time retention: a pure upper ts bound (DELETE WHERE ts_us < X) —
+    // the ts-range manifest drops expired files as metadata and only
+    // straddlers rewrite (EsdbWriter.deleteOlderThan)
+    val retention = filters.nonEmpty && filters.forall {
+      case LessThan("ts_us", _: java.lang.Long) => true
+      case LessThanOrEqual("ts_us", _: java.lang.Long) => true
+      case IsNotNull("ts_us") => true
+      case _: org.apache.spark.sql.sources.AlwaysTrue => true
+      case _ => false
+    } && filters.exists {
+      case LessThan("ts_us", _) | LessThanOrEqual("ts_us", _) => true
+      case _ => false
+    }
+    writePath.isDefined && (keyed || retention)
   }
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
@@ -185,9 +199,21 @@ final class EsdbStoreTable(path: String, tableSchema: StructType,
       }
       if (sets.isEmpty) None else Some(sets.reduce(_ intersect _))
     }
-    (vals("space"), vals("grouping")) match {
-      case (None, None) => graft.engine.EsdbWriter.truncate(spark, logical)
-      case (sp, gr) => graft.engine.EsdbWriter.delete(spark, logical, sp, gr)
+    // tightest conjunctive upper ts bound: smaller cutoff wins; at the
+    // same cutoff, strict `<` deletes fewer rows than `<=` and the
+    // conjunction keeps the stricter one
+    val tsBound: Option[(Long, Boolean)] = filters.collect {
+      case LessThan("ts_us", v: java.lang.Long) => (v.longValue(), false)
+      case LessThanOrEqual("ts_us", v: java.lang.Long) => (v.longValue(), true)
+    }.sortBy { case (v, incl) => (v, incl) }.headOption
+    tsBound match {
+      case Some((cutoff, incl)) =>
+        graft.engine.EsdbWriter.deleteOlderThan(spark, logical, cutoff, inclusive = incl)
+      case None =>
+        (vals("space"), vals("grouping")) match {
+          case (None, None) => graft.engine.EsdbWriter.truncate(spark, logical)
+          case (sp, gr) => graft.engine.EsdbWriter.delete(spark, logical, sp, gr)
+        }
     }
   }
 

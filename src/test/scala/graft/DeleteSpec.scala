@@ -140,6 +140,70 @@ class DeleteSpec extends SparkSpec {
     }
   }
 
+  private def tsBatch(lo: Int, hi: Int): DataFrame =
+    (lo to hi).map(i => ("s", s"g${i % 3}", i.toLong, i.toLong, 0.0, "{}"))
+      .toDF("space", "grouping", "ts_us", "event_id", "value", "payload")
+
+  test("time retention drops expired files as metadata, carries survivors, rewrites straddlers") {
+    val p = tmp("delret")
+    EsdbWriter.write(tsBatch(1000, 1999), p) // fully expired at cutoff 5000
+    EsdbWriter.append(tsBatch(4500, 5499), p) // straddles the cutoff
+    EsdbWriter.append(tsBatch(9000, 9999), p) // fully survives
+    val before = dataFileNames(p)
+    assert(before.size == 3)
+    EsdbWriter.deleteOlderThan(spark, p, 5000L)
+    val after = dataFileNames(p)
+    val df = EsdbWriter.readOrdered(spark, p)
+    assert(df.count() == 500 + 1000)
+    assert(df.agg(min(col("ts_us"))).head.getLong(0) == 5000L)
+    // the fully-surviving file is carried byte-for-byte (same name);
+    // expired and straddling files are gone from the listing
+    assert(before.intersect(after).size == 1,
+      s"exactly the surviving file should carry: before=$before after=$after")
+    val m = EsdbWriter.manifestGroupings(spark, p).get
+    assert(m.count() > 0)
+  }
+
+  test("retention never deletes null-ts rows, even in otherwise-expired files") {
+    val p = tmp("delretnull")
+    val rows: Seq[(String, String, java.lang.Long, Long, Double, String)] =
+      (1 to 100).map { i =>
+        val ts: java.lang.Long = if (i % 10 == 0) null else java.lang.Long.valueOf(i.toLong)
+        ("s", s"g${i % 3}", ts, i.toLong, 0.0, "{}")
+      }
+    EsdbWriter.write(rows.toDF("space", "grouping", "ts_us", "event_id", "value", "payload"), p)
+    EsdbWriter.deleteOlderThan(spark, p, 1000L) // every non-null ts is expired
+    val df = EsdbWriter.readOrdered(spark, p)
+    assert(df.count() == 10, "only the null-ts rows survive")
+    assert(df.where(col("ts_us").isNotNull).count() == 0)
+  }
+
+  test("retention below all data is a manifest-proven no-op") {
+    val p = tmp("delretnoop")
+    EsdbWriter.write(tsBatch(5000, 5999), p)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val vBefore = Publish.currentVersion(conf, p).map(_._1)
+    EsdbWriter.deleteOlderThan(spark, p, 100L)
+    assert(Publish.currentVersion(conf, p).map(_._1) == vBefore)
+    assert(EsdbWriter.readOrdered(spark, p).count() == 1000)
+  }
+
+  test("SQL DELETE with a ts bound runs retention; mixing key and ts predicates refuses") {
+    val p = tmp("delretsql")
+    val store = s"$p/evts"
+    EsdbWriter.write(tsBatch(1000, 1999), store)
+    EsdbWriter.append(tsBatch(8000, 8999), store)
+    spark.conf.set("spark.sql.catalog.esdb_ret", classOf[graft.sources.EsdbCatalog].getName)
+    spark.conf.set("spark.sql.catalog.esdb_ret.root", p)
+    spark.sql("DELETE FROM esdb_ret.evts WHERE ts_us < 5000")
+    val t = spark.table("esdb_ret.evts")
+    assert(t.count() == 1000)
+    assert(t.agg(min(col("ts_us"))).head.getLong(0) == 8000L)
+    intercept[Exception] {
+      spark.sql("DELETE FROM esdb_ret.evts WHERE ts_us < 9000 AND grouping = 'g1'")
+    }
+  }
+
   test("SQL DELETE FROM through the catalog scrubs a grouping; truncate empties") {
     val p = tmp("delsqlroot")
     val store = s"$p/users"
