@@ -47,6 +47,7 @@ object ScaleCheck {
     if (args.contains("ingest")) { ingestCheck(spark, sfDir, bigDir); spark.stop(); return }
     if (args.contains("compaction")) { compactionCheck(spark, sfDir, bigDir); spark.stop(); return }
     if (args.contains("replay")) { replayCheck(spark, sfDir, bigDir); spark.stop(); return }
+    if (args.contains("delete")) { deleteCheck(spark, sfDir, bigDir); spark.stop(); return }
     // user_id not offset: groupings keep their cardinality and grow in
     // length, the dominant real-world growth mode for an event store
     replicate(engine.Tables.events(spark, sfDir), Seq("event_id"), s"$bigDir/events.parquet")
@@ -356,6 +357,74 @@ object ScaleCheck {
     * store the copy is a metadata-priced server-side COPY and the gap
     * widens to the fragmented fraction.
     */
+  /** Delete-cost evidence: a GDPR scrub of one grouping confined to one
+    * small space, and a time retention whose cutoff expires the older
+    * of two appended batches, each timed against the full-rewrite
+    * alternative (`compact`) on the SAME 10× store. The claim under
+    * test is "delete cost tracks the doomed data, not store size": the
+    * scrub rewrites one tiny space, retention drops whole files by
+    * manifest and rewrites only the straddler. Locally the carried
+    * spaces still cost a byte copy (same caveat as incremental
+    * compaction — on an object store that copy is metadata-priced), so
+    * the honest local comparison is delete-vs-full-rewrite, where the
+    * saved decode+sort+encode dominates.
+    */
+  private def deleteCheck(spark: SparkSession, sfDir: String, bigDir: String): Unit = {
+    val big = s"$bigDir/events.parquet"
+    if (!new java.io.File(big).exists())
+      replicate(engine.Tables.events(spark, sfDir), Seq("event_id"), big)
+    def frame(src: String) = engine.EventFrame.fromEvents(
+      spark.read.option("basePath", src).parquet(s"$src/events.parquet"))
+    // constant doomed payload: one synthetic space holding the grouping
+    // to scrub — the store grows 10x around it, the user's data doesn't
+    val doomed = spark.range(1000).select(
+      lit("zzz_scrub").as("space"), lit("scrub_me").as("grouping"),
+      (col("id") * 1000L).as("ts_us"), (col("id") + 900000000L).as("event_id"),
+      lit(0.0).as("value"), lit("{}").as("payload"))
+    def fresh(out: String): String = {
+      val dir = new java.io.File(out)
+      if (dir.exists()) { import scala.reflect.io.Directory; new Directory(dir).deleteRecursively() }
+      out
+    }
+    def buildScrub(src: String, out: String): String = {
+      engine.EsdbWriter.write(frame(src).unionByName(doomed), fresh(out)); out
+    }
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    // builds stay OUTSIDE the timed thunks (by-name evaluation would
+    // otherwise fold the store build into the delete measurement)
+    val dWarmStore = buildScrub(sfDir, "/tmp/graft_scale/del_warm")
+    timed { engine.EsdbWriter.delete(spark, dWarmStore, groupings = Some(Set("scrub_me"))) }
+    val d1store = buildScrub(sfDir, "/tmp/graft_scale/del_1x")
+    val d1 = timed { engine.EsdbWriter.delete(spark, d1store, groupings = Some(Set("scrub_me"))) }
+    val d10store = buildScrub(bigDir, "/tmp/graft_scale/del_10x")
+    val d10 = timed { engine.EsdbWriter.delete(spark, d10store, groupings = Some(Set("scrub_me"))) }
+    println(f"${"gdpr_delete"}%-24s $d1%8.2f $d10%8.2f ${d10 / d1}%5.1f")
+    // the alternative a layout without manifests pays: full rewrite
+    val c10 = timed { engine.EsdbWriter.compact(spark, d10store) }
+    println(f"${"vs_full_rewrite_10x"}%-24s ${"-"}%8s $c10%8.2f ${c10 / d10}%5.1fx costlier")
+    // retention: two time-ordered batches, cutoff between them — the
+    // old batch's files drop by manifest, nothing straddles
+    def buildRet(src: String, out: String): String = {
+      val f = frame(src).filter(col("ts_us").isNotNull)
+      engine.EsdbWriter.write(f, fresh(out))
+      engine.EsdbWriter.append(f.withColumn("ts_us", col("ts_us") + lit(20L * 365 * 86400 * 1000000L))
+        .withColumn("event_id", col("event_id") + lit(900000000L)), out)
+      out
+    }
+    val cutoff = 1800000000000000L // between the two batches' ts ranges
+    val rWarmStore = buildRet(sfDir, "/tmp/graft_scale/ret_warm")
+    timed { engine.EsdbWriter.deleteOlderThan(spark, rWarmStore, cutoff) }
+    val r1store = buildRet(sfDir, "/tmp/graft_scale/ret_1x")
+    val r1 = timed { engine.EsdbWriter.deleteOlderThan(spark, r1store, cutoff) }
+    val r10store = buildRet(bigDir, "/tmp/graft_scale/ret_10x")
+    val r10 = timed { engine.EsdbWriter.deleteOlderThan(spark, r10store, cutoff) }
+    println(f"${"ts_retention"}%-24s $r1%8.2f $r10%8.2f ${r10 / r1}%5.1f")
+    val cr10 = timed { engine.EsdbWriter.compact(spark, r10store) }
+    println(f"${"vs_full_rewrite_10x"}%-24s ${"-"}%8s $cr10%8.2f ${cr10 / r10}%5.1fx costlier")
+  }
+
   private def compactionCheck(spark: SparkSession, sfDir: String, bigDir: String): Unit = {
     if (!new java.io.File(s"$bigDir/events.parquet").exists())
       replicate(engine.Tables.events(spark, sfDir), Seq("event_id"), s"$bigDir/events.parquet")
