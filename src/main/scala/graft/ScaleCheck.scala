@@ -64,6 +64,7 @@ object ScaleCheck {
       "space_scan_index_limit", // pruned scan + top-k
       "stream_tails",           // partial-agg argmax over json_attr
       "agg_space_stats",        // hash aggregation
+      "store_join_copartitioned", // storage-partitioned join, zero hash exchanges
       "events_sessionize",      // window functions
       "events_asof_join",       // union-window asof
       "q1_lineitem_agg",        // wide fact aggregation

@@ -601,6 +601,111 @@ object EsdbWriter {
     }: Unit
   }
 
+  /** Proven-zero-null event_id column across every block — one footer
+    * read, no data pages; the license to drop a log file whole.
+    */
+  private def eventIdNullFree(conf: org.apache.hadoop.conf.Configuration,
+                              file: org.apache.hadoop.fs.Path): Boolean = {
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
+    try {
+      var ok = true
+      var saw = false
+      r.getFooter.getBlocks.forEach { b =>
+        b.getColumns.forEach { c =>
+          if (c.getPath.toDotString == "event_id") {
+            saw = true
+            val st = c.getStatistics
+            if (st == null || !st.isNumNullsSet || st.getNumNulls > 0) ok = false
+          }
+        }
+      }
+      ok && saw
+    } finally r.close()
+  }
+
+  /** Trim a log store's history: delete every row with
+    * `event_id < beforeId` (`<=` when `inclusive`), committed as a new
+    * version. The log manifest classifies each file without opening
+    * it — logs are range-partitioned by event_id at write, so trims
+    * land on file boundaries: wholly-expired files drop (after a
+    * one-footer null-free proof — a null event_id row, pathological in
+    * a log, must survive like any row failing the comparison), wholly-
+    * surviving files carry byte-for-byte, only straddlers rewrite.
+    * Commit markers carry with the version so replayed streaming
+    * epochs stay no-ops after a trim.
+    */
+  def trimLog(spark: SparkSession, path: String, beforeId: Long,
+              inclusive: Boolean = false, keepVersions: Int = 1): Unit = {
+    require(!isSealed(path), s"stream at $path is closed (reference: closed_stream.go:48-50)")
+    GraftSession.tune(spark)
+    val conf = hconf(spark)
+    val src = dataRoot(spark, path)
+    val srcPath = new org.apache.hadoop.fs.Path(src)
+    val fs = srcPath.getFileSystem(conf)
+    def expired(id: Long): Boolean = if (inclusive) id <= beforeId else id < beforeId
+    val ranges = logManifestRanges(conf, src).getOrElse(Map.empty)
+    val visible = LogCommits.visibleDataFiles(fs, srcPath)
+    val (dropCand, rest) = visible.partition(f =>
+      ranges.get(f.getPath.getName).exists { case (_, mx) => expired(mx) })
+    val (drop, dropUnproven) = dropCand.partition(f => eventIdNullFree(conf, f.getPath))
+    val (carry, straddle) = rest.partition(f =>
+      ranges.get(f.getPath.getName).exists { case (mn, _) => !expired(mn) })
+    val rewrite = straddle ++ dropUnproven
+    if (drop.isEmpty && rewrite.isEmpty) return // nothing expired: no version churn
+    Publish.publish(conf, path, keepVersions) { tmp =>
+      val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+      fs.mkdirs(tmpPath)
+      if (rewrite.nonEmpty) {
+        val df = spark.read.option("mergeSchema", "true")
+          .parquet(rewrite.map(_.getPath.toString): _*)
+        val survives =
+          if (inclusive) col("event_id").isNull || col("event_id") > beforeId
+          else col("event_id").isNull || col("event_id") >= beforeId
+        df.filter(survives)
+          .repartitionByRange(col("event_id"))
+          .sortWithinPartitions(col("event_id"))
+          .write.mode(SaveMode.Append).parquet(tmp)
+      }
+      carry.foreach { f =>
+        org.apache.hadoop.fs.FileUtil.copy(fs, f.getPath, fs,
+          new org.apache.hadoop.fs.Path(tmpPath, f.getPath.getName), false, conf): Unit
+      }
+      // replayed committed epochs must stay no-ops after the trim
+      val markers = new org.apache.hadoop.fs.Path(srcPath, LogCommits.Dir)
+      if (fs.exists(markers)) {
+        val dst = new org.apache.hadoop.fs.Path(tmpPath, LogCommits.Dir)
+        fs.mkdirs(dst)
+        fs.listStatus(markers).toSeq.filter(_.isFile).foreach { m =>
+          org.apache.hadoop.fs.FileUtil.copy(fs, m.getPath, fs,
+            new org.apache.hadoop.fs.Path(dst, m.getPath.getName), false, conf): Unit
+        }
+      }
+      // manifest rows for carried names travel with the version (stale
+      // dropped-file rows are never looked up); the refresh below then
+      // reads footers for the REWRITTEN files only
+      val oldM = new org.apache.hadoop.fs.Path(srcPath, LogManifest)
+      if (fs.exists(oldM)) {
+        val dst = new org.apache.hadoop.fs.Path(tmpPath, LogManifest)
+        fs.mkdirs(dst)
+        fs.listStatus(oldM).toSeq
+          .filter(f => f.isFile && f.getLen > 0 &&
+            !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+          .foreach { f =>
+            org.apache.hadoop.fs.FileUtil.copy(fs, f.getPath, fs,
+              new org.apache.hadoop.fs.Path(dst, s"carry-${f.getPath.getName}"), false, conf): Unit
+          }
+      }
+      refreshLogManifest(spark, tmp)
+      schemaManifest(conf, src).foreach { old =>
+        schemaManifest(conf, tmp) match {
+          case Some(cur) => writeSchemaManifest(conf, tmp, unionSchemas(cur, old))
+          case None => writeSchemaManifest(conf, tmp, old)
+        }
+      }
+    }: Unit
+  }
+
   /** Empty the store (SQL TRUNCATE / unbounded DELETE): publish a
     * version holding only the schema sidecar and layout marker — the
     * logical table survives with zero rows; old versions age out via
@@ -619,6 +724,17 @@ object EsdbWriter {
       if (fs.exists(m))
         org.apache.hadoop.fs.FileUtil.copy(fs, m, fs,
           new org.apache.hadoop.fs.Path(tmpPath, SubpartsMarker), false, conf): Unit
+      // log stores: committed-epoch markers carry so a replaying
+      // streaming sink does not re-append truncated history
+      val markers = new org.apache.hadoop.fs.Path(srcPath, LogCommits.Dir)
+      if (fs.exists(markers)) {
+        val dst = new org.apache.hadoop.fs.Path(tmpPath, LogCommits.Dir)
+        fs.mkdirs(dst)
+        fs.listStatus(markers).toSeq.filter(_.isFile).foreach { mk =>
+          org.apache.hadoop.fs.FileUtil.copy(fs, mk.getPath, fs,
+            new org.apache.hadoop.fs.Path(dst, mk.getPath.getName), false, conf): Unit
+        }
+      }
       schemaManifest(conf, src).foreach(s => writeSchemaManifest(conf, tmp, s))
     }: Unit
   }

@@ -136,7 +136,18 @@ class EsdbCatalog extends TableCatalog with SupportsNamespaces with StagingTable
 
   override def loadTable(ident: Identifier): Table = {
     val logical = tablePath(ident)
-    if (!isTable(logical)) throw new NoSuchTableException(ident)
+    if (!isTable(logical)) {
+      // metadata tables: `SELECT * FROM cat.t.versions|files|groupings|
+      // tails` — the identifier's namespace tail is the TABLE, its name
+      // the metadata view (namespaces and tables never collide, so a
+      // real table can't shadow these)
+      if (ident.namespace.nonEmpty && EsdbMetaTables.names.contains(ident.name.toLowerCase)) {
+        val parent = dirFor(ident.namespace.toSeq)
+        if (isTable(parent))
+          return EsdbMetaTables.load(parent, ident.name.toLowerCase, conf)
+      }
+      throw new NoSuchTableException(ident)
+    }
     bind(logical, Publish.resolve(conf, logical), writable = true)
   }
 

@@ -93,8 +93,51 @@ object EsdbLogSource {
   */
 final class EsdbLogTable(path: String, tableSchema: StructType,
                          writePath: Option[String] = None)
-  extends Table with SupportsRead with SupportsWrite {
+  extends Table with SupportsRead with SupportsWrite
+  with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = s"esdblog:$path"
+
+  /** Log history trim as SQL: `DELETE FROM log WHERE event_id < X` —
+    * exactly the prefix trims the range-partitioned layout executes as
+    * whole-file drops plus one straddler rewrite
+    * ([[graft.engine.EsdbWriter.trimLog]]); anything else refuses at
+    * analysis. TRUNCATE carries the epoch markers so replaying
+    * streaming sinks stay exactly-once.
+    */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    writePath.isDefined && (filters.isEmpty || (filters.forall {
+      case LessThan("event_id", _: java.lang.Long) => true
+      case LessThanOrEqual("event_id", _: java.lang.Long) => true
+      case IsNotNull("event_id") => true
+      case _: org.apache.spark.sql.sources.AlwaysTrue => true
+      case _ => false
+    } && filters.exists {
+      case LessThan("event_id", _) | LessThanOrEqual("event_id", _) => true
+      case _: org.apache.spark.sql.sources.AlwaysTrue => true
+      case _ => false
+    }))
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val logical = writePath.getOrElse(throw new UnsupportedOperationException(
+      s"$name is a version-pinned snapshot and read-only"))
+    val spark = SparkSession.active
+    val bound: Option[(Long, Boolean)] = filters.collect {
+      case LessThan("event_id", v: java.lang.Long) => (v.longValue(), false)
+      case LessThanOrEqual("event_id", v: java.lang.Long) => (v.longValue(), true)
+    }.sortBy { case (v, incl) => (v, incl) }.headOption
+    bound match {
+      case Some((before, incl)) =>
+        graft.engine.EsdbWriter.trimLog(spark, logical, before, inclusive = incl)
+      case None => graft.engine.EsdbWriter.truncate(spark, logical)
+    }
+  }
+
+  override def truncateTable(): Boolean = {
+    val logical = writePath.getOrElse(throw new UnsupportedOperationException(
+      s"$name is a version-pinned snapshot and read-only"))
+    graft.engine.EsdbWriter.truncate(SparkSession.active, logical)
+    true
+  }
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     if (writePath.isDefined)

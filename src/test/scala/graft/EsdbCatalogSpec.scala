@@ -171,4 +171,51 @@ class EsdbCatalogSpec extends SparkSpec {
     assert(spark.sql(s"SHOW TABLES IN $Cat").collect()
       .map(_.getString(1)).toSet == Set("payments"))
   }
+
+  test("metadata tables: versions/files/groupings answer from pointers and manifests") {
+    root
+    // versions: two committed publishes, v2 current and twice the rows
+    val vs = spark.sql(s"SELECT * FROM $Cat.payments.versions ORDER BY version").collect()
+    assert(vs.map(_.getLong(0)).toSeq == Seq(1L, 2L), vs.mkString(","))
+    assert(vs.map(_.getBoolean(2)).toSeq == Seq(false, true))
+    assert(vs.forall(r => r.getLong(3) > 0 && r.getLong(4) > 0)) // n_files, bytes
+
+    // files: the CURRENT version's data files, keyed by space
+    val fs = spark.sql(s"SELECT * FROM $Cat.payments.files").collect()
+    assert(fs.nonEmpty)
+    assert(fs.forall(_.getString(0).startsWith("space=")))
+    assert(fs.map(_.getString(1)).toSet == Set("s0", "s1"))
+    assert(fs.forall(_.getLong(2) > 0))
+
+    // groupings: the key-index manifest as a table — matches the data
+    val gs = spark.sql(
+      s"SELECT DISTINCT grouping FROM $Cat.payments.groupings ORDER BY grouping").collect()
+    assert(gs.map(_.getString(0)).toSeq == (0 to 4).map(i => s"g$i"))
+
+    // log store: files are top-level (no space dirs), space is null
+    val lf = spark.sql(s"SELECT * FROM $Cat.prod.clicks.files").collect()
+    assert(lf.nonEmpty && lf.forall(_.isNullAt(1)))
+
+    // a real table still loads normally; unknown metadata name refuses
+    assert(spark.sql(s"SELECT count(*) FROM $Cat.payments").head().getLong(0) == 400L)
+    intercept[Exception](spark.sql(s"SELECT * FROM $Cat.payments.nope").collect())
+  }
+
+  test("metadata tables: tails serves the seal-time sidecar") {
+    root
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = s"$root/sealed_meta"
+    Publish.publish(conf, p) { tmp =>
+      EsdbWriter.write((1 to 50).map(i =>
+        ("s", s"g${i % 3}", i.toLong * 1000, i.toLong, 0.0, s"""{"k": ${i % 4}}"""))
+        .toDF("space", "grouping", "ts_us", "event_id", "value", "payload"), tmp)
+    }
+    // tails before seal: empty (no sidecar yet)
+    assert(spark.sql(s"SELECT * FROM $Cat.sealed_meta.tails").collect().isEmpty)
+    EsdbWriter.seal(spark, EsdbWriter.dataRoot(spark, p), "k")
+    val t = spark.sql(s"SELECT * FROM $Cat.sealed_meta.tails ORDER BY attr").collect()
+    assert(t.nonEmpty)
+    assert(t.forall(_.getString(0) == "k"))
+    assert(t.map(_.getString(1)).toSet == Set("0", "1", "2", "3"))
+  }
 }

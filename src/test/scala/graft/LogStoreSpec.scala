@@ -469,4 +469,61 @@ class LogStoreSpec extends SparkSpec {
     val head = EventLog.first(log, "k", "3").as[Long].head()
     assert(head == inMem.head)
   }
+
+  private def mkRange(ids: Range): DataFrame =
+    ids.map(i => (s"s${i % 3}", s"g${i % 7}", i.toLong * 1000, i.toLong, i / 10.0, "{}"))
+      .toDF("space", "grouping", "ts_us", "event_id", "value", "payload")
+
+  test("trimLog drops expired files by manifest, carries survivors, rewrites the straddler") {
+    val dir = java.nio.file.Files.createTempDirectory("logtrim").toFile
+    dir.delete()
+    val p = dir.getAbsolutePath
+    EsdbWriter.writeLog(mkRange(1 to 1000), p) // one file, fully expired at 2000
+    EsdbWriter.appendLog(mkRange(1500 to 2500), p) // straddles the cutoff
+    EsdbWriter.appendLog(mkRange(5000 to 6000), p) // fully survives
+    def names(path: String): Set[String] = {
+      val root = new org.apache.hadoop.fs.Path(EsdbWriter.dataRoot(spark, path))
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(root).toSeq.filter { f =>
+        val n = f.getPath.getName
+        f.isFile && f.getLen > 0 && !n.startsWith("_") && !n.startsWith(".")
+      }.map(_.getPath.getName).toSet
+    }
+    val before = names(p)
+    EsdbWriter.trimLog(spark, p, 2000L)
+    val after = names(p)
+    val ids = EsdbWriter.readLog(spark, p).select("event_id").as[Long].collect().toSeq
+    assert(ids == ((2000L to 2500L) ++ (5000L to 6000L)), s"got ${ids.take(5)}...${ids.takeRight(5)}")
+    assert(ids == ids.sorted, "merge order must survive the trim")
+    // the fully-surviving batch's file carries with its name; the
+    // expired and straddling files are gone
+    assert(before.intersect(after).nonEmpty, s"survivor must carry: before=$before after=$after")
+    // trim below all data: no-op, no version churn
+    val conf = spark.sparkContext.hadoopConfiguration
+    val v = graft.engine.Publish.currentVersion(conf, p).map(_._1)
+    EsdbWriter.trimLog(spark, p, 10L)
+    assert(graft.engine.Publish.currentVersion(conf, p).map(_._1) == v)
+  }
+
+  test("SQL DELETE trims a catalog log table; other predicates refuse; TRUNCATE keeps markers") {
+    val root = java.nio.file.Files.createTempDirectory("logtrimsql").toString
+    val p = s"$root/clicks"
+    // build through the exactly-once sink path so commit markers exist
+    EsdbWriter.writeLog(mkRange(1 to 100), p)
+    EsdbWriter.appendLogBatch(mkRange(101 to 200), p, epochId = 7L)
+    spark.conf.set("spark.sql.catalog.esdb_trim", classOf[graft.sources.EsdbCatalog].getName)
+    spark.conf.set("spark.sql.catalog.esdb_trim.root", root)
+    spark.sql("DELETE FROM esdb_trim.clicks WHERE event_id < 150")
+    val ids = spark.table("esdb_trim.clicks").select("event_id").as[Long].collect().toSeq
+    assert(ids == (150L to 200L))
+    intercept[Exception] {
+      spark.sql("DELETE FROM esdb_trim.clicks WHERE grouping = 'g1'")
+    }
+    spark.sql("DELETE FROM esdb_trim.clicks") // unbounded -> truncate
+    assert(spark.table("esdb_trim.clicks").count() == 0)
+    // markers survived the truncate: a replay of epoch 7 stays a no-op
+    EsdbWriter.appendLogBatch(mkRange(101 to 200), p, epochId = 7L)
+    assert(spark.table("esdb_trim.clicks").count() == 0,
+      "replayed committed epoch must not re-append truncated history")
+  }
 }
