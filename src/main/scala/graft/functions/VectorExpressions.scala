@@ -64,6 +64,57 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
     copy(left = newLeft, right = newRight)
 }
 
+/** [[VecDot]]'s exact-integer twin: dot product over two `array<long>`
+  * columns (fixed-point embeddings), returning LONG — the arithmetic
+  * the rational-certificate dedup queries hash against the oracle, as
+  * a codegen'd primitive loop instead of the interpreted
+  * `aggregate(zip_with(...))` pair (which sits on the candidate-pair ×
+  * dimensions hot path of semantic dedup and measured ~20× slower).
+  */
+case class VecDotLong(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(org.apache.spark.sql.types.LongType, _),
+          ArrayType(org.apache.spark.sql.types.LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"vec_dot_long requires two array<bigint> arguments, got $l and $r")
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "vec_dot_long"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val ys = b.asInstanceOf[ArrayData]
+    val n = math.min(xs.numElements(), ys.numElements())
+    var sum = 0L
+    var i = 0
+    while (i < n) {
+      sum += xs.getLong(i) * ys.getLong(i)
+      i += 1
+    }
+    sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val sum = ctx.freshName("sum")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $sum = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $sum += $a.getLong($i) * $b.getLong($i);
+         |}
+         |${ev.value} = $sum;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): VecDotLong =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
 
   /** Register `vec_dot` in the session's function registry so it is
@@ -71,7 +122,10 @@ object VectorFunctions {
     * (Spark 4 removed public Column-from-Expression construction).
     * Idempotent per session.
     */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", exprs => VecDot(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_dot_long", exprs => VecDotLong(exprs.head, exprs(1)), "built-in")
+  }
 }
