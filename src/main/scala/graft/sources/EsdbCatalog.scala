@@ -50,7 +50,8 @@ import graft.engine.{EsdbWriter, Publish}
   * applies per query): correctness over staleness, and at catalog
   * frequency — human-issued DDL/SQL — listing cost is irrelevant.
   */
-class EsdbCatalog extends TableCatalog with SupportsNamespaces with StagingTableCatalog {
+class EsdbCatalog extends TableCatalog with SupportsNamespaces with StagingTableCatalog
+  with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -132,6 +133,22 @@ class EsdbCatalog extends TableCatalog with SupportsNamespaces with StagingTable
     val wp = if (writable) Some(logical) else None
     if (isLog) new EsdbLogTable(resolved, EsdbLogSource.canonicalSchema(resolved), wp)
     else new EsdbStoreTable(resolved, EsdbStoreSource.canonicalSchema(resolved), wp)
+  }
+
+  /** Maintenance lifecycle as SQL: `CALL cat.system.compact(table =>
+    * 't')` etc. — see [[EsdbProcedures]].
+    */
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.toSeq == Seq("system"))
+      EsdbProcedures.names.map(Identifier.of(Array("system"), _)).toArray
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier): org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    if (ident.namespace.toSeq != Seq("system") ||
+        !EsdbProcedures.names.contains(ident.name))
+      throw new UnsupportedOperationException(
+        s"unknown procedure $ident; available: system.${EsdbProcedures.names.mkString(", system.")}")
+    EsdbProcedures.load(ident.name, root, () => conf)
   }
 
   override def loadTable(ident: Identifier): Table = {

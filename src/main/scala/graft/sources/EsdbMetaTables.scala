@@ -108,10 +108,13 @@ object EsdbMetaTables {
     }
 
   private def tailRows(logical: String, conf: Configuration): Seq[InternalRow] = {
-    // the sidecar lives in the CURRENT data root (seal targets the
-    // resolved version dir, not the logical pointer root)
-    val side = new Path(Publish.resolve(conf, logical), s"${EsdbWriter.SealMarker}.tails")
-    if (!side.getFileSystem(conf).exists(side)) return Nil
+    // the sidecar sits wherever seal() was pointed: the logical root
+    // (the convention — survives version churn) or, for direct-layout
+    // stores, the data root itself
+    val candidates = Seq(logical, Publish.resolve(conf, logical)).distinct
+      .map(r => new Path(r, s"${EsdbWriter.SealMarker}.tails"))
+    val side = candidates.find(p => p.getFileSystem(conf).exists(p))
+      .getOrElse(return Nil)
     val df = SparkSession.active.read.parquet(side.toString)
     val hasIdx = df.columns.contains("index_name")
     df.collect().toSeq.map { r =>

@@ -1,0 +1,117 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.engine.{EsdbWriter, Publish}
+
+/** Maintenance operations as SQL stored procedures —
+  * `CALL cat.system.compact(table => 't')` etc. — so a SQL-only user
+  * can run the store's whole lifecycle (compaction, retention sweeps,
+  * sealing) without the Scala API. Each returns a one-row result
+  * confirming what happened; the work itself is the same engine
+  * method the DataFrame surface calls.
+  */
+object EsdbProcedures {
+
+  val names: Seq[String] =
+    Seq("compact", "compact_incremental", "compact_log", "vacuum", "seal")
+
+  private def p(name: String, dt: org.apache.spark.sql.types.DataType,
+                default: Option[String] = None,
+                comment: String = ""): ProcedureParameter = {
+    var b = ProcedureParameter.in(name, dt)
+    default.foreach(d => b = b.defaultValue(d))
+    if (comment.nonEmpty) b = b.comment(comment)
+    b.build()
+  }
+
+  def load(which: String, root: String, conf: () => Configuration): UnboundProcedure = {
+    def path(table: String): String = (root +: table.split('.').toSeq).mkString("/")
+    def version(table: String): Long =
+      Publish.currentVersion(conf(), path(table)).map(_._1).getOrElse(0L)
+    which match {
+      case "compact" => proc("compact",
+        Seq(p("table", StringType),
+          p("keep_versions", IntegerType, Some("1"))),
+        StructType(Seq(StructField("table", StringType), StructField("version", LongType))),
+        "full compaction: rewrite the store as one sorted file set per space, publish as a new version") { in =>
+        val t = in.getUTF8String(0).toString
+        EsdbWriter.compact(SparkSession.active, path(t), in.getInt(1))
+        Seq(row(UTF8String.fromString(t), version(t)))
+      }
+      case "compact_incremental" => proc("compact_incremental",
+        Seq(p("table", StringType),
+          p("max_files_per_space", IntegerType, Some("4")),
+          p("keep_versions", IntegerType, Some("1"))),
+        StructType(Seq(StructField("table", StringType),
+          StructField("published", BooleanType), StructField("version", LongType))),
+        "rewrite only spaces fragmented past the threshold; carry the rest") { in =>
+        val t = in.getUTF8String(0).toString
+        val published = EsdbWriter.compactIncremental(
+          SparkSession.active, path(t), in.getInt(1), in.getInt(2))
+        Seq(row(UTF8String.fromString(t), published, version(t)))
+      }
+      case "compact_log" => proc("compact_log",
+        Seq(p("table", StringType),
+          p("num_files", IntegerType, Some("1")),
+          p("keep_versions", IntegerType, Some("1"))),
+        StructType(Seq(StructField("table", StringType), StructField("version", LongType))),
+        "rewrite an append log as num_files sorted files; epoch markers carry") { in =>
+        val t = in.getUTF8String(0).toString
+        EsdbWriter.compactLog(SparkSession.active, path(t), in.getInt(1), in.getInt(2))
+        Seq(row(UTF8String.fromString(t), version(t)))
+      }
+      case "vacuum" => proc("vacuum",
+        Seq(p("table", StringType),
+          p("keep", IntegerType, Some("1"))),
+        StructType(Seq(StructField("table", StringType), StructField("version", LongType))),
+        "sweep retired publish versions past the retention window") { in =>
+        val t = in.getUTF8String(0).toString
+        Publish.vacuum(conf(), path(t), in.getInt(1))
+        Seq(row(UTF8String.fromString(t), version(t)))
+      }
+      case "seal" => proc("seal",
+        Seq(p("table", StringType),
+          p("index_name", StringType)),
+        StructType(Seq(StructField("table", StringType), StructField("sealed", BooleanType))),
+        "seal the store immutable and write the tails sidecar for the index") { in =>
+        val t = in.getUTF8String(0).toString
+        // seal the LOGICAL root: the marker must survive version churn
+        // and is what every write path's isSealed check consults
+        EsdbWriter.seal(SparkSession.active, path(t), in.getUTF8String(1).toString)
+        Seq(row(UTF8String.fromString(t), true))
+      }
+      case other => throw new UnsupportedOperationException(
+        s"unknown procedure $other; available: ${names.mkString(", ")}")
+    }
+  }
+
+  private def row(vals: Any*): InternalRow = new GenericInternalRow(vals.toArray)
+
+  private def proc(pname: String, params: Seq[ProcedureParameter], out: StructType,
+                   describe: String)(run: InternalRow => Seq[InternalRow]): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = pname
+      override def description(): String = describe
+      override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+        override def name(): String = pname
+        override def description(): String = describe
+        override def parameters(): Array[ProcedureParameter] = params.toArray
+        override def isDeterministic: Boolean = false
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val result = run(input).toArray
+          java.util.Collections.singletonList[Scan](new LocalScan {
+            override def rows(): Array[InternalRow] = result
+            override def readSchema(): StructType = out
+          }).iterator()
+        }
+      }
+    }
+}

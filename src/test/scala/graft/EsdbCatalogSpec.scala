@@ -201,6 +201,44 @@ class EsdbCatalogSpec extends SparkSpec {
     intercept[Exception](spark.sql(s"SELECT * FROM $Cat.payments.nope").collect())
   }
 
+  test("CALL procedures run the maintenance lifecycle from pure SQL") {
+    root
+    val conf = spark.sparkContext.hadoopConfiguration
+    // scratch store: create, append fragmentation, compact via CALL
+    val p = s"$root/proc_scratch"
+    def ev(ids: Range): DataFrame = ids.map(i =>
+      ("s", s"g${i % 3}", i.toLong * 1000, i.toLong, 0.0, s"""{"k": ${i % 2}}"""))
+      .toDF("space", "grouping", "ts_us", "event_id", "value", "payload")
+    Publish.publish(conf, p) { tmp => EsdbWriter.write(ev(1 to 100), tmp) }
+    EsdbWriter.append(ev(101 to 110), p)
+    EsdbWriter.append(ev(111 to 120), p)
+
+    val inc = spark.sql(
+      s"CALL $Cat.system.compact_incremental(table => 'proc_scratch', max_files_per_space => 1)")
+      .collect().head
+    assert(inc.getString(0) == "proc_scratch")
+    assert(inc.getBoolean(1), "3 files per space must trigger the incremental rewrite")
+    assert(spark.sql(s"SELECT count(*) FROM $Cat.proc_scratch").head().getLong(0) == 120L)
+
+    val full = spark.sql(
+      s"CALL $Cat.system.compact(table => 'proc_scratch', keep_versions => 2)").collect().head
+    assert(full.getLong(1) > inc.getLong(2), "compact must publish a newer version")
+
+    val vac = spark.sql(s"CALL $Cat.system.vacuum(table => 'proc_scratch')").collect().head
+    assert(vac.getLong(1) == full.getLong(1))
+
+    val sealRow = spark.sql(
+      s"CALL $Cat.system.seal(table => 'proc_scratch', index_name => 'k')").collect().head
+    assert(sealRow.getBoolean(1))
+    intercept[Exception] { // sealed: writes refuse
+      EsdbWriter.append(ev(121 to 130), p)
+    }
+
+    intercept[Exception] {
+      spark.sql(s"CALL $Cat.system.nope(table => 'proc_scratch')").collect()
+    }
+  }
+
   test("metadata tables: tails serves the seal-time sidecar") {
     root
     val conf = spark.sparkContext.hadoopConfiguration
