@@ -102,6 +102,29 @@ object Publish {
     data.toString
   }
 
+  /** `TIMESTAMP AS OF` resolution: the newest version whose pointer
+    * object was committed at or before `tsMicros` (pointer mtime IS the
+    * commit instant — the pointer is written exactly once). Fails
+    * loudly when no version existed yet at that time, or when the
+    * matched version's data has been retired.
+    */
+  def resolveAtTime(conf: Configuration, root: String, tsMicros: Long): String = {
+    val ptr = new Path(root, PtrDir)
+    val fs = ptr.getFileSystem(conf)
+    if (!fs.exists(ptr)) throw new java.io.FileNotFoundException(
+      s"no committed versions at $root")
+    val eligible = fs.listStatus(ptr).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".ptr"))
+      .flatMap { s =>
+        val n = s.getPath.getName.stripSuffix(".ptr")
+        scala.util.Try(n.toLong).toOption
+          .filter(_ => s.getModificationTime * 1000L <= tsMicros)
+      }
+    if (eligible.isEmpty) throw new java.io.FileNotFoundException(
+      s"no version of $root was committed at or before timestamp $tsMicros us")
+    resolveAt(conf, root, eligible.max)
+  }
+
   /** All committed (version, dataDirName) pairs, ascending — pointers
     * are immutable history, so this includes retired versions whose
     * data is gone.
@@ -212,6 +235,45 @@ object Publish {
     }
     sweepVersions(conf, root, next, keepVersions, dirName)
     dataDir
+  }
+
+  /** Roll the live table back to an older committed version: commit a
+    * NEW pointer whose data dir is the old version's. History stays
+    * monotonic (readers follow the highest pointer, so concurrent
+    * readers of the mistaken version are unaffected), no data is
+    * copied or deleted beyond the normal retention sweep, and the
+    * mistaken version remains pinnable while retained. Fails if the
+    * target version was never committed or already swept. Returns the
+    * new current version number.
+    */
+  def rollback(conf: Configuration, root: String, toVersion: Long,
+               keepVersions: Int = 2): Long = {
+    require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
+    val cur = currentVersion(conf, root).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $root"))
+    require(toVersion != cur._1, s"version $toVersion is already current at $root")
+    val dirName = versionDir(conf, root, toVersion).getOrElse(
+      throw new IllegalArgumentException(
+        s"version $toVersion at $root was never committed or has been retired; " +
+          s"committed: ${committedVersions(conf, root).map(_._1).mkString(", ")}"))
+    val next = cur._1 + 1
+    val ptrDir = new Path(root, PtrDir)
+    val fs = ptrDir.getFileSystem(conf)
+    val tmp = new Path(ptrDir, s".tmp-$next-" + java.util.UUID.randomUUID().toString.take(8))
+    val out = fs.create(tmp, true)
+    try out.write(dirName.getBytes("UTF-8")) finally out.close()
+    val ptrPath = new Path(ptrDir, s"$next.ptr")
+    try {
+      org.apache.hadoop.fs.FileContext.getFileContext(ptrPath.toUri, conf)
+        .rename(tmp, ptrPath)
+    } catch {
+      case e: Exception =>
+        fs.delete(tmp, false)
+        throw new java.io.IOException(
+          s"rollback conflict: version $next already committed at $root", e)
+    }
+    sweepVersions(conf, root, next, keepVersions, dirName)
+    next
   }
 
   /** Delete version dirs outside the retention window. Retained: data

@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
 import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, StagedTable, StagingTableCatalog, SupportsNamespaces, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.engine.{EsdbWriter, Publish}
@@ -180,6 +180,15 @@ class EsdbCatalog extends TableCatalog with SupportsNamespaces with StagingTable
     bind(logical, Publish.resolveAt(conf, logical, v))
   }
 
+  /** `FOR TIMESTAMP AS OF t` — the newest version committed at or
+    * before `t` (Spark hands the instant in MICROseconds).
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val logical = tablePath(ident)
+    if (!isTable(logical)) throw new NoSuchTableException(ident)
+    bind(logical, Publish.resolveAtTime(conf, logical, timestamp))
+  }
+
   override def tableExists(ident: Identifier): Boolean =
     isTable(tablePath(ident))
 
@@ -241,10 +250,41 @@ class EsdbCatalog extends TableCatalog with SupportsNamespaces with StagingTable
     new EsdbStagedTable(tablePath(ident), schema, info.properties())
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "esdb store schemas are fixed by their written layout; rewrite via " +
-        "EsdbWriter + Publish.publish instead of ALTER TABLE")
+  /** Additive schema evolution as DDL: `ALTER TABLE t ADD COLUMN c T`
+    * is a SIDECAR-ONLY update (the files are immutable — existing rows
+    * read null for the new column; future appends may fill it). Only
+    * top-level nullable no-default adds are expressible this way;
+    * everything else keeps the written-layout refusal.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val logical = tablePath(ident)
+    if (!isTable(logical)) throw new NoSuchTableException(ident)
+    val adds = changes.map {
+      case a: TableChange.AddColumn if a.fieldNames.length == 1 && a.isNullable &&
+        a.defaultValue == null && a.position == null =>
+        StructField(a.fieldNames.head, a.dataType, nullable = true)
+      case a: TableChange.AddColumn => throw new UnsupportedOperationException(
+        "esdb ADD COLUMN is metadata-only (files are immutable): the column must " +
+          "be top-level and nullable, with no default and no position — got " + a.fieldNames.mkString("."))
+      case other => throw new UnsupportedOperationException(
+        s"esdb store schemas are fixed by their written layout; $other is not " +
+          "expressible as a metadata-only change (rewrite via EsdbWriter + Publish.publish)")
+    }
+    val resolved = Publish.resolve(conf, logical)
+    // the sidecar is the one holder of the merged logical schema; a
+    // legacy store gets one seeded from inference before the add
+    val base = EsdbWriter.schemaManifest(conf, resolved).getOrElse {
+      val isLog = {
+        val m = new Path(resolved, EsdbWriter.LogManifest)
+        m.getFileSystem(conf).exists(m)
+      }
+      if (isLog) EsdbLogSource.canonicalSchema(resolved)
+      else EsdbStoreSource.canonicalSchema(resolved)
+    }
+    EsdbWriter.writeSchemaManifest(conf, resolved,
+      EsdbWriter.unionSchemas(base, StructType(adds)))
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = tablePath(ident)

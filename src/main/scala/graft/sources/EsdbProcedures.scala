@@ -21,7 +21,7 @@ import graft.engine.{EsdbWriter, Publish}
 object EsdbProcedures {
 
   val names: Seq[String] =
-    Seq("compact", "compact_incremental", "compact_log", "vacuum", "seal")
+    Seq("compact", "compact_incremental", "compact_log", "vacuum", "seal", "rollback")
 
   private def p(name: String, dt: org.apache.spark.sql.types.DataType,
                 default: Option[String] = None,
@@ -87,6 +87,19 @@ object EsdbProcedures {
         // and is what every write path's isSealed check consults
         EsdbWriter.seal(SparkSession.active, path(t), in.getUTF8String(1).toString)
         Seq(row(UTF8String.fromString(t), true))
+      }
+      case "rollback" => proc("rollback",
+        Seq(p("table", StringType),
+          p("version", LongType, comment = "committed version to restore"),
+          p("keep_versions", IntegerType, Some("2"))),
+        StructType(Seq(StructField("table", StringType),
+          StructField("restored_version", LongType),
+          StructField("new_version", LongType))),
+        "re-pin the live table to an older committed version (no data copied; history stays monotonic)") { in =>
+        val t = in.getUTF8String(0).toString
+        val target = in.getLong(1)
+        val next = Publish.rollback(conf(), path(t), target, in.getInt(2))
+        Seq(row(UTF8String.fromString(t), target, next))
       }
       case other => throw new UnsupportedOperationException(
         s"unknown procedure $other; available: ${names.mkString(", ")}")

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 
 import graft.engine.{EsdbWriter, Publish}
 
@@ -236,6 +237,77 @@ class EsdbCatalogSpec extends SparkSpec {
 
     intercept[Exception] {
       spark.sql(s"CALL $Cat.system.nope(table => 'proc_scratch')").collect()
+    }
+  }
+
+  test("CALL rollback re-pins the live table to an older version without copying data") {
+    root
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = s"$root/rollback_scratch"
+    def ev(n: Int): DataFrame = (1 to n).map(i =>
+      ("s", s"g${i % 3}", i.toLong * 1000, i.toLong, 0.0, "{}"))
+      .toDF("space", "grouping", "ts_us", "event_id", "value", "payload")
+    Publish.publish(conf, p, keepVersions = 3) { tmp => EsdbWriter.write(ev(100), tmp) }
+    Publish.publish(conf, p, keepVersions = 3) { tmp => EsdbWriter.write(ev(250), tmp) }
+    assert(spark.sql(s"SELECT count(*) FROM $Cat.rollback_scratch").head().getLong(0) == 250L)
+    val r = spark.sql(
+      s"CALL $Cat.system.rollback(table => 'rollback_scratch', version => 1)").collect().head
+    assert(r.getLong(1) == 1L && r.getLong(2) == 3L, r.toString)
+    assert(spark.sql(s"SELECT count(*) FROM $Cat.rollback_scratch").head().getLong(0) == 100L)
+    // the mistaken version stays pinnable while retained
+    assert(spark.sql(s"SELECT count(*) FROM $Cat.rollback_scratch VERSION AS OF 2")
+      .head().getLong(0) == 250L)
+    // rolling back to a never-committed version refuses
+    intercept[Exception] {
+      spark.sql(s"CALL $Cat.system.rollback(table => 'rollback_scratch', version => 99)").collect()
+    }
+  }
+
+  test("TIMESTAMP AS OF resolves the newest version committed at or before the instant") {
+    root
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = s"$root/ts_travel"
+    def ev(n: Int): DataFrame = (1 to n).map(i =>
+      ("s", s"g${i % 3}", i.toLong * 1000, i.toLong, 0.0, "{}"))
+      .toDF("space", "grouping", "ts_us", "event_id", "value", "payload")
+    Publish.publish(conf, p, keepVersions = 3) { tmp => EsdbWriter.write(ev(100), tmp) }
+    Thread.sleep(1100) // pointer mtimes are second-granular on some filesystems
+    val betweenMs = System.currentTimeMillis()
+    Thread.sleep(1100)
+    Publish.publish(conf, p, keepVersions = 3) { tmp => EsdbWriter.write(ev(250), tmp) }
+    val between = new java.sql.Timestamp(betweenMs)
+    assert(spark.sql(
+      s"SELECT count(*) FROM $Cat.ts_travel TIMESTAMP AS OF '$between'")
+      .head().getLong(0) == 100L)
+    assert(spark.sql(s"SELECT count(*) FROM $Cat.ts_travel").head().getLong(0) == 250L)
+    intercept[Exception] { // before any commit existed
+      spark.sql(s"SELECT count(*) FROM $Cat.ts_travel TIMESTAMP AS OF '2001-01-01'").collect()
+    }
+  }
+
+  test("ALTER TABLE ADD COLUMN is a sidecar-only evolution; non-additive changes refuse") {
+    root
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = s"$root/alter_scratch"
+    Publish.publish(conf, p) { tmp =>
+      EsdbWriter.write((1 to 50).map(i =>
+        ("s", s"g${i % 3}", i.toLong * 1000, i.toLong, 0.0, "{}"))
+        .toDF("space", "grouping", "ts_us", "event_id", "value", "payload"), tmp)
+    }
+    spark.sql(s"ALTER TABLE $Cat.alter_scratch ADD COLUMN score DOUBLE")
+    val t = spark.table(s"$Cat.alter_scratch")
+    assert(t.columns.contains("score"))
+    assert(t.where(col("score").isNull).count() == 50, "existing rows read null")
+    // appends may now fill the column; the scan sees both
+    EsdbWriter.append((51 to 60).map(i =>
+      ("s", s"g${i % 3}", i.toLong * 1000, i.toLong, 0.0, "{}", i * 1.5))
+      .toDF("space", "grouping", "ts_us", "event_id", "value", "payload", "score"), p)
+    assert(spark.table(s"$Cat.alter_scratch").where(col("score").isNotNull).count() == 10)
+    intercept[Exception] { // type change is not metadata-expressible
+      spark.sql(s"ALTER TABLE $Cat.alter_scratch ALTER COLUMN value TYPE STRING")
+    }
+    intercept[Exception] { // drop is not metadata-expressible
+      spark.sql(s"ALTER TABLE $Cat.alter_scratch DROP COLUMN payload")
     }
   }
 
