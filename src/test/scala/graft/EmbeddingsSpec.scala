@@ -89,4 +89,15 @@ class EmbeddingsSpec extends SparkSpec {
       assert(g._4 > 0 && g._4 * g._4 * 25 >= 4 * g._5 * g._6)
     }
   }
+
+  test("project: deterministic sign projection, exact integer coordinates") {
+    import spark.implicits._
+    val emb = Seq((7L, Array(0.5f, -0.25f))).toDF("vec_id", "embedding")
+    val got = graft.ops.Embeddings.project(emb, outDim = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    // fx = [500000, -250000]; sign(i,j) = + iff (31i+17j) % 2 == 0
+    // j=0: signs (+,-) -> 500000 + 250000 = 750000
+    // j=1: signs (-,+) -> -500000 - 250000 = -750000
+    assert(got == Seq((7L, 0, 750000L), (7L, 1, -750000L)))
+  }
 }

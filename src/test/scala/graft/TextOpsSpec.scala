@@ -141,4 +141,26 @@ class TextOpsSpec extends SparkSpec {
     val got = rowsOf(Sessionize.sessions(ev).select("grouping", "session_seq", "n_events"))
     assert(got == Seq(Seq("u1", 1L, 2L), Seq("u1", 2L, 1L), Seq("u2", 1L, 1L)))
   }
+
+  test("bpeTrain learns deterministic merges; overlap counts and greedy merges match by hand") {
+    import spark.implicits._
+    // corpus: "aaab aaab ab" x freq via repetition
+    //   words: aaab (freq 2), ab (freq 1)
+    //   round 1 pairs: (a,a): 2 per aaab x2 = 4 (overlap counted); (a,b): 2+1 = 3
+    //     -> merge (a,a) cnt 4; aaab -> [aa, a, b] (greedy left-to-right, non-overlap)
+    //   round 2 pairs: (aa,a): 2, (a,b): 2+1=3 -> merge (a,b) cnt 3
+    //   round 3: aaab=[aa,ab], ab=[ab] -> (aa,ab): 2 -> merge (aa,ab) cnt 2
+    val docs = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")
+    val rules = graft.ops.TextOps.bpeTrain(docs, numMerges = 3).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(rules == Seq((0, "a", "a", 4L), (1, "a", "b", 3L), (2, "aa", "ab", 2L)))
+  }
+
+  test("bpeTrain stops early when no pairs remain") {
+    import spark.implicits._
+    val docs = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    val rules = graft.ops.TextOps.bpeTrain(docs, numMerges = 5).collect()
+    assert(rules.length == 1) // after merging (a,b) every word is one symbol
+    assert(rules.head.getString(1) == "a" && rules.head.getString(2) == "b")
+  }
 }
