@@ -74,6 +74,8 @@ object ScaleCheck {
       "dedup_minhash",          // LSH banding self-join
       "similarity_topk",        // broadcast nested-loop scoring
       "text_vocab_topk",        // explode + count + top-k
+      "text_bpe_train",         // tokenizer training: one corpus scan + vocab-table merge rounds
+      "embeddings_project",     // sign projection: scan-stage kernel, no shuffle
       "text_bigram_topk_sketch", // Misra-Gries heavy hitters (cap-bounded shuffle)
       "text_span_dedup",        // span explode + hash-only shuffle
       "corpus_pack",            // per-source running-total window
