@@ -487,24 +487,33 @@ final class EsdbScan(path: String, required: StructType, spaces: Option[Seq[Stri
 
   override def toBatch: Batch = this
 
-  // runtime (join-driven) partition pruning — the DSv2 analog of
-  // dynamic partition pruning: a broadcast join on `space` hands the
-  // build side's key set to the scan before execution, and whole
-  // space directories drop out of the plan (the reference's SSTable
-  // lookup, driven by another table's keys)
+  // runtime (join-driven) pruning — the DSv2 analog of dynamic
+  // partition pruning: a broadcast join on `space` hands the build
+  // side's key set to the scan before execution and whole space
+  // directories drop out of the plan (the reference's SSTable lookup,
+  // driven by another table's keys); a join on `grouping` prunes to
+  // the HASH BUCKETS its keys live in (subpartitioned stores read
+  // |buckets(keys)|/subparts of each space). Both are file-level only
+  // — the join itself re-verifies rows, so advisory narrowing is safe.
   private var runtimeSpaces: Option[Seq[String]] = None
+  private var runtimeGroupings: Option[Seq[String]] = None
 
+  // only columns that SURVIVE pruning may be named (Spark resolves
+  // every filter attribute against the scan output)
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    Array(Expressions.column("space"))
+    Seq("space", "grouping").filter(required.fieldNames.contains)
+      .map(Expressions.column).toArray
 
   override def filter(filters: Array[Filter]): Unit = {
-    val allowed = filters.collect {
-      case EqualTo("space", v: String) => Seq(v)
-      case In("space", vs) if vs.forall(_.isInstanceOf[String]) =>
+    def values(col: String): Seq[Seq[String]] = filters.collect {
+      case EqualTo(c, v: String) if c == col => Seq(v)
+      case In(c, vs) if c == col && vs.forall(_.isInstanceOf[String]) =>
         vs.toSeq.map(_.asInstanceOf[String])
     }
-    if (allowed.nonEmpty)
-      runtimeSpaces = Some(allowed.reduce(_ intersect _))
+    val sp = values("space")
+    if (sp.nonEmpty) runtimeSpaces = Some(sp.reduce(_ intersect _))
+    val gr = values("grouping")
+    if (gr.nonEmpty) runtimeGroupings = Some(gr.reduce(_ intersect _))
   }
 
   // driver-side listing: one partition per space directory, its files
@@ -514,10 +523,10 @@ final class EsdbScan(path: String, required: StructType, spaces: Option[Seq[Stri
   // call this, and at object-store latencies each extra LIST round-trip
   // is real money — one scan must list the store exactly once (twice if
   // a runtime filter narrows it).
-  @volatile private var listed: (Option[Seq[String]], Array[EsdbInputPartition]) = _
+  @volatile private var listed: ((Option[Seq[String]], Option[Seq[String]]), Array[EsdbInputPartition]) = _
 
   private def partitions: Array[EsdbInputPartition] = {
-    val key = runtimeSpaces
+    val key = (runtimeSpaces, runtimeGroupings)
     val cached = listed
     if (cached != null && cached._1 == key) cached._2
     else {
@@ -570,16 +579,26 @@ final class EsdbScan(path: String, required: StructType, spaces: Option[Seq[Stri
       // file-level form of the reference's bounded block skip
       // (bounded/reader.go). Unknown files are conservatively kept.
       val tsRanges = tsManifestRanges
-      // hot-space subpartitioning: a pinned grouping lives in exactly
-      // one bucket (pure hash of the grouping), so the scan reads
-      // 1/subparts of each space — the read-side half of the lever.
-      // The marker probe only happens when a grouping is pinned (the
-      // one case pruning can fire) — unpinned scans pay no round-trip.
-      val wantBucket: Option[String] = grouping.flatMap { g =>
-        val subparts = graft.engine.EsdbWriter.subpartsOf(hconf, path)
-        if (subparts > 1) Some(s"bucket=${graft.engine.EsdbWriter.bucketOf(g, subparts)}")
-        else None
-      }
+      // hot-space subpartitioning: a pinned or join-supplied grouping
+      // lives in exactly its hash bucket, so the scan reads
+      // |buckets(keys)|/subparts of each space — the read-side half of
+      // the lever. The marker probe only happens when some grouping
+      // constraint exists (the one case pruning can fire) —
+      // unconstrained scans pay no round-trip. A contradictory
+      // constraint set (planning grouping outside the join's keys)
+      // yields zero wanted buckets and an empty scan, which is exact.
+      val groupingConstraints: Seq[Set[String]] =
+        grouping.map(Set(_)).toSeq ++ runtimeGroupings.map(_.toSet).toSeq
+      val wantBuckets: Option[Set[String]] =
+        if (groupingConstraints.isEmpty) None
+        else {
+          val effective = groupingConstraints.reduce(_ intersect _)
+          val subparts = graft.engine.EsdbWriter.subpartsOf(hconf, path)
+          if (subparts > 1)
+            Some(effective.map(g => s"bucket=${graft.engine.EsdbWriter.bucketOf(g, subparts)}"))
+          else if (effective.isEmpty) Some(Set.empty) // contradiction: no rows can match
+          else None
+        }
       val dirs = fs.listStatus(root).toSeq
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("space="))
         .map(s => (EsdbStoreSource.unescapePathName(s.getPath.getName.drop("space=".length)), s.getPath))
@@ -588,7 +607,11 @@ final class EsdbScan(path: String, required: StructType, spaces: Option[Seq[Stri
       dirs.flatMap { case (space, dir) =>
         val files = graft.engine.EsdbWriter.relativeDataFiles(fs, dir)
           .filter { case (rel, _) =>
-            wantBucket.forall(b => !rel.contains("/bucket=") || rel.contains(s"/$b/"))
+            wantBuckets match {
+              case None => true
+              case Some(bs) if bs.isEmpty => false // contradictory constraints
+              case Some(bs) => !rel.contains("/bucket=") || bs.exists(b => rel.contains(s"/$b/"))
+            }
           }
           .filter { case (rel, _) =>
             tsRanges.get(rel) match {

@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.engine.{EsdbWriter, EventStore}
+import graft.sources.EsdbMergeReader
 
 /** The DSv2 ordered store read path: correctness parity with the
   * vanilla parquet path, and the plan properties that are its reason
@@ -187,6 +188,41 @@ class OrderedStoreSpec extends SparkSpec {
       val q = ordered.join(broadcast(dim), "space")
       val n = q.count()
       assert(n == vanilla.where(col("space") === "s2").count() && n > 0)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("RuntimeFilters: [dynamicpruning"),
+        "expected a runtime pruning filter on the esdb scan:\n" + plan)
+    } finally spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", prev)
+  }
+
+  test("runtime filtering: a broadcast join on grouping prunes to the keys' hash buckets") {
+    import org.apache.spark.sql.functions.broadcast
+    // subpartitioned store: each grouping lives in ONE bucket dir, so a
+    // join keyed on grouping should open only its keys' buckets
+    val dir = java.nio.file.Files.createTempDirectory("dppbucket").toFile
+    dir.delete()
+    val ev = (1 to 400).map(i => ("s", s"g${i % 8}", i.toLong * 1000, i.toLong, i / 10.0, "{}"))
+      .toDF("space", "grouping", "ts_us", "event_id", "value", "payload")
+    EsdbWriter.write(ev, dir.getAbsolutePath, subparts = 8)
+    val dimPath = java.nio.file.Files.createTempDirectory("dppbdim").toString + "/dim"
+    Seq(("g3", "only"), ("zz", "other")).toDF("grouping", "tag").write.parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).where(col("tag") === "only")
+    val prev = spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.useStats")
+    try {
+      spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+      val store = EsdbWriter.readOrdered(spark, dir.getAbsolutePath)
+      val before = EsdbMergeReader.RowsRead.get()
+      val q = store.join(broadcast(dim), "grouping")
+      val n = q.count()
+      assert(n == 50, s"g3 holds 50 of 400 events, got $n")
+      val pulled = EsdbMergeReader.RowsRead.get() - before
+      // only g3's hash bucket should open: its resident groupings'
+      // rows (collisions included), never the whole store — the
+      // record-level grouping filter isn't claimed by runtime pruning,
+      // so the bucket file's rows are all pulled and the join filters
+      val bucketOfG3 = EsdbWriter.bucketOf("g3", 8)
+      val expected = (0 until 8).count(g => EsdbWriter.bucketOf(s"g$g", 8) == bucketOfG3) * 50
+      assert(pulled == expected && expected < 400,
+        s"bucket pruning should read only g3's bucket ($expected rows), pulled $pulled")
       val plan = q.queryExecution.executedPlan.toString
       assert(plan.contains("RuntimeFilters: [dynamicpruning"),
         "expected a runtime pruning filter on the esdb scan:\n" + plan)
