@@ -1324,6 +1324,41 @@ object Queries {
              |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin)),
 
     // generator family (§2.10): explode tokens → global frequency top-k
+    // linear quality-classifier TRAINING (fastText-style weak-label
+    // pipeline) in exact integer arithmetic: hashed bag-of-words
+    // features, full-batch perceptron updates — w broadcasts down, one
+    // aggregation per round comes back; the oracle reproduces every
+    // weight bit-for-bit (w0=0 makes round 1 the all-docs gradient;
+    // round 2 recomputes margins and folds in the misclassified set)
+    QuerySpec("text_quality_classifier",
+      (s, d) => TextOps.trainQualityClassifier(Tables.documents(s, d),
+        dim = 16, iters = 2, minTokens = 50),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, t FROM (
+             |    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents) u
+             |  WHERE t <> ''),
+             |lab AS (
+             |  SELECT doc_id, CASE WHEN count(*) > 50 THEN 1 ELSE -1 END AS y
+             |  FROM toks GROUP BY doc_id),
+             |tb AS (
+             |  SELECT doc_id,
+             |    CAST(list_sum(list_transform(range(1, length(t)+1), i -> unicode(t[i:i]) * i)) % 16 AS INTEGER) AS j
+             |  FROM toks),
+             |x AS (SELECT doc_id, j, CAST(count(*) AS BIGINT) AS cnt FROM tb GROUP BY doc_id, j),
+             |w1 AS (SELECT x.j, CAST(sum(lab.y * x.cnt) AS BIGINT) AS w
+             |       FROM x JOIN lab USING (doc_id) GROUP BY x.j),
+             |sc AS (SELECT x.doc_id, any_value(lab.y) AS y,
+             |         CAST(sum(x.cnt * coalesce(w1.w, 0)) AS BIGINT) AS score
+             |       FROM x JOIN lab USING (doc_id) LEFT JOIN w1 ON x.j = w1.j
+             |       GROUP BY x.doc_id),
+             |mis AS (SELECT doc_id, y FROM sc WHERE y * score <= 0),
+             |upd AS (SELECT x.j, CAST(sum(mis.y * x.cnt) AS BIGINT) AS g
+             |        FROM mis JOIN x USING (doc_id) GROUP BY x.j),
+             |dims AS (SELECT CAST(unnest(range(0,16)) AS INTEGER) AS j)
+             |SELECT d.j, CAST(coalesce(w1.w,0) + coalesce(upd.g,0) AS BIGINT) AS weight
+             |FROM dims d LEFT JOIN w1 ON d.j = w1.j LEFT JOIN upd ON d.j = upd.j
+             |ORDER BY d.j""".stripMargin)),
+
     // BPE tokenizer TRAINING as a Spark job: corpus touched once
     // (word-frequency aggregation); every merge iteration runs on the
     // compact word table, so training cost tracks the vocabulary, not

@@ -439,4 +439,64 @@ object TextOps {
     }
     out.toArray
   }
+
+  /** Train a linear quality classifier — the fastText-style "weak
+    * label → hashed bag-of-words → linear model" pipeline as a Spark
+    * job, in EXACT integer arithmetic (full-batch perceptron, so the
+    * oracle reproduces every weight bit-for-bit; logistic loss would
+    * differ only by the update rule's float sigmoid).
+    *
+    * Features: x_j = count of tokens whose deterministic hash
+    * (Σ codepoint·position mod dim) lands in bucket j. Weak label:
+    * y = +1 iff the document exceeds `minTokens` tokens. Per
+    * iteration: margin = y·(w·x); every margin ≤ 0 document
+    * contributes y·x to the batch update — w broadcasts down (dim
+    * Longs), ONE aggregation comes back. At 100 TB each iteration is
+    * a scan+agg of the cached doc×bucket feature table; the model
+    * state never exceeds `dim` Longs.
+    */
+  def trainQualityClassifier(docs: DataFrame, dim: Int = 16, iters: Int = 2,
+                             minTokens: Int = 50): DataFrame = {
+    val sp = docs.sparkSession
+    import sp.implicits._
+    def bucket(t: String): Int = {
+      var s = 0L
+      var i = 0
+      while (i < t.length) { s += t.charAt(i).toLong * (i + 1); i += 1 }
+      (s % dim).toInt
+    }
+    // (doc_id, y, j, cnt): hashed bag-of-words + weak label, built once
+    val feats = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val toks = text.split(" ", -1).filter(_.nonEmpty)
+        val y = if (toks.length > minTokens) 1L else -1L
+        toks.groupBy(bucket).map { case (j, ts) => (id, y, j, ts.length.toLong) }
+      }
+      .toDF("doc_id", "y", "j", "cnt")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.ops.Caches.track(feats)
+    var w = Array.fill(dim)(0L)
+    for (_ <- 0 until iters) {
+      val bw = sp.sparkContext.broadcast(w)
+      // margin per doc under the broadcast weights, then the batch
+      // update from every margin<=0 doc — one aggregation per round
+      val upd = feats
+        .withColumn("wx", col("cnt") * udfFreeDot(bw.value)(col("j")))
+        .groupBy("doc_id", "y").agg(sum(col("wx")).as("score"))
+        .where(col("y") * col("score") <= 0)
+        .join(feats, Seq("doc_id", "y"))
+        .groupBy("j").agg(sum(col("y") * col("cnt")).as("g"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      w = w.zipWithIndex.map { case (v, j) => v + upd.getOrElse(j, 0L) }
+    }
+    sp.createDataFrame(w.toSeq.zipWithIndex.map { case (v, j) => (j, v) })
+      .toDF("j", "weight").orderBy("j")
+  }
+
+  /** Map a bucket index to its broadcast weight as a Column (a small
+    * CASE chain — codegen-friendly, no UDF). */
+  private def udfFreeDot(w: Array[Long])(j: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    w.zipWithIndex.foldLeft(lit(0L)) { case (acc, (v, idx)) =>
+      when(j === idx, lit(v)).otherwise(acc)
+    }
 }

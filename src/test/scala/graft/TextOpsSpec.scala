@@ -163,4 +163,18 @@ class TextOpsSpec extends SparkSpec {
     assert(rules.length == 1) // after merging (a,b) every word is one symbol
     assert(rules.head.getString(1) == "a" && rules.head.getString(2) == "b")
   }
+
+  test("trainQualityClassifier: hand-checked batch-perceptron weights") {
+    import spark.implicits._
+    // dim=4, minTokens=1: "aa" hashes to (97*1 + 97*2) % 4 = 3; "b" to 98 % 4 = 2
+    //   doc 1: "aa aa" -> 2 tokens > 1 -> y=+1, x = {3: 2}
+    //   doc 2: "b"     -> 1 token      -> y=-1, x = {2: 1}
+    // round 1 (w=0, all misclassified): w = {3: +2, 2: -1}
+    // round 2: doc1 score=+4 (margin +4 > 0, correct); doc2 score=-(-1)=... y*score = (-1)*(-1)=1 > 0 correct
+    //   -> no updates; final w = (0,0,-1,2)
+    val docs = Seq((1L, "aa aa"), (2L, "b")).toDF("doc_id", "text")
+    val w = graft.ops.TextOps.trainQualityClassifier(docs, dim = 4, iters = 2, minTokens = 1)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(w == Seq((0, 0L), (1, 0L), (2, -1L), (3, 2L)))
+  }
 }
