@@ -76,6 +76,7 @@ object ScaleCheck {
       "text_vocab_topk",        // explode + count + top-k
       "text_bpe_train",         // tokenizer training: one corpus scan + vocab-table merge rounds
       "embeddings_project",     // sign projection: scan-stage kernel, no shuffle
+      "text_quality_classifier", // batch-perceptron training: cached features, dim-sized model state
       "text_bigram_topk_sketch", // Misra-Gries heavy hitters (cap-bounded shuffle)
       "text_span_dedup",        // span explode + hash-only shuffle
       "corpus_pack",            // per-source running-total window
