@@ -152,4 +152,19 @@ class SchemaEvolutionSpec extends SparkSpec {
     val dsv2 = EsdbWriter.readOrdered(spark, p)
     assert(dsv2.where(col("score").isNotNull).count() == 40)
   }
+
+  test("evolution survives a grouping delete: rewritten and carried files keep the union") {
+    val p = tmp("evodelete")
+    EsdbWriter.write(base(1 to 40), p)
+    EsdbWriter.append(withScore(41 to 80), p)
+    EsdbWriter.delete(spark, p, groupings = Some(Set("g1")))
+    val df = EsdbWriter.readOrdered(spark, p)
+    assert(df.columns.contains("score"))
+    assert(df.where(col("grouping") === "g1").count() == 0)
+    // surviving post-evolution rows keep their scores; pre-evolution null
+    assert(df.where(col("score") === 125.0).count() == 1) // event 50 is g2 -> survives
+    assert(df.where(col("event_id") <= 40 && col("score").isNotNull).count() == 0)
+    assert(EsdbWriter.schemaManifest(spark.sparkContext.hadoopConfiguration,
+      EsdbWriter.dataRoot(spark, p)).exists(_.fieldNames.contains("score")))
+  }
 }
