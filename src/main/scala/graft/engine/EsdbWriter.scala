@@ -1141,7 +1141,9 @@ object EsdbWriter {
     val root = dataRoot(spark, path)
     val m = new org.apache.hadoop.fs.Path(root, LogManifest)
     if (!m.getFileSystem(hconf(spark)).exists(m)) None
-    else Some(spark.read.parquet(s"$root/$LogManifest"))
+    // mergeSchema: rows appended before the `rows` count column existed
+    // coexist with new ones in the same sidecar dir
+    else Some(spark.read.option("mergeSchema", "true").parquet(s"$root/$LogManifest"))
   }
 
   /** Rebuild the manifest rows for files not yet covered: one footer
@@ -1155,7 +1157,21 @@ object EsdbWriter {
     * query's planner). `root` is the already-resolved data root.
     */
   def logManifestRanges(conf: org.apache.hadoop.conf.Configuration,
-                        root: String): Option[Map[String, (Long, Long)]] = {
+                        root: String): Option[Map[String, (Long, Long)]] =
+    logManifestInfo(conf, root).map(_.map { case (k, i) => k -> (i.minId, i.maxId) })
+
+  /** One log-manifest row: the file's event_id range plus its row
+    * count. `rows` is -1 for manifest rows written before the count
+    * column existed — callers treat unknown counts conservatively
+    * (streaming admission control ends a micro-batch at such a file).
+    */
+  final case class LogFileInfo(minId: Long, maxId: Long, rows: Long)
+
+  /** Full manifest rows (range + row count), read directly with
+    * parquet-mr — no Spark job (see [[logManifestRanges]]).
+    */
+  def logManifestInfo(conf: org.apache.hadoop.conf.Configuration,
+                      root: String): Option[Map[String, LogFileInfo]] = {
     val dir = new org.apache.hadoop.fs.Path(root, LogManifest)
     val fs = dir.getFileSystem(conf)
     if (!fs.exists(dir)) return None
@@ -1163,7 +1179,7 @@ object EsdbWriter {
       val n = f.getPath.getName
       f.isFile && f.getLen > 0 && !n.startsWith("_") && !n.startsWith(".")
     }
-    val out = scala.collection.mutable.HashMap[String, (Long, Long)]()
+    val out = scala.collection.mutable.HashMap[String, LogFileInfo]()
     parts.foreach { p =>
       val reader = org.apache.parquet.hadoop.ParquetReader
         .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(), p.getPath)
@@ -1171,7 +1187,14 @@ object EsdbWriter {
       try {
         var g = reader.read()
         while (g != null) {
-          out(g.getString("file", 0)) = (g.getLong("min_id", 0), g.getLong("max_id", 0))
+          // rows landed in the schema later; old manifest part-files
+          // predate it (per-file schemas differ inside one sidecar dir)
+          val rows =
+            if (g.getType.containsField("rows") && g.getFieldRepetitionCount("rows") > 0)
+              g.getLong("rows", 0)
+            else -1L
+          out(g.getString("file", 0)) =
+            LogFileInfo(g.getLong("min_id", 0), g.getLong("max_id", 0), rows)
           g = reader.read()
         }
       } finally reader.close()
@@ -1199,7 +1222,9 @@ object EsdbWriter {
       try {
         var mn = Long.MaxValue
         var mx = Long.MinValue
+        var cnt = 0L
         r.getFooter.getBlocks.forEach { b =>
+          cnt += b.getRowCount
           b.getColumns.forEach { c =>
             if (c.getPath.toDotString == "event_id") {
               val st = c.getStatistics
@@ -1210,11 +1235,11 @@ object EsdbWriter {
             }
           }
         }
-        (f.getPath.getName, mn, mx)
+        (f.getPath.getName, mn, mx, cnt)
       } finally r.close()
-    }.filter { case (_, mn, mx) => mn != Long.MaxValue && mx != Long.MinValue }
+    }.filter { case (_, mn, mx, _) => mn != Long.MaxValue && mx != Long.MinValue }
     if (rows.nonEmpty)
-      rows.toDF("file", "min_id", "max_id")
+      rows.toDF("file", "min_id", "max_id", "rows")
         .coalesce(1).write.mode(SaveMode.Append).parquet(s"${root.toString}/$LogManifest")
   }
 

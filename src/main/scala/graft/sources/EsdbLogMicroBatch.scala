@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxFiles, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types.StructType
 
 /** Micro-batch streaming consumption of a LOG store — the reference's
@@ -26,9 +26,21 @@ import org.apache.spark.sql.types.StructType
   * drains to the current head and terminates — the batch-equivalent
   * form the correctness gate oracles.
   */
+/** `maxRowsPerTrigger` / `maxFilesPerTrigger` opt into admission
+  * control: a cold-start catch-up (the reference's `populate` replay
+  * from offset zero) drains as a SEQUENCE of bounded micro-batches
+  * instead of one backlog-sized batch — incremental checkpoints,
+  * bounded task sets, steady progress. Batch boundaries land on log
+  * file boundaries (the manifest's per-file max ids), so the row cap
+  * is honored at file granularity — the same contract as Spark's own
+  * file source — and after the first batch every subsequent batch
+  * counts exactly (no straddling file is ever half-consumed twice).
+  */
 final class EsdbLogMicroBatch(path: String, required: StructType,
-                              parallel: Boolean = false)
-  extends MicroBatchStream {
+                              parallel: Boolean = false,
+                              maxRowsPerTrigger: Option[Long] = None,
+                              maxFilesPerTrigger: Option[Int] = None)
+  extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   import EsdbLogMicroBatch._
 
@@ -38,41 +50,50 @@ final class EsdbLogMicroBatch(path: String, required: StructType,
     graft.engine.EsdbWriter.logManifestRanges(
       spark.sparkContext.hadoopConfiguration, path).getOrElse(Map.empty)
 
-  /** Newest event_id currently in the log: manifest max for covered
-    * files, footer stats for any the manifest misses (a store written
-    * before manifests existed, or a crash between append and manifest
-    * refresh), so appends are never silently invisible to the stream.
-    * -1 on an empty log; rows with NULL event_id have no offset and
-    * are invisible to the streaming surface by construction (bounds
-    * exclude nulls).
+  /** Per-visible-file (max event_id, row count): manifest rows for
+    * covered files, one footer probe for any the manifest misses (a
+    * store written before manifests existed, or a crash between append
+    * and manifest refresh), so appends are never silently invisible to
+    * the stream. Rows with NULL event_id have no offset and are
+    * invisible to the streaming surface by construction (bounds
+    * exclude nulls); `rows` is -1 when unknown (old manifest rows).
     */
-  private def headId(): Long = {
+  private def fileFacts(): Seq[FileFact] = {
     val hconf = spark.sparkContext.hadoopConfiguration
     val root = new Path(path)
     val fs = root.getFileSystem(hconf)
-    if (!fs.exists(root)) return -1L
-    val ranges = manifestRanges()
+    if (!fs.exists(root)) return Nil
+    val info = graft.engine.EsdbWriter.logManifestInfo(hconf, path).getOrElse(Map.empty)
     // LogCommits visibility: a half-written streaming batch must not
     // advance the head (its rows would be consumed then rewritten)
-    val files = graft.engine.LogCommits.visibleDataFiles(fs, root)
-    if (files.isEmpty) return -1L
-    files.map { f =>
-      ranges.get(f.getPath.getName) match {
-        case Some((_, mx)) => mx
-        case None => footerMaxId(hconf, f.getPath)
+    graft.engine.LogCommits.visibleDataFiles(fs, root).flatMap { f =>
+      info.get(f.getPath.getName) match {
+        case Some(i) => Some(FileFact(i.maxId, i.rows))
+        case None =>
+          val (mx, cnt) = footerIdStats(hconf, f.getPath)
+          if (mx < 0) None else Some(FileFact(mx, cnt))
       }
-    }.max
+    }
   }
 
-  /** Max event_id from one file's column-chunk statistics; -1 when the
-    * column or its stats are absent (all-null ids contribute nothing).
+  /** Newest event_id currently in the log; -1 on an empty log. */
+  private def headId(): Long = {
+    val facts = fileFacts()
+    if (facts.isEmpty) -1L else facts.map(_.maxId).max
+  }
+
+  /** (max event_id, row count) from one file's footer; maxId -1 when
+    * the column or its stats are absent (all-null ids contribute
+    * nothing).
     */
-  private def footerMaxId(hconf: org.apache.hadoop.conf.Configuration, p: Path): Long = {
+  private def footerIdStats(hconf: org.apache.hadoop.conf.Configuration, p: Path): (Long, Long) = {
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, hconf))
     try {
       var mx = -1L
+      var cnt = 0L
       r.getFooter.getBlocks.forEach { b =>
+        cnt += b.getRowCount
         b.getColumns.forEach { c =>
           if (c.getPath.toDotString == "event_id") {
             val st = c.getStatistics
@@ -81,13 +102,85 @@ final class EsdbLogMicroBatch(path: String, required: StructType,
           }
         }
       }
-      mx
+      (mx, cnt)
     } finally r.close()
   }
 
   override def initialOffset(): Offset = LogOffset(-1L)
 
   override def latestOffset(): Offset = LogOffset(math.max(headId(), -1L))
+
+  /** Source-declared limit from the reader options — how Spark's own
+    * sources surface per-trigger caps (the execution loop only ever
+    * uses what this returns).
+    */
+  override def getDefaultReadLimit: ReadLimit = {
+    val limits = Seq(
+      maxRowsPerTrigger.map(ReadLimit.maxRows),
+      maxFilesPerTrigger.map(ReadLimit.maxFiles)).flatten
+    limits match {
+      case Seq() => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
+
+  /** The admission decision: advance the consumer's offset over at
+    * most the limit's worth of pending files (ascending max_id), never
+    * zero files when data is pending — guaranteed progress. End
+    * offsets are always file max-ids, so after the first batch the row
+    * cap counts exactly; a file with unknown row count (pre-count
+    * manifest row) conservatively ends its batch.
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[LogOffset].lastSeen
+    // under an AvailableNow drain the prepare-time facts are reused
+    // across triggers (one listing for the whole drain, not one per
+    // bounded batch) and the fence keeps the final offset exactly at
+    // the prepared head, so the query terminates
+    val facts = fence match {
+      case Some((cap, prepared)) => prepared.filter(_.maxId <= cap)
+      case None => fileFacts()
+    }
+    val pending = facts.filter(_.maxId > from).sortBy(_.maxId)
+    if (pending.isEmpty) return LogOffset(from)
+    LogOffset(admit(pending, limit))
+  }
+
+  /** Trigger.AvailableNow: capture the head (and the listing) once;
+    * every subsequent bounded batch walks toward exactly that offset.
+    */
+  @volatile private var fence: Option[(Long, Seq[FileFact])] = None
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    val facts = fileFacts()
+    val head = if (facts.isEmpty) -1L else facts.map(_.maxId).max
+    fence = Some((head, facts))
+  }
+
+  private def admit(pending: Seq[FileFact], limit: ReadLimit): Long = limit match {
+    case _: ReadAllAvailable => pending.last.maxId
+    case f: ReadMaxFiles => pending.take(math.max(1, f.maxFiles())).last.maxId
+    case r: ReadMaxRows =>
+      var taken = 0
+      var sum = 0L
+      var stop = false
+      while (taken < pending.length && !stop) {
+        val rows = pending(taken).rows
+        // always admit the first pending file; stop AFTER a file whose
+        // count is unknown (can't prove the next one fits)
+        if (taken > 0 && (rows < 0 || sum < 0 || sum + rows > r.maxRows())) stop = true
+        else { sum = if (rows < 0) -1L else sum + rows; taken += 1 }
+      }
+      pending.take(math.max(1, taken)).last.maxId
+    case c: CompositeReadLimit =>
+      // most restrictive wins; every branch admits >= 1 file
+      c.getReadLimits.map(l => admit(pending, l)).min
+    case _ => pending.last.maxId
+  }
+
+  /** True head for progress reporting, independent of the cap. */
+  override def reportLatestOffset(): Offset = LogOffset(math.max(headId(), -1L))
 
   override def deserializeOffset(json: String): Offset = LogOffset(json.trim.toLong)
 
@@ -167,4 +260,9 @@ object EsdbLogMicroBatch {
   final case class LogOffset(lastSeen: Long) extends Offset {
     override def json(): String = lastSeen.toString
   }
+
+  /** One pending file as admission control sees it: its newest id and
+    * its row count (-1 = unknown).
+    */
+  final case class FileFact(maxId: Long, rows: Long)
 }

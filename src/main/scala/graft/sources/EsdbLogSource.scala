@@ -151,7 +151,9 @@ final class EsdbLogTable(path: String, tableSchema: StructType,
     else java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new EsdbLogScanBuilder(path, tableSchema,
-      parallel = options.getBoolean("parallel", false))
+      parallel = options.getBoolean("parallel", false),
+      maxRowsPerTrigger = Option(options.get("maxRowsPerTrigger")).map(_.toLong),
+      maxFilesPerTrigger = Option(options.get("maxFilesPerTrigger")).map(_.toInt))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     writePath match {
       case Some(logical) => new EsdbWriteBuilder(logical, tableSchema, logLayout = true, Some(info))
@@ -168,7 +170,9 @@ final class EsdbLogTable(path: String, tableSchema: StructType,
   * contract). Consumers that need one global cursor keep the default.
   */
 final class EsdbLogScanBuilder(path: String, tableSchema: StructType,
-                               parallel: Boolean = false)
+                               parallel: Boolean = false,
+                               maxRowsPerTrigger: Option[Long] = None,
+                               maxFilesPerTrigger: Option[Int] = None)
   extends ScanBuilder
   with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns
@@ -243,11 +247,14 @@ final class EsdbLogScanBuilder(path: String, tableSchema: StructType,
     */
   override def isPartiallyPushed(): Boolean = parallel
 
-  override def build(): Scan = new EsdbLogScan(path, required, idBounds, limit, parallel)
+  override def build(): Scan = new EsdbLogScan(path, required, idBounds, limit, parallel,
+    maxRowsPerTrigger, maxFilesPerTrigger)
 }
 
 final class EsdbLogScan(path: String, required: StructType, idBounds: TsBounds,
-                        limit: Option[Int], parallel: Boolean = false)
+                        limit: Option[Int], parallel: Boolean = false,
+                        maxRowsPerTrigger: Option[Long] = None,
+                        maxFilesPerTrigger: Option[Int] = None)
   extends Scan with Batch with SupportsReportOrdering with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
@@ -264,7 +271,7 @@ final class EsdbLogScan(path: String, required: StructType, idBounds: TsBounds,
     * reference's open-stream read loop (see [[EsdbLogMicroBatch]]).
     */
   override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new EsdbLogMicroBatch(path, required, parallel)
+    new EsdbLogMicroBatch(path, required, parallel, maxRowsPerTrigger, maxFilesPerTrigger)
 
   // driver-side listing, memoized: planning + statistics + execution
   // share one filesystem listing (and one manifest read when bounded)

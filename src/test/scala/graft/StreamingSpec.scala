@@ -163,6 +163,47 @@ class StreamingSpec extends SparkSpec {
     assert(ids.length == 150 && ids.toSeq == (1L to 150L)) // no duplicates, nothing lost
   }
 
+  test("admission control: cold-start log replay drains as bounded micro-batches") {
+    // the reference's caller-driven loop (stream/stream.go:92-124)
+    // naturally chunks a catch-up; maxFilesPerTrigger/maxRowsPerTrigger
+    // give the streaming surface the same property
+    val store = java.nio.file.Files.createTempDirectory("admstore").toString + "/log"
+    def batch(r: Range) = r.map(i => (s"s${i % 2}", s"g${i % 3}", i.toLong, i.toLong, "{}"))
+      .toDF("space", "grouping", "ts_us", "event_id", "payload")
+    graft.engine.EsdbWriter.writeLog(batch(1 to 40), store)
+    (1 to 4).foreach(k => graft.engine.EsdbWriter.appendLog(batch(40 * k + 1 to 40 * (k + 1)), store))
+    val nFiles = graft.engine.EsdbWriter.logManifest(spark, store).get.count().toInt
+    assert(nFiles >= 5)
+
+    def drain(opts: Map[String, String]): Seq[Long] = {
+      val out = java.nio.file.Files.createTempDirectory("admout").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("admckpt").toString
+      var reader = spark.readStream.format("esdblog")
+      opts.foreach { case (k, v) => reader = reader.option(k, v) }
+      val q = reader.load(store)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val ids = spark.read.parquet(out).select("event_id").as[Long].collect().sorted.toSeq
+      assert(ids == (1L to 200L)) // complete and exactly once, however chunked
+      q.recentProgress.toSeq.map(_.numInputRows).filter(_ > 0)
+    }
+
+    // one file per trigger: as many non-empty batches as log files
+    val perFile = drain(Map("maxFilesPerTrigger" -> "1"))
+    assert(perFile.length == nFiles)
+    assert(perFile.forall(_ <= 40L))
+    // row cap at file granularity: each batch covers whole files whose
+    // counts fit the cap (every file here is exactly 40 rows)
+    val perRows = drain(Map("maxRowsPerTrigger" -> "80"))
+    assert(perRows.length >= 3)
+    assert(perRows.forall(_ <= 80L))
+    // no cap: the whole backlog is one batch (prior default, unchanged)
+    assert(drain(Map.empty).length == 1)
+  }
+
   test("session windows split per grouping; the exact-gap boundary merges (batch parity)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
