@@ -32,6 +32,11 @@ object Queries {
     * subset of the pinned grouping's events at every scale factor.
     */
   val SinceTsUs = 1705500000000000L
+  /** Value cutoff for the arbitrary-predicate delete fixture — inside
+    * the value distribution at every scale factor (deletes some rows,
+    * keeps some).
+    */
+  val PredDeleteCutoff = 2.5
 
   final case class QuerySpec(name: String,
                              run: (SparkSession, String) => DataFrame,
@@ -131,6 +136,30 @@ object Queries {
     if (graft.engine.EsdbWriter.manifestGroupings(s, p)
         .exists(_.filter(col("grouping") === Grouping).count() > 0))
       graft.engine.EsdbWriter.delete(s, p, groupings = Some(Set(Grouping)))
+    p
+  }
+
+  /** Store with `value < PredDeleteCutoff` rows DELETED through pure
+    * SQL (`DELETE FROM … WHERE value < x`, the first delete a SQL user
+    * writes) — the arbitrary-predicate copy-on-write path
+    * ([[graft.engine.EsdbWriter.deleteWhere]]): footer stats pick the
+    * candidate files, only those rewrite. Idempotent: a re-run's
+    * stats prove the delete a no-op (post-delete min(value) ≥ cutoff
+    * in every file), so no version churn.
+    */
+  private def ensurePredDeletedStore(s: SparkSession, dir: String): String = synchronized {
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft-preddelstore/$key"
+    val conf = s.sparkContext.hadoopConfiguration
+    if (graft.engine.Publish.currentVersion(conf, p).isEmpty) {
+      graft.engine.Publish.publish(conf, p) { tmp =>
+        graft.engine.EsdbWriter.write(ev(s, dir), tmp)
+      }: Unit
+    }
+    val name = new java.io.File(p).getName
+    s.conf.set("spark.sql.catalog.esdb_del", classOf[graft.sources.EsdbCatalog].getName)
+    s.conf.set("spark.sql.catalog.esdb_del.root", new java.io.File(p).getParent)
+    s.sql(s"DELETE FROM esdb_del.`$name` WHERE value < $PredDeleteCutoff")
     p
   }
 
@@ -379,6 +408,26 @@ object Queries {
               |       count(DISTINCT CAST(user_id AS VARCHAR)) AS n_groupings,
               |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
               |FROM events WHERE user_id <> $Grouping
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // arbitrary-predicate DELETE as pure SQL (DELETE FROM t WHERE
+    // value < x): footer-stats copy-on-write — only files whose stat
+    // range admits a match rewrite; survivors are value >= x or NULL
+    // (SQL delete semantics: a NULL predicate never deletes)
+    QuerySpec("store_delete_predicate",
+      (s, d) => {
+        val p = ensurePredDeletedStore(s, d)
+        graft.engine.EsdbWriter.readOrdered(s, p)
+          .groupBy("space")
+          .agg(count(lit(1)).as("n_events"),
+            sum(round(col("value") * 100).cast("long")).as("sum_cents"),
+            min(col("value")).as("min_value"))
+          .orderBy("space")
+      },
+      Some(s"""SELECT event_type AS space, count(*) AS n_events,
+              |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents,
+              |       min(value) AS min_value
+              |FROM events WHERE value >= $PredDeleteCutoff OR value IS NULL
               |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // the same scan issued as PURE SQL TEXT through the catalog plugin

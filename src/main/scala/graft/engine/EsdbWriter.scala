@@ -601,6 +601,95 @@ object EsdbWriter {
     }: Unit
   }
 
+  /** Arbitrary-predicate row-level delete (`DELETE FROM t WHERE cond`)
+    * as a stats-targeted copy-on-write: parquet footer stats plus the
+    * space partition value classify each file WITHOUT reading data
+    * pages — a file whose stats prove no row can match is carried
+    * byte-for-byte; only candidate files rewrite, filtered through the
+    * same publish-versioned path the keyed deletes use. Rows where the
+    * predicate evaluates NULL survive (SQL DELETE semantics). At
+    * 100 TB the cost tracks the predicate's stat-range footprint (the
+    * files a value range actually touches in a ts-clustered, grouping-
+    * sorted layout), not store size; the classification is one
+    * parallel footer round, the planning cost an ordered scan already
+    * pays.
+    */
+  def deleteWhere(spark: SparkSession, path: String,
+                  filters: Seq[org.apache.spark.sql.sources.Filter],
+                  keepVersions: Int = 1): Unit = {
+    require(!isSealed(path), s"store at $path is sealed (immutable; no deletes)")
+    val cond = DeleteWhere.translate(filters).getOrElse(
+      throw new IllegalArgumentException(
+        s"untranslatable delete predicate: ${filters.mkString(", ")}"))
+    require(filters.nonEmpty, "unbounded delete: use truncate() to empty a store")
+    GraftSession.tune(spark)
+    val conf = hconf(spark)
+    val src = dataRoot(spark, path)
+    val srcPath = new org.apache.hadoop.fs.Path(src)
+    val fs = srcPath.getFileSystem(conf)
+    val subparts = subpartsOf(conf, src)
+    val spaceDirs = fs.listStatus(srcPath).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("space="))
+    val files: Seq[(String, org.apache.hadoop.fs.FileStatus, String)] = spaceDirs.flatMap { d =>
+      val sp = graft.sources.EsdbStoreSource
+        .unescapePathName(d.getPath.getName.drop("space=".length))
+      relativeDataFiles(fs, d.getPath).map { case (rel, f) => (rel, f, sp) }
+    }
+    // footer-stat classification, probed in parallel (independent IO)
+    val classified = {
+      import scala.collection.parallel.CollectionConverters._
+      files.toVector.par
+        .map { case (rel, f, sp) => (rel, f, DeleteWhere.fileMayMatch(conf, f.getPath, sp, filters)) }
+        .toVector
+    }
+    val (rewrite, carry) = classified.partition(_._3)
+    if (rewrite.isEmpty) return // stats proved the delete a no-op: no version churn
+    Publish.publish(conf, path, keepVersions) { tmp =>
+      val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+      val df = spark.read.option("mergeSchema", "true").option("basePath", src)
+        .parquet(rewrite.map(_._2.getPath.toString): _*)
+      // delete rows where cond IS TRUE; false AND null both survive
+      val kept = df.filter(!coalesce(cond, lit(false)))
+      write(if (kept.columns.contains("bucket")) kept.drop("bucket") else kept,
+        tmp, subparts = subparts)
+      carry.foreach { case (rel, f, _) =>
+        val dst = new org.apache.hadoop.fs.Path(tmpPath, rel)
+        fs.mkdirs(dst.getParent)
+        org.apache.hadoop.fs.FileUtil.copy(fs, f.getPath, fs, dst, false, conf): Unit
+      }
+      // ts-range rows for carried files (names preserved); rewritten
+      // files were re-manifested by write()
+      val oldTs = new org.apache.hadoop.fs.Path(srcPath, TsRangeManifest)
+      if (carry.nonEmpty && fs.exists(oldTs)) {
+        val dst = new org.apache.hadoop.fs.Path(tmpPath, TsRangeManifest)
+        fs.mkdirs(dst)
+        fs.listStatus(oldTs).toSeq
+          .filter(f => f.isFile && f.getLen > 0 &&
+            !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+          .foreach { f =>
+            org.apache.hadoop.fs.FileUtil.copy(fs, f.getPath, fs,
+              new org.apache.hadoop.fs.Path(dst, s"carry-${f.getPath.getName}"), false, conf): Unit
+          }
+      }
+      // schema sidecar survives (deletes never narrow the schema)
+      schemaManifest(conf, src).foreach { old =>
+        schemaManifest(conf, tmp) match {
+          case Some(cur) => writeSchemaManifest(conf, tmp, unionSchemas(cur, old))
+          case None => writeSchemaManifest(conf, tmp, old)
+        }
+      }
+      // groupings manifest rebuilt from survivors — an arbitrary
+      // predicate can empty a grouping
+      val anySpace = fs.exists(tmpPath) && fs.listStatus(tmpPath).exists(s =>
+        s.isDirectory && s.getPath.getName.startsWith("space="))
+      if (anySpace) writeGroupingsManifest(spark, tmp, SaveMode.Overwrite)
+      else {
+        val gm = new org.apache.hadoop.fs.Path(tmpPath, GroupingsManifest)
+        if (fs.exists(gm)) fs.delete(gm, true): Unit
+      }
+    }: Unit
+  }
+
   /** Proven-zero-null event_id column across every block — one footer
     * read, no data pages; the license to drop a log file whole.
     */

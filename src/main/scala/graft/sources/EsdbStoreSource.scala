@@ -158,13 +158,13 @@ final class EsdbStoreTable(path: String, tableSchema: StructType,
     * equality already implies it — alone it would target null rows,
     * which a keyed delete cannot express).
     */
-  override def canDeleteWhere(filters: Array[Filter]): Boolean = {
+  private def isKeyed(filters: Array[Filter]): Boolean = {
     def valueCol(c: String) = filters.exists {
       case EqualTo(`c`, _: String) => true
       case In(`c`, vs) => vs.forall(_.isInstanceOf[String])
       case _ => false
     }
-    val keyed = filters.forall {
+    filters.forall {
       case EqualTo("space", _: String) | EqualTo("grouping", _: String) => true
       case In("space", vs) => vs.forall(_.isInstanceOf[String])
       case In("grouping", vs) => vs.forall(_.isInstanceOf[String])
@@ -172,10 +172,13 @@ final class EsdbStoreTable(path: String, tableSchema: StructType,
       case _: org.apache.spark.sql.sources.AlwaysTrue => true
       case _ => false
     }
-    // time retention: a pure upper ts bound (DELETE WHERE ts_us < X) —
-    // the ts-range manifest drops expired files as metadata and only
-    // straddlers rewrite (EsdbWriter.deleteOlderThan)
-    val retention = filters.nonEmpty && filters.forall {
+  }
+
+  // time retention: a pure upper ts bound (DELETE WHERE ts_us < X) —
+  // the ts-range manifest drops expired files as metadata and only
+  // straddlers rewrite (EsdbWriter.deleteOlderThan)
+  private def isRetention(filters: Array[Filter]): Boolean =
+    filters.nonEmpty && filters.forall {
       case LessThan("ts_us", _: java.lang.Long) => true
       case LessThanOrEqual("ts_us", _: java.lang.Long) => true
       case IsNotNull("ts_us") => true
@@ -185,8 +188,16 @@ final class EsdbStoreTable(path: String, tableSchema: StructType,
       case LessThan("ts_us", _) | LessThanOrEqual("ts_us", _) => true
       case _ => false
     }
-    writePath.isDefined && (keyed || retention)
-  }
+
+  /** Keyed and retention shapes route to the cheaper manifest-targeted
+    * deletes; any other translatable predicate routes to the footer-
+    * stats copy-on-write ([[graft.engine.EsdbWriter.deleteWhere]]) —
+    * only files whose stat ranges admit a match rewrite. Only shapes
+    * the translator can't express (unknown Filter subclasses) refuse.
+    */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    writePath.isDefined && (isKeyed(filters) || isRetention(filters) ||
+      (filters.nonEmpty && graft.engine.DeleteWhere.translate(filters.toSeq).isDefined))
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     val logical = writePath.getOrElse(throw new UnsupportedOperationException(
@@ -199,22 +210,21 @@ final class EsdbStoreTable(path: String, tableSchema: StructType,
       }
       if (sets.isEmpty) None else Some(sets.reduce(_ intersect _))
     }
-    // tightest conjunctive upper ts bound: smaller cutoff wins; at the
-    // same cutoff, strict `<` deletes fewer rows than `<=` and the
-    // conjunction keeps the stricter one
-    val tsBound: Option[(Long, Boolean)] = filters.collect {
-      case LessThan("ts_us", v: java.lang.Long) => (v.longValue(), false)
-      case LessThanOrEqual("ts_us", v: java.lang.Long) => (v.longValue(), true)
-    }.sortBy { case (v, incl) => (v, incl) }.headOption
-    tsBound match {
-      case Some((cutoff, incl)) =>
-        graft.engine.EsdbWriter.deleteOlderThan(spark, logical, cutoff, inclusive = incl)
-      case None =>
-        (vals("space"), vals("grouping")) match {
-          case (None, None) => graft.engine.EsdbWriter.truncate(spark, logical)
-          case (sp, gr) => graft.engine.EsdbWriter.delete(spark, logical, sp, gr)
-        }
-    }
+    if (isRetention(filters)) {
+      // tightest conjunctive upper ts bound: smaller cutoff wins; at the
+      // same cutoff, strict `<` deletes fewer rows than `<=` and the
+      // conjunction keeps the stricter one
+      val (cutoff, incl) = filters.collect {
+        case LessThan("ts_us", v: java.lang.Long) => (v.longValue(), false)
+        case LessThanOrEqual("ts_us", v: java.lang.Long) => (v.longValue(), true)
+      }.sortBy { case (v, i) => (v, i) }.head
+      graft.engine.EsdbWriter.deleteOlderThan(spark, logical, cutoff, inclusive = incl)
+    } else if (isKeyed(filters)) {
+      (vals("space"), vals("grouping")) match {
+        case (None, None) => graft.engine.EsdbWriter.truncate(spark, logical)
+        case (sp, gr) => graft.engine.EsdbWriter.delete(spark, logical, sp, gr)
+      }
+    } else graft.engine.EsdbWriter.deleteWhere(spark, logical, filters.toSeq)
   }
 
   override def truncateTable(): Boolean = {

@@ -96,6 +96,68 @@ class DeleteFuzzSpec extends SparkSpec {
     }
   }
 
+  test("fuzz: random value predicates match the DataFrame filter; null predicates survive") {
+    import org.apache.spark.sql.sources._
+    for (trial <- 1 to 8) {
+      val dir = java.nio.file.Files.createTempDirectory(s"predfuzz$trial").toFile
+      dir.delete()
+      val p = dir.getAbsolutePath
+      val df = mkStore(n = 300, nSpaces = 3, nGroupings = 6)
+      val subparts = if (trial % 2 == 0) 4 else 1
+      EsdbWriter.write(df, p, subparts = subparts)
+      val df2 = mkStore(n = 100, nSpaces = 3, nGroupings = 6)
+        .withColumn("event_id", col("event_id") + 1000L)
+      EsdbWriter.append(df2, p)
+      val full = df.unionByName(df2)
+
+      val cut = rnd.nextInt(100) / 10.0
+      val tsCut = rnd.nextInt(100000).toLong
+      val (filters, cond) = rnd.nextInt(5) match {
+        case 0 => (Seq[Filter](LessThan("value", cut)), col("value") < cut)
+        case 1 => (Seq[Filter](GreaterThanOrEqual("value", cut)), col("value") >= cut)
+        case 2 => (Seq[Filter](GreaterThan("value", cut), GreaterThan("ts_us", tsCut)),
+          col("value") > cut && col("ts_us") > tsCut)
+        case 3 =>
+          val g = s"g${rnd.nextInt(6)}"
+          (Seq[Filter](EqualTo("grouping", g), LessThanOrEqual("value", cut)),
+            col("grouping") === g && col("value") <= cut)
+        case _ =>
+          val sp = s"s${rnd.nextInt(3)}"
+          (Seq[Filter](Or(EqualTo("space", sp), IsNull("ts_us"))),
+            col("space") === sp || col("ts_us").isNull)
+      }
+      EsdbWriter.deleteWhere(spark, p, filters)
+
+      // SQL delete semantics: rows where the predicate is false OR NULL survive
+      val expected = full.filter(!coalesce(cond, lit(false)))
+      assert(sortedRows(EsdbWriter.readOrdered(spark, p)) == sortedRows(expected),
+        s"trial $trial (subparts=$subparts, filters=${filters.mkString(",")}): diverged")
+
+      // manifest lists exactly the surviving non-null (space, grouping) pairs
+      val manifestPairs = EsdbWriter.manifestGroupings(spark, p).toSeq.flatMap(
+        _.collect().map(r => (r.getString(0), r.getString(1)))).toSet
+      val expectedPairs = expected.filter(col("grouping").isNotNull)
+        .select("space", "grouping").distinct()
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(manifestPairs.filter(_._2 != null) == expectedPairs,
+        s"trial $trial: manifest drifted from survivors")
+    }
+  }
+
+  test("predicate delete outside every file's stat range is a proven no-op") {
+    import org.apache.spark.sql.sources._
+    val dir = java.nio.file.Files.createTempDirectory("prednoop").toFile
+    dir.delete()
+    val p = dir.getAbsolutePath
+    EsdbWriter.write(mkStore(n = 200, nSpaces = 2, nGroupings = 4), p)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val before = graft.engine.Publish.currentVersion(conf, p)
+    // values are 0.0..9.9 — nothing is < -5, stats prove it per file
+    EsdbWriter.deleteWhere(spark, p, Seq[Filter](LessThan("value", -5.0)))
+    assert(graft.engine.Publish.currentVersion(conf, p) == before,
+      "a stats-proven no-op delete must not publish a version")
+  }
+
   test("fuzz: random log trims match the filter and keep merge order") {
     for (trial <- 1 to 5) {
       val dir = java.nio.file.Files.createTempDirectory(s"trimfuzz$trial").toFile

@@ -188,7 +188,7 @@ class DeleteSpec extends SparkSpec {
     assert(EsdbWriter.readOrdered(spark, p).count() == 1000)
   }
 
-  test("SQL DELETE with a ts bound runs retention; mixing key and ts predicates refuses") {
+  test("SQL DELETE with a ts bound runs retention; key+ts conjunctions take the predicate path") {
     val p = tmp("delretsql")
     val store = s"$p/evts"
     EsdbWriter.write(tsBatch(1000, 1999), store)
@@ -199,9 +199,38 @@ class DeleteSpec extends SparkSpec {
     val t = spark.table("esdb_ret.evts")
     assert(t.count() == 1000)
     assert(t.agg(min(col("ts_us"))).head.getLong(0) == 8000L)
-    intercept[Exception] {
-      spark.sql("DELETE FROM esdb_ret.evts WHERE ts_us < 9000 AND grouping = 'g1'")
-    }
+    // neither pure retention nor pure keyed: the copy-on-write
+    // predicate path deletes exactly the conjunction
+    spark.sql("DELETE FROM esdb_ret.evts WHERE ts_us < 8500 AND grouping = 'g1'")
+    val t2 = spark.table("esdb_ret.evts")
+    assert(t2.where(col("grouping") === "g1" && col("ts_us") < 8500).count() == 0)
+    assert(t2.where(col("grouping") === "g1" && col("ts_us") >= 8500).count() > 0,
+      "g1 rows past the ts bound must survive")
+    assert(t2.where(col("grouping") =!= "g1").count() === tsBatch(8000, 8999)
+      .where(col("grouping") =!= "g1").count(), "other groupings untouched")
+  }
+
+  test("predicate delete rewrites only files whose stats admit a match") {
+    val p = tmp("delpred")
+    EsdbWriter.write(mk(), p)
+    val before = dataFileNames(p)
+    // g4's rows (space c) carry values 100.0..100.9; every other file's
+    // value stats top out at 9.0 — footer stats prove them carry-able
+    EsdbWriter.deleteWhere(spark, p,
+      Seq(org.apache.spark.sql.sources.GreaterThanOrEqual("value", 100.0)))
+    val after = dataFileNames(p)
+    assert(before.filter(f => f.startsWith("space=a/") || f.startsWith("space=b/"))
+      .subsetOf(after),
+      s"stat-precluded files must carry byte-for-byte: before=$before after=$after")
+    assert(before.filter(_.startsWith("space=c/")).intersect(after).isEmpty,
+      "candidate files must rewrite")
+    val df = EsdbWriter.readOrdered(spark, p)
+    assert(df.where(col("value") >= 100.0).count() == 0)
+    assert(df.where(col("space") === "c").count() > 0, "space c's other rows survive")
+    // the manifest no longer lists g4 — the predicate emptied it
+    val m = EsdbWriter.manifestGroupings(spark, p).get
+    assert(m.where(col("grouping") === "g4").count() == 0)
+    assert(m.where(col("grouping") === "g0").count() > 0)
   }
 
   test("SQL DELETE FROM through the catalog scrubs a grouping; truncate empties") {
@@ -218,10 +247,10 @@ class DeleteSpec extends SparkSpec {
     assert(t.where(col("space") === "b" && col("grouping") === "g2").count() == 0)
     assert(t.where(col("space") === "a" && col("grouping") === "g2").count() > 0,
       "conjunction must scope the delete to one space")
-    // unsupported predicate refuses at analysis (no silent full rewrite)
-    intercept[Exception] {
-      spark.sql("DELETE FROM esdb_del.users WHERE value > 5.0")
-    }
+    // arbitrary value predicate: the stats-targeted copy-on-write path
+    spark.sql("DELETE FROM esdb_del.users WHERE value > 5.0")
+    assert(spark.table("esdb_del.users").where(col("value") > 5.0).count() == 0)
+    assert(spark.table("esdb_del.users").count() > 0)
     spark.sql("DELETE FROM esdb_del.users")
     assert(spark.table("esdb_del.users").count() == 0)
     assert(spark.table("esdb_del.users").columns.contains("grouping"),
