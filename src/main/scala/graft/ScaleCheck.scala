@@ -37,12 +37,14 @@ object ScaleCheck {
       .config("spark.sql.extensions", "graft.engine.GraftExtensions")
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      .config("spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val bigDir = "/tmp/graft_scale"
     if (args.contains("skew")) { skewCheck(spark, sfDir, bigDir); spark.stop(); return }
+    if (args.contains("spjskew")) { spjSkewCheck(spark, sfDir, bigDir); spark.stop(); return }
     if (args.contains("ordered")) { orderedCheck(spark, sfDir, bigDir); spark.stop(); return }
     if (args.contains("ingest")) { ingestCheck(spark, sfDir, bigDir); spark.stop(); return }
     if (args.contains("compaction")) { compactionCheck(spark, sfDir, bigDir); spark.stop(); return }
@@ -497,5 +499,65 @@ object ScaleCheck {
     val tSalted = math.min(time(salted = true), time(salted = true))
     println(f"${"tails_skew90_plain"}%-24s $tPlain%8.2f")
     println(f"${"tails_skew90_salted"}%-24s $tSalted%8.2f  salted/plain=${tSalted / tPlain}%4.2f")
+  }
+
+  /** Hot-SPACE evidence for the SPJ skew lever (`option("skewSplit")`
+    * + partially-clustered distribution): a store where 90% of rows
+    * live in ONE space, spread over several files by appends. A plain
+    * storage-partitioned join serializes that space into one task; the
+    * split scan keeps its file chunks as separate same-key partitions
+    * and SPJ replicates the dim side's groups instead of shuffling —
+    * timed both ways, with a result-equality assert. Published to
+    * SCALE.md.
+    */
+  private def spjSkewCheck(spark: SparkSession, sfDir: String, bigDir: String): Unit = {
+    if (!new java.io.File(s"$bigDir/events.parquet").exists())
+      replicate(engine.Tables.events(spark, sfDir), Seq("event_id"), s"$bigDir/events.parquet")
+    val ev = engine.EventFrame.fromEvents(engine.Tables.events(spark, bigDir))
+      .withColumn("space",
+        when(pmod(col("event_id"), lit(10)) < 9, lit("hot")).otherwise(col("space")))
+    val storeA = s"$bigDir/spj_hot_store"
+    val storeB = s"$bigDir/spj_dim_store"
+    if (!new java.io.File(storeA).exists()) {
+      // eight appended slices → several files per space (chunks to split)
+      val sliced = ev.withColumn("slice", pmod(col("event_id"), lit(8)))
+      engine.EsdbWriter.write(sliced.filter(col("slice") === 0).drop("slice"), storeA)
+      (1 to 7).foreach(i =>
+        engine.EsdbWriter.append(sliced.filter(col("slice") === i).drop("slice"), storeA))
+    }
+    if (!new java.io.File(storeB).exists()) {
+      // one dim row per space: the join fans out 1:1
+      val dim = ev.groupBy("space").agg(count(lit(1)).cast("double").as("value"))
+        .withColumn("grouping", lit("dim")).withColumn("ts_us", lit(0L))
+        .withColumn("event_id", lit(1L)).withColumn("payload", lit("{}"))
+        .select("space", "grouping", "ts_us", "event_id", "value", "payload")
+      engine.EsdbWriter.write(dim, storeB)
+    }
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the SPJ/SMJ path
+    try {
+      def joined(split: Boolean) = {
+        val rd = spark.read.format("esdb")
+        val a = (if (split) rd.option("skewSplit", (8L * 1024 * 1024).toString) else rd)
+          .load(storeA).select("space", "event_id", "value")
+        val b = spark.read.format("esdb").load(storeB)
+          .select(col("space"), col("value").as("b_value"))
+        a.join(b, "space").groupBy("space")
+          .agg(count(lit(1)).as("n"), sum(round(col("value") * col("b_value"))).as("s"))
+      }
+      val plainRows = joined(split = false).collect().map(_.toSeq).toSet
+      val splitRows = joined(split = true).collect().map(_.toSeq).toSet
+      require(plainRows == splitRows, "skew-split SPJ diverged from the plain join")
+      def time(split: Boolean): Double = {
+        val t0 = System.nanoTime()
+        joined(split).queryExecution.toRdd.count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      time(split = false); time(split = true) // warm
+      val tPlain = math.min(time(split = false), time(split = false))
+      val tSplit = math.min(time(split = true), time(split = true))
+      println(f"${"spj_skew90_plain"}%-24s $tPlain%8.2f")
+      println(f"${"spj_skew90_split"}%-24s $tSplit%8.2f  split/plain=${tSplit / tPlain}%4.2f")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
   }
 }

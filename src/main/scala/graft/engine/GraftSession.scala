@@ -27,6 +27,11 @@ object GraftSession {
       // join proceed when the two stores hold different space sets
       spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
       spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      // skew: when a scan splits a hot space into multiple same-key
+      // partitions (option("skewSplit")), let SPJ keep them as separate
+      // tasks and replicate the other side's groups instead of
+      // re-serializing the space into one task
+      spark.conf.set("spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled", "true")
     }
     catch { case _: Exception => () } // conf locked down: proceed, reads may still work
     // engine-native functions available on every session the engine

@@ -242,8 +242,17 @@ final class EsdbStoreTable(path: String, tableSchema: StructType,
       java.util.EnumSet.of(TableCapability.BATCH_READ,
         TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE)
     else java.util.EnumSet.of(TableCapability.BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new EsdbScanBuilder(path, tableSchema)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // skew lever for storage-partitioned work: "true" splits a hot
+    // space into multiple same-key partitions capped at the session's
+    // maxPartitionBytes; an explicit byte count overrides
+    val skewSplitBytes: Option[Long] = Option(options.get("skewSplit")).map {
+      case "true" => SparkSession.active.conf
+        .get("spark.sql.files.maxPartitionBytes", "134217728").stripSuffix("b").toLong
+      case n => n.toLong
+    }
+    new EsdbScanBuilder(path, tableSchema, skewSplitBytes)
+  }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     writePath match {
       case Some(logical) => new EsdbWriteBuilder(logical, tableSchema, logLayout = false)
@@ -252,7 +261,8 @@ final class EsdbStoreTable(path: String, tableSchema: StructType,
     }
 }
 
-final class EsdbScanBuilder(path: String, tableSchema: StructType)
+final class EsdbScanBuilder(path: String, tableSchema: StructType,
+                            skewSplitBytes: Option[Long] = None)
   extends ScanBuilder
   with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns
@@ -430,7 +440,8 @@ final class EsdbScanBuilder(path: String, tableSchema: StructType)
       new EsdbAggScan(path, spaces, spec,
         new org.apache.spark.util.SerializableConfiguration(EsdbVectorReader.sessionConf()))
     case None =>
-      new EsdbScan(path, required, spaces, grouping, groupingNotNull, tsBounds, hints, limit)
+      new EsdbScan(path, required, spaces, grouping, groupingNotNull, tsBounds, hints, limit,
+        skewSplitBytes)
   }
 }
 
@@ -485,7 +496,8 @@ object TsBounds {
 
 final class EsdbScan(path: String, required: StructType, spaces: Option[Seq[String]],
                      grouping: Option[String], groupingNotNull: Boolean,
-                     tsBounds: TsBounds, hints: Seq[(String, Any)], limit: Option[Int])
+                     tsBounds: TsBounds, hints: Seq[(String, Any)], limit: Option[Int],
+                     skewSplitBytes: Option[Long] = None)
   extends Scan with Batch with SupportsReportOrdering with SupportsReportStatistics
   with SupportsReportPartitioning with SupportsRuntimeFiltering {
 
@@ -632,9 +644,29 @@ final class EsdbScan(path: String, required: StructType, spaces: Option[Seq[Stri
           }
           .map(_._2)
           .sortBy(_.getPath.toString)
-        if (files.isEmpty) None
-        else Some(EsdbInputPartition(space, files.map(_.getPath.toString).toArray,
-          files.map(_.getLen).sum))
+        if (files.isEmpty) Nil
+        else skewSplitBytes match {
+          case None =>
+            Seq(EsdbInputPartition(space, files.map(_.getPath.toString).toArray,
+              files.map(_.getLen).sum))
+          case Some(cap) =>
+            // skew lever: a hot space's files chunk into multiple
+            // same-key partitions (greedy, >= 1 file each) so SPJ's
+            // partially-clustered distribution can run the space as
+            // many tasks instead of serializing one; each chunk's
+            // merge reader still emits that chunk in layout order
+            val chunks = scala.collection.mutable.ArrayBuffer(
+              scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus])
+            var sz = 0L
+            files.foreach { f =>
+              if (chunks.last.nonEmpty && sz + f.getLen > cap) {
+                chunks += scala.collection.mutable.ArrayBuffer(f)
+                sz = f.getLen
+              } else { chunks.last += f; sz += f.getLen }
+            }
+            chunks.map(c => EsdbInputPartition(space,
+              c.map(_.getPath.toString).toArray, c.map(_.getLen).sum)).toSeq
+        }
       }.toArray
     }
   }
@@ -700,9 +732,13 @@ final class EsdbScan(path: String, required: StructType, spaces: Option[Seq[Stri
 
   /** Per-partition ordering of the merged stream, truncated to columns
     * that survive pruning (an ordering may only reference output
-    * columns).
+    * columns). Suppressed under skewSplit: Spark may group or
+    * replicate same-key chunks, and a concatenation of two sorted
+    * chunks is not sorted — the option trades the ordering claim for
+    * join-side parallelism, which is why it is opt-in.
     */
   override def outputOrdering(): Array[VSortOrder] = {
+    if (skewSplitBytes.isDefined) return Array.empty
     val natural =
       if (grouping.isDefined)
         Seq("ts_us" -> SortDirection.DESCENDING, "event_id" -> SortDirection.ASCENDING)

@@ -141,6 +141,42 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("skewSplit: a hot space joins as multiple SPJ tasks, still with no exchange") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("spjskew").toFile
+    root.delete()
+    val pA = root.getAbsolutePath + "/hot"
+    val pB = root.getAbsolutePath + "/dim"
+    def batch(lo: Int, hi: Int, sp: String) =
+      (lo to hi).map(i => (sp, s"g${i % 7}", i.toLong, i.toLong, 0.0, "{}"))
+        .toDF("space", "grouping", "ts_us", "event_id", "value", "payload")
+    // 90%-one-space store, the hot space spread over several files
+    graft.engine.EsdbWriter.write(batch(1, 3000, "hot").union(batch(1, 300, "cold")), pA)
+    (1 to 3).foreach(k =>
+      graft.engine.EsdbWriter.append(batch(3000 * k + 1, 3000 * (k + 1), "hot"), pA))
+    graft.engine.EsdbWriter.write(batch(1, 50, "hot").union(batch(1, 50, "cold")), pB)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      import org.apache.spark.sql.functions.col
+      val a = spark.read.format("esdb").option("skewSplit", "1024").load(pA)
+        .select("space", "event_id")
+      val b = spark.read.format("esdb").load(pB)
+        .select(col("space"), col("event_id").as("b_id"))
+      val j = a.join(b, "space")
+      assert(j.count() == 12000L * 50 + 300L * 50) // hot 12000 x 50, cold 300 x 50
+      val p = j.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange hashpartitioning"),
+        "skew-split SPJ must still not shuffle\n" + p)
+      assert(p.contains("SortMergeJoin"), p)
+      // the hot space must NOT serialize into one task: more join
+      // partitions than distinct spaces proves partially-clustered
+      // distribution kept the splits apart
+      val parts = j.rdd.getNumPartitions
+      assert(parts > 2, s"expected the hot space split across tasks, got $parts partitions\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("json_attr is a codegen expression inside the index-scan stage") {
     assert(!classOf[org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback]
       .isAssignableFrom(classOf[graft.functions.JsonAttr]))
