@@ -38,23 +38,44 @@ object EsdbWriter {
   val SubpartsMarker = "_SUBPARTS"
   val SchemaManifest = "_MANIFEST.schema"
 
-  /** Schema evolution, additive-only: union by NAME; a same-named
-    * column must keep its type (a type change would silently corrupt
-    * every already-written file — refuse loudly), new columns append
-    * and read as null from files written before them (both merge
-    * readers and Spark's parquet reader fill absent columns).
+  /** Safe numeric widening: the wider of the two when both sit on the
+    * same lossless chain (int→long, float→double), None otherwise.
+    * Widening is METADATA-ONLY — the sidecar records the wider type and
+    * every reader up-casts old files at scan time (the merge readers
+    * decode by physical type; Spark's parquet reader applies the same
+    * promotions when handed the wider read schema).
+    */
+  def widenType(a: org.apache.spark.sql.types.DataType,
+                b: org.apache.spark.sql.types.DataType): Option[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types.{DoubleType, FloatType, IntegerType, LongType}
+    (a, b) match {
+      case _ if a == b => Some(a)
+      case (IntegerType, LongType) | (LongType, IntegerType) => Some(LongType)
+      case (FloatType, DoubleType) | (DoubleType, FloatType) => Some(DoubleType)
+      case _ => None
+    }
+  }
+
+  /** Schema evolution: union by NAME; adding columns and SAFE numeric
+    * widenings ([[widenType]]) are accepted — new columns read as null
+    * from files written before them, widened columns up-cast at scan
+    * time. Any other type change (narrowing, string↔number, renames)
+    * would silently corrupt already-written files — refuse loudly
+    * BEFORE data lands.
     */
   def unionSchemas(base: org.apache.spark.sql.types.StructType,
                    add: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType = {
     val baseNames = base.fieldNames.toSet
     val merged = base.map { f =>
       add.find(_.name == f.name) match {
-        case Some(g) if g.dataType != f.dataType =>
-          throw new IllegalStateException(
+        case Some(g) => widenType(f.dataType, g.dataType) match {
+          case Some(t) => f.copy(dataType = t, nullable = f.nullable || g.nullable)
+          case None => throw new IllegalStateException(
             s"schema evolution conflict on column '${f.name}': stored " +
               s"${f.dataType.simpleString} vs batch ${g.dataType.simpleString} — " +
-              "adding columns is supported, changing a column's type is not")
-        case Some(g) => f.copy(nullable = f.nullable || g.nullable)
+              "adding columns and widening int->long / float->double are supported; " +
+              "any other type change is not")
+        }
         case None => f
       }
     }
@@ -240,6 +261,23 @@ object EsdbWriter {
     */
   private def hconf(spark: SparkSession) = spark.sparkContext.hadoopConfiguration
 
+  /** Full-width read of data files under `root` with the store's
+    * AUTHORITATIVE schema: the sidecar when present — a widened store
+    * (int→long / float→double evolution) cannot mergeSchema-infer at
+    * all (Spark's footer merge refuses INT vs BIGINT), while the
+    * sidecar's wider type makes the parquet reader up-cast old files —
+    * else mergeSchema inference (legacy store, no sidecar).
+    */
+  private def readFullWidth(spark: SparkSession, root: String,
+                            files: Seq[String] = Nil): DataFrame = {
+    val rd = schemaManifest(hconf(spark), root) match {
+      case Some(s) => spark.read.schema(s)
+      case None => spark.read.option("mergeSchema", "true")
+    }
+    val based = rd.option("basePath", root)
+    if (files.isEmpty) based.parquet(root) else based.parquet(files: _*)
+  }
+
   /** Current data root of a logical store path (see [[Publish]]): the
     * highest committed version dir, or the path itself for the legacy
     * direct layout every store starts with.
@@ -270,8 +308,7 @@ object EsdbWriter {
       // mergeSchema, because files written before a column was added
       // don't carry it and single-footer inference could DROP it here;
       // `bucket` is dropped because write() re-derives it
-      val full = spark.read.option("mergeSchema", "true")
-        .option("basePath", src).parquet(src)
+      val full = readFullWidth(spark, src)
       write(if (full.columns.contains("bucket")) full.drop("bucket") else full,
         tmp, subparts = subparts)
     }: Unit
@@ -316,8 +353,7 @@ object EsdbWriter {
       // 1. the fragmented spaces go through the standard write path:
       //    merge width back to one file per space/bucket, blooms and
       //    manifests rebuilt for exactly these spaces
-      val fragDf = spark.read.option("mergeSchema", "true").option("basePath", src)
-        .parquet(frag.map(_.getPath.toString): _*)
+      val fragDf = readFullWidth(spark, src, frag.map(_.getPath.toString))
       write(if (fragDf.columns.contains("bucket")) fragDf.drop("bucket") else fragDf,
         tmp, subparts = subparts)
       // the rewrite's sidecar covers only the fragmented spaces'
@@ -421,8 +457,7 @@ object EsdbWriter {
           !rel.contains("/bucket=") || bs.exists(b => rel.contains(s"/bucket=$b/")))
       }
       if (groupings.isDefined && rw.nonEmpty) {
-        val df = spark.read.option("mergeSchema", "true").option("basePath", src)
-          .parquet(rw.map(_._2.getPath.toString): _*)
+        val df = readFullWidth(spark, src, rw.map(_._2.getPath.toString))
         val kept = df.filter(!col("grouping").isin(gs: _*) || col("grouping").isNull)
         write(if (kept.columns.contains("bucket")) kept.drop("bucket") else kept,
           tmp, subparts = subparts)
@@ -548,8 +583,7 @@ object EsdbWriter {
     Publish.publish(conf, path, keepVersions) { tmp =>
       val tmpPath = new org.apache.hadoop.fs.Path(tmp)
       if (rewrite.nonEmpty) {
-        val df = spark.read.option("mergeSchema", "true").option("basePath", src)
-          .parquet(rewrite.map(_._2.getPath.toString): _*)
+        val df = readFullWidth(spark, src, rewrite.map(_._2.getPath.toString))
         val survives =
           if (inclusive) col("ts_us").isNull || col("ts_us") > cutoffUs
           else col("ts_us").isNull || col("ts_us") >= cutoffUs
@@ -646,8 +680,7 @@ object EsdbWriter {
     if (rewrite.isEmpty) return // stats proved the delete a no-op: no version churn
     Publish.publish(conf, path, keepVersions) { tmp =>
       val tmpPath = new org.apache.hadoop.fs.Path(tmp)
-      val df = spark.read.option("mergeSchema", "true").option("basePath", src)
-        .parquet(rewrite.map(_._2.getPath.toString): _*)
+      val df = readFullWidth(spark, src, rewrite.map(_._2.getPath.toString))
       // delete rows where cond IS TRUE; false AND null both survive
       val kept = df.filter(!coalesce(cond, lit(false)))
       write(if (kept.columns.contains("bucket")) kept.drop("bucket") else kept,
@@ -746,8 +779,7 @@ object EsdbWriter {
       val tmpPath = new org.apache.hadoop.fs.Path(tmp)
       fs.mkdirs(tmpPath)
       if (rewrite.nonEmpty) {
-        val df = spark.read.option("mergeSchema", "true")
-          .parquet(rewrite.map(_.getPath.toString): _*)
+        val df = readFullWidth(spark, src, rewrite.map(_.getPath.toString))
         val survives =
           if (inclusive) col("event_id").isNull || col("event_id") > beforeId
           else col("event_id").isNull || col("event_id") >= beforeId
@@ -1162,7 +1194,7 @@ object EsdbWriter {
       if (fs.exists(d)) fs.listStatus(d).toSeq.filter(_.isFile).map(_.getPath) else Seq.empty
     }
     Publish.publish(conf, path, keepVersions) { tmp =>
-      val full = spark.read.option("mergeSchema", "true").parquet(visible: _*)
+      val full = readFullWidth(spark, src.toString, visible)
       full
         .repartitionByRange(math.max(1, numFiles), col("event_id"))
         .sortWithinPartitions(col("event_id"))

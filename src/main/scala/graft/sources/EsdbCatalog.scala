@@ -259,13 +259,20 @@ class EsdbCatalog extends TableCatalog with SupportsNamespaces with StagingTable
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val logical = tablePath(ident)
     if (!isTable(logical)) throw new NoSuchTableException(ident)
-    val adds = changes.map {
+    val adds = scala.collection.mutable.ArrayBuffer[StructField]()
+    val widens = scala.collection.mutable.ArrayBuffer[(String, org.apache.spark.sql.types.DataType)]()
+    changes.foreach {
       case a: TableChange.AddColumn if a.fieldNames.length == 1 && a.isNullable &&
         a.defaultValue == null && a.position == null =>
-        StructField(a.fieldNames.head, a.dataType, nullable = true)
+        adds += StructField(a.fieldNames.head, a.dataType, nullable = true)
       case a: TableChange.AddColumn => throw new UnsupportedOperationException(
         "esdb ADD COLUMN is metadata-only (files are immutable): the column must " +
           "be top-level and nullable, with no default and no position — got " + a.fieldNames.mkString("."))
+      // proactive type widening (ALTER COLUMN c TYPE BIGINT): sidecar-
+      // only, readers up-cast old files at scan time — same machinery
+      // an appended wider batch triggers
+      case u: TableChange.UpdateColumnType if u.fieldNames.length == 1 =>
+        widens += (u.fieldNames.head -> u.newDataType)
       case other => throw new UnsupportedOperationException(
         s"esdb store schemas are fixed by their written layout; $other is not " +
           "expressible as a metadata-only change (rewrite via EsdbWriter + Publish.publish)")
@@ -281,8 +288,18 @@ class EsdbCatalog extends TableCatalog with SupportsNamespaces with StagingTable
       if (isLog) EsdbLogSource.canonicalSchema(resolved)
       else EsdbStoreSource.canonicalSchema(resolved)
     }
+    val widened = widens.foldLeft(base) { case (cur, (name, to)) =>
+      val f = cur.fields.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"no such column '$name' in ${ident.name}"))
+      if (!EsdbWriter.widenType(f.dataType, to).contains(to))
+        throw new UnsupportedOperationException(
+          s"ALTER COLUMN '$name' ${f.dataType.simpleString} -> ${to.simpleString}: only " +
+            "lossless widenings (int->long, float->double) are metadata-only; anything " +
+            "else would corrupt already-written files")
+      StructType(cur.map(g => if (g.name == name) g.copy(dataType = to) else g))
+    }
     EsdbWriter.writeSchemaManifest(conf, resolved,
-      EsdbWriter.unionSchemas(base, StructType(adds)))
+      EsdbWriter.unionSchemas(widened, StructType(adds.toSeq)))
     loadTable(ident)
   }
 

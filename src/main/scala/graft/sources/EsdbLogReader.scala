@@ -59,6 +59,11 @@ final class EsdbLogMergeReader(part: EsdbLogPartition, required: StructType,
     val colIdx: Array[Int] = required.fields.map { f =>
       if (schema.containsField(f.name)) schema.getFieldIndex(f.name) else -1
     }
+    // widened-type evolution (see EsdbMergeReader.widenFlags)
+    val int32AsLong: Array[Boolean] = EsdbMergeReader.widenFlags(required, schema, colIdx,
+      LongType, org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT32)
+    val floatAsDouble: Array[Boolean] = EsdbMergeReader.widenFlags(required, schema, colIdx,
+      DoubleType, org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.FLOAT)
     private val idIdx = if (schema.containsField("event_id")) schema.getFieldIndex("event_id") else -1
     var current: Group = _
     var keyId: Long = 0L
@@ -180,9 +185,11 @@ final class EsdbLogMergeReader(part: EsdbLogPartition, required: StructType,
         else required.fields(i).dataType match {
           case StringType => UTF8String.fromBytes(g.getBinary(src, 0).getBytes)
           case BinaryType => g.getBinary(src, 0).getBytes
-          case LongType => g.getLong(src, 0)
+          case LongType =>
+            if (c.int32AsLong(i)) g.getInteger(src, 0).toLong else g.getLong(src, 0)
           case IntegerType => g.getInteger(src, 0)
-          case DoubleType => g.getDouble(src, 0)
+          case DoubleType =>
+            if (c.floatAsDouble(i)) g.getFloat(src, 0).toDouble else g.getDouble(src, 0)
           case FloatType => g.getFloat(src, 0)
           case BooleanType => g.getBoolean(src, 0)
           case dt => throw new UnsupportedOperationException(

@@ -67,6 +67,21 @@ object EsdbMergeReader {
     * grouping (row-group skipping + record filter + early exit).
     */
   val RowsRead = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Per-required-column widening flags: true where the read schema
+    * wants `want` but THIS file physically stores `phys` (a file
+    * written before an int→long / float→double widening) — the decoder
+    * reads by physical type and up-casts.
+    */
+  def widenFlags(required: StructType, schema: MessageType, colIdx: Array[Int],
+                 want: DataType,
+                 phys: org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName): Array[Boolean] =
+    required.fields.zip(colIdx).map { case (f, src) =>
+      src >= 0 && f.dataType == want && {
+        val t = schema.getType(src)
+        t.isPrimitive && t.asPrimitiveType().getPrimitiveTypeName == phys
+      }
+    }
 }
 
 final class EsdbMergeReader(part: EsdbInputPartition, required: StructType,
@@ -88,6 +103,12 @@ final class EsdbMergeReader(part: EsdbInputPartition, required: StructType,
       else if (schema.containsField(f.name)) schema.getFieldIndex(f.name)
       else NullCol
     }
+    // widened-type evolution: a file written before int->long /
+    // float->double widening decodes by ITS physical type and up-casts
+    val int32AsLong: Array[Boolean] = widenFlags(required, schema, colIdx, LongType,
+      org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT32)
+    val floatAsDouble: Array[Boolean] = widenFlags(required, schema, colIdx, DoubleType,
+      org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.FLOAT)
     private val gIdx = if (schema.containsField("grouping")) schema.getFieldIndex("grouping") else -1
     private val tsIdx = if (schema.containsField("ts_us")) schema.getFieldIndex("ts_us") else -1
     private val idIdx = if (schema.containsField("event_id")) schema.getFieldIndex("event_id") else -1
@@ -290,9 +311,11 @@ final class EsdbMergeReader(part: EsdbInputPartition, required: StructType,
         else required.fields(i).dataType match {
           case StringType => UTF8String.fromBytes(g.getBinary(src, 0).getBytes)
           case BinaryType => g.getBinary(src, 0).getBytes
-          case LongType => g.getLong(src, 0)
+          case LongType =>
+            if (c.int32AsLong(i)) g.getInteger(src, 0).toLong else g.getLong(src, 0)
           case IntegerType => g.getInteger(src, 0)
-          case DoubleType => g.getDouble(src, 0)
+          case DoubleType =>
+            if (c.floatAsDouble(i)) g.getFloat(src, 0).toDouble else g.getDouble(src, 0)
           case FloatType => g.getFloat(src, 0)
           case BooleanType => g.getBoolean(src, 0)
           case dt => throw new UnsupportedOperationException(

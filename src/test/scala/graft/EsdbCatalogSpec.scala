@@ -303,11 +303,36 @@ class EsdbCatalogSpec extends SparkSpec {
       ("s", s"g${i % 3}", i.toLong * 1000, i.toLong, 0.0, "{}", i * 1.5))
       .toDF("space", "grouping", "ts_us", "event_id", "value", "payload", "score"), p)
     assert(spark.table(s"$Cat.alter_scratch").where(col("score").isNotNull).count() == 10)
-    intercept[Exception] { // type change is not metadata-expressible
+    intercept[Exception] { // cross-kind type change is not metadata-expressible
       spark.sql(s"ALTER TABLE $Cat.alter_scratch ALTER COLUMN value TYPE STRING")
     }
     intercept[Exception] { // drop is not metadata-expressible
       spark.sql(s"ALTER TABLE $Cat.alter_scratch DROP COLUMN payload")
+    }
+  }
+
+  test("ALTER COLUMN TYPE widens int->long proactively; old files up-cast at scan") {
+    root
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = s"$root/widen_scratch"
+    Publish.publish(conf, p) { tmp =>
+      EsdbWriter.write((1 to 30).map(i =>
+        ("s", s"g${i % 3}", i.toLong * 1000, i.toLong, 0.0, "{}", i))
+        .toDF("space", "grouping", "ts_us", "event_id", "value", "payload", "hits"), tmp)
+    }
+    spark.sql(s"ALTER TABLE $Cat.widen_scratch ALTER COLUMN hits TYPE BIGINT")
+    val t = spark.table(s"$Cat.widen_scratch")
+    assert(t.schema("hits").dataType == org.apache.spark.sql.types.LongType)
+    assert(t.select(org.apache.spark.sql.functions.sum(col("hits"))).head.getLong(0) ==
+      (1 to 30).map(_.toLong).sum)
+    // a batch that genuinely needs long now appends cleanly
+    EsdbWriter.append((31 to 40).map(i =>
+      ("s", s"g${i % 3}", i.toLong * 1000, i.toLong, 0.0, "{}", i + 10000000000L))
+      .toDF("space", "grouping", "ts_us", "event_id", "value", "payload", "hits"), p)
+    assert(spark.table(s"$Cat.widen_scratch")
+      .where(col("hits") > 10000000000L).count() == 10)
+    intercept[Exception] { // narrowing refuses
+      spark.sql(s"ALTER TABLE $Cat.widen_scratch ALTER COLUMN hits TYPE INT")
     }
   }
 

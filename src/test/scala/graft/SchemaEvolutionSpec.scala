@@ -89,6 +89,97 @@ class SchemaEvolutionSpec extends SparkSpec {
       "refused append must not have written data files")
   }
 
+  test("int->long widening: old int files and new long files read as one long column") {
+    val p = tmp("evowidenil")
+    val narrow = (1 to 40)
+      .map(i => (s"s${i % 2}", s"g${i % 3}", i.toLong * 1000, i.toLong, i / 10.0, "{}", i))
+      .toDF("space", "grouping", "ts_us", "event_id", "value", "payload", "hits")
+    EsdbWriter.write(narrow, p)
+    // values past Int range prove the wide batch genuinely needs long
+    val wide = (41 to 80)
+      .map(i => (s"s${i % 2}", s"g${i % 3}", i.toLong * 1000, i.toLong, i / 10.0, "{}",
+        i.toLong + 10000000000L))
+      .toDF("space", "grouping", "ts_us", "event_id", "value", "payload", "hits")
+    EsdbWriter.append(wide, p)
+
+    // metadata-only: the sidecar records the wider type
+    val conf = spark.sparkContext.hadoopConfiguration
+    val side = EsdbWriter.schemaManifest(conf, p).get
+    assert(side("hits").dataType == org.apache.spark.sql.types.LongType, side.treeString)
+
+    def check(df: DataFrame): Unit = {
+      assert(df.schema("hits").dataType == org.apache.spark.sql.types.LongType)
+      val got = df.select("event_id", "hits").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got(10L) == 10L, "old int row must up-cast")
+      assert(got(50L) == 10000000050L, "new long row reads exactly")
+      assert(got.size == 80)
+    }
+    check(EsdbWriter.readOrdered(spark, p)) // DSv2 merge reader up-cast
+    check(EsdbWriter.read(spark, p)) // vanilla parquet read with the sidecar schema
+    // a pinned-grouping ordered scan (row merge path) also up-casts
+    val pinned = EventStore.scan(EsdbWriter.readOrdered(spark, p), "s0", "g0")
+    assert(pinned.schema("hits").dataType == org.apache.spark.sql.types.LongType)
+    assert(pinned.count() > 0)
+
+    // both compactions preserve the widened type
+    EsdbWriter.compact(spark, p)
+    check(EsdbWriter.readOrdered(spark, p))
+    // narrower int batches keep appending fine after the widening —
+    // the sidecar stays long and the new int file up-casts at read
+    val narrowAgain = (81 to 90)
+      .map(i => (s"s${i % 2}", s"g${i % 3}", i.toLong * 1000, i.toLong, i / 10.0, "{}", i))
+      .toDF("space", "grouping", "ts_us", "event_id", "value", "payload", "hits")
+    EsdbWriter.append(narrowAgain, p)
+    val after = EsdbWriter.readOrdered(spark, p)
+    assert(after.schema("hits").dataType == org.apache.spark.sql.types.LongType)
+    assert(after.count() == 90)
+    assert(after.where(col("event_id") === 85L).select("hits").head.getLong(0) == 85L)
+  }
+
+  test("float->double widening on a log store: merge and vanilla reads up-cast") {
+    val p = tmp("evowidenfd")
+    val narrow = (1 to 30)
+      .map(i => (s"s${i % 2}", s"g${i % 3}", i.toLong * 1000, i.toLong, "{}", i / 4.0f))
+      .toDF("space", "grouping", "ts_us", "event_id", "payload", "score")
+    EsdbWriter.writeLog(narrow, p)
+    val wide = (31 to 60)
+      .map(i => (s"s${i % 2}", s"g${i % 3}", i.toLong * 1000, i.toLong, "{}", i / 4.0))
+      .toDF("space", "grouping", "ts_us", "event_id", "payload", "score")
+    EsdbWriter.appendLog(wide, p)
+    val df = EsdbWriter.readLog(spark, p)
+    assert(df.schema("score").dataType == org.apache.spark.sql.types.DoubleType)
+    val got = df.select("event_id", "score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(8L) == 2.0d && got(40L) == 10.0d)
+    assert(got.size == 60)
+    // ordered iterate from an offset still up-casts (bounded merge path)
+    val page = graft.engine.EventLog.iterate(df, fromOffset = 31L)
+    assert(page.schema("score").dataType == org.apache.spark.sql.types.DoubleType)
+    assert(page.count() == 30)
+  }
+
+  test("narrowing and cross-kind changes still refuse (widening is one-way)") {
+    val p = tmp("evonarrow")
+    val longFirst = (1 to 10)
+      .map(i => (s"s${i % 2}", s"g${i % 3}", i.toLong * 1000, i.toLong, i / 10.0, "{}", i.toLong))
+      .toDF("space", "grouping", "ts_us", "event_id", "value", "payload", "hits")
+    EsdbWriter.write(longFirst, p)
+    // int after long is fine (reads up-cast) — but long->string refuses
+    val bad = (11 to 20)
+      .map(i => (s"s${i % 2}", s"g${i % 3}", i.toLong * 1000, i.toLong, i / 10.0, "{}", s"x$i"))
+      .toDF("space", "grouping", "ts_us", "event_id", "value", "payload", "hits")
+    val e = intercept[IllegalStateException] { EsdbWriter.append(bad, p) }
+    assert(e.getMessage.contains("hits"), e.getMessage)
+    // sidecar keeps long after an int append (no silent narrowing)
+    val intBatch = (11 to 20)
+      .map(i => (s"s${i % 2}", s"g${i % 3}", i.toLong * 1000, i.toLong, i / 10.0, "{}", i))
+      .toDF("space", "grouping", "ts_us", "event_id", "value", "payload", "hits")
+    EsdbWriter.append(intBatch, p)
+    val side = EsdbWriter.schemaManifest(spark.sparkContext.hadoopConfiguration, p).get
+    assert(side("hits").dataType == org.apache.spark.sql.types.LongType)
+  }
+
   test("full compaction preserves evolved columns and rebuilds the sidecar") {
     val p = tmp("evocompact")
     EsdbWriter.write(base(1 to 40), p)
