@@ -163,6 +163,30 @@ object Queries {
     p
   }
 
+  /** Incremental-read fixture: version 1 holds the events with
+    * `event_id % 5 != 0`; the rest are APPENDED after the commit (into
+    * the current version's dir, as real appends do). An incremental
+    * read `option("sinceVersion", 1)` must return exactly the appended
+    * complement. A marker makes the append once-only.
+    */
+  private def ensureIncrementalStore(s: SparkSession, dir: String): String = synchronized {
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft-incstore/$key"
+    val conf = s.sparkContext.hadoopConfiguration
+    if (graft.engine.Publish.currentVersion(conf, p).isEmpty) {
+      graft.engine.Publish.publish(conf, p) { tmp =>
+        graft.engine.EsdbWriter.write(ev(s, dir).filter(pmod(col("event_id"), lit(5)) =!= 0), tmp)
+      }: Unit
+    }
+    val marker = new org.apache.hadoop.fs.Path(p, "_APPENDED")
+    val fs = marker.getFileSystem(conf)
+    if (!fs.exists(marker)) {
+      graft.engine.EsdbWriter.append(ev(s, dir).filter(pmod(col("event_id"), lit(5)) === 0), p)
+      fs.create(marker, true).close()
+    }
+    p
+  }
+
   /** Write the canonical event frame as an esdb store once, committed
     * through the [[graft.engine.Publish]] version pointer — a crashed
     * build leaves no pointer, so a half-written fixture is never read.
@@ -409,6 +433,24 @@ object Queries {
               |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
               |FROM events WHERE user_id <> $Grouping
               |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // version-diff incremental read: only files added after version v
+    // committed (current listing minus v's at-commit file snapshot) —
+    // the downstream-consumer CDC path: re-process ONLY the appends,
+    // never re-scan the snapshot
+    QuerySpec("store_scan_incremental",
+      (s, d) => {
+        val p = ensureIncrementalStore(s, d)
+        s.read.format("esdb").option("sinceVersion", "1").load(p)
+          .groupBy("space")
+          .agg(count(lit(1)).as("n_events"),
+            sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+          .orderBy("space")
+      },
+      Some("""SELECT event_type AS space, count(*) AS n_events,
+             |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
+             |FROM events WHERE event_id % 5 = 0
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // arbitrary-predicate DELETE as pure SQL (DELETE FROM t WHERE
     // value < x): footer-stats copy-on-write — only files whose stat

@@ -188,6 +188,9 @@ object Publish {
     val dirName = s"$next-" + java.util.UUID.randomUUID().toString.take(8)
     val dataDir = s"$root/$VersionsDir/$dirName"
     write(dataDir)
+    // file-set snapshot BEFORE the pointer commit: the version's
+    // at-commit file list, the baseline for incremental reads
+    writeSnapshot(conf, dataDir)
 
     val ptrDir = new Path(root, PtrDir)
     val fs = ptrDir.getFileSystem(conf)
@@ -235,6 +238,50 @@ object Publish {
     }
     sweepVersions(conf, root, next, keepVersions, dirName)
     dataDir
+  }
+
+  /** File-set snapshot sidecar of one committed version: written at
+    * publish time (before the pointer commit), one relative data-file
+    * path per line. Appends land in the current version's dir AFTER
+    * its commit, so `current files − snapshot(v)` is exactly what was
+    * appended since v committed — the file-level incremental read
+    * behind `option("sinceVersion", v)`. Rewrite-publishing ops
+    * (compact/delete/trim) rename every surviving file, so after one
+    * the whole store surfaces as "new": adds-only CDC, never a missed
+    * change.
+    */
+  val SnapshotFile = "_FILES"
+
+  def writeSnapshot(conf: Configuration, dataDir: String): Unit = {
+    val base = new Path(dataDir)
+    val fs = base.getFileSystem(conf)
+    if (!fs.exists(base)) fs.mkdirs(base)
+    val files = listDataFiles(fs, base, "")
+    val out = fs.create(new Path(base, SnapshotFile), true)
+    try out.write(files.sorted.mkString("\n").getBytes("UTF-8")) finally out.close()
+  }
+
+  private def listDataFiles(fs: FileSystem, p: Path, rel: String): Seq[String] =
+    fs.listStatus(p).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("_") || n.startsWith(".")) Nil
+      else if (st.isDirectory) listDataFiles(fs, st.getPath, s"$rel$n/")
+      else if (st.getLen > 0) Seq(s"$rel$n")
+      else Nil
+    }
+
+  /** Version v's at-commit file set (relative paths); None when v was
+    * published before snapshots existed. Fails loudly (resolveAt) when
+    * v was never committed or its data has been retired.
+    */
+  def snapshotFiles(conf: Configuration, root: String, version: Long): Option[Set[String]] = {
+    val dir = resolveAt(conf, root, version)
+    val p = new Path(dir, SnapshotFile)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    Some(txt.split("\n").map(_.trim).filter(_.nonEmpty).toSet)
   }
 
   /** Roll the live table back to an older committed version: commit a

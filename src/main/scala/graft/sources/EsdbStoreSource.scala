@@ -251,7 +251,19 @@ final class EsdbStoreTable(path: String, tableSchema: StructType,
         .get("spark.sql.files.maxPartitionBytes", "134217728").stripSuffix("b").toLong
       case n => n.toLong
     }
-    new EsdbScanBuilder(path, tableSchema, skewSplitBytes)
+    // incremental read: only files added AFTER version v committed
+    // (current listing minus v's at-commit snapshot — appends land in
+    // the current version's dir, so the name diff IS the delta)
+    val sinceExcluded: Option[Set[String]] = Option(options.get("sinceVersion")).map { v =>
+      val logical = writePath.getOrElse(throw new IllegalArgumentException(
+        "sinceVersion requires the live store path, not a version-pinned snapshot"))
+      val conf = SparkSession.active.sparkContext.hadoopConfiguration
+      graft.engine.Publish.snapshotFiles(conf, logical, v.toLong).getOrElse(
+        throw new IllegalStateException(
+          s"version $v at $logical has no file snapshot (published before snapshots " +
+            "existed) — republish (compact) once to start recording them"))
+    }
+    new EsdbScanBuilder(path, tableSchema, skewSplitBytes, sinceExcluded)
   }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     writePath match {
@@ -262,7 +274,8 @@ final class EsdbStoreTable(path: String, tableSchema: StructType,
 }
 
 final class EsdbScanBuilder(path: String, tableSchema: StructType,
-                            skewSplitBytes: Option[Long] = None)
+                            skewSplitBytes: Option[Long] = None,
+                            sinceExcluded: Option[Set[String]] = None)
   extends ScanBuilder
   with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns
@@ -389,7 +402,7 @@ final class EsdbScanBuilder(path: String, tableSchema: StructType,
     */
   override def pushAggregation(agg: Aggregation): Boolean = {
     if (grouping.isDefined || groupingNotNull || tsBounds.isBounded ||
-        hints.nonEmpty || limit.isDefined) return false
+        hints.nonEmpty || limit.isDefined || sinceExcluded.isDefined) return false
 
     def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] = e match {
       case nr: org.apache.spark.sql.connector.expressions.NamedReference
@@ -441,7 +454,7 @@ final class EsdbScanBuilder(path: String, tableSchema: StructType,
         new org.apache.spark.util.SerializableConfiguration(EsdbVectorReader.sessionConf()))
     case None =>
       new EsdbScan(path, required, spaces, grouping, groupingNotNull, tsBounds, hints, limit,
-        skewSplitBytes)
+        skewSplitBytes, sinceExcluded)
   }
 }
 
@@ -497,7 +510,8 @@ object TsBounds {
 final class EsdbScan(path: String, required: StructType, spaces: Option[Seq[String]],
                      grouping: Option[String], groupingNotNull: Boolean,
                      tsBounds: TsBounds, hints: Seq[(String, Any)], limit: Option[Int],
-                     skewSplitBytes: Option[Long] = None)
+                     skewSplitBytes: Option[Long] = None,
+                     sinceExcluded: Option[Set[String]] = None)
   extends Scan with Batch with SupportsReportOrdering with SupportsReportStatistics
   with SupportsReportPartitioning with SupportsRuntimeFiltering {
 
@@ -628,6 +642,9 @@ final class EsdbScan(path: String, required: StructType, spaces: Option[Seq[Stri
         .sortBy(_._1)
       dirs.flatMap { case (space, dir) =>
         val files = graft.engine.EsdbWriter.relativeDataFiles(fs, dir)
+          // incremental read: drop files already in the baseline
+          // version's at-commit snapshot (same relative-path format)
+          .filter { case (rel, _) => sinceExcluded.forall(!_.contains(rel)) }
           .filter { case (rel, _) =>
             wantBuckets match {
               case None => true

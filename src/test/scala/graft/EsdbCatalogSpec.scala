@@ -311,6 +311,31 @@ class EsdbCatalogSpec extends SparkSpec {
     }
   }
 
+  test("sinceVersion reads only post-snapshot appends; rewrites re-surface everything") {
+    root
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = s"$root/inc_scratch"
+    def batch(r: Range): DataFrame = r.map(i =>
+      ("s", s"g${i % 3}", i.toLong * 1000, i.toLong, 0.0, "{}"))
+      .toDF("space", "grouping", "ts_us", "event_id", "value", "payload")
+    Publish.publish(conf, p) { tmp => EsdbWriter.write(batch(1 to 50), tmp) }
+    EsdbWriter.append(batch(51 to 70), p)
+    // catalog SQL surface: reader options flow into the scan builder
+    val inc = spark.read.option("sinceVersion", "1").table(s"$Cat.inc_scratch")
+    assert(inc.select("event_id").as[Long].collect().sorted.toSeq == (51L to 70L))
+    assert(spark.table(s"$Cat.inc_scratch").count() == 70, "full read unaffected")
+    // a new version snapshots at commit: nothing is "since" it yet
+    EsdbWriter.compact(spark, p, keepVersions = 2)
+    assert(spark.read.option("sinceVersion", "2").table(s"$Cat.inc_scratch").count() == 0)
+    // appends after the commit surface incrementally again
+    EsdbWriter.append(batch(71 to 75), p)
+    assert(spark.read.option("sinceVersion", "2").table(s"$Cat.inc_scratch").count() == 5)
+    // a never-committed baseline fails loudly, never silently full-scans
+    intercept[Exception] {
+      spark.read.option("sinceVersion", "99").table(s"$Cat.inc_scratch").collect()
+    }
+  }
+
   test("ALTER COLUMN TYPE widens int->long proactively; old files up-cast at scan") {
     root
     val conf = spark.sparkContext.hadoopConfiguration
