@@ -37,6 +37,11 @@ object Queries {
     * keeps some).
     */
   val PredDeleteCutoff = 2.5
+  /** Hashed bag-of-words width for the quality-classifier trainer — an
+    * honest model size (the weight vector is the literal the scoring
+    * expression indexes; the oracle mirrors the same modulus).
+    */
+  val ClassifierDim = 1024
 
   final case class QuerySpec(name: String,
                              run: (SparkSession, String) => DataFrame,
@@ -1423,8 +1428,8 @@ object Queries {
     // round 2 recomputes margins and folds in the misclassified set)
     QuerySpec("text_quality_classifier",
       (s, d) => TextOps.trainQualityClassifier(Tables.documents(s, d),
-        dim = 16, iters = 2, minTokens = 50),
-      Some("""WITH toks AS (
+        dim = ClassifierDim, iters = 2, minTokens = 50),
+      Some(s"""WITH toks AS (
              |  SELECT doc_id, t FROM (
              |    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents) u
              |  WHERE t <> ''),
@@ -1433,7 +1438,7 @@ object Queries {
              |  FROM toks GROUP BY doc_id),
              |tb AS (
              |  SELECT doc_id,
-             |    CAST(list_sum(list_transform(range(1, length(t)+1), i -> unicode(t[i:i]) * i)) % 16 AS INTEGER) AS j
+             |    CAST(list_sum(list_transform(range(1, length(t)+1), i -> unicode(t[i:i]) * i)) % $ClassifierDim AS INTEGER) AS j
              |  FROM toks),
              |x AS (SELECT doc_id, j, CAST(count(*) AS BIGINT) AS cnt FROM tb GROUP BY doc_id, j),
              |w1 AS (SELECT x.j, CAST(sum(lab.y * x.cnt) AS BIGINT) AS w
@@ -1445,7 +1450,7 @@ object Queries {
              |mis AS (SELECT doc_id, y FROM sc WHERE y * score <= 0),
              |upd AS (SELECT x.j, CAST(sum(mis.y * x.cnt) AS BIGINT) AS g
              |        FROM mis JOIN x USING (doc_id) GROUP BY x.j),
-             |dims AS (SELECT CAST(unnest(range(0,16)) AS INTEGER) AS j)
+             |dims AS (SELECT CAST(unnest(range(0,$ClassifierDim)) AS INTEGER) AS j)
              |SELECT d.j, CAST(coalesce(w1.w,0) + coalesce(upd.g,0) AS BIGINT) AS weight
              |FROM dims d LEFT JOIN w1 ON d.j = w1.j LEFT JOIN upd ON d.j = upd.j
              |ORDER BY d.j""".stripMargin)),

@@ -45,6 +45,7 @@ object ScaleCheck {
     val bigDir = "/tmp/graft_scale"
     if (args.contains("skew")) { skewCheck(spark, sfDir, bigDir); spark.stop(); return }
     if (args.contains("spjskew")) { spjSkewCheck(spark, sfDir, bigDir); spark.stop(); return }
+    if (args.contains("bpe")) { bpeCheck(spark, sfDir); spark.stop(); return }
     if (args.contains("ordered")) { orderedCheck(spark, sfDir, bigDir); spark.stop(); return }
     if (args.contains("ingest")) { ingestCheck(spark, sfDir, bigDir); spark.stop(); return }
     if (args.contains("compaction")) { compactionCheck(spark, sfDir, bigDir); spark.stop(); return }
@@ -499,6 +500,28 @@ object ScaleCheck {
     val tSalted = math.min(time(salted = true), time(salted = true))
     println(f"${"tails_skew90_plain"}%-24s $tPlain%8.2f")
     println(f"${"tails_skew90_salted"}%-24s $tSalted%8.2f  salted/plain=${tSalted / tPlain}%4.2f")
+  }
+
+  /** Per-round flatness of BPE training at REAL merge counts: round r
+    * used to carry r chained maps over the word table (O(R²) total);
+    * the periodic local checkpoint restarts the lineage, so total cost
+    * must scale ~linearly in the merge count. Timed at 30 vs 110
+    * merges — linear predicts ratio ≈ 3.7; quadratic would be ≈ 13.
+    */
+  private def bpeCheck(spark: SparkSession, sfDir: String): Unit = {
+    val docs = engine.Tables.documents(spark, sfDir)
+    def time(merges: Int): Double = {
+      val t0 = System.nanoTime()
+      ops.TextOps.bpeTrain(docs, numMerges = merges).queryExecution.toRdd.count()
+      val e = (System.nanoTime() - t0) / 1e9
+      ops.Caches.clear()
+      e
+    }
+    time(10) // warm
+    val t30 = time(30)
+    val t110 = time(110)
+    println(f"${"bpe_30_merges"}%-24s $t30%8.2f")
+    println(f"${"bpe_110_merges"}%-24s $t110%8.2f  ratio=${t110 / t30}%4.2f (linear=3.7)")
   }
 
   /** Hot-SPACE evidence for the SPJ skew lever (`option("skewSplit")`
