@@ -917,6 +917,33 @@ object EsdbWriter {
     evolved.foreach(s => writeSchemaManifest(hconf(ev.sparkSession), root, s))
   }
 
+  /** Append as a NEW immutable version (predecessor ∪ batch, staged
+    * and pointer-committed): the concurrency-safe, snapshot-isolated
+    * append — two racing appenders BOTH commit (the loser's closure
+    * re-stages against the winner's head, [[Publish.publishRetrying]])
+    * and the store's history gains one auditable version per batch.
+    * Costs a full rewrite per append (it IS a publish); [[append]]
+    * stays the cheap in-place path when a single writer owns the
+    * store. `keepVersions >= 2` so a concurrent loser can still read
+    * the head it staged against while retrying.
+    */
+  def appendVersioned(ev: DataFrame, path: String, keepVersions: Int = 2): Unit = {
+    require(!isSealed(path), s"stream at $path is closed (reference: closed_stream.go:48-50)")
+    val spark = ev.sparkSession
+    val conf = hconf(spark)
+    Publish.publishRetrying(conf, path, keepVersions) { tmp =>
+      // resolved INSIDE the closure: a retry sees the new head
+      val all =
+        if (!Publish.hasData(conf, path)) ev
+        else {
+          val cur = readFullWidth(spark, dataRoot(spark, path))
+          val c2 = if (cur.columns.contains("bucket")) cur.drop("bucket") else cur
+          c2.unionByName(ev, allowMissingColumns = true)
+        }
+      write(all, tmp, subparts = subpartsOf(conf, dataRoot(spark, path)))
+    }: Unit
+  }
+
   /** Seal: reference `Close()` writes the tails SSTable + footer magic
     * (stream/open_stream.go:146-201). Here: a `_CLOSED` marker plus a
     * tails sidecar so readers get O(1) heads without scanning.

@@ -240,6 +240,30 @@ object Publish {
     dataDir
   }
 
+  /** [[publish]] with conflict retries, for VERSION-INDEPENDENT
+    * payloads: when the pointer commit loses a race, the staged dir is
+    * already swept (publish's conflict path) and the build closure
+    * re-runs against the NEW head — anything it reads through the
+    * version pointer resolves fresh — then commits at the next number.
+    * Valid only when re-running the closure against a newer head still
+    * produces what the caller means (appends: predecessor ∪ batch;
+    * idempotent index rebuilds). NOT for compactions/deletes, which
+    * rewrite a SPECIFIC predecessor and must surface its loss loudly.
+    */
+  def publishRetrying(conf: Configuration, root: String, keepVersions: Int = 1,
+                      maxRetries: Int = 5)(write: String => Unit): String = {
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      try return publish(conf, root, keepVersions)(write)
+      catch {
+        case e: java.io.IOException if attempt < maxRetries &&
+            e.getMessage != null && e.getMessage.startsWith("publish conflict") =>
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable: retry loop exits via return or throw")
+  }
+
   /** File-set snapshot sidecar of one committed version: written at
     * publish time (before the pointer commit), one relative data-file
     * path per line. Appends land in the current version's dir AFTER

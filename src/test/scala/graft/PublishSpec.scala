@@ -81,6 +81,33 @@ class PublishSpec extends SparkSpec {
     assert(content == "winner", "a losing rename must not clobber the committed pointer")
   }
 
+  test("racing appenders: the loser re-stages against the new head; contents = union") {
+    val dir = freshDir()
+    val store = s"$dir/s"
+    EsdbWriter.appendVersioned(ev(1 to 10), store) // version 1: base
+    // appender A stages against v1; mid-stage, appender B commits v2 —
+    // A's pointer commit conflicts, its closure re-runs against v2 and
+    // commits v3 (deterministic single-threaded interleave of the race)
+    var bFired = false
+    var aAttempts = 0
+    Publish.publishRetrying(hconf, store, keepVersions = 3) { tmp =>
+      aAttempts += 1
+      val cur = EsdbWriter.read(spark, store) // resolves the head NOW
+      if (!bFired) {
+        bFired = true
+        EsdbWriter.appendVersioned(ev(11 to 20), store, keepVersions = 3) // B wins the race
+      }
+      EsdbWriter.write(cur.unionByName(ev(21 to 30)), tmp)
+    }
+    assert(aAttempts == 2, s"A must lose once and retry, attempted $aAttempts")
+    val ids = EsdbWriter.read(spark, store).select("event_id").as[Long].collect().sorted
+    assert(ids.toSeq == (1L to 30L), "both appenders' batches must survive")
+    assert(Publish.currentVersion(hconf, store).map(_._1).contains(3L))
+    // non-retrying publishes keep failing loudly on conflict — the
+    // retry is opt-in for version-independent payloads only (the
+    // conflict primitive itself is pinned by the test above)
+  }
+
   test("crash before pointer write: readers keep seeing the previous version") {
     val dir = freshDir()
     EsdbWriter.write(ev(1 to 10), dir)
