@@ -162,9 +162,11 @@ object Queries {
       }: Unit
     }
     val name = new java.io.File(p).getName
-    s.conf.set("spark.sql.catalog.esdb_del", classOf[graft.sources.EsdbCatalog].getName)
-    s.conf.set("spark.sql.catalog.esdb_del.root", new java.io.File(p).getParent)
-    s.sql(s"DELETE FROM esdb_del.`$name` WHERE value < $PredDeleteCutoff")
+    // catalog plugin instances cache by NAME per session: use a name
+    // no test suite shares, or the first-instantiated root wins
+    s.conf.set("spark.sql.catalog.esdb_preddel", classOf[graft.sources.EsdbCatalog].getName)
+    s.conf.set("spark.sql.catalog.esdb_preddel.root", new java.io.File(p).getParent)
+    s.sql(s"DELETE FROM esdb_preddel.`$name` WHERE value < $PredDeleteCutoff")
     p
   }
 
