@@ -61,17 +61,22 @@ object DeleteWhere {
                                     numNulls: Option[Long], rows: Long)
 
   /** May ANY row of `file` satisfy the conjunction? One footer read,
-    * no data pages. `space` is the file's partition-path value —
-    * constant for every row, so predicates on it evaluate exactly.
+    * no data pages. `space` is the file's partition-path value when
+    * the layout stores it in the directory name (bucketed stores) —
+    * constant for every row, so predicates on it evaluate exactly;
+    * None for flat layouts (logs), where `space` is an ordinary data
+    * column with its own footer stats.
     */
   def fileMayMatch(conf: org.apache.hadoop.conf.Configuration,
-                   file: org.apache.hadoop.fs.Path, space: String,
+                   file: org.apache.hadoop.fs.Path, space: Option[String],
                    filters: Seq[Filter]): Boolean = {
     val facts = footerFacts(conf, file)
     val rows = facts.values.headOption.map(_.rows).getOrElse(0L)
-    def factsOf(c: String): ColFacts =
-      if (c == "space") ColFacts(present = true, Some(space), Some(space), Some(0L), rows)
-      else facts.getOrElse(c, ColFacts(present = false, None, None, None, rows))
+    def factsOf(c: String): ColFacts = space match {
+      case Some(sp) if c == "space" =>
+        ColFacts(present = true, Some(sp), Some(sp), Some(0L), rows)
+      case _ => facts.getOrElse(c, ColFacts(present = false, None, None, None, rows))
+    }
     filters.forall(f => may(f, factsOf))
   }
 

@@ -673,7 +673,9 @@ object EsdbWriter {
     val classified = {
       import scala.collection.parallel.CollectionConverters._
       files.toVector.par
-        .map { case (rel, f, sp) => (rel, f, DeleteWhere.fileMayMatch(conf, f.getPath, sp, filters)) }
+        .map { case (rel, f, sp) =>
+          (rel, f, DeleteWhere.fileMayMatch(conf, f.getPath, Some(sp), filters))
+        }
         .toVector
     }
     val (rewrite, carry) = classified.partition(_._3)
@@ -807,6 +809,84 @@ object EsdbWriter {
       // reads footers for the REWRITTEN files only
       val oldM = new org.apache.hadoop.fs.Path(srcPath, LogManifest)
       if (fs.exists(oldM)) {
+        val dst = new org.apache.hadoop.fs.Path(tmpPath, LogManifest)
+        fs.mkdirs(dst)
+        fs.listStatus(oldM).toSeq
+          .filter(f => f.isFile && f.getLen > 0 &&
+            !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+          .foreach { f =>
+            org.apache.hadoop.fs.FileUtil.copy(fs, f.getPath, fs,
+              new org.apache.hadoop.fs.Path(dst, s"carry-${f.getPath.getName}"), false, conf): Unit
+          }
+      }
+      refreshLogManifest(spark, tmp)
+      schemaManifest(conf, src).foreach { old =>
+        schemaManifest(conf, tmp) match {
+          case Some(cur) => writeSchemaManifest(conf, tmp, unionSchemas(cur, old))
+          case None => writeSchemaManifest(conf, tmp, old)
+        }
+      }
+    }: Unit
+  }
+
+  /** Arbitrary-predicate row-level delete on a LOG store — the flat
+    * dual of [[deleteWhere]]: footer stats classify each file (space
+    * is a data column here, so its stats participate like any other);
+    * provably-unmatchable files carry byte-for-byte, candidates
+    * rewrite preserving the range-partitioned sorted layout. Epoch
+    * markers carry so replaying exactly-once sinks stay no-ops; the
+    * log manifest carries for untouched names and refreshes for the
+    * rewritten files.
+    */
+  def deleteWhereLog(spark: SparkSession, path: String,
+                     filters: Seq[org.apache.spark.sql.sources.Filter],
+                     keepVersions: Int = 1): Unit = {
+    require(!isSealed(path), s"stream at $path is closed (immutable; no deletes)")
+    val cond = DeleteWhere.translate(filters).getOrElse(
+      throw new IllegalArgumentException(
+        s"untranslatable delete predicate: ${filters.mkString(", ")}"))
+    require(filters.nonEmpty, "unbounded delete: use truncate() to empty a log")
+    GraftSession.tune(spark)
+    val conf = hconf(spark)
+    val src = dataRoot(spark, path)
+    val srcPath = new org.apache.hadoop.fs.Path(src)
+    val fs = srcPath.getFileSystem(conf)
+    val visible = LogCommits.visibleDataFiles(fs, srcPath)
+    val classified = {
+      import scala.collection.parallel.CollectionConverters._
+      visible.toVector.par
+        .map(f => (f, DeleteWhere.fileMayMatch(conf, f.getPath, None, filters)))
+        .toVector
+    }
+    val (rewrite, carry) = classified.partition(_._2)
+    if (rewrite.isEmpty) return // stats proved the delete a no-op: no version churn
+    Publish.publish(conf, path, keepVersions) { tmp =>
+      val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+      fs.mkdirs(tmpPath)
+      val df = readFullWidth(spark, src, rewrite.map(_._1.getPath.toString))
+      // delete rows where cond IS TRUE; false AND null both survive
+      df.filter(!coalesce(cond, lit(false)))
+        .repartitionByRange(col("event_id"))
+        .sortWithinPartitions(col("event_id"))
+        .write.mode(SaveMode.Append).parquet(tmp)
+      carry.foreach { case (f, _) =>
+        org.apache.hadoop.fs.FileUtil.copy(fs, f.getPath, fs,
+          new org.apache.hadoop.fs.Path(tmpPath, f.getPath.getName), false, conf): Unit
+      }
+      // replayed committed epochs must stay no-ops after the delete
+      val markers = new org.apache.hadoop.fs.Path(srcPath, LogCommits.Dir)
+      if (fs.exists(markers)) {
+        val dst = new org.apache.hadoop.fs.Path(tmpPath, LogCommits.Dir)
+        fs.mkdirs(dst)
+        fs.listStatus(markers).toSeq.filter(_.isFile).foreach { m =>
+          org.apache.hadoop.fs.FileUtil.copy(fs, m.getPath, fs,
+            new org.apache.hadoop.fs.Path(dst, m.getPath.getName), false, conf): Unit
+        }
+      }
+      // manifest rows for carried names travel with the version; the
+      // refresh covers only the rewritten files (footer reads)
+      val oldM = new org.apache.hadoop.fs.Path(srcPath, LogManifest)
+      if (carry.nonEmpty && fs.exists(oldM)) {
         val dst = new org.apache.hadoop.fs.Path(tmpPath, LogManifest)
         fs.mkdirs(dst)
         fs.listStatus(oldM).toSeq

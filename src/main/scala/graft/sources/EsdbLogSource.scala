@@ -100,12 +100,14 @@ final class EsdbLogTable(path: String, tableSchema: StructType,
   /** Log history trim as SQL: `DELETE FROM log WHERE event_id < X` —
     * exactly the prefix trims the range-partitioned layout executes as
     * whole-file drops plus one straddler rewrite
-    * ([[graft.engine.EsdbWriter.trimLog]]); anything else refuses at
-    * analysis. TRUNCATE carries the epoch markers so replaying
-    * streaming sinks stay exactly-once.
+    * ([[graft.engine.EsdbWriter.trimLog]]). Any other translatable
+    * predicate takes the footer-stats copy-on-write
+    * ([[graft.engine.EsdbWriter.deleteWhereLog]]): only files whose
+    * stats admit a match rewrite. TRUNCATE carries the epoch markers
+    * so replaying streaming sinks stay exactly-once.
     */
-  override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    writePath.isDefined && (filters.isEmpty || (filters.forall {
+  private def isTrim(filters: Array[Filter]): Boolean =
+    filters.forall {
       case LessThan("event_id", _: java.lang.Long) => true
       case LessThanOrEqual("event_id", _: java.lang.Long) => true
       case IsNotNull("event_id") => true
@@ -115,21 +117,28 @@ final class EsdbLogTable(path: String, tableSchema: StructType,
       case LessThan("event_id", _) | LessThanOrEqual("event_id", _) => true
       case _: org.apache.spark.sql.sources.AlwaysTrue => true
       case _ => false
-    }))
+    }
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    writePath.isDefined && (filters.isEmpty || isTrim(filters) ||
+      (filters.nonEmpty && graft.engine.DeleteWhere.translate(filters.toSeq).isDefined))
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     val logical = writePath.getOrElse(throw new UnsupportedOperationException(
       s"$name is a version-pinned snapshot and read-only"))
     val spark = SparkSession.active
-    val bound: Option[(Long, Boolean)] = filters.collect {
-      case LessThan("event_id", v: java.lang.Long) => (v.longValue(), false)
-      case LessThanOrEqual("event_id", v: java.lang.Long) => (v.longValue(), true)
-    }.sortBy { case (v, incl) => (v, incl) }.headOption
-    bound match {
-      case Some((before, incl)) =>
-        graft.engine.EsdbWriter.trimLog(spark, logical, before, inclusive = incl)
-      case None => graft.engine.EsdbWriter.truncate(spark, logical)
-    }
+    if (filters.isEmpty) graft.engine.EsdbWriter.truncate(spark, logical)
+    else if (isTrim(filters)) {
+      val bound: Option[(Long, Boolean)] = filters.collect {
+        case LessThan("event_id", v: java.lang.Long) => (v.longValue(), false)
+        case LessThanOrEqual("event_id", v: java.lang.Long) => (v.longValue(), true)
+      }.sortBy { case (v, incl) => (v, incl) }.headOption
+      bound match {
+        case Some((before, incl)) =>
+          graft.engine.EsdbWriter.trimLog(spark, logical, before, inclusive = incl)
+        case None => graft.engine.EsdbWriter.truncate(spark, logical)
+      }
+    } else graft.engine.EsdbWriter.deleteWhereLog(spark, logical, filters.toSeq)
   }
 
   override def truncateTable(): Boolean = {

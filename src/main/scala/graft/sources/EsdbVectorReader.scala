@@ -239,7 +239,13 @@ object EsdbVectorReader {
       case (PrimitiveTypeName.BINARY, BinaryType) => plain
       case (PrimitiveTypeName.INT64, LongType) => plain || intAnn(64)
       case (PrimitiveTypeName.INT32, IntegerType) => plain || intAnn(32)
+      // widened-type evolution: Spark's vectorized reader promotes
+      // int32→long and float→double when handed the wider read schema
+      // (the same promotion the vanilla path relies on), so a file
+      // written before a widening still qualifies for this path
+      case (PrimitiveTypeName.INT32, LongType) => plain || intAnn(32)
       case (PrimitiveTypeName.DOUBLE, DoubleType) => plain
+      case (PrimitiveTypeName.FLOAT, DoubleType) => plain
       case (PrimitiveTypeName.FLOAT, FloatType) => plain
       case (PrimitiveTypeName.BOOLEAN, BooleanType) => plain
       case _ => false

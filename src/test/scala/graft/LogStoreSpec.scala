@@ -505,7 +505,40 @@ class LogStoreSpec extends SparkSpec {
     assert(graft.engine.Publish.currentVersion(conf, p).map(_._1) == v)
   }
 
-  test("SQL DELETE trims a catalog log table; other predicates refuse; TRUNCATE keeps markers") {
+  test("predicate delete on a log: stat-precluded files carry, candidates rewrite, order holds") {
+    val dir = java.nio.file.Files.createTempDirectory("logpreddel").toFile
+    dir.delete()
+    val p = dir.getAbsolutePath
+    EsdbWriter.writeLog(mkRange(1 to 500), p) // values 0.1..50.0
+    EsdbWriter.appendLog(mkRange(2000 to 2500), p) // values 200.0..250.0
+    def names(path: String): Set[String] = {
+      val root = new org.apache.hadoop.fs.Path(EsdbWriter.dataRoot(spark, path))
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(root).toSeq.filter { f =>
+        val n = f.getPath.getName
+        f.isFile && f.getLen > 0 && !n.startsWith("_") && !n.startsWith(".")
+      }.map(_.getPath.getName).toSet
+    }
+    val before = names(p)
+    // only the second batch's files can hold value >= 200 (stats prove it)
+    EsdbWriter.deleteWhereLog(spark, p,
+      Seq(org.apache.spark.sql.sources.GreaterThanOrEqual("value", 200.0),
+        org.apache.spark.sql.sources.LessThan("event_id", 2100L)))
+    val after = names(p)
+    assert(before.intersect(after).nonEmpty,
+      s"stat-precluded first batch must carry byte-for-byte: before=$before after=$after")
+    val ids = EsdbWriter.readLog(spark, p).select("event_id").as[Long].collect().toSeq
+    assert(ids == ((1L to 500L) ++ (2100L to 2500L)), s"got ${ids.take(3)}...${ids.takeRight(3)}")
+    assert(ids == ids.sorted, "merge order must survive")
+    // stats-proven no-op publishes no version
+    val conf = spark.sparkContext.hadoopConfiguration
+    val v = graft.engine.Publish.currentVersion(conf, p).map(_._1)
+    EsdbWriter.deleteWhereLog(spark, p,
+      Seq(org.apache.spark.sql.sources.GreaterThan("value", 9999.0)))
+    assert(graft.engine.Publish.currentVersion(conf, p).map(_._1) == v)
+  }
+
+  test("SQL DELETE trims a catalog log table; predicates copy-on-write; TRUNCATE keeps markers") {
     val root = java.nio.file.Files.createTempDirectory("logtrimsql").toString
     val p = s"$root/clicks"
     // build through the exactly-once sink path so commit markers exist
@@ -516,9 +549,13 @@ class LogStoreSpec extends SparkSpec {
     spark.sql("DELETE FROM esdb_trim.clicks WHERE event_id < 150")
     val ids = spark.table("esdb_trim.clicks").select("event_id").as[Long].collect().toSeq
     assert(ids == (150L to 200L))
-    intercept[Exception] {
-      spark.sql("DELETE FROM esdb_trim.clicks WHERE grouping = 'g1'")
-    }
+    // non-prefix predicates take the footer-stats copy-on-write path
+    spark.sql("DELETE FROM esdb_trim.clicks WHERE grouping = 'g1'")
+    val t = spark.table("esdb_trim.clicks")
+    assert(t.where(col("grouping") === "g1").count() == 0)
+    val ids2 = t.select("event_id").as[Long].collect().toSeq
+    assert(ids2 == (150L to 200L).filterNot(_ % 7 == 1), "exactly g1's rows deleted")
+    assert(ids2 == ids2.sorted, "merge order survives the predicate delete")
     spark.sql("DELETE FROM esdb_trim.clicks") // unbounded -> truncate
     assert(spark.table("esdb_trim.clicks").count() == 0)
     // markers survived the truncate: a replay of epoch 7 stays a no-op

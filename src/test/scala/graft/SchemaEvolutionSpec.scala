@@ -159,6 +159,29 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(page.count() == 30)
   }
 
+  test("a widened compacted store keeps the vectorized read path (reader promotes)") {
+    val p = tmp("evowidenvec")
+    val narrow = (1 to 40)
+      .map(i => (s"s${i % 2}", s"g${i % 3}", i.toLong * 1000, i.toLong, i / 10.0, "{}", i))
+      .toDF("space", "grouping", "ts_us", "event_id", "value", "payload", "hits")
+    EsdbWriter.write(narrow, p)
+    EsdbWriter.compact(spark, p) // one file per space: columnar-eligible shape
+    // proactive widening, no new data: old int32 files under a long schema
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = EsdbWriter.dataRoot(spark, p)
+    val widened = org.apache.spark.sql.types.StructType(
+      EsdbWriter.schemaManifest(conf, root).get.map(f =>
+        if (f.name == "hits") f.copy(dataType = org.apache.spark.sql.types.LongType) else f))
+    EsdbWriter.writeSchemaManifest(conf, root, widened)
+    val before = graft.sources.EsdbVectorReader.BatchesRead.get()
+    val df = EsdbWriter.readOrdered(spark, p)
+    assert(df.schema("hits").dataType == org.apache.spark.sql.types.LongType)
+    val got = df.select("event_id", "hits").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(7L) == 7L && got.size == 40)
+    assert(graft.sources.EsdbVectorReader.BatchesRead.get() > before,
+      "the widened compacted store must still decode through the vectorized path")
+  }
+
   test("narrowing and cross-kind changes still refuse (widening is one-way)") {
     val p = tmp("evonarrow")
     val longFirst = (1 to 10)
