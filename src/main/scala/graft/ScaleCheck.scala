@@ -411,6 +411,31 @@ object ScaleCheck {
     // the alternative a layout without manifests pays: full rewrite
     val c10 = timed { engine.EsdbWriter.compact(spark, d10store) }
     println(f"${"vs_full_rewrite_10x"}%-24s ${"-"}%8s $c10%8.2f ${c10 / d10}%5.1fx costlier")
+    // arbitrary-predicate delete (r8): the doomed rows carry values far
+    // outside the base distribution and land as their own appended
+    // batch — footer stats prove every base file carry-able, so the
+    // cost tracks the predicate's stat footprint (one batch) while the
+    // store grows 10x around it
+    val doomedVal = spark.range(1000).select(
+      lit("click").as("space"), lit("pd").as("grouping"),
+      (col("id") * 1000L).as("ts_us"), (col("id") + 910000000L).as("event_id"),
+      (col("id") + 500000L).cast("double").as("value"), lit("{}").as("payload"))
+    def buildPred(src: String, out: String): String = {
+      engine.EsdbWriter.write(frame(src), fresh(out))
+      engine.EsdbWriter.append(doomedVal, out)
+      out
+    }
+    val predFilter = Seq[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.GreaterThanOrEqual("value", 500000.0))
+    val pWarm = buildPred(sfDir, "/tmp/graft_scale/pred_warm")
+    timed { engine.EsdbWriter.deleteWhere(spark, pWarm, predFilter) }
+    val p1store = buildPred(sfDir, "/tmp/graft_scale/pred_1x")
+    val p1 = timed { engine.EsdbWriter.deleteWhere(spark, p1store, predFilter) }
+    val p10store = buildPred(bigDir, "/tmp/graft_scale/pred_10x")
+    val p10 = timed { engine.EsdbWriter.deleteWhere(spark, p10store, predFilter) }
+    println(f"${"predicate_delete"}%-24s $p1%8.2f $p10%8.2f ${p10 / p1}%5.1f")
+    val cp10 = timed { engine.EsdbWriter.compact(spark, p10store) }
+    println(f"${"vs_full_rewrite_10x"}%-24s ${"-"}%8s $cp10%8.2f ${cp10 / p10}%5.1fx costlier")
     // retention: two time-ordered batches, cutoff between them — the
     // old batch's files drop by manifest, nothing straddles
     def buildRet(src: String, out: String): String = {
