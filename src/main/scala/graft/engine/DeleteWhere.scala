@@ -130,20 +130,57 @@ object DeleteWhere {
 
   /** Total-order comparison across the value types footer stats and
     * filter literals actually take; None = incomparable (conservative).
+    * Strings compare in unsigned UTF-8 byte order (what parquet min/max
+    * and Spark's string ordering both use — UTF-16 `String.compareTo`
+    * diverges on supplementary-plane chars); mixed numerics compare
+    * exactly through BigDecimal, never through a lossy double (a long
+    * stat vs a double literal near 2^53 must not round into a false
+    * "provably no match").
     */
-  private def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
-    case (x: String, y: String) => Some(x.compareTo(y))
+  private[engine] def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (x: String, y: String) =>
+      Some(org.apache.spark.unsafe.types.UTF8String.fromString(x)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y)))
     case (x: java.lang.Boolean, y: java.lang.Boolean) => Some(x.compareTo(y))
     case (x: Number, y: Number) =>
-      val dx = x.doubleValue(); val dy = y.doubleValue()
-      if (dx.isNaN || dy.isNaN) None
-      else (x, y) match {
-        // exact long-vs-long avoids double rounding past 2^53
+      // same-class fast paths; everything else goes through exact decimal
+      (x, y) match {
         case (lx: java.lang.Long, ly: java.lang.Long) => Some(lx.compareTo(ly))
         case (lx: java.lang.Integer, ly: java.lang.Integer) => Some(lx.compareTo(ly))
-        case _ => Some(java.lang.Double.compare(dx, dy))
+        case (dx: java.lang.Double, dy: java.lang.Double)
+            if !dx.isNaN && !dy.isNaN => Some(java.lang.Double.compare(dx, dy))
+        case _ =>
+          (numKind(x), numKind(y)) match {
+            case (NumNaN, _) | (_, NumNaN) => None
+            case (NumInf(sx), NumInf(sy)) => Some(Integer.compare(sx, sy))
+            case (NumInf(sx), _) => Some(sx) // ±Inf vs any finite value
+            case (_, NumInf(sy)) => Some(-sy)
+            case (NumFinite(bx), NumFinite(by)) => Some(bx.compareTo(by))
+          }
       }
     case _ => None
+  }
+
+  private sealed trait NumKind
+  private case object NumNaN extends NumKind
+  private final case class NumInf(sign: Int) extends NumKind
+  private final case class NumFinite(v: java.math.BigDecimal) extends NumKind
+
+  /** Exact classification of a stat/literal numeric: every integral and
+    * binary-float value is represented exactly in BigDecimal.
+    */
+  private def numKind(n: Number): NumKind = n match {
+    case x: java.lang.Double =>
+      if (x.isNaN) NumNaN
+      else if (x.isInfinite) NumInf(if (x > 0) 1 else -1)
+      else NumFinite(new java.math.BigDecimal(x))
+    case x: java.lang.Float =>
+      if (x.isNaN) NumNaN
+      else if (x.isInfinite) NumInf(if (x > 0) 1 else -1)
+      else NumFinite(new java.math.BigDecimal(x.doubleValue()))
+    case x: java.math.BigDecimal => NumFinite(x)
+    case x: java.math.BigInteger => NumFinite(new java.math.BigDecimal(x))
+    case x => NumFinite(java.math.BigDecimal.valueOf(x.longValue()))
   }
 
   /** May any row satisfy `f`, given per-column facts? */
