@@ -37,6 +37,11 @@ object Queries {
     * keeps some).
     */
   val PredDeleteCutoff = 2.5
+  /** Value cutoff for the row-level UPDATE (redaction) fixture — inside
+    * the value distribution at every scale factor (updates some rows,
+    * keeps some).
+    */
+  val UpdateCutoff = 100.0
   /** Hashed bag-of-words width for the quality-classifier trainer — an
     * honest model size (the weight vector is the literal the scoring
     * expression indexes; the oracle mirrors the same modulus).
@@ -167,6 +172,36 @@ object Queries {
     s.conf.set("spark.sql.catalog.esdb_preddel", classOf[graft.sources.EsdbCatalog].getName)
     s.conf.set("spark.sql.catalog.esdb_preddel.root", new java.io.File(p).getParent)
     s.sql(s"DELETE FROM esdb_preddel.`$name` WHERE value < $PredDeleteCutoff")
+    p
+  }
+
+  /** Store with `value >= UpdateCutoff` rows REDACTED through pure SQL
+    * (`CALL esdb.system.update_where` — the redaction half of GDPR,
+    * next to [[ensurePredDeletedStore]]'s delete half): the footer-
+    * stats copy-on-write rewrites only files whose stat range admits a
+    * match. Idempotent: after the first run no file holds a value ≥
+    * cutoff, so a re-run's stats prove the update a no-op (no version
+    * churn, rewritten=false).
+    */
+  private def ensureUpdatedStore(s: SparkSession, dir: String): String = synchronized {
+    // no '.' in the key: the procedure's `table` argument is a
+    // dot-separated multi-part identifier
+    val key = dir.replaceAll("[^A-Za-z0-9_-]", "_")
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft-updstore/$key"
+    val conf = s.sparkContext.hadoopConfiguration
+    if (graft.engine.Publish.currentVersion(conf, p).isEmpty) {
+      graft.engine.Publish.publish(conf, p) { tmp =>
+        graft.engine.EsdbWriter.write(ev(s, dir), tmp)
+      }: Unit
+    }
+    val name = new java.io.File(p).getName
+    s.conf.set("spark.sql.catalog.esdb_upd", classOf[graft.sources.EsdbCatalog].getName)
+    s.conf.set("spark.sql.catalog.esdb_upd.root", new java.io.File(p).getParent)
+    s.sql(
+      s"""CALL esdb_upd.system.update_where(
+         |  table => '$name',
+         |  set => "value = 0.0, payload = '{}'",
+         |  where => 'value >= $UpdateCutoff')""".stripMargin): Unit
     p
   }
 
@@ -478,6 +513,28 @@ object Queries {
               |       min(value) AS min_value
               |FROM events WHERE value >= $PredDeleteCutoff OR value IS NULL
               |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // row-level UPDATE (GDPR redaction) as SQL: rows with value >= x
+    // get value zeroed and payload scrubbed, everything else — and
+    // every file whose stats exclude the range — is untouched; the
+    // oracle recomputes the same CASE over raw events, proving the
+    // update exact, NULL-predicate rows untouched, and nothing lost
+    QuerySpec("store_update_predicate",
+      (s, d) => {
+        val p = ensureUpdatedStore(s, d)
+        graft.engine.EsdbWriter.readOrdered(s, p)
+          .groupBy("space")
+          .agg(count(lit(1)).as("n_events"),
+            sum(round(col("value") * 100).cast("long")).as("sum_cents"),
+            max(col("value")).as("max_value"),
+            count(when(col("payload") === "{}", 1)).as("n_redacted"))
+          .orderBy("space")
+      },
+      Some(s"""SELECT event_type AS space, count(*) AS n_events,
+              |       CAST(sum(CAST(round((CASE WHEN value >= $UpdateCutoff THEN 0.0 ELSE value END)*100) AS BIGINT)) AS BIGINT) AS sum_cents,
+              |       max(CASE WHEN value >= $UpdateCutoff THEN 0.0 ELSE value END) AS max_value,
+              |       count(CASE WHEN (CASE WHEN value >= $UpdateCutoff THEN '{}' ELSE props END) = '{}' THEN 1 END) AS n_redacted
+              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // the same scan issued as PURE SQL TEXT through the catalog plugin
     // (EsdbCatalog): the store is a named table, the predicate pushes

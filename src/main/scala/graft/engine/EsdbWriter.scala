@@ -651,11 +651,58 @@ object EsdbWriter {
   def deleteWhere(spark: SparkSession, path: String,
                   filters: Seq[org.apache.spark.sql.sources.Filter],
                   keepVersions: Int = 1): Unit = {
-    require(!isSealed(path), s"store at $path is sealed (immutable; no deletes)")
+    require(filters.nonEmpty, "unbounded delete: use truncate() to empty a store")
+    rewriteWhere(spark, path, filters, keepVersions) { (df, cond) =>
+      // delete rows where cond IS TRUE; false AND null both survive
+      df.filter(!coalesce(cond, lit(false)))
+    }: Unit
+  }
+
+  /** Row-level UPDATE (`UPDATE t SET c = e, … WHERE cond`) through the
+    * same footer-stats copy-on-write as [[deleteWhere]]: files whose
+    * stats prove no row can match carry byte-for-byte; candidates
+    * rewrite with the SET applied only to matching rows (predicate NULL
+    * leaves the row untouched — SQL UPDATE semantics). Every assignment
+    * sees the PRE-update row (one projection, not sequential
+    * `withColumn`s) and casts to the column's existing type, so the
+    * store's schema never drifts. This is the redaction half of GDPR —
+    * "scrub this field" rather than "drop this user" — priced like the
+    * delete: by the predicate's stat-range footprint, not store size.
+    */
+  def updateWhere(spark: SparkSession, path: String,
+                  set: Map[String, org.apache.spark.sql.Column],
+                  filters: Seq[org.apache.spark.sql.sources.Filter],
+                  keepVersions: Int = 1): Boolean = {
+    require(set.nonEmpty, "UPDATE with no assignments")
+    rewriteWhere(spark, path, filters, keepVersions) { (df, cond) =>
+      val missing = set.keySet -- df.columns.toSet
+      require(missing.isEmpty, s"UPDATE of unknown column(s): ${missing.mkString(", ")}")
+      val hit = coalesce(cond, lit(false))
+      df.select(df.columns.map { c =>
+        set.get(c) match {
+          case Some(v) =>
+            when(hit, v.cast(df.schema(c).dataType)).otherwise(col(c)).as(c)
+          case None => col(c)
+        }
+      }: _*)
+    }
+  }
+
+  /** Shared copy-on-write core of [[deleteWhere]] and [[updateWhere]]:
+    * translate the conjunction, classify every data file by footer
+    * stats (one parallel footer round, no data pages), rewrite only
+    * candidates through `transform`, carry the rest byte-for-byte, and
+    * publish as one new version. Returns false when stats proved the
+    * operation a no-op (no version churn).
+    */
+  private def rewriteWhere(spark: SparkSession, path: String,
+                           filters: Seq[org.apache.spark.sql.sources.Filter],
+                           keepVersions: Int)
+                          (transform: (DataFrame, org.apache.spark.sql.Column) => DataFrame): Boolean = {
+    require(!isSealed(path), s"store at $path is sealed (immutable; no rewrites)")
     val cond = DeleteWhere.translate(filters).getOrElse(
       throw new IllegalArgumentException(
-        s"untranslatable delete predicate: ${filters.mkString(", ")}"))
-    require(filters.nonEmpty, "unbounded delete: use truncate() to empty a store")
+        s"untranslatable predicate: ${filters.mkString(", ")}"))
     GraftSession.tune(spark)
     val conf = hconf(spark)
     val src = dataRoot(spark, path)
@@ -679,12 +726,11 @@ object EsdbWriter {
         .toVector
     }
     val (rewrite, carry) = classified.partition(_._3)
-    if (rewrite.isEmpty) return // stats proved the delete a no-op: no version churn
+    if (rewrite.isEmpty) return false // stats proved a no-op: no version churn
     Publish.publish(conf, path, keepVersions) { tmp =>
       val tmpPath = new org.apache.hadoop.fs.Path(tmp)
       val df = readFullWidth(spark, src, rewrite.map(_._2.getPath.toString))
-      // delete rows where cond IS TRUE; false AND null both survive
-      val kept = df.filter(!coalesce(cond, lit(false)))
+      val kept = transform(df, cond)
       write(if (kept.columns.contains("bucket")) kept.drop("bucket") else kept,
         tmp, subparts = subparts)
       carry.foreach { case (rel, f, _) =>
@@ -723,6 +769,7 @@ object EsdbWriter {
         if (fs.exists(gm)) fs.delete(gm, true): Unit
       }
     }: Unit
+    true
   }
 
   /** Proven-zero-null event_id column across every block — one footer

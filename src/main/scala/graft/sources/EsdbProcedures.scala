@@ -21,7 +21,8 @@ import graft.engine.{EsdbWriter, Publish}
 object EsdbProcedures {
 
   val names: Seq[String] =
-    Seq("compact", "compact_incremental", "compact_log", "vacuum", "seal", "rollback")
+    Seq("compact", "compact_incremental", "compact_log", "vacuum", "seal", "rollback",
+      "update_where")
 
   private def p(name: String, dt: org.apache.spark.sql.types.DataType,
                 default: Option[String] = None,
@@ -100,6 +101,19 @@ object EsdbProcedures {
         val target = in.getLong(1)
         val next = Publish.rollback(conf(), path(t), target, in.getInt(2))
         Seq(row(UTF8String.fromString(t), target, next))
+      }
+      case "update_where" => proc("update_where",
+        Seq(p("table", StringType),
+          p("set", StringType, comment = "SQL assignment list: col = expr, ..."),
+          p("where", StringType, comment = "SQL predicate choosing the rows to update"),
+          p("keep_versions", IntegerType, Some("1"))),
+        StructType(Seq(StructField("table", StringType),
+          StructField("rewritten", BooleanType), StructField("version", LongType))),
+        "row-level UPDATE via footer-stats copy-on-write: only files whose stats admit a match rewrite; the rest carry byte-for-byte") { in =>
+        val t = in.getUTF8String(0).toString
+        val rewrote = UpdateSql.updateWhere(SparkSession.active, path(t),
+          in.getUTF8String(1).toString, in.getUTF8String(2).toString, in.getInt(3))
+        Seq(row(UTF8String.fromString(t), rewrote, version(t)))
       }
       case other => throw new UnsupportedOperationException(
         s"unknown procedure $other; available: ${names.mkString(", ")}")
