@@ -205,6 +205,36 @@ object Queries {
     p
   }
 
+  /** Change-feed fixture: v1 = events with `event_id % 3 != 0`; an
+    * in-place append of the complement; a predicate DELETE
+    * (`value < PredDeleteCutoff`); then a FULL compaction that renames
+    * every file. The row-level feed since v1 must still equal the
+    * content diff — inserts = appended survivors, deletes = v1 rows the
+    * predicate removed — with the compaction's renames netting out.
+    * A marker makes the sequence once-only; a partial build (version
+    * pointer but no marker) rebuilds from scratch.
+    */
+  private def ensureChangesStore(s: SparkSession, dir: String): String = synchronized {
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft-chgstore/$key"
+    val conf = s.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(p)
+    val fs = root.getFileSystem(conf)
+    val marker = new org.apache.hadoop.fs.Path(p, "_FEED_READY")
+    if (!fs.exists(marker)) {
+      if (fs.exists(root)) fs.delete(root, true): Unit
+      graft.engine.Publish.publish(conf, p, keepVersions = 8) { tmp =>
+        graft.engine.EsdbWriter.write(ev(s, dir).filter(pmod(col("event_id"), lit(3)) =!= 0), tmp)
+      }: Unit
+      graft.engine.EsdbWriter.append(ev(s, dir).filter(pmod(col("event_id"), lit(3)) === 0), p)
+      graft.engine.EsdbWriter.deleteWhere(s, p,
+        Seq(org.apache.spark.sql.sources.LessThan("value", PredDeleteCutoff)), keepVersions = 8)
+      graft.engine.EsdbWriter.compact(s, p, keepVersions = 8)
+      fs.create(marker, true).close()
+    }
+    p
+  }
+
   /** Incremental-read fixture: version 1 holds the events with
     * `event_id % 5 != 0`; the rest are APPENDED after the commit (into
     * the current version's dir, as real appends do). An incremental
@@ -513,6 +543,30 @@ object Queries {
               |       min(value) AS min_value
               |FROM events WHERE value >= $PredDeleteCutoff OR value IS NULL
               |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // rewrite-surviving row-level change feed: after append + DELETE +
+    // full compaction, changesFeed(v1) must return exactly the content
+    // diff — inserts = appended survivors, deletes = removed v1 rows —
+    // with the compaction's file renames netting out (carried names
+    // cancel free; only the rewrite footprint pays the set difference)
+    QuerySpec("store_changes_feed",
+      (s, d) => {
+        val p = ensureChangesStore(s, d)
+        graft.engine.EsdbWriter.changesFeed(s, p, 1L)
+          .select(col("_change"), col("event_id"), col("space"), col("grouping"),
+            col("ts_us"), col("value"), col("payload"))
+          .orderBy("_change", "event_id")
+      },
+      Some(s"""SELECT 'insert' AS _change, event_id, event_type AS space,
+              |       CAST(user_id AS VARCHAR) AS grouping, epoch_us(ts) AS ts_us,
+              |       value, props AS payload
+              |FROM events WHERE event_id % 3 = 0 AND value >= $PredDeleteCutoff
+              |UNION ALL
+              |SELECT 'delete' AS _change, event_id, event_type AS space,
+              |       CAST(user_id AS VARCHAR) AS grouping, epoch_us(ts) AS ts_us,
+              |       value, props AS payload
+              |FROM events WHERE event_id % 3 <> 0 AND value < $PredDeleteCutoff
+              |ORDER BY _change, event_id""".stripMargin)),
 
     // row-level UPDATE (GDPR redaction) as SQL: rows with value >= x
     // get value zeroed and payload scrubbed, everything else — and

@@ -1049,10 +1049,15 @@ object EsdbWriter {
     * append — two racing appenders BOTH commit (the loser's closure
     * re-stages against the winner's head, [[Publish.publishRetrying]])
     * and the store's history gains one auditable version per batch.
-    * Costs a full rewrite per append (it IS a publish); [[append]]
-    * stays the cheap in-place path when a single writer owns the
-    * store. `keepVersions >= 2` so a concurrent loser can still read
-    * the head it staged against while retrying.
+    * Predecessor files CARRY byte-for-byte (an object-store server-side
+    * copy — no decode/sort/encode, cost O(batch write + file copies),
+    * never a store rewrite), so the version's `_FILES` diff is exactly
+    * the appended files: a committed append-kind change-feed entry
+    * ([[Publish.versionDiffs]]), and `option("changesSince", v)` keeps
+    * reading pure deltas across it. [[append]] stays the cheapest
+    * in-place path when a single writer owns the store.
+    * `keepVersions >= 2` so a concurrent loser can still read the head
+    * it staged against while retrying.
     */
   def appendVersioned(ev: DataFrame, path: String, keepVersions: Int = 2): Unit = {
     require(!isSealed(path), s"stream at $path is closed (reference: closed_stream.go:48-50)")
@@ -1060,14 +1065,21 @@ object EsdbWriter {
     val conf = hconf(spark)
     Publish.publishRetrying(conf, path, keepVersions) { tmp =>
       // resolved INSIDE the closure: a retry sees the new head
-      val all =
-        if (!Publish.hasData(conf, path)) ev
-        else {
-          val cur = readFullWidth(spark, dataRoot(spark, path))
-          val c2 = if (cur.columns.contains("bucket")) cur.drop("bucket") else cur
-          c2.unionByName(ev, allowMissingColumns = true)
+      if (Publish.hasData(conf, path)) {
+        val src = new org.apache.hadoop.fs.Path(dataRoot(spark, path))
+        val dst = new org.apache.hadoop.fs.Path(tmp)
+        val fs = src.getFileSystem(conf)
+        fs.mkdirs(dst)
+        fs.listStatus(src).foreach { s =>
+          val n = s.getPath.getName
+          // the snapshot is re-recorded at commit; everything else
+          // (space dirs, manifests, schema sidecar) carries verbatim
+          if (n != Publish.SnapshotFile)
+            org.apache.hadoop.fs.FileUtil.copy(fs, s.getPath, fs,
+              new org.apache.hadoop.fs.Path(dst, n), false, conf): Unit
         }
-      write(all, tmp, subparts = subpartsOf(conf, dataRoot(spark, path)))
+        append(ev, tmp)
+      } else write(ev, tmp)
     }: Unit
   }
 
@@ -1698,5 +1710,48 @@ object EsdbWriter {
     val lead = Seq("space", "grouping", "ts_us", "event_id", "value", "payload")
     val rest = df.columns.filterNot(c => lead.contains(c) || c == "bucket").toSeq
     df.select((lead ++ rest).map(col): _*)
+  }
+
+  /** Row-level change feed since version v — the CDC read that SURVIVES
+    * rewrites: store rows + a `_change` column ("insert" rows appeared
+    * after v, "delete" rows existed at v and are gone). Construction:
+    * file names are UUID-fresh per write and never reused, so carried
+    * files cancel by NAME for free; only the renamed remainder (the
+    * rewrite footprint — appends, delete/update candidates, compacted
+    * spaces) pays a row-level set difference. Cost therefore tracks the
+    * churn since v, not store size, except after a full compaction
+    * (which renames everything — the honest price of a row-level diff
+    * across a total rewrite). Set semantics, matching SQL EXCEPT: an
+    * UPDATE surfaces as delete(old row) + insert(new row). Requires
+    * version v's snapshot and data dir to still be retained
+    * (keepVersions) — the feed window IS the retention window.
+    */
+  def changesFeed(spark: SparkSession, path: String, sinceVersion: Long): DataFrame = {
+    GraftSession.tune(spark)
+    val conf = hconf(spark)
+    val since = Publish.snapshotFiles(conf, path, sinceVersion).getOrElse(
+      throw new IllegalStateException(
+        s"version $sinceVersion at $path has no file snapshot (published before " +
+          "snapshots existed) — republish (compact) once to start recording them"))
+    val live = Publish.currentFiles(conf, path)
+    val addedNames = (live -- since).toSeq.sorted
+    val removedNames = (since -- live).toSeq.sorted
+    val cur = dataRoot(spark, path)
+    val sinceDir = Publish.resolveAt(conf, path, sinceVersion)
+    // both sides align to the CURRENT canonical width (pre-evolution
+    // rows null-fill; widened columns up-cast) so EXCEPT compares rows,
+    // not encodings
+    val target = readFullWidth(spark, cur).schema.fields.filterNot(_.name == "bucket")
+    def align(df: DataFrame): DataFrame =
+      df.select(target.map(f =>
+        (if (df.columns.contains(f.name)) col(f.name).cast(f.dataType)
+        else lit(null).cast(f.dataType)).as(f.name)).toSeq: _*)
+    def readRel(root: String, names: Seq[String]): DataFrame =
+      if (names.isEmpty) align(readFullWidth(spark, cur).limit(0))
+      else align(readFullWidth(spark, root, names.map(n => s"$root/$n")))
+    val added = readRel(cur, addedNames)
+    val removed = readRel(sinceDir, removedNames)
+    added.except(removed).withColumn("_change", lit("insert"))
+      .unionByName(removed.except(added).withColumn("_change", lit("delete")))
   }
 }

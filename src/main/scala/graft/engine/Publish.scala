@@ -294,6 +294,78 @@ object Publish {
       else Nil
     }
 
+  /** The live store's CURRENT data-file set (relative paths) — the
+    * at-head counterpart of [[snapshotFiles]]: includes post-commit
+    * appends the head version's snapshot predates.
+    */
+  def currentFiles(conf: Configuration, root: String): Set[String] = {
+    val dir = new Path(resolve(conf, root))
+    val fs = dir.getFileSystem(conf)
+    if (!fs.exists(dir)) Set.empty else listDataFiles(fs, dir, "").toSet
+  }
+
+  /** One version's file-level changes relative to the previous RETAINED
+    * snapshot (data-file names are UUID-fresh per write and never
+    * reused, so cumulative set algebra over snapshot gaps stays exact).
+    * `kind`: "append" = nothing removed (a pure delta — every added
+    * file holds only new rows); "rewrite" = files were replaced
+    * (added files may re-encode old rows; a file-level reader must
+    * reconcile); "baseline" = no earlier snapshot survives retention,
+    * so the delta is unknowable. `committed` false marks the at-head
+    * row: files appended into the current version's dir after its
+    * commit, not yet captured by any snapshot.
+    */
+  final case class VersionDiff(version: Long, kind: String,
+                               added: Seq[String], removed: Seq[String],
+                               committed: Boolean = true)
+
+  /** Per-version add/remove file diffs reconstructed from the retained
+    * `_FILES` snapshots, oldest first, plus the uncommitted at-head
+    * append row. The feed window is the retention window: versions
+    * swept by vacuum fold into the next retained version's diff.
+    */
+  def versionDiffs(conf: Configuration, root: String): Seq[VersionDiff] = {
+    val committed = committedVersions(conf, root).sortBy(_._1)
+    val snaps: Seq[(Long, Set[String])] = committed.flatMap { case (v, dir) =>
+      val base = new Path(new Path(root, VersionsDir), dir)
+      val fs = base.getFileSystem(conf)
+      val sp = new Path(base, SnapshotFile)
+      if (!fs.exists(sp)) None
+      else {
+        val in = fs.open(sp)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+        Some(v -> txt.split("\n").map(_.trim).filter(_.nonEmpty).toSet)
+      }
+    }
+    val firstCommitted = committed.headOption.map(_._1)
+    val diffs = snaps.zipWithIndex.map { case ((v, s), i) =>
+      if (i == 0) {
+        // no earlier snapshot: the initial load is a pure append; a
+        // later first-retained version has an unknowable delta
+        if (firstCommitted.contains(v))
+          VersionDiff(v, "append", s.toSeq.sorted, Nil)
+        else VersionDiff(v, "baseline", s.toSeq.sorted, Nil)
+      } else {
+        val before = snaps(i - 1)._2
+        val added = (s -- before).toSeq.sorted
+        val removed = (before -- s).toSeq.sorted
+        VersionDiff(v, if (removed.isEmpty) "append" else "rewrite", added, removed)
+      }
+    }
+    // at-head appends (never a rewrite: publishes always snapshot)
+    val live = currentFiles(conf, root)
+    val liveAdds = snaps.lastOption match {
+      case Some((v, s)) =>
+        val adds = (live -- s).toSeq.sorted
+        if (adds.isEmpty) Nil
+        else Seq(VersionDiff(v, "append", adds, Nil, committed = false))
+      case None if live.nonEmpty => // direct-layout store, no publishes
+        Seq(VersionDiff(0L, "baseline", live.toSeq.sorted, Nil, committed = false))
+      case None => Nil
+    }
+    diffs ++ liveAdds
+  }
+
   /** Version v's at-commit file set (relative paths); None when v was
     * published before snapshots existed. Fails loudly (resolveAt) when
     * v was never committed or its data has been retired.

@@ -22,7 +22,7 @@ import graft.engine.{EsdbWriter, Publish}
   */
 object EsdbMetaTables {
 
-  val names: Set[String] = Set("versions", "files", "groupings", "tails")
+  val names: Set[String] = Set("versions", "files", "groupings", "tails", "changes")
 
   def load(logical: String, which: String, conf: Configuration): Table = which match {
     case "versions" =>
@@ -41,6 +41,15 @@ object EsdbMetaTables {
           StructField("space", StringType, nullable = true),
           StructField("bytes", LongType, nullable = false))),
         () => fileRows(Publish.resolve(conf, logical), conf))
+    case "changes" =>
+      new MetaTable(s"esdb:$logical.changes",
+        StructType(Seq(
+          StructField("version", LongType, nullable = false),
+          StructField("kind", StringType, nullable = false),
+          StructField("change", StringType, nullable = false),
+          StructField("file", StringType, nullable = false),
+          StructField("committed", BooleanType, nullable = false))),
+        () => changeRows(logical, conf))
     case "groupings" =>
       new MetaTable(s"esdb:$logical.groupings",
         StructType(Seq(
@@ -96,6 +105,21 @@ object EsdbMetaTables {
     listData(root, conf).sortBy(_._1).map { case (rel, space, bytes) =>
       new GenericInternalRow(Array[Any](UTF8String.fromString(rel),
         space.map(UTF8String.fromString).orNull, bytes))
+    }
+
+  /** Per-version add/remove file diffs ([[Publish.versionDiffs]]):
+    * kind "append" = pure delta, "rewrite" = files replaced (a
+    * file-level consumer must reconcile), "baseline" = no earlier
+    * snapshot retained; the `committed=false` rows are at-head appends
+    * not yet captured by a snapshot.
+    */
+  private def changeRows(logical: String, conf: Configuration): Seq[InternalRow] =
+    Publish.versionDiffs(conf, logical).flatMap { d =>
+      d.added.map(f => (d.version, d.kind, "add", f, d.committed)) ++
+        d.removed.map(f => (d.version, d.kind, "remove", f, d.committed))
+    }.map { case (v, kind, change, file, committed) =>
+      new GenericInternalRow(Array[Any](v, UTF8String.fromString(kind),
+        UTF8String.fromString(change), UTF8String.fromString(file), committed))
     }
 
   private def groupingRows(logical: String): Seq[InternalRow] =

@@ -253,16 +253,35 @@ final class EsdbStoreTable(path: String, tableSchema: StructType,
     }
     // incremental read: only files added AFTER version v committed
     // (current listing minus v's at-commit snapshot — appends land in
-    // the current version's dir, so the name diff IS the delta)
-    val sinceExcluded: Option[Set[String]] = Option(options.get("sinceVersion")).map { v =>
+    // the current version's dir, so the name diff IS the delta).
+    // `changesSince` is the REWRITE-AWARE variant: same name diff, but
+    // it refuses when any rewrite-kind publish (delete/update/compact)
+    // intervened — a file-level read would re-encode old rows as "new"
+    // — and points the consumer at the row-level changesFeed instead.
+    def snapshotOf(optName: String, v: String): Set[String] = {
       val logical = writePath.getOrElse(throw new IllegalArgumentException(
-        "sinceVersion requires the live store path, not a version-pinned snapshot"))
+        s"$optName requires the live store path, not a version-pinned snapshot"))
       val conf = SparkSession.active.sparkContext.hadoopConfiguration
       graft.engine.Publish.snapshotFiles(conf, logical, v.toLong).getOrElse(
         throw new IllegalStateException(
           s"version $v at $logical has no file snapshot (published before snapshots " +
             "existed) — republish (compact) once to start recording them"))
     }
+    val sinceExcluded: Option[Set[String]] =
+      Option(options.get("sinceVersion")).map(snapshotOf("sinceVersion", _))
+        .orElse(Option(options.get("changesSince")).map { v =>
+          val excluded = snapshotOf("changesSince", v) // also enforces a live path
+          val logical = writePath.get
+          val conf = SparkSession.active.sparkContext.hadoopConfiguration
+          val rewrites = graft.engine.Publish.versionDiffs(conf, logical)
+            .filter(d => d.committed && d.version > v.toLong && d.kind != "append")
+          if (rewrites.nonEmpty) throw new IllegalStateException(
+            s"store at $logical was rewritten since version $v (rewrite publishes: " +
+              s"${rewrites.map(_.version).mkString(", ")}) — a file-level incremental " +
+              "read would re-surface rewritten rows as new; use " +
+              "EsdbWriter.changesFeed(spark, path, v) for the row-level insert/delete feed")
+          excluded
+        })
     new EsdbScanBuilder(path, tableSchema, skewSplitBytes, sinceExcluded)
   }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
