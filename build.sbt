@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify contract is "last stdout line is one JSON object";
+// sbt's own "[success] Total time: …" footer would otherwise print
+// after the forked main's output, and the default logger strategy
+// prefixes every forked line with "[info] " — both break a last-line
+// JSON parse. Unprefixed pass-through + no footer fixes it.
+ThisBuild / showSuccess := false
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

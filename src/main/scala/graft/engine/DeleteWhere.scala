@@ -147,8 +147,9 @@ object DeleteWhere {
       (x, y) match {
         case (lx: java.lang.Long, ly: java.lang.Long) => Some(lx.compareTo(ly))
         case (lx: java.lang.Integer, ly: java.lang.Integer) => Some(lx.compareTo(ly))
-        case (dx: java.lang.Double, dy: java.lang.Double)
-            if !dx.isNaN && !dy.isNaN => Some(java.lang.Double.compare(dx, dy))
+        // no Double.compare fast path: it orders -0.0 < 0.0, while SQL
+        // (and the BigDecimal route below) treats them equal — a file
+        // whose max stat is -0.0 must not be "proven" to miss `>= 0.0`
         case _ =>
           (numKind(x), numKind(y)) match {
             case (NumNaN, _) | (_, NumNaN) => None

@@ -674,6 +674,14 @@ object EsdbWriter {
                   filters: Seq[org.apache.spark.sql.sources.Filter],
                   keepVersions: Int = 1): Boolean = {
     require(set.nonEmpty, "UPDATE with no assignments")
+    // validate assignments BEFORE rewriteWhere's stats-proven-no-op
+    // early return: `UPDATE t SET nope = 1 WHERE <provably no match>`
+    // must refuse the unknown column loudly, not silently return false
+    val storeCols = schemaManifest(hconf(spark), dataRoot(spark, path))
+      .map(_.fieldNames.toSet)
+      .getOrElse(read(spark, path).schema.fieldNames.toSet)
+    val unknown = set.keySet -- storeCols
+    require(unknown.isEmpty, s"UPDATE of unknown column(s): ${unknown.mkString(", ")}")
     rewriteWhere(spark, path, filters, keepVersions) { (df, cond) =>
       val missing = set.keySet -- df.columns.toSet
       require(missing.isEmpty, s"UPDATE of unknown column(s): ${missing.mkString(", ")}")
@@ -772,6 +780,18 @@ object EsdbWriter {
     true
   }
 
+  /** Output partition count for a log rewrite, sized like [[compactLog]]
+    * sizes its output: one range partition per `maxPartitionBytes` of
+    * rewritten input — without this, `repartitionByRange(col)` defaults
+    * to `spark.sql.shuffle.partitions` and a small rewrite fragments
+    * into hundreds of tiny files.
+    */
+  private def rewritePartitions(spark: SparkSession, inputBytes: Long): Int = {
+    val maxPart = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+    math.max(1, math.ceil(inputBytes.toDouble / math.max(1L, maxPart)).toInt)
+  }
+
   /** Proven-zero-null event_id column across every block — one footer
     * read, no data pages; the license to drop a log file whole.
     */
@@ -833,7 +853,7 @@ object EsdbWriter {
           if (inclusive) col("event_id").isNull || col("event_id") > beforeId
           else col("event_id").isNull || col("event_id") >= beforeId
         df.filter(survives)
-          .repartitionByRange(col("event_id"))
+          .repartitionByRange(rewritePartitions(spark, rewrite.map(_.getLen).sum), col("event_id"))
           .sortWithinPartitions(col("event_id"))
           .write.mode(SaveMode.Append).parquet(tmp)
       }
@@ -913,7 +933,7 @@ object EsdbWriter {
       val df = readFullWidth(spark, src, rewrite.map(_._1.getPath.toString))
       // delete rows where cond IS TRUE; false AND null both survive
       df.filter(!coalesce(cond, lit(false)))
-        .repartitionByRange(col("event_id"))
+        .repartitionByRange(rewritePartitions(spark, rewrite.map(_._1.getLen).sum), col("event_id"))
         .sortWithinPartitions(col("event_id"))
         .write.mode(SaveMode.Append).parquet(tmp)
       carry.foreach { case (f, _) =>
@@ -1073,8 +1093,14 @@ object EsdbWriter {
         fs.listStatus(src).foreach { s =>
           val n = s.getPath.getName
           // the snapshot is re-recorded at commit; everything else
-          // (space dirs, manifests, schema sidecar) carries verbatim
-          if (n != Publish.SnapshotFile)
+          // (space dirs, manifests, schema sidecar) carries verbatim.
+          // On a direct-layout store dataRoot == root, which also holds
+          // the publish machinery (_ptr, _versions — the latter contains
+          // the staging dir being filled right now) and seal markers:
+          // copying those would recurse into the destination, so skip
+          // every root-level sidecar that is not store data.
+          if (n != Publish.SnapshotFile && n != Publish.PtrDir &&
+              n != Publish.VersionsDir && !n.startsWith(SealMarker))
             org.apache.hadoop.fs.FileUtil.copy(fs, s.getPath, fs,
               new org.apache.hadoop.fs.Path(dst, n), false, conf): Unit
         }

@@ -216,8 +216,18 @@ object Publish {
     } catch {
       case e: Exception =>
         fs.delete(tmp, false)
-        // a concurrent publisher committed this version first; our
-        // staged data is garbage — remove it and surface the conflict
+        // only a LOST RACE is a conflict: the destination pointer
+        // exists because a concurrent publisher committed this version
+        // first — our staged data is garbage, remove it and surface
+        // the conflict (publishRetrying re-runs the closure on it). A
+        // persistent FS error must NOT be classified as a conflict:
+        // retrying it 5× and reporting "conflict" would mask the real
+        // failure, so it propagates as-is (staged dir left for the
+        // next publish's orphan sweep).
+        val lostRace = e.isInstanceOf[org.apache.hadoop.fs.FileAlreadyExistsException] ||
+          e.isInstanceOf[java.nio.file.FileAlreadyExistsException] ||
+          (scala.util.Try(fs.exists(ptrPath)).getOrElse(false))
+        if (!lostRace) throw e
         fs.delete(new Path(dataDir), true)
         throw new java.io.IOException(
           s"publish conflict: version $next already committed at $root", e)

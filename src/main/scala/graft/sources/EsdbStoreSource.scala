@@ -247,9 +247,11 @@ final class EsdbStoreTable(path: String, tableSchema: StructType,
     // space into multiple same-key partitions capped at the session's
     // maxPartitionBytes; an explicit byte count overrides
     val skewSplitBytes: Option[Long] = Option(options.get("skewSplit")).map {
-      case "true" => SparkSession.active.conf
-        .get("spark.sql.files.maxPartitionBytes", "134217728").stripSuffix("b").toLong
-      case n => n.toLong
+      // byteStringAsBytes understands both bare byte counts and the
+      // size-suffixed forms users actually set ("128m", "1g", "128MB")
+      case "true" => org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        SparkSession.active.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+      case n => org.apache.spark.network.util.JavaUtils.byteStringAsBytes(n)
     }
     // incremental read: only files added AFTER version v committed
     // (current listing minus v's at-commit snapshot — appends land in

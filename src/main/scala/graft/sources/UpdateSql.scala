@@ -63,8 +63,15 @@ object UpdateSql {
       .getOrElse(throw new IllegalArgumentException(
         s"cannot resolve UPDATE predicate: $shown"))
     val folded = resolved.transformUp {
-      case e if e.foldable && !e.isInstanceOf[Literal] =>
-        Literal.create(e.eval(null), e.dataType)
+      // foldable-yet-Unevaluable expressions exist at analysis time
+      // (current_date()/current_timestamp() are substituted only by the
+      // optimizer): leave them unfolded so toSourceFilter refuses them
+      // with the intended IllegalArgumentException, not an internal
+      // UnsupportedOperationException out of eval()
+      case e if e.foldable && !e.isInstanceOf[Literal] &&
+          !e.exists(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Unevaluable]) =>
+        try Literal.create(e.eval(null), e.dataType)
+        catch { case _: RuntimeException | _: UnsupportedOperationException => e }
     }
     def split(e: Expression): Seq[Expression] = e match {
       case CAnd(l, r) => split(l) ++ split(r)

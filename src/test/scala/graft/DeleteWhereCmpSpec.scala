@@ -42,6 +42,20 @@ class DeleteWhereCmpSpec extends graft.SparkSpec {
     assert(DeleteWhere.cmp(java.lang.Double.valueOf(Double.NegativeInfinity), bigLong).exists(_ < 0))
   }
 
+  test("cmp treats -0.0 equal to 0.0 (SQL semantics, not IEEE total order)") {
+    // Double.compare orders -0.0 < 0.0; SQL (and a parquet writer that
+    // records a -0.0 bound) treat them equal — a max stat of -0.0 must
+    // not "prove" value >= 0.0 unmatchable
+    assert(DeleteWhere.cmp(java.lang.Double.valueOf(-0.0), java.lang.Double.valueOf(0.0)).contains(0))
+    assert(DeleteWhere.cmp(java.lang.Double.valueOf(0.0), java.lang.Double.valueOf(-0.0)).contains(0))
+    assert(DeleteWhere.cmp(java.lang.Float.valueOf(-0.0f), java.lang.Double.valueOf(0.0)).contains(0))
+    // the NaN short-circuit survives the fast-path removal
+    assert(DeleteWhere.cmp(java.lang.Double.valueOf(Double.NaN),
+      java.lang.Double.valueOf(0.0)).isEmpty)
+    // and ordinary double/double compares still order correctly
+    assert(DeleteWhere.cmp(java.lang.Double.valueOf(1.5), java.lang.Double.valueOf(2.5)).exists(_ < 0))
+  }
+
   private def oneParquetFile(dir: String): org.apache.hadoop.fs.Path = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

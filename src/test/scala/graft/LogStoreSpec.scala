@@ -530,6 +530,10 @@ class LogStoreSpec extends SparkSpec {
     val ids = EsdbWriter.readLog(spark, p).select("event_id").as[Long].collect().toSeq
     assert(ids == ((1L to 500L) ++ (2100L to 2500L)), s"got ${ids.take(3)}...${ids.takeRight(3)}")
     assert(ids == ids.sorted, "merge order must survive")
+    // the rewrite output is sized to its input (one maxPartitionBytes'
+    // worth here = one file), not fragmented across shuffle.partitions
+    assert((after -- before).size <= 2,
+      s"small rewrite fragmented into ${(after -- before).size} files")
     // stats-proven no-op publishes no version
     val conf = spark.sparkContext.hadoopConfiguration
     val v = graft.engine.Publish.currentVersion(conf, p).map(_._1)

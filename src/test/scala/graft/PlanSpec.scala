@@ -177,6 +177,24 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("skewSplit accepts size-suffixed byte strings and suffixed session confs") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("spjskewconf").toFile
+    root.delete()
+    val p = root.getAbsolutePath
+    graft.engine.EsdbWriter.write(
+      (1 to 100).map(i => ("s", "g", i.toLong, i.toLong, 0.0, "{}"))
+        .toDF("space", "grouping", "ts_us", "event_id", "value", "payload"), p)
+    // explicit suffixed split size
+    assert(spark.read.format("esdb").option("skewSplit", "1m").load(p).count() == 100)
+    // "true" resolves the session conf, which users set in suffixed form
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "128MB")
+      assert(spark.read.format("esdb").option("skewSplit", "true").load(p).count() == 100)
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+  }
+
   test("json_attr is a codegen expression inside the index-scan stage") {
     assert(!classOf[org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback]
       .isAssignableFrom(classOf[graft.functions.JsonAttr]))

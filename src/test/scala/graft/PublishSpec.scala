@@ -108,6 +108,44 @@ class PublishSpec extends SparkSpec {
     // conflict primitive itself is pinned by the test above)
   }
 
+  test("pointer-commit failure with an existing destination classifies as publish conflict") {
+    val dir = freshDir()
+    EsdbWriter.write(ev(1 to 5), dir)
+    // occupy the next pointer slot with a non-pointer entry (a dir is
+    // skipped by currentVersion's isFile filter, so publish still
+    // targets version 1): the rename hits an existing destination,
+    // which is exactly the lost-race shape and must surface as a
+    // "publish conflict" — the retryable classification
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(hconf)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir, s"${Publish.PtrDir}/1.ptr"))
+    val e = intercept[java.io.IOException] {
+      Publish.publish(hconf, dir) { tmp => EsdbWriter.write(ev(6 to 10), tmp) }
+    }
+    assert(e.getMessage.startsWith("publish conflict"), e.getMessage)
+    // the original direct-layout data is untouched by the failed publish
+    assert(EsdbWriter.read(spark, dir).count() == 5)
+  }
+
+  test("appendVersioned on a legacy direct-layout store (plain write, no version pointer)") {
+    // The carry loop copies the data root's entries into the staging
+    // dir; on a direct layout the data root IS the logical root, which
+    // also holds _versions (containing the staging dir itself) — that
+    // must be skipped or the copy recurses into its own destination.
+    val dir = freshDir()
+    EsdbWriter.write(ev(1 to 10), dir)              // direct layout, no pointer
+    EsdbWriter.appendVersioned(ev(11 to 20), dir)   // first versioned append upgrades it
+    val ids = EsdbWriter.read(spark, dir).select("event_id").as[Long].collect().sorted
+    assert(ids.toSeq == (1L to 20L))
+    assert(Publish.currentVersion(hconf, dir).isDefined, "store must now be versioned")
+    // and the upgraded store keeps appending fine
+    EsdbWriter.appendVersioned(ev(21 to 25), dir)
+    assert(EsdbWriter.read(spark, dir).count() == 25)
+    // no stray publish machinery was carried into the version dir
+    val vroot = new java.io.File(Publish.resolve(hconf, dir))
+    assert(!vroot.listFiles.exists(f =>
+      f.getName == Publish.PtrDir || f.getName == Publish.VersionsDir))
+  }
+
   test("crash before pointer write: readers keep seeing the previous version") {
     val dir = freshDir()
     EsdbWriter.write(ev(1 to 10), dir)

@@ -175,6 +175,36 @@ class UpdateSpec extends SparkSpec {
     assert(!res2.head.getBoolean(1))
   }
 
+  test("unknown SET column refuses even when stats prove the predicate a no-op") {
+    val p = tmp("updunknowncol")
+    EsdbWriter.write(mk(), p)
+    // max value in the store is 100.9 — stats prove no file matches,
+    // but the bad assignment must still fail loudly, not return false
+    intercept[IllegalArgumentException] {
+      EsdbWriter.updateWhere(spark, p, Map("no_such_col" -> lit(1)),
+        Seq(GreaterThanOrEqual("value", 1.0e9)))
+    }
+  }
+
+  test("analysis-time-only predicates: evaluable fold in, Unevaluable refuse cleanly") {
+    val p = tmp("updunevaluable")
+    EsdbWriter.write(mk(), p)
+    // current_timestamp() IS evaluable in Spark 4 and folds to a literal
+    // at translate time: every ts_us predates "now", so the whole store
+    // redacts — no internal error out of the constant fold
+    assert(graft.sources.UpdateSql.updateWhere(spark, p,
+      "payload = '{}'", "ts_us < unix_micros(current_timestamp())"))
+    assert(EsdbWriter.readOrdered(spark, p)
+      .where(col("payload") =!= "{}").count() == 0)
+    // current_user() stays Unevaluable at analysis time: the fold must
+    // skip it and the filter translation refuse with the intended
+    // IllegalArgumentException, not an internal eval() error
+    intercept[IllegalArgumentException] {
+      graft.sources.UpdateSql.updateWhere(spark, p,
+        "payload = '{}'", "payload < current_user()")
+    }
+  }
+
   test("SQL surface refuses a predicate the Filter algebra can't express") {
     val p = tmp("updsqlrefuse")
     EsdbWriter.write(mk(), p)
