@@ -17,6 +17,7 @@ run / fork := true
 // prefixes every forked line with "[info] " — both break a last-line
 // JSON parse. Unprefixed pass-through + no footer fixes it.
 ThisBuild / showSuccess := false
+Global / excludeLintKeys += showSuccess
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

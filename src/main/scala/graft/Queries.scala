@@ -42,6 +42,11 @@ object Queries {
     * keeps some).
     */
   val UpdateCutoff = 100.0
+  /** Value cutoff for the clustered-store fixture's delete — a narrow
+    * upper slice, so on a value-clustered store footer stats carry most
+    * chunk files and rewrite only the top range.
+    */
+  val ClusterCutoff = 200.0
   /** Hashed bag-of-words width for the quality-classifier trainer — an
     * honest model size (the weight vector is the literal the scoring
     * expression indexes; the oracle mirrors the same modulus).
@@ -172,6 +177,28 @@ object Queries {
     s.conf.set("spark.sql.catalog.esdb_preddel", classOf[graft.sources.EsdbCatalog].getName)
     s.conf.set("spark.sql.catalog.esdb_preddel.root", new java.io.File(p).getParent)
     s.sql(s"DELETE FROM esdb_preddel.`$name` WHERE value < $PredDeleteCutoff")
+    p
+  }
+
+  /** Value-CLUSTERED store (`clusterBy = Seq("value")`, 8 chunks) with
+    * the `value >= ClusterCutoff` upper slice deleted: the clustering
+    * makes each file's value min/max a near-disjoint slice of the
+    * domain, so the delete's footer-stats classification carries all
+    * but the top chunk(s) byte-for-byte. Idempotent: on a re-run the
+    * post-delete stats prove the predicate a no-op (no version churn).
+    */
+  private def ensureClusteredStore(s: SparkSession, dir: String): String = synchronized {
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft-cluststore/$key"
+    val conf = s.sparkContext.hadoopConfiguration
+    if (graft.engine.Publish.currentVersion(conf, p).isEmpty) {
+      graft.engine.Publish.publish(conf, p) { tmp =>
+        graft.engine.EsdbWriter.write(ev(s, dir), tmp,
+          clusterBy = Seq("value"), clusterChunks = 8)
+      }: Unit
+    }
+    graft.engine.EsdbWriter.deleteWhere(s, p,
+      Seq(org.apache.spark.sql.sources.GreaterThanOrEqual("value", ClusterCutoff)))
     p
   }
 
@@ -542,6 +569,28 @@ object Queries {
               |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents,
               |       min(value) AS min_value
               |FROM events WHERE value >= $PredDeleteCutoff OR value IS NULL
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // value-domain clustering: a store written clusterBy("value") holds
+    // near-disjoint per-file value ranges, so the upper-slice delete's
+    // footer classification carries all but the top chunk(s) — the
+    // layout that prices predicate DELETE/UPDATE by selectivity at
+    // scale. The oracle proves the clustered store's content after the
+    // delete exact (grouping by the pinned space keeps it deterministic)
+    QuerySpec("store_cluster_pruning",
+      (s, d) => {
+        val p = ensureClusteredStore(s, d)
+        graft.engine.EsdbWriter.readOrdered(s, p)
+          .groupBy("space")
+          .agg(count(lit(1)).as("n_events"),
+            sum(round(col("value") * 100).cast("long")).as("sum_cents"),
+            max(col("value")).as("max_value"))
+          .orderBy("space")
+      },
+      Some(s"""SELECT event_type AS space, count(*) AS n_events,
+              |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents,
+              |       max(value) AS max_value
+              |FROM events WHERE value < $ClusterCutoff OR value IS NULL
               |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // rewrite-surviving row-level change feed: after append + DELETE +

@@ -37,6 +37,7 @@ object EsdbWriter {
   val TsRangeManifest = "_MANIFEST.tsrange"
   val SubpartsMarker = "_SUBPARTS"
   val SchemaManifest = "_MANIFEST.schema"
+  val ClusterMarker = "_CLUSTER"
 
   /** Safe numeric widening: the wider of the two when both sit on the
     * same lossless chain (int→long, float→double), None otherwise.
@@ -137,17 +138,35 @@ object EsdbWriter {
     * by the partition columns alone, scrambling the layout). Used by
     * both write() and append() so create and append can never diverge.
     */
-  private def partitionForWrite(indexed: DataFrame, subparts: Int): (DataFrame, Seq[String]) =
+  private def partitionForWrite(indexed: DataFrame, subparts: Int,
+                                cluster: (Seq[String], Int) = (Nil, 0)): (DataFrame, Seq[String]) = {
+    val (clusterCols, clusterChunks) = cluster
+    // Value-domain clustering is ACROSS files, never within: rows
+    // range-partition on (space[, bucket], clusterCols) so each output
+    // file's footer min/max on the declared columns covers a narrow,
+    // near-disjoint slice of the domain — predicate DELETE/UPDATE stats
+    // classification ([[DeleteWhere.fileMayMatch]]) and attr-predicate
+    // scans then prune proportionally to selectivity instead of
+    // touching every file. INSIDE each file the (grouping, ts-desc,
+    // event_id) sort is unchanged, so the Sort-free ordered merge
+    // invariant holds — clustered files merge exactly like append
+    // batches do. The reference analog is the SSTable's key-ordered
+    // blocks making point predicates sub-linear (sst/writer.go:48-50).
+    def ranged(df: DataFrame, keys: Seq[org.apache.spark.sql.Column]): DataFrame =
+      if (clusterCols.isEmpty) df.repartition(keys: _*)
+      else df.repartitionByRange(math.max(1, clusterChunks),
+        keys ++ clusterCols.map(col): _*)
     if (subparts == 1)
-      (indexed.repartition(col("space"))
+      (ranged(indexed, Seq(col("space")))
         .sortWithinPartitions(col("space"), col("grouping"), col("ts_us").desc, col("event_id").asc),
         Seq("space"))
     else
-      (indexed.withColumn("bucket", pmod(xxhash64(col("grouping")), lit(subparts.toLong)))
-        .repartition(col("space"), col("bucket"))
+      (ranged(indexed.withColumn("bucket", pmod(xxhash64(col("grouping")), lit(subparts.toLong))),
+          Seq(col("space"), col("bucket")))
         .sortWithinPartitions(col("space"), col("bucket"), col("grouping"),
           col("ts_us").desc, col("event_id").asc),
         Seq("space", "bucket"))
+  }
 
   /** Data files under a space directory, one bucket level deep:
     * direct files plus `bucket=*` subdir files, as
@@ -195,6 +214,50 @@ object EsdbWriter {
     }
   }
 
+  /** Value-domain clustering a store was created with: (columns, chunk
+    * count), or (Nil, 0) for an unclustered store. Fixed at creation
+    * like [[subpartsOf]]: appends, compaction, and copy-on-write
+    * rewrites all re-cluster on the same declaration, so the footer
+    * min/max disjointness that prices predicate DELETE/UPDATE by
+    * selectivity is a durable property of the store, not of one write.
+    */
+  def clusterOf(conf: org.apache.hadoop.conf.Configuration,
+                root: String): (Seq[String], Int) = {
+    val m = new org.apache.hadoop.fs.Path(root, ClusterMarker)
+    val fs = m.getFileSystem(conf)
+    if (!fs.exists(m)) (Nil, 0)
+    else {
+      val in = fs.open(m)
+      val txt = try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim
+      finally in.close()
+      txt.split("\n").toList match {
+        case chunks :: cols :: Nil =>
+          (cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq, chunks.trim.toInt)
+        case _ => (Nil, 0)
+      }
+    }
+  }
+
+  private def writeClusterMarker(conf: org.apache.hadoop.conf.Configuration,
+                                 root: String, cluster: (Seq[String], Int)): Unit =
+    if (cluster._1.nonEmpty) {
+      val m = new org.apache.hadoop.fs.Path(root, ClusterMarker)
+      val out = m.getFileSystem(conf).create(m, true)
+      try out.write(s"${cluster._2}\n${cluster._1.mkString(",")}".getBytes("UTF-8"))
+      finally out.close()
+    }
+
+  /** Chunk count for a rewrite of a SUBSET of a clustered store: the
+    * declared count scaled by the subset's byte share, so a rewrite
+    * touching one file of fifty emits ~one file, not `chunks` slivers.
+    */
+  private def clusterChunksFor(cluster: (Seq[String], Int),
+                               subsetBytes: Long, totalBytes: Long): (Seq[String], Int) =
+    if (cluster._1.isEmpty || totalBytes <= 0L) cluster
+    else (cluster._1, math.max(1, math.ceil(
+      cluster._2.toDouble * subsetBytes / totalBytes).toInt))
+
   /** Write a canonical [[EventFrame]] as an immutable store.
     *
     * `indexAttrs` is the write-time analog of the reference's secondary
@@ -215,15 +278,24 @@ object EsdbWriter {
     * store's lifetime (appends and compaction reuse it).
     */
   def write(ev: DataFrame, path: String, indexAttrs: Seq[String] = Nil,
-            subparts: Int = 1): Unit = {
+            subparts: Int = 1, clusterBy: Seq[String] = Nil,
+            clusterChunks: Int = 8): Unit = {
     require(subparts >= 1, s"subparts must be >= 1, got $subparts")
+    if (clusterBy.nonEmpty) {
+      require(clusterChunks >= 1, s"clusterChunks must be >= 1, got $clusterChunks")
+      val bad = clusterBy.filterNot(ev.columns.contains)
+      require(bad.isEmpty, s"clusterBy column(s) not in the frame: ${bad.mkString(", ")}")
+      val layout = clusterBy.filter(c => c == "space" || c == "bucket")
+      require(layout.isEmpty,
+        s"clusterBy on layout column(s) ${layout.mkString(", ")}: the layout already partitions on them")
+    }
     val indexed = indexAttrs.foldLeft(ev) { (df, name) =>
       df.withColumn(s"idx_$name", EventFrame.attr(name))
     }
     // bloom-filter every index column, both newly-derived and already-
     // materialized ones (rewrites/compaction carry idx_* columns in)
     val idxCols = indexed.columns.filter(_.startsWith("idx_")).map(_.drop(4)).toSeq
-    val (parted, partCols) = partitionForWrite(indexed, subparts)
+    val (parted, partCols) = partitionForWrite(indexed, subparts, (clusterBy, clusterChunks))
     val writer = parted.write
       .mode(SaveMode.ErrorIfExists)
       .partitionBy(partCols: _*)
@@ -240,6 +312,7 @@ object EsdbWriter {
       val out = m.getFileSystem(hconf(ev.sparkSession)).create(m, true)
       try out.write(subparts.toString.getBytes("UTF-8")) finally out.close()
     }
+    writeClusterMarker(hconf(ev.sparkSession), path, (clusterBy, clusterChunks))
     // an empty frame writes no space dirs — manifests have nothing to
     // index (read-back would fail schema inference); the schema sidecar
     // below still records the store's logical schema
@@ -302,6 +375,7 @@ object EsdbWriter {
     // subpartitioning is fixed at creation: the rewrite re-buckets with
     // the same count (same hash), so groupings never change bucket
     val subparts = subpartsOf(hconf(spark), src)
+    val cluster = clusterOf(hconf(spark), src)
     Publish.publish(hconf(spark), path, keepVersions) { tmp =>
       // full-width read (not [[read]], which projects the canonical +
       // idx_* columns): compaction must preserve every stored column —
@@ -310,7 +384,7 @@ object EsdbWriter {
       // `bucket` is dropped because write() re-derives it
       val full = readFullWidth(spark, src)
       write(if (full.columns.contains("bucket")) full.drop("bucket") else full,
-        tmp, subparts = subparts)
+        tmp, subparts = subparts, clusterBy = cluster._1, clusterChunks = math.max(1, cluster._2))
     }: Unit
   }
 
@@ -354,8 +428,9 @@ object EsdbWriter {
       //    merge width back to one file per space/bucket, blooms and
       //    manifests rebuilt for exactly these spaces
       val fragDf = readFullWidth(spark, src, frag.map(_.getPath.toString))
+      val cluster = clusterOf(conf, src)
       write(if (fragDf.columns.contains("bucket")) fragDf.drop("bucket") else fragDf,
-        tmp, subparts = subparts)
+        tmp, subparts = subparts, clusterBy = cluster._1, clusterChunks = math.max(1, cluster._2))
       // the rewrite's sidecar covers only the fragmented spaces'
       // columns — fold the previous version's sidecar in so columns
       // living only in carried spaces stay declared
@@ -459,14 +534,18 @@ object EsdbWriter {
       if (groupings.isDefined && rw.nonEmpty) {
         val df = readFullWidth(spark, src, rw.map(_._2.getPath.toString))
         val kept = df.filter(!col("grouping").isin(gs: _*) || col("grouping").isNull)
+        val cl = clusterChunksFor(clusterOf(conf, src), rw.map(_._2.getLen).sum,
+          spaceDirs.flatMap(d => relativeDataFiles(fs, d.getPath)).map(_._2.getLen).sum)
         write(if (kept.columns.contains("bucket")) kept.drop("bucket") else kept,
-          tmp, subparts = subparts)
+          tmp, subparts = subparts, clusterBy = cl._1, clusterChunks = math.max(1, cl._2))
       } else {
         fs.mkdirs(tmpPath)
-        val m = new org.apache.hadoop.fs.Path(srcPath, SubpartsMarker)
-        if (fs.exists(m))
-          org.apache.hadoop.fs.FileUtil.copy(fs, m, fs,
-            new org.apache.hadoop.fs.Path(tmpPath, SubpartsMarker), false, conf): Unit
+        Seq(SubpartsMarker, ClusterMarker).foreach { name =>
+          val m = new org.apache.hadoop.fs.Path(srcPath, name)
+          if (fs.exists(m))
+            org.apache.hadoop.fs.FileUtil.copy(fs, m, fs,
+              new org.apache.hadoop.fs.Path(tmpPath, name), false, conf): Unit
+        }
       }
       carry.foreach { d =>
         org.apache.hadoop.fs.FileUtil.copy(fs, d.getPath, fs,
@@ -588,14 +667,18 @@ object EsdbWriter {
           if (inclusive) col("ts_us").isNull || col("ts_us") > cutoffUs
           else col("ts_us").isNull || col("ts_us") >= cutoffUs
         val kept = df.filter(survives)
+        val cl = clusterChunksFor(clusterOf(conf, src), rewrite.map(_._2.getLen).sum,
+          files.map(_._2.getLen).sum)
         write(if (kept.columns.contains("bucket")) kept.drop("bucket") else kept,
-          tmp, subparts = subparts)
+          tmp, subparts = subparts, clusterBy = cl._1, clusterChunks = math.max(1, cl._2))
       } else {
         fs.mkdirs(tmpPath)
-        val m = new org.apache.hadoop.fs.Path(srcPath, SubpartsMarker)
-        if (fs.exists(m))
-          org.apache.hadoop.fs.FileUtil.copy(fs, m, fs,
-            new org.apache.hadoop.fs.Path(tmpPath, SubpartsMarker), false, conf): Unit
+        Seq(SubpartsMarker, ClusterMarker).foreach { name =>
+          val m = new org.apache.hadoop.fs.Path(srcPath, name)
+          if (fs.exists(m))
+            org.apache.hadoop.fs.FileUtil.copy(fs, m, fs,
+              new org.apache.hadoop.fs.Path(tmpPath, name), false, conf): Unit
+        }
       }
       carry.foreach { case (rel, f) =>
         val dst = new org.apache.hadoop.fs.Path(tmpPath, rel)
@@ -739,8 +822,13 @@ object EsdbWriter {
       val tmpPath = new org.apache.hadoop.fs.Path(tmp)
       val df = readFullWidth(spark, src, rewrite.map(_._2.getPath.toString))
       val kept = transform(df, cond)
+      // a clustered store re-clusters the rewritten slice at its byte
+      // share of the declared chunk count: the copy-on-write footprint
+      // stays proportional to selectivity in files AND in output files
+      val cl = clusterChunksFor(clusterOf(conf, src), rewrite.map(_._2.getLen).sum,
+        classified.map(_._2.getLen).sum)
       write(if (kept.columns.contains("bucket")) kept.drop("bucket") else kept,
-        tmp, subparts = subparts)
+        tmp, subparts = subparts, clusterBy = cl._1, clusterChunks = math.max(1, cl._2))
       carry.foreach { case (rel, f, _) =>
         val dst = new org.apache.hadoop.fs.Path(tmpPath, rel)
         fs.mkdirs(dst.getParent)
@@ -988,10 +1076,12 @@ object EsdbWriter {
     Publish.publish(conf, path, keepVersions) { tmp =>
       val tmpPath = new org.apache.hadoop.fs.Path(tmp)
       fs.mkdirs(tmpPath)
-      val m = new org.apache.hadoop.fs.Path(srcPath, SubpartsMarker)
-      if (fs.exists(m))
-        org.apache.hadoop.fs.FileUtil.copy(fs, m, fs,
-          new org.apache.hadoop.fs.Path(tmpPath, SubpartsMarker), false, conf): Unit
+      Seq(SubpartsMarker, ClusterMarker).foreach { name =>
+        val m = new org.apache.hadoop.fs.Path(srcPath, name)
+        if (fs.exists(m))
+          org.apache.hadoop.fs.FileUtil.copy(fs, m, fs,
+            new org.apache.hadoop.fs.Path(tmpPath, name), false, conf): Unit
+      }
       // log stores: committed-epoch markers carry so a replaying
       // streaming sink does not re-append truncated history
       val markers = new org.apache.hadoop.fs.Path(srcPath, LogCommits.Dir)
@@ -1048,7 +1138,11 @@ object EsdbWriter {
     // the store's creation-time subpartitioning is authoritative: a
     // grouping's events must land in the same bucket every append
     val subparts = subpartsOf(hconf(ev.sparkSession), root)
-    val (parted, partCols) = partitionForWrite(indexed, subparts)
+    // a clustered store re-clusters every append on the declared
+    // columns (chunk count scaled down is impossible pre-write, so the
+    // batch takes the declared count; compaction rebounds file counts)
+    val cluster = clusterOf(hconf(ev.sparkSession), root)
+    val (parted, partCols) = partitionForWrite(indexed, subparts, cluster)
     val writer = parted.write
       .mode(SaveMode.Append)
       .partitionBy(partCols: _*)

@@ -1,0 +1,171 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources._
+
+import graft.engine.{EsdbWriter, EventStore, Publish}
+
+/** Value-domain clustering (`write(..., clusterBy = Seq("value"))`):
+  * rows range-partition across files on the declared columns so each
+  * file's footer min/max covers a narrow slice of the domain — the
+  * property that prices predicate DELETE/UPDATE and attr scans by
+  * selectivity instead of store size. Inside each file the
+  * (grouping, ts-desc) sort is unchanged, so ordered reads stay
+  * Sort-free. The declaration is fixed at creation (a `_CLUSTER`
+  * marker): appends, compaction, and copy-on-write rewrites all
+  * re-cluster on it. Reference analog: the SSTable's key-ordered
+  * blocks making point predicates sub-linear (sst/writer.go:48-50).
+  */
+class ClusterSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix).toFile
+    dir.delete()
+    dir.getAbsolutePath
+  }
+
+  private def hconf = spark.sparkContext.hadoopConfiguration
+
+  /** One space, values uniform over [0, 800): 8 chunks of 100. */
+  private def mk(n: Int = 800): DataFrame =
+    (0 until n).map(i => ("s", s"g${i % 4}", i.toLong * 1000, i.toLong, i.toDouble, s"p$i"))
+      .toDF("space", "grouping", "ts_us", "event_id", "value", "payload")
+
+  private def dataFiles(p: String): Seq[(String, org.apache.hadoop.fs.FileStatus)] = {
+    val root = new org.apache.hadoop.fs.Path(EsdbWriter.dataRoot(spark, p))
+    val fs = root.getFileSystem(hconf)
+    fs.listStatus(root).toSeq
+      .filter(d => d.isDirectory && d.getPath.getName.startsWith("space="))
+      .flatMap(d => EsdbWriter.relativeDataFiles(fs, d.getPath))
+  }
+
+  /** Per-file (min, max) of `value` from parquet footers. */
+  private def valueRanges(p: String): Seq[(Double, Double)] = {
+    dataFiles(p).map { case (_, f) =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, hconf))
+      try {
+        var mn = Double.MaxValue; var mx = Double.MinValue
+        r.getFooter.getBlocks.forEach { b =>
+          b.getColumns.forEach { c =>
+            if (c.getPath.toDotString == "value") {
+              val st = c.getStatistics
+              mn = math.min(mn, st.genericGetMin.asInstanceOf[Double])
+              mx = math.max(mx, st.genericGetMax.asInstanceOf[Double])
+            }
+          }
+        }
+        (mn, mx)
+      } finally r.close()
+    }
+  }
+
+  test("clustered write: 8 near-disjoint value ranges, content and order intact") {
+    val p = tmp("clustw")
+    EsdbWriter.write(mk(), p, clusterBy = Seq("value"), clusterChunks = 8)
+    val ranges = valueRanges(p)
+    assert(ranges.size >= 6 && ranges.size <= 9, s"expected ~8 files, got ${ranges.size}: $ranges")
+    // ranges must be pairwise disjoint (range partitioner guarantees it)
+    val sorted = ranges.sortBy(_._1)
+    sorted.sliding(2).foreach {
+      case Seq((_, mxA), (mnB, _)) => assert(mxA <= mnB, s"overlapping ranges: $sorted")
+      case _ => ()
+    }
+    assert(EsdbWriter.clusterOf(hconf, EsdbWriter.dataRoot(spark, p)) == (Seq("value"), 8))
+    // content identical to the unclustered store; ordered scan holds
+    val scan = EventStore.scan(EsdbWriter.readOrdered(spark, p), "s", "g1")
+      .select("event_id").as[Long].collect().toSeq
+    assert(scan == (0L until 800L).filter(_ % 4 == 1).reverse, "ts-desc scan order must hold")
+    assert(EsdbWriter.read(spark, p).count() == 800)
+  }
+
+  test("predicate delete on a clustered store touches files proportional to selectivity") {
+    val p = tmp("clustdel")
+    EsdbWriter.write(mk(), p, clusterBy = Seq("value"), clusterChunks = 8)
+    val before = dataFiles(p).map(_._1).toSet
+    // delete 1/8 of the domain: stats must carry ~7/8 of the files
+    EsdbWriter.deleteWhere(spark, p, Seq(GreaterThanOrEqual("value", 700.0)))
+    val after = dataFiles(p).map(_._1).toSet
+    val carried = before.intersect(after)
+    assert(carried.size >= before.size - 2,
+      s"expected all but ~1 of ${before.size} files carried, carried only ${carried.size}")
+    // the rewrite's output is sized to its slice, not re-fanned to 8
+    assert((after -- before).size <= 2,
+      s"1/8-domain rewrite fragmented into ${(after -- before).size} files")
+    assert(EsdbWriter.read(spark, p).where(col("value") >= 700.0).count() == 0)
+    assert(EsdbWriter.read(spark, p).count() == 700)
+  }
+
+  test("predicate update on a clustered store touches files proportional to selectivity") {
+    val p = tmp("clustupd")
+    EsdbWriter.write(mk(), p, clusterBy = Seq("value"), clusterChunks = 8)
+    val before = dataFiles(p).map(_._1).toSet
+    val rewrote = EsdbWriter.updateWhere(spark, p, Map("payload" -> lit("{}")),
+      Seq(LessThan("value", 100.0)))
+    assert(rewrote)
+    val after = dataFiles(p).map(_._1).toSet
+    assert(before.intersect(after).size >= before.size - 2,
+      s"expected all but ~1 of ${before.size} files carried")
+    val got = EsdbWriter.read(spark, p)
+    assert(got.where(col("value") < 100.0 && col("payload") =!= "{}").count() == 0)
+    assert(got.where(col("payload") === "{}").count() == 100)
+  }
+
+  test("append and compact preserve the clustering declaration") {
+    val p = tmp("clustac")
+    EsdbWriter.write(mk(400), p, clusterBy = Seq("value"), clusterChunks = 4)
+    // append re-clusters its batch on the declared columns
+    EsdbWriter.append(
+      (400 until 800).map(i => ("s", s"g${i % 4}", i.toLong * 1000, i.toLong, i.toDouble, s"p$i"))
+        .toDF("space", "grouping", "ts_us", "event_id", "value", "payload"), p)
+    EsdbWriter.compact(spark, p)
+    // the marker survived the publish and the compacted store re-clustered
+    assert(EsdbWriter.clusterOf(hconf, EsdbWriter.dataRoot(spark, p)) == (Seq("value"), 4))
+    val ranges = valueRanges(p).sortBy(_._1)
+    assert(ranges.size >= 3 && ranges.size <= 5, s"expected ~4 files post-compact, got $ranges")
+    ranges.sliding(2).foreach {
+      case Seq((_, mxA), (mnB, _)) => assert(mxA <= mnB, s"overlapping ranges: $ranges")
+      case _ => ()
+    }
+    assert(EsdbWriter.read(spark, p).count() == 800)
+    // and stats pruning works on the compacted result
+    val before = dataFiles(p).map(_._1).toSet
+    EsdbWriter.deleteWhere(spark, p, Seq(LessThan("value", 150.0)))
+    val after = dataFiles(p).map(_._1).toSet
+    assert(before.intersect(after).size >= before.size - 2,
+      "post-compact clustered store must still prune by stats")
+    assert(EsdbWriter.read(spark, p).count() == 650)
+  }
+
+  test("clustering composes with subpartitioning; versioned append carries the marker") {
+    val p = tmp("clustsub")
+    EsdbWriter.write(mk(400), p, subparts = 2, clusterBy = Seq("value"), clusterChunks = 4)
+    assert(EsdbWriter.read(spark, p).count() == 400)
+    EsdbWriter.appendVersioned(
+      (400 until 500).map(i => ("s", s"g${i % 4}", i.toLong * 1000, i.toLong, i.toDouble, s"p$i"))
+        .toDF("space", "grouping", "ts_us", "event_id", "value", "payload"), p)
+    assert(EsdbWriter.read(spark, p).count() == 500)
+    assert(EsdbWriter.clusterOf(hconf, EsdbWriter.dataRoot(spark, p)) == (Seq("value"), 4),
+      "appendVersioned must carry the cluster marker into the new version")
+    assert(EsdbWriter.subpartsOf(hconf, EsdbWriter.dataRoot(spark, p)) == 2)
+    // grouping-pinned scan correctness across buckets + clusters
+    val scan = EventStore.scan(EsdbWriter.readOrdered(spark, p), "s", "g2")
+      .select("event_id").as[Long].collect().toSeq
+    assert(scan == (0L until 500L).filter(_ % 4 == 2).reverse)
+  }
+
+  test("clusterBy refuses layout and unknown columns") {
+    val p = tmp("clustbad")
+    intercept[IllegalArgumentException] {
+      EsdbWriter.write(mk(10), p, clusterBy = Seq("space"))
+    }
+    intercept[IllegalArgumentException] {
+      EsdbWriter.write(mk(10), p, clusterBy = Seq("no_such"))
+    }
+    intercept[IllegalArgumentException] {
+      EsdbWriter.write(mk(10), p, clusterBy = Seq("value"), clusterChunks = 0)
+    }
+  }
+}
