@@ -617,6 +617,46 @@ object Queries {
               |FROM events WHERE event_id % 3 <> 0 AND value < $PredDeleteCutoff
               |ORDER BY _change, event_id""".stripMargin)),
 
+    // the change feed as a STREAM: readStream.format("esdbchanges")
+    // over the same fixture store — offsets are committed versions, an
+    // AvailableNow drain from a fresh checkpoint covers (1 → head] and
+    // must equal the batch feed, hence the same oracle. (The drain is
+    // cached per sfDir: the stream runs once, re-runs read the sink.)
+    QuerySpec("stream_changes_feed",
+      (s, d) => {
+        val p = ensureChangesStore(s, d)
+        val key = d.replaceAll("[^A-Za-z0-9._-]", "_")
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft-chgstream/$key"
+        synchronized {
+          val done = new org.apache.hadoop.fs.Path(out, "_DRAINED")
+          val fs = done.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (!fs.exists(done)) {
+            val q = s.readStream.format("esdbchanges")
+              .option("sinceVersion", "1").load(p)
+              .writeStream.format("parquet")
+              .option("path", s"$out/rows").option("checkpointLocation", s"$out/ck")
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start()
+            q.awaitTermination(300000)
+            fs.create(done, true).close()
+          }
+        }
+        s.read.parquet(s"$out/rows")
+          .select(col("_change"), col("event_id"), col("space"), col("grouping"),
+            col("ts_us"), col("value"), col("payload"))
+          .orderBy("_change", "event_id")
+      },
+      Some(s"""SELECT 'insert' AS _change, event_id, event_type AS space,
+              |       CAST(user_id AS VARCHAR) AS grouping, epoch_us(ts) AS ts_us,
+              |       value, props AS payload
+              |FROM events WHERE event_id % 3 = 0 AND value >= $PredDeleteCutoff
+              |UNION ALL
+              |SELECT 'delete' AS _change, event_id, event_type AS space,
+              |       CAST(user_id AS VARCHAR) AS grouping, epoch_us(ts) AS ts_us,
+              |       value, props AS payload
+              |FROM events WHERE event_id % 3 <> 0 AND value < $PredDeleteCutoff
+              |ORDER BY _change, event_id""".stripMargin)),
+
     // row-level UPDATE (GDPR redaction) as SQL: rows with value >= x
     // get value zeroed and payload scrubbed, everything else — and
     // every file whose stats exclude the range — is untouched; the

@@ -1838,26 +1838,63 @@ object EsdbWriter {
     * file names are UUID-fresh per write and never reused, so carried
     * files cancel by NAME for free; only the renamed remainder (the
     * rewrite footprint — appends, delete/update candidates, compacted
-    * spaces) pays a row-level set difference. Cost therefore tracks the
+    * spaces) pays a row-level difference. Cost therefore tracks the
     * churn since v, not store size, except after a full compaction
     * (which renames everything — the honest price of a row-level diff
-    * across a total rewrite). Set semantics, matching SQL EXCEPT: an
-    * UPDATE surfaces as delete(old row) + insert(new row). Requires
-    * version v's snapshot and data dir to still be retained
+    * across a total rewrite). MULTISET semantics: duplicate identical
+    * rows carry multiplicity, so deleting one of two equal rows feeds
+    * exactly one delete and N equal inserts feed N rows — a consumer
+    * replaying the feed reproduces the store even without a uniqueness
+    * key. An UPDATE surfaces as delete(old row) + insert(new row).
+    *
+    * The difference is computed HASH-PROJECTED: each side map-side
+    * aggregates to (row-hash, count) — only hashes and counts cross
+    * the wire — the per-hash count deltas (churn-sized, broadcast)
+    * then join back to pick |Δ| representative payload rows per hash,
+    * so full payloads shuffle only for rows that actually appear in
+    * the feed. After a total compaction with zero logical churn the
+    * delta set is empty and NO payload bytes shuffle at all (the old
+    * double-EXCEPT shuffled the whole store's payload twice).
+    * Requires version v's snapshot and data dir to still be retained
     * (keepVersions) — the feed window IS the retention window.
     */
-  def changesFeed(spark: SparkSession, path: String, sinceVersion: Long): DataFrame = {
+  def changesFeed(spark: SparkSession, path: String, sinceVersion: Long): DataFrame =
+    changesFeedBetween(spark, path, sinceVersion, None)
+
+  /** The feed's fixed schema: the store's full-width canonical columns
+    * (minus the bucket layout dir) plus `_change` — what the streaming
+    * change-feed source declares at query start.
+    */
+  def changesFeedSchema(spark: SparkSession, path: String): org.apache.spark.sql.types.StructType = {
+    val cur = dataRoot(spark, path)
+    val target = readFullWidth(spark, cur).schema.fields.filterNot(_.name == "bucket")
+    org.apache.spark.sql.types.StructType(target.toSeq :+
+      org.apache.spark.sql.types.StructField("_change",
+        org.apache.spark.sql.types.StringType, nullable = false))
+  }
+
+  /** [[changesFeed]] between two PINNED versions (`toVersion = None` =
+    * the live head): the building block the streaming change-feed
+    * source drains version ranges with. A window whose file diff shows
+    * nothing removed is served by the pure-append fast path — added
+    * files hold only new rows, so they stream out as inserts with no
+    * diff machinery at all.
+    */
+  def changesFeedBetween(spark: SparkSession, path: String, fromVersion: Long,
+                         toVersion: Option[Long]): DataFrame = {
     GraftSession.tune(spark)
     val conf = hconf(spark)
-    val since = Publish.snapshotFiles(conf, path, sinceVersion).getOrElse(
+    def snap(v: Long): Set[String] = Publish.snapshotFiles(conf, path, v).getOrElse(
       throw new IllegalStateException(
-        s"version $sinceVersion at $path has no file snapshot (published before " +
+        s"version $v at $path has no file snapshot (published before " +
           "snapshots existed) — republish (compact) once to start recording them"))
-    val live = Publish.currentFiles(conf, path)
+    val since = snap(fromVersion)
+    val live = toVersion.map(snap).getOrElse(Publish.currentFiles(conf, path))
     val addedNames = (live -- since).toSeq.sorted
     val removedNames = (since -- live).toSeq.sorted
-    val cur = dataRoot(spark, path)
-    val sinceDir = Publish.resolveAt(conf, path, sinceVersion)
+    val cur = toVersion.map(v => Publish.resolveAt(conf, path, v))
+      .getOrElse(dataRoot(spark, path))
+    val sinceDir = Publish.resolveAt(conf, path, fromVersion)
     // both sides align to the CURRENT canonical width (pre-evolution
     // rows null-fill; widened columns up-cast) so EXCEPT compares rows,
     // not encodings
@@ -1871,7 +1908,40 @@ object EsdbWriter {
       else align(readFullWidth(spark, root, names.map(n => s"$root/$n")))
     val added = readRel(cur, addedNames)
     val removed = readRel(sinceDir, removedNames)
-    added.except(removed).withColumn("_change", lit("insert"))
-      .unionByName(removed.except(added).withColumn("_change", lit("delete")))
+    // pure-append window: nothing removed means no row disappeared and
+    // no added file can re-encode an old row — every added row is an
+    // insert, served directly (no hash aggregation, no join)
+    if (removedNames.isEmpty) return added.withColumn("_change", lit("insert"))
+    // row identity = two independently-salted hash families over every
+    // column (position literals interleaved so null placement can't
+    // alias); 64+32 bits of two distinct algorithms — far beyond the
+    // churn sizes a feed window holds
+    val rowCols = target.map(_.name).toSeq
+    val salted = rowCols.zipWithIndex.flatMap { case (c, i) => Seq(lit(i), col(c)) }
+    val key = concat_ws(":", xxhash64(salted: _*), hash(salted: _*))
+    val aC = added.groupBy(key.as("_h")).agg(count(lit(1)).as("_ca"))
+    val rC = removed.groupBy(key.as("_h")).agg(count(lit(1)).as("_cr"))
+    val delta = aC.join(rC, Seq("_h"), "full_outer")
+      .select(col("_h"),
+        (coalesce(col("_ca"), lit(0L)) - coalesce(col("_cr"), lit(0L))).as("_d"))
+      .where(col("_d") =!= 0)
+    // surplus hashes pull |Δ| representative rows from the surplus side
+    // (equal-hash rows are identical, so first() per column is exact).
+    // No broadcast hint: delta is churn-sized and unbounded (an
+    // append-heavy window can be huge) — AQE converts to broadcast at
+    // runtime whenever the delta actually is small (the zero-churn
+    // compaction case), so payload rows cross the network only when
+    // they appear in the feed
+    def side(src: DataFrame, positive: Boolean, label: String): DataFrame =
+      src.withColumn("_h", key)
+        .join(delta.where(if (positive) col("_d") > 0 else col("_d") < 0), "_h")
+        .groupBy("_h", "_d")
+        .agg(rowCols.map(c => first(col(c)).as(c)).head,
+          rowCols.map(c => first(col(c)).as(c)).tail: _*)
+        .withColumn("_rep", explode(sequence(lit(1L), abs(col("_d")))))
+        .select(rowCols.map(col): _*)
+        .withColumn("_change", lit(label))
+    side(added, positive = true, "insert")
+      .unionByName(side(removed, positive = false, "delete"))
   }
 }

@@ -1,0 +1,121 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+import graft.engine.{EsdbWriter, Publish}
+
+/** Streaming change-feed over an ordered store's VERSION HISTORY —
+  * `spark.readStream.format("esdbchanges").load(path)`.
+  *
+  * Offsets are the store's committed version numbers: each micro-batch
+  * drains `EsdbWriter.changesFeedBetween(from, to)` — row-level
+  * insert/delete CDC that survives rewrites (carried files cancel by
+  * name; only the rewrite footprint pays the hash-projected multiset
+  * diff; pure-append windows stream their added files directly). This
+  * lifts the batch feed (X22) to a checkpointed stream the way the log
+  * layout's micro-batch source lifted its batch reads: the version
+  * sequence IS the offset sequence, so a restart resumes exactly at
+  * the last committed version. Reference analog: the resumable
+  * `Iterate(offset)` contract (stream/stream.go:92-124) applied to
+  * publishes instead of rows.
+  *
+  * Options:
+  *  - `sinceVersion` (default: the version committed when the query
+  *    starts): the feed's exclusive lower bound — the stream emits
+  *    changes committed AFTER it.
+  *  - `maxVersionsPerTrigger` (default unbounded): admission control —
+  *    cap how many committed versions one micro-batch may span, so a
+  *    long-offline consumer catches up in bounded, checkpointed steps
+  *    instead of one giant diff.
+  *
+  * Post-commit in-place appends (plain `append()`, no publish) are
+  * not yet snapshot-captured; they surface when the next version
+  * commits. The feed window is the retention window (`keepVersions`):
+  * a consumer further behind than retention fails loudly on the swept
+  * snapshot rather than silently skipping changes.
+  *
+  * V1 `Source` deliberately (not DSv2): `getBatch` returns a
+  * DataFrame, which lets the batch BE the distributed diff plan —
+  * hash-aggregations and joins — instead of forcing the diff through
+  * per-partition readers that cannot express a join.
+  */
+class EsdbChangesStream(spark: SparkSession, path: String,
+                        sinceVersion: Option[Long],
+                        maxVersionsPerTrigger: Option[Long]) extends Source {
+
+  private def conf = spark.sparkContext.hadoopConfiguration
+
+  /** Exclusive lower bound of the whole stream. */
+  private val startVersion: Long = sinceVersion.getOrElse {
+    Publish.currentVersion(conf, path).map(_._1).getOrElse(
+      throw new IllegalArgumentException(
+        s"store at $path has no committed version yet — publish (compact/appendVersioned) " +
+          "once, or pass option(\"sinceVersion\", v)"))
+  }
+
+  /** Highest version handed out or recovered so far — the base the
+    * per-trigger admission cap advances from.
+    */
+  @volatile private var known: Long = startVersion
+
+  override val schema: StructType = EsdbWriter.changesFeedSchema(spark, path)
+
+  private def versionOf(o: Offset): Long = o match {
+    case l: LongOffset => l.offset
+    case other => other.json.trim.toLong // SerializedOffset after a restart
+  }
+
+  override def getOffset: Option[Offset] = {
+    val latest = Publish.currentVersion(conf, path).map(_._1).getOrElse(startVersion)
+    val capped = maxVersionsPerTrigger match {
+      case Some(m) => math.min(latest, known + math.max(1L, m))
+      case None => latest
+    }
+    if (capped <= startVersion) None else Some(LongOffset(capped))
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val from = start.map(versionOf).getOrElse(startVersion)
+    val to = versionOf(end)
+    known = math.max(known, to)
+    val batch = EsdbWriter.changesFeedBetween(spark, path, from, Some(to))
+      .select(schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*)
+    // the streaming contract: the returned frame must carry
+    // isStreaming=true (MicroBatchExecution asserts it)
+    org.apache.spark.sql.graft.StreamingShim.asStreamingBatch(spark, batch)
+  }
+
+  override def commit(end: Offset): Unit = { known = math.max(known, versionOf(end)) }
+
+  override def stop(): Unit = ()
+}
+
+class EsdbChangesSource extends StreamSourceProvider with DataSourceRegister {
+
+  override def shortName(): String = "esdbchanges"
+
+  private def pathOf(parameters: Map[String, String]): String = {
+    val lower = parameters.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
+    lower.getOrElse("path", throw new IllegalArgumentException(
+      "esdbchanges requires a store path: readStream.format(\"esdbchanges\").load(path)"))
+  }
+
+  override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): (String, StructType) =
+    (shortName(), schema.getOrElse(
+      EsdbWriter.changesFeedSchema(sqlContext.sparkSession, pathOf(parameters))))
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): Source = {
+    val lower = parameters.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
+    new EsdbChangesStream(sqlContext.sparkSession, pathOf(parameters),
+      lower.get("sinceversion").map(_.toLong),
+      lower.get("maxversionspertrigger").map(_.toLong))
+  }
+}

@@ -141,6 +141,89 @@ class ChangesSpec extends SparkSpec {
     assert(EsdbWriter.changesFeed(spark, p, 1L).count() > 0)
   }
 
+  test("multiset semantics: duplicate identical rows keep their multiplicity in the feed") {
+    val p = tmp("chgdup")
+    // three IDENTICAL rows (no uniqueness key anywhere)
+    val dup = Seq.fill(3)(("a", "g0", 1000L, 7L, 0.5, "same"))
+      .toDF("space", "grouping", "ts_us", "event_id", "value", "payload")
+    writeV1(p, dup.union(mk(10 to 19)))
+    // delete removes value==0.5 rows: ALL three identical copies go
+    EsdbWriter.deleteWhere(spark, p, Seq(EqualTo("value", 0.5)), keepVersions = 8)
+    val feed1 = EsdbWriter.changesFeed(spark, p, 1L)
+    assert(feed1.where(col("_change") === "delete" && col("event_id") === 7L).count() == 3,
+      "three identical deleted rows must feed three deletes")
+    // now append two more identical copies of a row that already exists
+    val cur = Publish.currentVersion(spark.sparkContext.hadoopConfiguration, p).get._1
+    EsdbWriter.appendVersioned(
+      Seq.fill(2)(("a", "g2", 10000L, 10L, 1.0, "p10"))
+        .toDF("space", "grouping", "ts_us", "event_id", "value", "payload"),
+      p, keepVersions = 8)
+    val feed2 = EsdbWriter.changesFeed(spark, p, cur)
+    assert(feed2.where(col("_change") === "insert").count() == 2,
+      "two new identical copies must feed two inserts (set semantics would collapse to none)")
+    assert(feed2.where(col("_change") === "delete").count() == 0)
+  }
+
+  test("streaming change feed: version offsets, resume from checkpoint, batch equivalence") {
+    val p = tmp("chgstream")
+    val ckpt = tmp("chgstreamck")
+    writeV1(p, mk(1 to 40))                                              // v1
+    EsdbWriter.appendVersioned(mk(100 to 109), p, keepVersions = 8)      // v2 (append kind)
+    EsdbWriter.deleteWhere(spark, p, Seq(LessThan("value", 0.5)), keepVersions = 8) // v3 (rewrite)
+    def drain(): Unit = {
+      val q = spark.readStream.format("esdbchanges")
+        .option("sinceVersion", "1").load(p)
+        .writeStream.format("parquet")
+        .option("path", s"$ckpt/out").option("checkpointLocation", s"$ckpt/ck")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000): Unit
+    }
+    drain()
+    val streamed = spark.read.parquet(s"$ckpt/out")
+    val batch = EsdbWriter.changesFeed(spark, p, 1L)
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0 && batch.exceptAll(streamed).count() == 0,
+      "the drained stream must equal the batch feed over the same window")
+    // resume: two more committed versions; the same checkpoint reads
+    // ONLY the new window (offsets = versions)
+    EsdbWriter.appendVersioned(mk(200 to 204), p, keepVersions = 8)      // v4
+    EsdbWriter.updateWhere(spark, p, Map("payload" -> lit("{}")),
+      Seq(EqualTo("event_id", 200L)), keepVersions = 8)                  // v5 (rewrite)
+    drain()
+    val resumed = spark.read.parquet(s"$ckpt/out")
+    val full = EsdbWriter.changesFeed(spark, p, 1L)
+    // window diffs compose: (1→3] ∪ (3→5] nets intermediate churn the
+    // full (1→5] diff never sees (200's pre-update insert + its delete)
+    val extra = resumed.exceptAll(full)
+    assert(resumed.count() > streamed.count(), "the resumed drain must have appended rows")
+    val ids = resumed.where(col("_change") === "insert")
+      .select("event_id").as[Long].collect().toSet
+    assert((200L to 204L).toSet.subsetOf(ids), "resumed window must cover v4's appends")
+    assert(extra.select("event_id").as[Long].collect().toSet.subsetOf(Set(200L)),
+      "composed windows may only differ on the intra-window churn row")
+  }
+
+  test("streaming change feed: maxVersionsPerTrigger bounds each micro-batch") {
+    val p = tmp("chgadm")
+    val ckpt = tmp("chgadmck")
+    writeV1(p, mk(1 to 10))                                              // v1
+    (0 until 3).foreach(k =>
+      EsdbWriter.appendVersioned(mk((100 + 10 * k) to (109 + 10 * k)), p, keepVersions = 8)) // v2..v4
+    val q = spark.readStream.format("esdbchanges")
+      .option("sinceVersion", "1").option("maxVersionsPerTrigger", "1").load(p)
+      .writeStream.format("memory").queryName("chg_adm")
+      .option("checkpointLocation", s"$ckpt/ck")
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("chg_adm")
+      assert(got.count() == 30, "all three appended versions must drain")
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
+        "a 1-version cap must spread the catch-up over >= 3 non-empty micro-batches")
+    } finally q.stop()
+  }
+
   test("the feed window is the retention window: a swept base version fails loudly") {
     val p = tmp("chgswept")
     writeV1(p, mk(1 to 20))
