@@ -131,6 +131,67 @@ object EsdbWriter {
     schemaManifest(conf, root).foreach(base =>
       writeSchemaManifest(conf, root, unionSchemas(base, batch)))
 
+  /** Columns the layout or the event model owns: never renamed or
+    * dropped (the canonical scan/index surface addresses them by name).
+    */
+  private val ProtectedCols =
+    Set("space", "grouping", "ts_us", "event_id", "value", "payload", "bucket")
+
+  /** Sidecar with IDs, or a loud refusal naming the upgrade path. */
+  private def idedManifest(conf: org.apache.hadoop.conf.Configuration, root: String,
+                           op: String): org.apache.spark.sql.types.StructType = {
+    val lm = new org.apache.hadoop.fs.Path(root, LogManifest)
+    if (lm.getFileSystem(conf).exists(lm)) throw new UnsupportedOperationException(
+      s"$op: rename/drop evolution covers ordered stores; log stores are " +
+        "append-optimized row logs — rewrite via compactLog if a column must go")
+    val s = schemaManifest(conf, root).getOrElse(throw new IllegalStateException(
+      s"$op needs the schema sidecar — this store predates it; compact once to create it"))
+    if (!FieldIds.hasIds(s)) throw new IllegalStateException(
+      s"$op needs parquet field IDs in every column — this store predates them; " +
+        "compact once to stamp IDs into the sidecar and every data file")
+    s
+  }
+
+  /** Metadata-only column RENAME: the sidecar field keeps its parquet
+    * field ID under the new name, and every reader (Spark's parquet
+    * path via `fieldId.read`, the merge readers via their ID fallback)
+    * resolves old files by ID — no file is touched. Canonical/layout
+    * columns refuse: the scan and index surface addresses them by name.
+    */
+  def renameColumn(spark: SparkSession, path: String, from: String, to: String): Unit = {
+    require(!isSealed(path), s"store at $path is sealed (immutable; no schema changes)")
+    require(!ProtectedCols(from) && !from.startsWith("idx_"),
+      s"cannot rename '$from': canonical/layout/index columns are addressed by name")
+    require(!ProtectedCols(to) && !to.startsWith("idx_") && !to.startsWith("__dropped_"),
+      s"cannot rename to reserved name '$to'")
+    val conf = hconf(spark)
+    val root = dataRoot(spark, path)
+    val s = idedManifest(conf, root, s"RENAME COLUMN $from")
+    require(FieldIds.active(s).fieldNames.contains(from), s"no such column '$from'")
+    require(!FieldIds.active(s).fieldNames.contains(to), s"column '$to' already exists")
+    writeSchemaManifest(conf, root, org.apache.spark.sql.types.StructType(
+      s.fields.map(f => if (f.name == from && !FieldIds.isDropped(f)) f.copy(name = to) else f).toSeq))
+  }
+
+  /** Metadata-only column DROP: the field TOMBSTONES in the sidecar
+    * (unique `__dropped_<id>` name, dropped flag, ID retained) rather
+    * than disappearing — readers hide it immediately, but its ID stays
+    * occupied so a later re-add of the same name allocates a fresh ID
+    * and can never resurrect dropped data from still-carried files.
+    * The next full compaction physically removes the column.
+    */
+  def dropColumn(spark: SparkSession, path: String, name: String): Unit = {
+    require(!isSealed(path), s"store at $path is sealed (immutable; no schema changes)")
+    require(!ProtectedCols(name),
+      s"cannot drop '$name': canonical/layout columns are the store's event model")
+    val conf = hconf(spark)
+    val root = dataRoot(spark, path)
+    val s = idedManifest(conf, root, s"DROP COLUMN $name")
+    require(FieldIds.active(s).fieldNames.contains(name), s"no such column '$name'")
+    writeSchemaManifest(conf, root, org.apache.spark.sql.types.StructType(
+      s.fields.map(f => if (f.name == name && !FieldIds.isDropped(f)) FieldIds.tombstone(f) else f).toSeq))
+  }
+
   /** The one place the store's physical order is decided: repartition
     * to the layout's write tasks and sort each task (space[, bucket],
     * grouping, ts desc, id) — the sort MUST lead with the partition
@@ -279,7 +340,7 @@ object EsdbWriter {
     */
   def write(ev: DataFrame, path: String, indexAttrs: Seq[String] = Nil,
             subparts: Int = 1, clusterBy: Seq[String] = Nil,
-            clusterChunks: Int = 8): Unit = {
+            clusterChunks: Int = 8, assignFieldIds: Boolean = true): Unit = {
     require(subparts >= 1, s"subparts must be >= 1, got $subparts")
     if (clusterBy.nonEmpty) {
       require(clusterChunks >= 1, s"clusterChunks must be >= 1, got $clusterChunks")
@@ -289,9 +350,16 @@ object EsdbWriter {
       require(layout.isEmpty,
         s"clusterBy on layout column(s) ${layout.mkString(", ")}: the layout already partitions on them")
     }
-    val indexed = indexAttrs.foldLeft(ev) { (df, name) =>
+    val indexed0 = indexAttrs.foldLeft(ev) { (df, name) =>
       df.withColumn(s"idx_$name", EventFrame.attr(name))
     }
+    // field IDs for metadata-only rename/drop ([[FieldIds]]): store
+    // creation and full compaction stamp every column (assign fills
+    // missing IDs); rewrite paths that CARRY files pass
+    // assignFieldIds=false and keep whatever the frame already has, so
+    // "sidecar has IDs" always implies "every file is stamped"
+    val idSchema = if (assignFieldIds) FieldIds.assign(indexed0.schema) else indexed0.schema
+    val indexed = FieldIds.decorate(indexed0, idSchema)
     // bloom-filter every index column, both newly-derived and already-
     // materialized ones (rewrites/compaction carry idx_* columns in)
     val idxCols = indexed.columns.filter(_.startsWith("idx_")).map(_.drop(4)).toSeq
@@ -344,7 +412,9 @@ object EsdbWriter {
   private def readFullWidth(spark: SparkSession, root: String,
                             files: Seq[String] = Nil): DataFrame = {
     val rd = schemaManifest(hconf(spark), root) match {
-      case Some(s) => spark.read.schema(s)
+      // active(): tombstoned (dropped) fields stay OUT of every read —
+      // a rewrite re-materializing them would resurrect dropped data
+      case Some(s) => spark.read.schema(FieldIds.active(s))
       case None => spark.read.option("mergeSchema", "true")
     }
     val based = rd.option("basePath", root)
@@ -429,8 +499,11 @@ object EsdbWriter {
       //    manifests rebuilt for exactly these spaces
       val fragDf = readFullWidth(spark, src, frag.map(_.getPath.toString))
       val cluster = clusterOf(conf, src)
+      // carried spaces keep their (possibly un-IDed) files: never stamp
+      // fresh field IDs on a partial rewrite (see FieldIds' invariant)
       write(if (fragDf.columns.contains("bucket")) fragDf.drop("bucket") else fragDf,
-        tmp, subparts = subparts, clusterBy = cluster._1, clusterChunks = math.max(1, cluster._2))
+        tmp, subparts = subparts, clusterBy = cluster._1, clusterChunks = math.max(1, cluster._2),
+        assignFieldIds = false)
       // the rewrite's sidecar covers only the fragmented spaces'
       // columns — fold the previous version's sidecar in so columns
       // living only in carried spaces stay declared
@@ -537,7 +610,8 @@ object EsdbWriter {
         val cl = clusterChunksFor(clusterOf(conf, src), rw.map(_._2.getLen).sum,
           spaceDirs.flatMap(d => relativeDataFiles(fs, d.getPath)).map(_._2.getLen).sum)
         write(if (kept.columns.contains("bucket")) kept.drop("bucket") else kept,
-          tmp, subparts = subparts, clusterBy = cl._1, clusterChunks = math.max(1, cl._2))
+          tmp, subparts = subparts, clusterBy = cl._1, clusterChunks = math.max(1, cl._2),
+          assignFieldIds = false)
       } else {
         fs.mkdirs(tmpPath)
         Seq(SubpartsMarker, ClusterMarker).foreach { name =>
@@ -670,7 +744,8 @@ object EsdbWriter {
         val cl = clusterChunksFor(clusterOf(conf, src), rewrite.map(_._2.getLen).sum,
           files.map(_._2.getLen).sum)
         write(if (kept.columns.contains("bucket")) kept.drop("bucket") else kept,
-          tmp, subparts = subparts, clusterBy = cl._1, clusterChunks = math.max(1, cl._2))
+          tmp, subparts = subparts, clusterBy = cl._1, clusterChunks = math.max(1, cl._2),
+          assignFieldIds = false)
       } else {
         fs.mkdirs(tmpPath)
         Seq(SubpartsMarker, ClusterMarker).foreach { name =>
@@ -772,7 +847,11 @@ object EsdbWriter {
       df.select(df.columns.map { c =>
         set.get(c) match {
           case Some(v) =>
-            when(hit, v.cast(df.schema(c).dataType)).otherwise(col(c)).as(c)
+            // keep the column's metadata (field IDs): a bare alias
+            // would silently strip the parquet.field.id the rewrite
+            // must re-stamp into its output files
+            when(hit, v.cast(df.schema(c).dataType)).otherwise(col(c))
+              .as(c, df.schema(c).metadata)
           case None => col(c)
         }
       }: _*)
@@ -828,7 +907,8 @@ object EsdbWriter {
       val cl = clusterChunksFor(clusterOf(conf, src), rewrite.map(_._2.getLen).sum,
         classified.map(_._2.getLen).sum)
       write(if (kept.columns.contains("bucket")) kept.drop("bucket") else kept,
-        tmp, subparts = subparts, clusterBy = cl._1, clusterChunks = math.max(1, cl._2))
+        tmp, subparts = subparts, clusterBy = cl._1, clusterChunks = math.max(1, cl._2),
+          assignFieldIds = false)
       carry.foreach { case (rel, f, _) =>
         val dst = new org.apache.hadoop.fs.Path(tmpPath, rel)
         fs.mkdirs(dst.getParent)
@@ -1105,7 +1185,13 @@ object EsdbWriter {
     * readers distinct across batches.
     */
   private def writeGroupingsManifest(spark: SparkSession, path: String, mode: SaveMode): Unit =
-    read(spark, path).select("space", "grouping").distinct()
+    // metadata stripped: a store-derived frame carries field IDs, and a
+    // manifest dir mixing ID-stamped rebuild files with bare append
+    // deltas would make inference demand IDs the bare files lack
+    read(spark, path).select(
+        col("space").as("space", org.apache.spark.sql.types.Metadata.empty),
+        col("grouping").as("grouping", org.apache.spark.sql.types.Metadata.empty))
+      .distinct()
       .write.mode(mode).parquet(s"${dataRoot(spark, path)}/$GroupingsManifest")
 
   /** Distinct (space, grouping) pairs from the manifest sidecar; None
@@ -1128,13 +1214,21 @@ object EsdbWriter {
     // compacted store, or the legacy direct layout) — the next compaction
     // folds them into the next version
     val root = dataRoot(ev.sparkSession, path)
-    val indexed = indexAttrs.foldLeft(ev) { (df, name) =>
+    val indexed0 = indexAttrs.foldLeft(ev) { (df, name) =>
       df.withColumn(s"idx_$name", EventFrame.attr(name))
+    }
+    // an ID-ed store stamps every appended file: carry the sidecar's
+    // field IDs onto the batch by name (fresh IDs above the tombstone-
+    // inclusive max for never-seen columns), so renames keep resolving
+    val baseSchema = schemaManifest(hconf(ev.sparkSession), root)
+    val indexed = baseSchema match {
+      case Some(b) if FieldIds.hasIds(b) =>
+        FieldIds.decorate(indexed0, FieldIds.align(indexed0.schema, b))
+      case _ => indexed0
     }
     // validate schema evolution BEFORE any data lands: a type-changing
     // batch must refuse outright, not fail after writing its files
-    val evolved = schemaManifest(hconf(ev.sparkSession), root)
-      .map(base => unionSchemas(base, indexed.schema))
+    val evolved = baseSchema.map(base => unionSchemas(base, indexed.schema))
     // the store's creation-time subpartitioning is authoritative: a
     // grouping's events must land in the same bucket every append
     val subparts = subpartsOf(hconf(ev.sparkSession), root)
@@ -1151,7 +1245,12 @@ object EsdbWriter {
     }.parquet(root)
     // manifest delta from the batch itself (not a full-store re-read,
     // which would make append cost grow with store size)
-    ev.select("space", "grouping").distinct()
+    // metadata stripped like writeGroupingsManifest: manifest files stay
+    // uniformly bare even when the batch derives from a store read
+    ev.select(
+        col("space").as("space", org.apache.spark.sql.types.Metadata.empty),
+        col("grouping").as("grouping", org.apache.spark.sql.types.Metadata.empty))
+      .distinct()
       .write.mode(SaveMode.Append).parquet(s"$root/$GroupingsManifest")
     refreshTsRangeManifest(ev.sparkSession, path,
       Some(ev.select("space").distinct().collect().map(_.getString(0)).toSet))
@@ -1821,7 +1920,8 @@ object EsdbWriter {
     // without one, mergeSchema — plain inference picks ONE footer and
     // races between pre- and post-evolution files
     val df = schemaManifest(hconf(spark), root) match {
-      case Some(s) => spark.read.schema(s).option("basePath", root).parquet(root)
+      case Some(s) =>
+        spark.read.schema(FieldIds.active(s)).option("basePath", root).parquet(root)
       case None =>
         spark.read.option("mergeSchema", "true").option("basePath", root).parquet(root)
     }

@@ -32,6 +32,13 @@ object GraftSession {
       // tasks and replicate the other side's groups instead of
       // re-serializing the space into one task
       spark.conf.set("spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled", "true")
+      // metadata-only column rename/drop ([[FieldIds]]): stores whose
+      // sidecar carries parquet field IDs stamp them into every file
+      // (write) and resolve columns by ID, not name (read) — renamed
+      // columns keep reading old files. Schemas without ID metadata
+      // (plain parquet, legacy stores) are untouched by either flag.
+      spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     }
     catch { case _: Exception => () } // conf locked down: proceed, reads may still work
     // engine-native functions available on every session the engine

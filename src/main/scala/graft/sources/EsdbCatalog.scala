@@ -261,6 +261,8 @@ class EsdbCatalog extends TableCatalog with SupportsNamespaces with StagingTable
     if (!isTable(logical)) throw new NoSuchTableException(ident)
     val adds = scala.collection.mutable.ArrayBuffer[StructField]()
     val widens = scala.collection.mutable.ArrayBuffer[(String, org.apache.spark.sql.types.DataType)]()
+    val renames = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    val drops = scala.collection.mutable.ArrayBuffer[String]()
     changes.foreach {
       case a: TableChange.AddColumn if a.fieldNames.length == 1 && a.isNullable &&
         a.defaultValue == null && a.position == null =>
@@ -273,6 +275,13 @@ class EsdbCatalog extends TableCatalog with SupportsNamespaces with StagingTable
       // an appended wider batch triggers
       case u: TableChange.UpdateColumnType if u.fieldNames.length == 1 =>
         widens += (u.fieldNames.head -> u.newDataType)
+      // metadata-only rename/drop ride the field-ID machinery
+      // (EsdbWriter.renameColumn/dropColumn): the sidecar field keeps
+      // its parquet field ID, so old files resolve by ID untouched
+      case r: TableChange.RenameColumn if r.fieldNames.length == 1 =>
+        renames += (r.fieldNames.head -> r.newName)
+      case d: TableChange.DeleteColumn if d.fieldNames.length == 1 =>
+        drops += d.fieldNames.head
       case other => throw new UnsupportedOperationException(
         s"esdb store schemas are fixed by their written layout; $other is not " +
           "expressible as a metadata-only change (rewrite via EsdbWriter + Publish.publish)")
@@ -298,8 +307,17 @@ class EsdbCatalog extends TableCatalog with SupportsNamespaces with StagingTable
             "else would corrupt already-written files")
       StructType(cur.map(g => if (g.name == name) g.copy(dataType = to) else g))
     }
+    // adds on an ID-ed store allocate fresh field IDs (above the
+    // tombstone-inclusive max) so the new column is rename/drop-capable
+    val addsAligned =
+      if (graft.engine.FieldIds.hasIds(widened))
+        graft.engine.FieldIds.align(StructType(adds.toSeq), widened)
+      else StructType(adds.toSeq)
     EsdbWriter.writeSchemaManifest(conf, resolved,
-      EsdbWriter.unionSchemas(widened, StructType(adds.toSeq)))
+      EsdbWriter.unionSchemas(widened, addsAligned))
+    val spark = org.apache.spark.sql.SparkSession.active
+    renames.foreach { case (from, to) => EsdbWriter.renameColumn(spark, logical, from, to) }
+    drops.foreach(name => EsdbWriter.dropColumn(spark, logical, name))
     loadTable(ident)
   }
 

@@ -80,6 +80,7 @@ object EsdbLogSource {
     val spark = SparkSession.active
     val raw = graft.engine.EsdbWriter
       .schemaManifest(spark.sparkContext.hadoopConfiguration, path)
+      .map(graft.engine.FieldIds.active) // tombstoned (dropped) fields stay hidden
       .getOrElse(spark.read.option("mergeSchema", "true").parquet(path).schema)
     val lead = Seq("space", "grouping", "ts_us", "event_id", "value", "payload")
       .flatMap(n => raw.fields.find(_.name == n))

@@ -68,6 +68,26 @@ object EsdbMergeReader {
     */
   val RowsRead = new java.util.concurrent.atomic.AtomicLong()
 
+  /** Parquet field index of `f` in `schema`: by NAME, else — for a
+    * column renamed after this file was written — by parquet FIELD ID
+    * ([[graft.engine.FieldIds]]: the sidecar keeps the ID under the new
+    * name; ID-stamped files resolve regardless of their stored name).
+    */
+  def fieldIndexOf(schema: MessageType, f: org.apache.spark.sql.types.StructField): Int = {
+    if (schema.containsField(f.name)) return schema.getFieldIndex(f.name)
+    graft.engine.FieldIds.idOf(f) match {
+      case Some(id) =>
+        var i = 0
+        while (i < schema.getFieldCount) {
+          val t = schema.getType(i)
+          if (t.getId != null && t.getId.intValue.toLong == id) return i
+          i += 1
+        }
+        NullCol
+      case None => NullCol
+    }
+  }
+
   /** Per-required-column widening flags: true where the read schema
     * wants `want` but THIS file physically stores `phys` (a file
     * written before an int→long / float→double widening) — the decoder
@@ -100,8 +120,7 @@ final class EsdbMergeReader(part: EsdbInputPartition, required: StructType,
   private final class Cursor(val reader: ParquetReader[Group], schema: MessageType) {
     val colIdx: Array[Int] = required.fields.map { f =>
       if (f.name == "space") SpaceConst
-      else if (schema.containsField(f.name)) schema.getFieldIndex(f.name)
-      else NullCol
+      else fieldIndexOf(schema, f) // name, else field ID (renamed column)
     }
     // widened-type evolution: a file written before int->long /
     // float->double widening decodes by ITS physical type and up-casts
@@ -244,8 +263,12 @@ final class EsdbMergeReader(part: EsdbInputPartition, required: StructType,
             "predicate; the engine writer always materializes grouping — foreign or " +
             "corrupt file in the store")
       val needed = (required.fieldNames.toSeq ++ KeyCols).distinct.filterNot(_ == "space")
+      // a required field's parquet ID also selects the file's column
+      // when its stored NAME predates a rename (FieldIds resolution)
+      val neededIds = required.fields.flatMap(f => graft.engine.FieldIds.idOf(f)).toSet
       val projected = new MessageType(fileSchema.getName,
-        fileSchema.getFields.asScala.filter(f => needed.contains(f.getName)).asJava)
+        fileSchema.getFields.asScala.filter(f => needed.contains(f.getName) ||
+          (f.getId != null && neededIds.contains(f.getId.intValue.toLong))).asJava)
       val fconf = new Configuration(conf)
       fconf.set(ReadSupport.PARQUET_READ_SCHEMA, projected.toString)
       val builder = ParquetReader.builder(new GroupReadSupport(), p).withConf(fconf)

@@ -106,6 +106,7 @@ object EsdbStoreSource {
     val spark = SparkSession.active
     val inferred = graft.engine.EsdbWriter
       .schemaManifest(spark.sparkContext.hadoopConfiguration, path)
+      .map(graft.engine.FieldIds.active) // tombstoned (dropped) fields stay hidden
       .getOrElse(spark.read.option("mergeSchema", "true")
         .option("basePath", path).parquet(path).schema)
     val raw = StructType(inferred.filterNot(_.name == "bucket"))

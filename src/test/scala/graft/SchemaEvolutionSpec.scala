@@ -64,6 +64,92 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(pinned.count() > 0)
   }
 
+  test("RENAME COLUMN is metadata-only: old files resolve by field ID on every read path") {
+    val p = tmp("evorename")
+    EsdbWriter.write(withScore(1 to 40), p)          // files stamped with field IDs
+    EsdbWriter.renameColumn(spark, p, "score", "quality")
+    // no data file changed; only the sidecar did
+    val conf = spark.sparkContext.hadoopConfiguration
+    val side = EsdbWriter.schemaManifest(conf, p).get
+    assert(side.fieldNames.contains("quality") && !side.fieldNames.contains("score"))
+    // vanilla read path: renamed column reads old files' values
+    val vanilla = EsdbWriter.read(spark, p)
+    assert(vanilla.columns.contains("quality") && !vanilla.columns.contains("score"))
+    assert(vanilla.select(sum(col("quality"))).as[Double].head() == (1 to 40).map(_ * 2.5).sum)
+    // DSv2 ordered merge path: ID fallback resolves the old stored name
+    val ordered = EsdbWriter.readOrdered(spark, p)
+    assert(ordered.select("event_id", "quality").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap.apply(7L) == 17.5)
+    // appends use the CURRENT name and keep the same field ID
+    EsdbWriter.append(withScore(41 to 60).withColumnRenamed("score", "quality"), p)
+    assert(EsdbWriter.read(spark, p).select(sum(col("quality"))).as[Double].head()
+      == (1 to 60).map(_ * 2.5).sum)
+    // compaction rewrites files under the new name; content unchanged
+    EsdbWriter.compact(spark, p)
+    assert(EsdbWriter.readOrdered(spark, p).select(sum(col("quality"))).as[Double].head()
+      == (1 to 60).map(_ * 2.5).sum)
+    // canonical/layout columns refuse
+    intercept[IllegalArgumentException] { EsdbWriter.renameColumn(spark, p, "grouping", "k") }
+    intercept[IllegalArgumentException] { EsdbWriter.renameColumn(spark, p, "quality", "space") }
+  }
+
+  test("DROP COLUMN tombstones: hidden at once, ID never reused, re-add cannot resurrect") {
+    val p = tmp("evodrop")
+    EsdbWriter.write(withScore(1 to 30), p)
+    EsdbWriter.dropColumn(spark, p, "score")
+    // hidden from every read path immediately
+    assert(!EsdbWriter.read(spark, p).columns.contains("score"))
+    assert(!EsdbWriter.readOrdered(spark, p).columns.contains("score"))
+    // the tombstone keeps the ID occupied in the sidecar
+    val conf = spark.sparkContext.hadoopConfiguration
+    val side = EsdbWriter.schemaManifest(conf, p).get
+    assert(side.fields.exists(graft.engine.FieldIds.isDropped), side.toString)
+    // re-adding the SAME name allocates a fresh ID: the old files'
+    // dropped values must NOT resurface under the new column
+    EsdbWriter.append(withScore(31 to 40), p) // batch carries a NEW 'score'
+    val got = EsdbWriter.read(spark, p).select("event_id", "score").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got(5L).isEmpty, "dropped data must stay dropped for pre-drop rows")
+    assert(got(35L).contains(87.5), "the re-added column reads the new batch's values")
+    // a predicate rewrite carries the tombstone (sidecar fold)
+    EsdbWriter.deleteWhere(spark, p, Seq(org.apache.spark.sql.sources.LessThan("value", 0.2)))
+    assert(EsdbWriter.schemaManifest(conf, EsdbWriter.dataRoot(spark, p)).get
+      .fields.exists(graft.engine.FieldIds.isDropped), "tombstone must survive a rewrite")
+    assert(EsdbWriter.read(spark, p).select("event_id", "score").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+      .apply(5L).isEmpty, "still no resurrection after the rewrite")
+    // full compaction physically forgets the tombstone
+    EsdbWriter.compact(spark, p)
+    assert(!EsdbWriter.schemaManifest(conf, EsdbWriter.dataRoot(spark, p)).get
+      .fields.exists(graft.engine.FieldIds.isDropped))
+  }
+
+  test("a store written before field IDs refuses rename until one compaction stamps them") {
+    val p = tmp("evolegacyids")
+    EsdbWriter.write(withScore(1 to 20), p, assignFieldIds = false) // legacy layout
+    intercept[IllegalStateException] { EsdbWriter.renameColumn(spark, p, "score", "quality") }
+    EsdbWriter.compact(spark, p) // full rewrite stamps IDs everywhere
+    EsdbWriter.renameColumn(spark, p, "score", "quality")
+    assert(EsdbWriter.read(spark, p).select(sum(col("quality"))).as[Double].head()
+      == (1 to 20).map(_ * 2.5).sum)
+  }
+
+  test("SQL surface: ALTER TABLE RENAME COLUMN and DROP COLUMN through the catalog") {
+    val root = tmp("evosqlalter")
+    val p = s"$root/t"
+    graft.engine.Publish.publish(spark.sparkContext.hadoopConfiguration, p) { tmpDir =>
+      EsdbWriter.write(withScore(1 to 25), tmpDir)
+    }
+    spark.conf.set("spark.sql.catalog.esdb_evo2", classOf[graft.sources.EsdbCatalog].getName)
+    spark.conf.set("spark.sql.catalog.esdb_evo2.root", root)
+    spark.sql("ALTER TABLE esdb_evo2.t RENAME COLUMN score TO quality")
+    assert(spark.table("esdb_evo2.t").select(sum(col("quality"))).as[Double].head()
+      == (1 to 25).map(_ * 2.5).sum)
+    spark.sql("ALTER TABLE esdb_evo2.t DROP COLUMN quality")
+    assert(!spark.table("esdb_evo2.t").columns.contains("quality"))
+    assert(spark.table("esdb_evo2.t").count() == 25)
+  }
+
   test("legacy store without a sidecar still sees the union via mergeSchema inference") {
     val p = tmp("evolegacy")
     EsdbWriter.write(base(1 to 40), p)
