@@ -1520,6 +1520,62 @@ object EsdbWriter {
     }
   }
 
+  /** Driver-side commit of a native STORE-layout streaming epoch
+    * ([[graft.sources.EsdbWriteSupport]]'s `writeStream.format("esdb")`
+    * path). Executors wrote each space's rows into a dot-staged
+    * `space=X/.stream-<epoch>-p<k>-<uuid>.parquet` — a leading dot
+    * keeps the file invisible to EVERY reader (Spark's discovery, the
+    * DSv2 planners, and [[relativeDataFiles]] all skip dot files), so
+    * no marker-awareness had to be taught to the store's read paths.
+    * This commit finalizes the epoch: each staged file loses its dot
+    * (single-file renames — per-file copy on S3-class stores, the
+    * bounded price of the store's directory layout), any dot-staged
+    * stragglers of the SAME epoch from a crashed earlier attempt are
+    * swept, the epoch marker lands, and the groupings/ts-range/schema
+    * sidecars extend by exactly the new files. A replayed epoch whose
+    * marker exists deletes the replay's staged duplicates and keeps
+    * the committed original — exactly-once, mirroring the log sink.
+    */
+  private[graft] def commitStoreEpoch(spark: SparkSession, path: String, epochId: Long,
+                                      staged: Seq[String],
+                                      pairs: Seq[(String, String)],
+                                      batchSchema: org.apache.spark.sql.types.StructType): Unit = {
+    val conf = hconf(spark)
+    val root = new org.apache.hadoop.fs.Path(dataRoot(spark, path))
+    val fs = root.getFileSystem(conf)
+    def sweepStaged(): Unit = fs.listStatus(root).toSeq
+      .filter(d => d.isDirectory && d.getPath.getName.startsWith("space="))
+      .foreach { d =>
+        fs.listStatus(d.getPath).toSeq
+          .filter(f => f.isFile && f.getPath.getName.startsWith(s".stream-$epochId-"))
+          .foreach(f => fs.delete(f.getPath, false): Unit)
+      }
+    if (LogCommits.committedEpochs(fs, root).contains(epochId)) {
+      sweepStaged() // the replay's duplicates; the committed epoch stands
+      return
+    }
+    // finalize this attempt's files, then sweep stragglers from any
+    // CRASHED earlier attempt of the same epoch (they were never
+    // visible; the replay re-wrote their rows)
+    val finalNames = staged.map { rel =>
+      val p = new org.apache.hadoop.fs.Path(root, rel)
+      val dst = new org.apache.hadoop.fs.Path(p.getParent, p.getName.stripPrefix("."))
+      if (!fs.rename(p, dst)) throw new java.io.IOException(
+        s"could not finalize streamed file $rel at $path")
+      s"${p.getParent.getName}/${dst.getName}"
+    }
+    sweepStaged()
+    commitEpochMarker(fs, conf, root, epochId, finalNames)
+    if (pairs.nonEmpty) {
+      import spark.implicits._
+      pairs.toDF("space", "grouping").distinct()
+        .write.mode(SaveMode.Append).parquet(s"$root/$GroupingsManifest")
+    }
+    refreshTsRangeManifest(spark, path,
+      Some(pairs.map(_._1).toSet).filter(_.nonEmpty))
+    mergeSchemaManifest(conf, root.toString, batchSchema)
+  }
+
   /** Driver-side commit of a NATIVE streaming-sink epoch
     * ([[graft.sources.EsdbLogSource]]'s `writeStream` path): the
     * epoch's data files are already durable under their final

@@ -52,10 +52,17 @@ object EsdbRowParquetWriter {
         case BooleanType => Types.optional(PrimitiveTypeName.BOOLEAN)
         case BinaryType => Types.optional(PrimitiveTypeName.BINARY)
         case other => throw new IllegalArgumentException(
-          s"streaming log sink supports flat primitive columns; ${f.name}: $other " +
+          s"streaming sink supports flat primitive columns; ${f.name}: $other " +
             "is not — ingest nested frames via StreamIngest.sinkLog (foreachBatch)")
       }
-      b.addField(prim.named(f.name))
+      // carry the column's parquet field ID into the file footer: an
+      // ID-ed store's readers resolve by ID, so a streamed file missing
+      // them would refuse to read ([[graft.engine.FieldIds]])
+      val withId = graft.engine.FieldIds.idOf(f) match {
+        case Some(id) => prim.id(id.toInt)
+        case None => prim
+      }
+      b.addField(withId.named(f.name))
     }
     b.named("spark_schema")
   }

@@ -60,8 +60,45 @@ final class EsdbWriteBuilder(logicalPath: String, tableSchema: StructType,
   }
 
   override def build(): Write =
-    if (!logLayout) new V1Write {
-      override def toInsertableRelation: InsertableRelation = relation
+    if (!logLayout) {
+      // the store-layout Write is ALSO the native streaming sink
+      // (`df.writeStream.format("esdb")`): micro-batches arrive
+      // clustered by space and sorted (space, grouping, ts desc, id),
+      // so each file an executor writes is one space's correctly-
+      // ordered epoch slice — the invariant the ordered merge reader
+      // rests on. The batch V1 path re-sorts inside append() either way.
+      val writeSchema = info.map(_.schema()).getOrElse(tableSchema)
+      new V1Write with RequiresDistributionAndOrdering {
+        override def toInsertableRelation: InsertableRelation = relation
+        override def requiredDistribution(): Distribution =
+          Distributions.clustered(Array(Expressions.column("space")))
+        override def requiredOrdering(): Array[SortOrder] = EsdbStoreSink.order
+        override def toStreaming: StreamingWrite = {
+          // validate at query START, not first batch
+          val spark = SparkSession.active
+          val conf = spark.sparkContext.hadoopConfiguration
+          Seq("space" -> StringType, "grouping" -> StringType,
+            "ts_us" -> LongType, "event_id" -> LongType).foreach { case (n, dt) =>
+            require(writeSchema.fields.exists(f => f.name == n && f.dataType == dt),
+              s"store streaming sink requires a $n ${dt.simpleString} column")
+          }
+          val root = graft.engine.Publish.resolve(conf, logicalPath)
+          require(graft.engine.EsdbWriter.subpartsOf(conf, root) == 1,
+            "store streaming sink covers flat stores; a subpartitioned store " +
+              "streams through StreamIngest.sinkStore (foreachBatch) for now")
+          // an ID-ed store must stamp streamed files too: align the
+          // batch schema to the sidecar's field IDs (fresh IDs for
+          // never-seen columns) before any file opens
+          val sinkSchema = graft.engine.EsdbWriter.schemaManifest(conf, root) match {
+            case Some(b) if graft.engine.FieldIds.hasIds(b) =>
+              graft.engine.FieldIds.align(writeSchema, b)
+            case _ => writeSchema
+          }
+          EsdbRowParquetWriter.messageType(
+            StructType(sinkSchema.filterNot(_.name == "space"))): Unit
+          new EsdbStoreStreamingWrite(logicalPath, sinkSchema)
+        }
+      }
     }
     else {
       // the log-layout Write is also the NATIVE streaming sink
@@ -96,6 +133,19 @@ private[sources] object EsdbLogSink {
   /** The one ordering of a log store: insertion order (event_id ASC). */
   val order: Array[SortOrder] =
     Array(Expressions.sort(Expressions.column("event_id"), SortDirection.ASCENDING))
+}
+
+private[sources] object EsdbStoreSink {
+  /** The store layout's within-file order: space leads (the writer
+    * splits files on space boundaries), then the scan contract
+    * (grouping ASC, ts_us DESC, event_id ASC) — identical to
+    * `partitionForWrite`'s sortWithinPartitions.
+    */
+  val order: Array[SortOrder] = Array(
+    Expressions.sort(Expressions.column("space"), SortDirection.ASCENDING),
+    Expressions.sort(Expressions.column("grouping"), SortDirection.ASCENDING),
+    Expressions.sort(Expressions.column("ts_us"), SortDirection.DESCENDING),
+    Expressions.sort(Expressions.column("event_id"), SortDirection.ASCENDING))
 }
 
 /** One streaming task's output file for one epoch (empty name = the
