@@ -198,6 +198,13 @@ object Bench {
       else s"BENCH_SELF.${new java.io.File(sfDir).getName}.json"
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(selfOut), full + "\n")
     catch { case _: Exception => () }
+    // the driver-facing sidecar: four rounds of BENCH_rNN.json came back
+    // `parsed: null` because the headline went through sbt's logger
+    // ([info] prefixes, line wrapping, trailing shutdown chatter). A
+    // file the driver can read directly never depends on log framing.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_FINAL.json"), headline + "\n")
+    catch { case _: Exception => () }
     spark.stop()
     // headline (with per-query map) then the compact line LAST —
     // nothing (not even spark.stop() chatter) may print after it

@@ -135,6 +135,23 @@ object Queries {
     p
   }
 
+  /** [[ensureNativeLog]]'s STORE-layout twin — the fixture behind
+    * `stream_store_native`: the events table drained through
+    * `writeStream.format("esdb")` (dot-staged per-space epoch files,
+    * marker commits, manifest deltas), then read back Sort-free.
+    */
+  private def ensureNativeStore(s: SparkSession, dir: String): String = synchronized {
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft-storenative/$key"
+    val root = new org.apache.hadoop.fs.Path(p)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (graft.engine.LogCommits.committedEpochs(fs, root).isEmpty) {
+      graft.streaming.StreamIngest.ingestStoreNative(
+        s, s"$dir/events.parquet", p, s"$p-ckpt")
+    }
+    p
+  }
+
   /** Store with grouping [[Grouping]] DELETED (GDPR scrub fixture):
     * built once per sfDir, the delete applied once — idempotent because
     * the post-delete manifest no longer lists the grouping.
@@ -626,7 +643,10 @@ object Queries {
       (s, d) => {
         val p = ensureChangesStore(s, d)
         val key = d.replaceAll("[^A-Za-z0-9._-]", "_")
-        val out = s"${System.getProperty("java.io.tmpdir")}/graft-chgstream/$key"
+        // the cache key carries a fixture-version tag: bumping it on any
+        // schema/fixture change forces a re-drain instead of silently
+        // serving a stale sink
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft-chgstream/$key-v2"
         synchronized {
           val done = new org.apache.hadoop.fs.Path(out, "_DRAINED")
           val fs = done.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -637,7 +657,10 @@ object Queries {
               .option("path", s"$out/rows").option("checkpointLocation", s"$out/ck")
               .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
               .start()
-            q.awaitTermination(300000)
+            // the _DRAINED marker lands ONLY after a clean termination:
+            // a timed-out or failed drain must not cache a partial sink
+            require(q.awaitTermination(300000),
+              "change-feed drain did not terminate within 300s; not caching")
             fs.create(done, true).close()
           }
         }
@@ -797,6 +820,22 @@ object Queries {
       Some("""SELECT event_id, epoch_us(ts) AS ts_us, event_type AS space,
              |       CAST(user_id AS VARCHAR) AS grouping, value, props AS payload
              |FROM events ORDER BY event_id""".stripMargin)),
+
+    // the STORE layout's native streaming sink, oracled end-to-end:
+    // the events table drained through writeStream.format("esdb")
+    // (per-space dot-staged epoch files, marker commits, manifest
+    // deltas), then scanned back through the ordered Sort-free store
+    // source — the streamed files must satisfy the exact scan contract
+    // the batch writer establishes, which the oracle pins
+    QuerySpec("stream_store_native",
+      (s, d) => {
+        val p = ensureNativeStore(s, d)
+        EventStore.scan(graft.engine.EsdbWriter.readOrdered(s, p), Space, Grouping)
+          .select("event_id", "ts_us", "value", "payload")
+      },
+      Some(s"""SELECT event_id, epoch_us(ts) AS ts_us, value, props AS payload
+              |FROM events WHERE event_type = '$Space' AND user_id = $Grouping
+              |ORDER BY ts_us DESC, event_id""".stripMargin)),
 
     // PARALLEL replay of the written log: one scan partition per
     // manifest-proven disjoint id-range file group (vs the single

@@ -293,9 +293,15 @@ object EsdbWriter {
         org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim
       finally in.close()
       txt.split("\n").toList match {
-        case chunks :: cols :: Nil =>
+        case chunks :: cols :: Nil if chunks.trim.forall(_.isDigit) && chunks.trim.nonEmpty =>
           (cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq, chunks.trim.toInt)
-        case _ => (Nil, 0)
+        case _ =>
+          // a corrupt marker must FAIL, not silently decluster: falling
+          // back to (Nil, 0) would quietly degrade the store's durable
+          // clustering property on every subsequent append/rewrite
+          throw new IllegalStateException(
+            s"unparseable cluster marker at $m — expected '<chunks>\\n<col,…>', " +
+              s"got ${txt.take(80).replace("\n", "\\n")}")
       }
     }
   }
@@ -2013,6 +2019,15 @@ object EsdbWriter {
     * double-EXCEPT shuffled the whole store's payload twice).
     * Requires version v's snapshot and data dir to still be retained
     * (keepVersions) — the feed window IS the retention window.
+    *
+    * Probabilistic bound: rows are equated by a 96-bit composite key
+    * (xxhash64 + 32-bit hash over all columns). Two DISTINCT rows
+    * inside one feed window colliding on both hashes would cancel in
+    * the delta and surface a wrong representative — by the birthday
+    * bound, P(any collision) ≲ n²/2⁹⁷ ≈ 7e-12 for a billion-row
+    * window, below hardware fault rates. Audits needing certainty can
+    * diff two full reads (`readOrdered` at the pinned versions) with
+    * EXCEPT ALL — the exact form this hash projection replaced.
     */
   def changesFeed(spark: SparkSession, path: String, sinceVersion: Long): DataFrame =
     changesFeedBetween(spark, path, sinceVersion, None)

@@ -113,9 +113,15 @@ object EsdbRowParquetWriter {
     * sizing stays at parquet defaults (128 MB), matching the batch
     * writer's files.
     */
-  def open(path: Path, schema: StructType, conf: Configuration): ParquetWriter[InternalRow] =
-    new Builder(path, schema)
+  def open(path: Path, schema: StructType, conf: Configuration,
+           bloomCols: Seq[String] = Nil): ParquetWriter[InternalRow] = {
+    // bloom filters on secondary-index columns, matching the batch
+    // writer's `parquet.bloom.filter.enabled#idx_*` options: min/max
+    // stats rarely prune idx values (they interleave across the sort
+    // order), blooms can
+    val b = new Builder(path, schema)
       .withConf(conf)
       .withCompressionCodec(CompressionCodecName.SNAPPY)
-      .build()
+    bloomCols.foldLeft(b)((b, c) => b.withBloomFilterEnabled(c, true)).build()
+  }
 }

@@ -239,9 +239,12 @@ final class EsdbStoreTable(path: String, tableSchema: StructType,
     if (writePath.isDefined)
       // BATCH_WRITE admits the write at analysis (DataFrameWriter.save
       // requires it); V1_BATCH_WRITE routes execution through the
-      // V1Write fallback our WriteBuilder actually produces
+      // V1Write fallback our WriteBuilder actually produces;
+      // STREAMING_WRITE enables the native exactly-once store sink
+      // (writeStream.format("esdb") → EsdbStoreStreamingWrite)
       java.util.EnumSet.of(TableCapability.BATCH_READ,
-        TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE)
+        TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+        TableCapability.STREAMING_WRITE)
     else java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // skew lever for storage-partitioned work: "true" splits a hot
@@ -289,7 +292,7 @@ final class EsdbStoreTable(path: String, tableSchema: StructType,
   }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     writePath match {
-      case Some(logical) => new EsdbWriteBuilder(logical, tableSchema, logLayout = false)
+      case Some(logical) => new EsdbWriteBuilder(logical, tableSchema, logLayout = false, Some(info))
       case None => throw new UnsupportedOperationException(
         s"$name is a version-pinned snapshot and read-only; write to the live store path")
     }

@@ -9,7 +9,9 @@ import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, S
 import org.apache.spark.sql.connector.write.{DataWriter, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, V1Write, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.InsertableRelation
-import org.apache.spark.sql.types.{LongType, StructType}
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal, UnsafeProjection}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.util.SerializableConfiguration
 
@@ -86,17 +88,36 @@ final class EsdbWriteBuilder(logicalPath: String, tableSchema: StructType,
           require(graft.engine.EsdbWriter.subpartsOf(conf, root) == 1,
             "store streaming sink covers flat stores; a subpartitioned store " +
               "streams through StreamIngest.sinkStore (foreachBatch) for now")
+          val base = graft.engine.EsdbWriter.schemaManifest(conf, root)
+          // the write-time index contract (space_writer.go:47-49) holds
+          // for streamed batches too: every idx_* column the store (or
+          // the incoming schema) declares is RECOMPUTED from the payload
+          // on the executors, so a stream can no more desynchronize an
+          // index than an INSERT can
+          val indexAttrs = (base.toSeq.flatMap(_.fieldNames) ++ writeSchema.fieldNames)
+            .filter(_.startsWith("idx_")).map(_.stripPrefix("idx_")).distinct
+          if (indexAttrs.nonEmpty)
+            require(writeSchema.fields.exists(f =>
+              f.name == "payload" && f.dataType == StringType),
+              "an indexed store's streaming sink needs a payload STRING column " +
+                s"to recompute idx_{${indexAttrs.mkString(",")}} at write time")
+          val full0 = StructType(writeSchema.fields ++ indexAttrs
+            .filterNot(a => writeSchema.fieldNames.contains(s"idx_$a"))
+            .map(a => StructField(s"idx_$a", StringType, nullable = true)))
           // an ID-ed store must stamp streamed files too: align the
           // batch schema to the sidecar's field IDs (fresh IDs for
           // never-seen columns) before any file opens
-          val sinkSchema = graft.engine.EsdbWriter.schemaManifest(conf, root) match {
+          val full = base match {
             case Some(b) if graft.engine.FieldIds.hasIds(b) =>
-              graft.engine.FieldIds.align(writeSchema, b)
-            case _ => writeSchema
+              graft.engine.FieldIds.align(full0, b)
+            case _ => full0
           }
-          EsdbRowParquetWriter.messageType(
-            StructType(sinkSchema.filterNot(_.name == "space"))): Unit
-          new EsdbStoreStreamingWrite(logicalPath, sinkSchema)
+          // `space` rides in the hive partition dir, exactly like the
+          // batch writer's partitionBy("space") — files never carry it
+          val fileSchema = StructType(full.filterNot(_.name == "space"))
+          EsdbRowParquetWriter.messageType(fileSchema): Unit
+          new EsdbStoreStreamingWrite(logicalPath, writeSchema, fileSchema,
+            StructType(full), indexAttrs)
         }
       }
     }
@@ -263,6 +284,172 @@ final class EsdbLogDataWriter(root: Path, schema: StructType, epochId: Long,
   override def abort(): Unit = {
     if (writer != null) { try writer.close() catch { case _: Exception => () } }
     if (file != null) { file.getFileSystem(conf).delete(file, false): Unit }
+  }
+
+  override def close(): Unit = ()
+}
+
+/** One streaming task's STORE-layout output: the dot-staged files it
+  * wrote (paths relative to the data root, `space=X/.stream-…`) and the
+  * distinct (space, grouping) pairs they contain — the manifest delta
+  * the driver's commit appends, so manifest upkeep stays O(batch), not
+  * O(store).
+  */
+final case class EsdbStoreFilesMessage(files: Seq[String],
+                                       pairs: Seq[(String, String)]) extends WriterCommitMessage
+
+/** The native exactly-once streaming sink for STORE-layout dirs —
+  * `df.writeStream.format("esdb")`, the streaming dual of
+  * [[graft.engine.EsdbWriter.append]] (reference: the `Stream.Write`
+  * ingest loop, open_stream.go:77-105, landing in the bucketed layout).
+  *
+  * Division of labor:
+  *  - Spark plans each micro-batch clustered by `space` and sorted
+  *    (space, grouping, ts_us DESC, event_id) — the sink's
+  *    [[RequiresDistributionAndOrdering]] — so a task's rows arrive as
+  *    contiguous per-space runs already in the layout's scan order;
+  *  - each executor task writes one dot-staged parquet file per space
+  *    run (`space=X/.stream-<epoch>-p<k>-<uuid>.parquet`) with idx_*
+  *    columns recomputed from the payload — a leading dot keeps the
+  *    file invisible to every reader until commit;
+  *  - the driver's `commit(epoch)` finalizes via
+  *    [[graft.engine.EsdbWriter.commitStoreEpoch]]: dot-strip renames,
+  *    crashed-attempt straggler sweep, the epoch marker, and
+  *    groupings/ts-range/schema sidecar deltas;
+  *  - a replayed epoch whose marker exists writes nothing (the factory
+  *    checks once per task) and commit sweeps replay duplicates —
+  *    exactly-once, mirroring [[EsdbLogStreamingWrite]].
+  *
+  * Files of a value-clustered store streamed this way are sorted but
+  * not value-clustered (a micro-batch can't see the domain); stats
+  * pruning stays CORRECT (footer min/max still bound each file) and
+  * the next compaction re-clusters them.
+  */
+final class EsdbStoreStreamingWrite(logicalPath: String, inputSchema: StructType,
+                                    fileSchema: StructType, manifestSchema: StructType,
+                                    indexAttrs: Seq[String]) extends StreamingWrite {
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new EsdbStoreWriterFactory(logicalPath, inputSchema, fileSchema, indexAttrs,
+      new SerializableConfiguration(EsdbVectorReader.sessionConf()))
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val ms = messages.toSeq.collect { case m: EsdbStoreFilesMessage => m }
+    graft.engine.EsdbWriter.commitStoreEpoch(
+      SparkSession.active, logicalPath, epochId,
+      staged = ms.flatMap(_.files),
+      pairs = ms.flatMap(_.pairs).distinct,
+      batchSchema = manifestSchema)
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val root = new Path(graft.engine.Publish.resolve(conf, logicalPath))
+    val fs = root.getFileSystem(conf)
+    messages.foreach {
+      case EsdbStoreFilesMessage(files, _) =>
+        files.foreach(f => fs.delete(new Path(root, f), false): Unit)
+      case _ => ()
+    }
+  }
+}
+
+final class EsdbStoreWriterFactory(logicalPath: String, inputSchema: StructType,
+                                   fileSchema: StructType, indexAttrs: Seq[String],
+                                   conf: SerializableConfiguration)
+  extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] = {
+    val hconf = conf.value
+    val logical = new Path(logicalPath)
+    val fs = logical.getFileSystem(hconf)
+    if (fs.exists(new Path(logical, graft.engine.EsdbWriter.SealMarker)))
+      throw new IllegalStateException(
+        s"stream at $logicalPath is closed (reference: closed_stream.go:48-50)")
+    val root = new Path(graft.engine.Publish.resolve(hconf, logicalPath))
+    fs.mkdirs(root)
+    val marker = new Path(new Path(root, graft.engine.LogCommits.Dir), s"$epochId.commit")
+    if (fs.exists(marker)) new EsdbNoopStreamWriter
+    else new EsdbStoreDataWriter(root, inputSchema, fileSchema, indexAttrs,
+      epochId, partitionId, hconf)
+  }
+}
+
+/** Writes one task's micro-batch partition as one dot-staged file per
+  * space run. Rows arrive sorted with `space` leading (the sink's
+  * required ordering), so file rotation is a plain value-change check
+  * and each space yields exactly one file per task per epoch.
+  */
+final class EsdbStoreDataWriter(root: Path, inputSchema: StructType,
+                                fileSchema: StructType, indexAttrs: Seq[String],
+                                epochId: Long, partitionId: Int,
+                                conf: org.apache.hadoop.conf.Configuration)
+  extends DataWriter[InternalRow] {
+
+  private val spaceOrd = inputSchema.fieldIndex("space")
+  private val groupingOrd = inputSchema.fieldIndex("grouping")
+  // file columns from the input row: idx_* recomputed from the payload
+  // (codegen'd JsonAttr — the same byte-scanner the batch path uses),
+  // everything else bound by name
+  private val project: UnsafeProjection = {
+    val exprs = fileSchema.fields.toIndexedSeq.map { f =>
+      val attr = f.name.stripPrefix("idx_")
+      if (f.name.startsWith("idx_") && indexAttrs.contains(attr))
+        graft.functions.JsonAttr(
+          BoundReference(inputSchema.fieldIndex("payload"), StringType, nullable = true),
+          Literal.create(attr, StringType))
+      else {
+        val i = inputSchema.fieldIndex(f.name)
+        BoundReference(i, inputSchema.fields(i).dataType, inputSchema.fields(i).nullable)
+      }
+    }
+    UnsafeProjection.create(exprs)
+  }
+
+  private val fs = root.getFileSystem(conf)
+  private var writer: org.apache.parquet.hadoop.ParquetWriter[InternalRow] = _
+  private var currentSpace: org.apache.spark.unsafe.types.UTF8String = _
+  private var currentGrouping: org.apache.spark.unsafe.types.UTF8String = _
+  private val staged = scala.collection.mutable.ArrayBuffer.empty[String]
+  private val pairs = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+
+  override def write(row: InternalRow): Unit = {
+    val space = row.getUTF8String(spaceOrd)
+    val grouping = row.getUTF8String(groupingOrd)
+    if (space == null || grouping == null) throw new IllegalArgumentException(
+      "store events require non-null space and grouping")
+    if (writer == null || !space.equals(currentSpace)) {
+      if (writer != null) writer.close()
+      currentSpace = space.clone()
+      currentGrouping = null
+      val dir = new Path(root,
+        "space=" + ExternalCatalogUtils.escapePathName(space.toString))
+      fs.mkdirs(dir)
+      val file = new Path(dir, f".stream-$epochId-p$partitionId%05d-" +
+        java.util.UUID.randomUUID().toString.take(8) + ".parquet")
+      writer = EsdbRowParquetWriter.open(file, fileSchema, conf,
+        bloomCols = indexAttrs.map("idx_" + _))
+      staged += s"${dir.getName}/${file.getName}"
+    }
+    // rows sort (space, grouping, …), so distinct pairs are contiguous
+    // runs: O(#pairs) bookkeeping, no per-row set insertion
+    if (currentGrouping == null || !grouping.equals(currentGrouping)) {
+      currentGrouping = grouping.clone()
+      pairs += ((currentSpace.toString, currentGrouping.toString))
+    }
+    writer.write(project(row))
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (writer != null) writer.close()
+    writer = null
+    EsdbStoreFilesMessage(staged.toSeq, pairs.toSeq)
+  }
+
+  override def abort(): Unit = {
+    if (writer != null) { try writer.close() catch { case _: Exception => () } }
+    writer = null
+    staged.foreach(f => fs.delete(new Path(root, f), false): Unit)
   }
 
   override def close(): Unit = ()

@@ -293,6 +293,33 @@ object StreamIngest {
       .awaitTermination()
   }
 
+  /** [[ingestLogNative]]'s STORE-layout twin
+    * (`writeStream.format("esdb")` —
+    * [[graft.sources.EsdbStoreStreamingWrite]]): micro-batches arrive
+    * clustered by space and sorted in the layout's scan order, each
+    * executor dot-stages one file per space run, and the driver's epoch
+    * commit dot-strips + extends the groupings/ts-range/schema
+    * manifests — the streaming dual of [[graft.engine.EsdbWriter.append]]
+    * (reference: Stream.Write, open_stream.go:77-105).
+    */
+  def ingestStoreNative(spark: SparkSession, eventsParquet: String,
+                        path: String, checkpoint: String): Unit = {
+    graft.engine.GraftSession.tune(spark)
+    val batch = spark.read.parquet(eventsParquet)
+    if (!new java.io.File(path).exists())
+      graft.engine.EsdbWriter.write(
+        EventFrame.fromEvents(batch).limit(0).repartition(1), path)
+    val stream = spark.readStream.schema(batch.schema).parquet(stageDir(eventsParquet))
+    val q = EventFrame.fromEvents(stream).writeStream
+      .format("esdb")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Watermarked tumbling-window event counts per space. Expects a
     * TimestampType `ts` column (`timestamp_micros(ts_us)`).
     */

@@ -251,6 +251,167 @@ class EsdbWriteSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("closed")), e.getMessage)
   }
 
+  // ---- the native STORE-layout streaming sink (writeStream.format("esdb")) ----
+
+  private def memStream() = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    MemoryStream[(String, String, Long, Long, Double, String, String)]
+  }
+  private def storeRows(ids: Range) = ids.map(i => (s"s${i % 3}", s"g${i % 7}",
+    (i % 50).toLong * 1000, i.toLong, i / 10.0, s"""{"k": ${i % 9}}""", "WRONG"))
+
+  test("native store writeStream sink: exactly-once epochs, Sort-free order, idx recomputed") {
+    val path = freshDir("storesink")
+    EsdbWriter.write(ev(1 to 30), path, indexAttrs = Seq("k"))
+
+    val mem = memStream()
+    // idx_k arrives WRONG on purpose: the sink must recompute it from
+    // the payload, like the batch INSERT path does
+    val src = mem.toDF.toDF("space", "grouping", "ts_us", "event_id", "value", "payload", "idx_k")
+    val ckpt = freshDir("storesink-ckpt")
+
+    // REVERSED input: RequiresDistributionAndOrdering must sort the
+    // micro-batch (space, grouping, ts desc, id) before writers see it
+    mem.addData(storeRows(31 to 60).reverse: _*)
+    val q = src.writeStream.format("esdb").option("path", path)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000))
+
+    // resumed query with the same checkpoint: epoch ids continue
+    mem.addData(storeRows(61 to 90): _*)
+    val q2 = src.writeStream.format("esdb").option("path", path)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    assert(q2.awaitTermination(120000))
+
+    val ordered = EsdbWriter.readOrdered(spark, path)
+    assert(ordered.count() == 90)
+    val scan = EventStore.scan(ordered, "s1", "g3")
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(!hasSortNode(plan), "streamed files must keep the sorted layout:\n" + plan)
+    val got = scan.select("event_id", "ts_us").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = (1 to 90).filter(i => i % 3 == 1 && i % 7 == 3)
+      .map(i => (i.toLong, (i % 50).toLong * 1000))
+      .sortBy { case (id, ts) => (-ts, id) }
+    assert(got.toSeq == want)
+    // idx_k recomputed from payload, never trusted from the stream
+    val idx = ordered.where($"event_id" === 42L).select("idx_k").head().getString(0)
+    assert(idx == (42 % 9).toString, s"idx_k must be recomputed, got $idx")
+    // dot-staged names are gone; the epoch markers landed
+    val spaceDirs = new java.io.File(path).listFiles().filter(_.getName.startsWith("space="))
+    assert(spaceDirs.nonEmpty)
+    // no dot-staged data files remain (local-FS .crc sidecars are fine)
+    assert(spaceDirs.flatMap(_.listFiles())
+      .forall(f => !f.getName.startsWith(".stream-") || f.getName.endsWith(".crc")))
+    assert(spaceDirs.flatMap(_.listFiles()).exists(_.getName.startsWith("stream-")))
+    assert(new java.io.File(path, "_STREAM_COMMITS").listFiles()
+      .count(_.getName.endsWith(".commit")) >= 2)
+    // the groupings manifest extended by the batch deltas
+    val pairs = EsdbWriter.manifestGroupings(spark, path).get.count()
+    assert(pairs == 21, s"3 spaces x 7 groupings, got $pairs")
+  }
+
+  test("store sink replay of a committed epoch sweeps staged duplicates, keeps the original") {
+    val path = freshDir("storesinkreplay")
+    EsdbWriter.write(ev(1 to 30), path)
+
+    val mem = memStream()
+    val src = mem.toDF.toDF("space", "grouping", "ts_us", "event_id", "value", "payload", "idx_k")
+      .drop("idx_k")
+    mem.addData(storeRows(31 to 50): _*)
+    val q = src.writeStream.format("esdb").option("path", path)
+      .option("checkpointLocation", freshDir("storesinkreplay-ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000))
+    val before = EsdbWriter.readOrdered(spark, path).count()
+
+    // a replay of committed epoch 0 that crashed between staging and
+    // commit: its dot-staged duplicate must be swept by the re-commit
+    val spaceDir = new java.io.File(path, "space=s1")
+    val dup = new java.io.File(spaceDir, ".stream-0-p00009-deadbeef.parquet")
+    val tmp = new java.io.File(freshDir("storesinkreplay-dup"), "d.parquet")
+    ev(31 to 40).where($"space" === "s1").drop("space").coalesce(1)
+      .write.parquet(tmp.getAbsolutePath)
+    val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath, dup.toPath)
+
+    EsdbWriter.commitStoreEpoch(spark, path, 0L, staged = Nil, pairs = Nil,
+      batchSchema = ev(1 to 1).schema)
+
+    assert(!dup.exists(), "replay duplicate must be swept on re-commit")
+    assert(EsdbWriter.readOrdered(spark, path).count() == before)
+  }
+
+  test("store sink commit finalizes this attempt and sweeps a crashed attempt's stragglers") {
+    val path = freshDir("storesinkcrash")
+    EsdbWriter.write(ev(1 to 30), path)
+    val spaceDir = new java.io.File(path, "space=s2")
+
+    // a crashed FIRST attempt of epoch 5 left an invisible staged file
+    val straggler = new java.io.File(spaceDir, ".stream-5-p00001-cafe0000.parquet")
+    val tmp = new java.io.File(freshDir("storesinkcrash-tmp"), "d.parquet")
+    ev(101 to 110).where($"space" === "s2").drop("space").coalesce(1)
+      .write.parquet(tmp.getAbsolutePath)
+    java.nio.file.Files.move(
+      tmp.listFiles().find(_.getName.endsWith(".parquet")).get.toPath, straggler.toPath)
+
+    // the retry's attempt staged its own file; commit finalizes it
+    val retry = new java.io.File(spaceDir, ".stream-5-p00002-beef0000.parquet")
+    val tmp2 = new java.io.File(freshDir("storesinkcrash-tmp2"), "d.parquet")
+    ev(101 to 110).where($"space" === "s2").drop("space").coalesce(1)
+      .write.parquet(tmp2.getAbsolutePath)
+    java.nio.file.Files.move(
+      tmp2.listFiles().find(_.getName.endsWith(".parquet")).get.toPath, retry.toPath)
+
+    EsdbWriter.commitStoreEpoch(spark, path, 5L,
+      staged = Seq("space=s2/" + retry.getName),
+      pairs = (101 to 110).filter(_ % 3 == 2).map(i => ("s2", s"g${i % 7}")).distinct,
+      batchSchema = ev(1 to 1).schema)
+
+    assert(!straggler.exists(), "crashed attempt's straggler must be swept")
+    assert(!retry.exists() && new java.io.File(spaceDir, retry.getName.stripPrefix(".")).exists(),
+      "the committing attempt's file must be finalized (dot-stripped)")
+    val n = (101 to 110).count(_ % 3 == 2)
+    assert(EsdbWriter.readOrdered(spark, path).count() == 30 + n)
+  }
+
+  test("the store sink refuses sealed and subpartitioned stores") {
+    // sealed
+    val sealedPath = freshDir("storesinkseal")
+    EsdbWriter.write(ev(1 to 10), sealedPath)
+    EsdbWriter.seal(spark, sealedPath, "k")
+    val mem = memStream()
+    val src = mem.toDF.toDF("space", "grouping", "ts_us", "event_id", "value", "payload", "idx_k")
+      .drop("idx_k")
+    mem.addData(storeRows(11 to 12): _*)
+    val q = src.writeStream.format("esdb").option("path", sealedPath)
+      .option("checkpointLocation", freshDir("storesinkseal-ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination(120000)
+    }
+    assert(e.getMessage.contains("closed") ||
+      Option(e.getCause).exists(_.getMessage.contains("closed")), e.getMessage)
+
+    // subpartitioned: refused at query start with the foreachBatch pointer
+    val subPath = freshDir("storesinksub")
+    EsdbWriter.write(ev(1 to 40), subPath, subparts = 2)
+    val mem2 = memStream()
+    val src2 = mem2.toDF.toDF("space", "grouping", "ts_us", "event_id", "value", "payload", "idx_k")
+      .drop("idx_k")
+    mem2.addData(storeRows(41 to 42): _*)
+    val q2 = src2.writeStream.format("esdb").option("path", subPath)
+      .option("checkpointLocation", freshDir("storesinksub-ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    val e2 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.awaitTermination(120000)
+    }
+    assert(e2.getMessage.contains("subpartitioned") ||
+      Option(e2.getCause).exists(_.getMessage.contains("subpartitioned")), e2.getMessage)
+  }
+
   test("appends to a sealed stream are refused through the DSv2 path too") {
     val path = freshDir("dsvwriteseal")
     EsdbWriter.writeLog(ev(1 to 40), path)
