@@ -51,6 +51,7 @@ object ScaleCheck {
     if (args.contains("compaction")) { compactionCheck(spark, sfDir, bigDir); spark.stop(); return }
     if (args.contains("replay")) { replayCheck(spark, sfDir, bigDir); spark.stop(); return }
     if (args.contains("delete")) { deleteCheck(spark, sfDir, bigDir); spark.stop(); return }
+    if (args.contains("mutation")) { mutationCheck(spark, sfDir, bigDir); spark.stop(); return }
     // user_id not offset: groupings keep their cardinality and grow in
     // length, the dominant real-world growth mode for an event store
     replicate(engine.Tables.events(spark, sfDir), Seq("event_id"), s"$bigDir/events.parquet")
@@ -261,6 +262,36 @@ object ScaleCheck {
     println(f"${"log_native_ingest"}%-24s $n1%8.2f $n10%8.2f ${n10 / n1}%5.1f")
     val nn = engine.EsdbWriter.readLog(spark, s"$bigDir/ingest_native_10x").count()
     require(nn == want, s"native ingest round-trip lost rows: $nn != $want")
+    // the STORE-layout native sink (r11): same stream, but micro-batches
+    // arrive space-clustered + layout-sorted and land as per-space
+    // dot-staged epoch files committed by commitStoreEpoch — the extra
+    // cost over the log sink is the per-batch cluster/sort exchange and
+    // the per-space manifest deltas
+    def timeStoreNative(srcDir: String, out: String): Double = {
+      import scala.reflect.io.Directory
+      Seq(out, s"$out-ckpt").foreach(p => new Directory(new java.io.File(p)).deleteRecursively())
+      val schema = spark.read.parquet(srcDir).schema
+      val t0 = System.nanoTime()
+      engine.EsdbWriter.write(
+        engine.EventFrame.fromEvents(spark.read.parquet(srcDir)).limit(0).repartition(1), out)
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 8).parquet(srcDir)
+      engine.EventFrame.fromEvents(stream).writeStream
+        .format("esdb").option("path", out)
+        .option("checkpointLocation", s"$out-ckpt")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+      (System.nanoTime() - t0) / 1e9
+    }
+    timeStoreNative(oneX, s"$bigDir/ingest_store_warm")
+    val s1 = math.min(timeStoreNative(oneX, s"$bigDir/ingest_store_1x"),
+      timeStoreNative(oneX, s"$bigDir/ingest_store_1x"))
+    val s10 = math.min(timeStoreNative(s"$bigDir/events.parquet", s"$bigDir/ingest_store_10x"),
+      timeStoreNative(s"$bigDir/events.parquet", s"$bigDir/ingest_store_10x"))
+    println(f"${"store_native_ingest"}%-24s $s1%8.2f $s10%8.2f ${s10 / s1}%5.1f")
+    val sn = engine.EsdbWriter.readOrdered(spark, s"$bigDir/ingest_store_10x").count()
+    require(sn == want, s"store-native ingest round-trip lost rows: $sn != $want")
   }
 
   /** Ordered-read evidence at 10×: the same scans through the vanilla
@@ -455,6 +486,127 @@ object ScaleCheck {
     println(f"${"ts_retention"}%-24s $r1%8.2f $r10%8.2f ${r10 / r1}%5.1f")
     val cr10 = timed { engine.EsdbWriter.compact(spark, r10store) }
     println(f"${"vs_full_rewrite_10x"}%-24s ${"-"}%8s $cr10%8.2f ${cr10 / r10}%5.1fx costlier")
+  }
+
+  /** Measured rows for the r9/r10 mutation-and-evolution surface
+    * (X21 predicate UPDATE, X22 change feed, X23 value clustering,
+    * X25 rename/drop): each claim in the scaladocs — cost ∝ predicate
+    * stat footprint / churn / selectivity / nothing — gets a 1× vs 10×
+    * number here, like the delete table.
+    */
+  private def mutationCheck(spark: SparkSession, sfDir: String, bigDir: String): Unit = {
+    val big = s"$bigDir/events.parquet"
+    if (!new java.io.File(big).exists())
+      replicate(engine.Tables.events(spark, sfDir), Seq("event_id"), big)
+    def frame(src: String) = engine.EventFrame.fromEvents(
+      spark.read.option("basePath", src).parquet(s"$src/events.parquet"))
+    def fresh(out: String): String = {
+      val dir = new java.io.File(out)
+      if (dir.exists()) { import scala.reflect.io.Directory; new Directory(dir).deleteRecursively() }
+      out
+    }
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+
+    // ---- X21: predicate UPDATE cost tracks the predicate's stat
+    // footprint, not store size (same doomed-batch shape as
+    // predicate_delete: the matching rows live in one appended batch
+    // whose value range no base file overlaps)
+    val doomedVal = spark.range(1000).select(
+      lit("click").as("space"), lit("pu").as("grouping"),
+      (col("id") * 1000L).as("ts_us"), (col("id") + 920000000L).as("event_id"),
+      (col("id") + 500000L).cast("double").as("value"), lit("{}").as("payload"))
+    def buildUpd(src: String, out: String): String = {
+      engine.EsdbWriter.write(frame(src), fresh(out))
+      engine.EsdbWriter.append(doomedVal, out)
+      out
+    }
+    val updSet = Map("payload" -> lit("\"redacted\""))
+    val updFilter = Seq[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.GreaterThanOrEqual("value", 500000.0))
+    val uWarm = buildUpd(sfDir, s"$bigDir/upd_warm")
+    timed { engine.EsdbWriter.updateWhere(spark, uWarm, updSet, updFilter): Unit }
+    val u1store = buildUpd(sfDir, s"$bigDir/upd_1x")
+    val u1 = timed { engine.EsdbWriter.updateWhere(spark, u1store, updSet, updFilter): Unit }
+    val u10store = buildUpd(bigDir, s"$bigDir/upd_10x")
+    val u10 = timed { engine.EsdbWriter.updateWhere(spark, u10store, updSet, updFilter): Unit }
+    println(f"${"predicate_update"}%-24s $u1%8.2f $u10%8.2f ${u10 / u1}%5.1f")
+    val cu10 = timed { engine.EsdbWriter.compact(spark, u10store) }
+    println(f"${"vs_full_rewrite_10x"}%-24s ${"-"}%8s $cu10%8.2f ${cu10 / u10}%5.1fx costlier")
+
+    // ---- X23: value-domain clustering makes mid-domain predicate
+    // deletes (which footer stats CANNOT prune on an interleaved
+    // layout: every file's min/max straddles the cutoff) rewrite only
+    // the files whose narrow value slice matches — same store, same
+    // predicate, clustered vs not
+    val vals = frame(sfDir).select("value").na.drop()
+      .stat.approxQuantile("value", Array(0.45, 0.55), 0.01)
+    val (lo, hi) = (vals(0), vals(1))
+    val cluFilter = Seq[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.GreaterThanOrEqual("value", lo),
+      org.apache.spark.sql.sources.LessThan("value", hi))
+    def buildClu(src: String, out: String, clustered: Boolean): String = {
+      engine.EsdbWriter.write(frame(src), fresh(out),
+        clusterBy = if (clustered) Seq("value") else Nil, clusterChunks = 16)
+      out
+    }
+    def dataFiles(p: String): Int = {
+      val fs = new org.apache.hadoop.fs.Path(p)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      engine.Publish.currentFiles(spark.sparkContext.hadoopConfiguration, p).size
+    }
+    val fWarm = buildClu(sfDir, s"$bigDir/clu_warm", clustered = true)
+    timed { engine.EsdbWriter.deleteWhere(spark, fWarm, cluFilter): Unit }
+    val flat10 = buildClu(bigDir, s"$bigDir/clu_flat10", clustered = false)
+    val filesBefore = dataFiles(flat10)
+    val f10 = timed { engine.EsdbWriter.deleteWhere(spark, flat10, cluFilter): Unit }
+    val clu10 = buildClu(bigDir, s"$bigDir/clu_clu10", clustered = true)
+    val c10 = timed { engine.EsdbWriter.deleteWhere(spark, clu10, cluFilter): Unit }
+    println(f"${"middecile_delete_flat"}%-24s ${"-"}%8s $f10%8.2f (rewrites ~all of $filesBefore files)")
+    println(f"${"middecile_delete_clustered"}%-20s ${"-"}%8s $c10%8.2f ${f10 / c10}%5.1fx cheaper")
+
+    // ---- X22: change-feed cost tracks churn. Three windows over the
+    // same 10× store: pure append (no diff machinery), small rewrite
+    // (diff over the footprint), full compaction with zero logical
+    // churn (hash-only pass, no payload shuffle)
+    def buildVersioned(src: String, out: String): String = {
+      val p = fresh(out)
+      val conf = spark.sparkContext.hadoopConfiguration
+      engine.Publish.publish(conf, p, keepVersions = 8) { tmp =>
+        engine.EsdbWriter.write(frame(src), tmp)
+      }
+      p
+    }
+    def feed(p: String, from: Long): Double =
+      timed { engine.EsdbWriter.changesFeed(spark, p, from).queryExecution.toRdd.count(): Unit }
+    val chg1 = buildVersioned(sfDir, s"$bigDir/chg_1x")
+    val chg10 = buildVersioned(bigDir, s"$bigDir/chg_10x")
+    Seq(chg1, chg10).foreach { p =>
+      engine.EsdbWriter.appendVersioned(doomedVal, p, keepVersions = 8) // v2: pure append
+    }
+    feed(chg1, 1L) // warm
+    println(f"${"changes_pure_append"}%-24s ${feed(chg1, 1L)}%8.2f ${feed(chg10, 1L)}%8.2f   (direct file read, no diff)")
+    Seq(chg1, chg10).foreach { p =>
+      engine.EsdbWriter.deleteWhere(spark, p, updFilter, keepVersions = 8): Unit // v3: small rewrite
+    }
+    println(f"${"changes_small_churn"}%-24s ${feed(chg1, 2L)}%8.2f ${feed(chg10, 2L)}%8.2f   (diff over the rewrite footprint)")
+    Seq(chg1, chg10).foreach(p => engine.EsdbWriter.compact(spark, p, keepVersions = 8)) // v4
+    println(f"${"changes_zero_churn_compact"}%-20s ${feed(chg1, 3L)}%8.2f ${feed(chg10, 3L)}%8.2f   (hash-only pass, no payload shuffle)")
+
+    // ---- X25: rename/drop are one sidecar write — flat at any scale
+    def buildIded(src: String, out: String): String = {
+      engine.EsdbWriter.write(frame(src).withColumn("note", lit("n")), fresh(out))
+      out
+    }
+    val id1 = buildIded(sfDir, s"$bigDir/ided_1x")
+    val id10 = buildIded(bigDir, s"$bigDir/ided_10x")
+    val rn1 = timed { engine.EsdbWriter.renameColumn(spark, id1, "note", "memo") }
+    val rn10 = timed { engine.EsdbWriter.renameColumn(spark, id10, "note", "memo") }
+    println(f"${"rename_column"}%-24s $rn1%8.3f $rn10%8.3f   (one sidecar write)")
+    val dp1 = timed { engine.EsdbWriter.dropColumn(spark, id1, "memo") }
+    val dp10 = timed { engine.EsdbWriter.dropColumn(spark, id10, "memo") }
+    println(f"${"drop_column"}%-24s $dp1%8.3f $dp10%8.3f   (one sidecar write)")
   }
 
   private def compactionCheck(spark: SparkSession, sfDir: String, bigDir: String): Unit = {

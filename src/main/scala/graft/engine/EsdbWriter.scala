@@ -2090,11 +2090,16 @@ object EsdbWriter {
     val rowCols = target.map(_.name).toSeq
     val salted = rowCols.zipWithIndex.flatMap { case (c, i) => Seq(lit(i), col(c)) }
     val key = concat_ws(":", xxhash64(salted: _*), hash(salted: _*))
-    val aC = added.groupBy(key.as("_h")).agg(count(lit(1)).as("_ca"))
-    val rC = removed.groupBy(key.as("_h")).agg(count(lit(1)).as("_cr"))
-    val delta = aC.join(rC, Seq("_h"), "full_outer")
-      .select(col("_h"),
-        (coalesce(col("_ca"), lit(0L)) - coalesce(col("_cr"), lit(0L))).as("_d"))
+    // ONE tagged union of both windows: per row-hash, sum(±1) IS the
+    // count delta (added − removed), so the former two count
+    // aggregations + full-outer join collapse into a single hash
+    // aggregation whose shuffle carries only (hash, ±1 partial sums) —
+    // never payload bytes (r10's shape paid 2 groupBys + a full_outer
+    // + 2 joins + 2 groupBys; this is 1 groupBy + 1 join + 1 groupBy)
+    val tagged = added.withColumn("_side", lit(1L))
+      .unionByName(removed.withColumn("_side", lit(-1L)))
+      .withColumn("_h", key)
+    val delta = tagged.groupBy("_h").agg(sum(col("_side")).as("_d"))
       .where(col("_d") =!= 0)
     // surplus hashes pull |Δ| representative rows from the surplus side
     // (equal-hash rows are identical, so first() per column is exact).
@@ -2102,17 +2107,16 @@ object EsdbWriter {
     // append-heavy window can be huge) — AQE converts to broadcast at
     // runtime whenever the delta actually is small (the zero-churn
     // compaction case), so payload rows cross the network only when
-    // they appear in the feed
-    def side(src: DataFrame, positive: Boolean, label: String): DataFrame =
-      src.withColumn("_h", key)
-        .join(delta.where(if (positive) col("_d") > 0 else col("_d") < 0), "_h")
-        .groupBy("_h", "_d")
-        .agg(rowCols.map(c => first(col(c)).as(c)).head,
-          rowCols.map(c => first(col(c)).as(c)).tail: _*)
-        .withColumn("_rep", explode(sequence(lit(1L), abs(col("_d")))))
-        .select(rowCols.map(col): _*)
-        .withColumn("_change", lit(label))
-    side(added, positive = true, "insert")
-      .unionByName(side(removed, positive = false, "delete"))
+    // they appear in the feed; the sign filter drops the matched side
+    // BEFORE the representative aggregation ever shuffles a payload
+    tagged
+      .join(delta, "_h")
+      .where((col("_side") > 0) === (col("_d") > 0))
+      .groupBy("_h", "_d")
+      .agg(rowCols.map(c => first(col(c)).as(c)).head,
+        rowCols.map(c => first(col(c)).as(c)).tail: _*)
+      .withColumn("_rep", explode(sequence(lit(1L), abs(col("_d")))))
+      .withColumn("_change", when(col("_d") > 0, lit("insert")).otherwise(lit("delete")))
+      .select((rowCols :+ "_change").map(col): _*)
   }
 }

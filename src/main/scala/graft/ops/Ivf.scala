@@ -67,13 +67,33 @@ object Ivf {
     }: Unit
   }
 
-  /** Build-if-absent (idempotent, race-guarded within the JVM). */
+  private def indexExists(conf: org.apache.hadoop.conf.Configuration, path: String): Boolean = {
+    val root = new org.apache.hadoop.fs.Path(graft.engine.Publish.resolve(conf, path), "centroids")
+    root.getFileSystem(conf).exists(root)
+  }
+
+  /** Build-if-absent — idempotent ACROSS drivers, not just within the
+    * JVM: the `synchronized` only dedupes same-process callers; the
+    * cross-driver guarantee comes from the publish pointer. When two
+    * drivers race, both stage a build, exactly one pointer rename wins,
+    * and the loser's "publish conflict" here means a COMPLETE index
+    * committed first (the pointer is the commit) — so the loser adopts
+    * it instead of retrying a redundant rebuild or failing a job whose
+    * precondition just became true. A conflict with no index behind it
+    * (a different writer publishing non-index content to this path) is
+    * a real error and rethrows.
+    */
   def ensureIndex(corpus: DataFrame, path: String, nLists: Int = 16, seed: Long = 42L): Unit =
     synchronized {
       val conf = corpus.sparkSession.sparkContext.hadoopConfiguration
-      val root = new org.apache.hadoop.fs.Path(graft.engine.Publish.resolve(conf, path), "centroids")
-      if (!root.getFileSystem(conf).exists(root))
-        writeIndex(corpus, path, nLists, seed)
+      if (!indexExists(conf, path)) {
+        try writeIndex(corpus, path, nLists, seed)
+        catch {
+          case e: java.io.IOException if e.getMessage != null &&
+              e.getMessage.startsWith("publish conflict") =>
+            if (!indexExists(conf, path)) throw e
+        }
+      }
     }
 
   /** Probe a persisted index: exact-cosine top-k over the probed lists

@@ -224,6 +224,39 @@ class ChangesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("in-place appends surface at the next committed version — the documented cadence") {
+    val p = tmp("chginplace")
+    val ckpt = tmp("chginplaceck")
+    writeV1(p, mk(1 to 10))                                          // v1
+    EsdbWriter.appendVersioned(mk(20 to 24), p, keepVersions = 8)    // v2
+    def drain(): Long = {
+      val q = spark.readStream.format("esdbchanges")
+        .option("sinceVersion", "1").load(p)
+        .writeStream.format("parquet")
+        .option("path", s"$ckpt/out").option("checkpointLocation", s"$ckpt/ck")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000))
+      spark.read.parquet(s"$ckpt/out").count()
+    }
+    val afterV2 = drain()
+    assert(afterV2 == 5)
+    // a plain in-place append commits NO version: the stream's offset
+    // sequence is the publish history, so the rows are NOT yet visible
+    // to the feed — the contract EsdbChangesSource documents
+    EsdbWriter.append(mk(30 to 34), p)
+    assert(drain() == afterV2, "no publish, no new offset, no new feed rows")
+    // the next committed version's snapshot captures the in-place files
+    // alongside its own batch: both surface in one window
+    EsdbWriter.appendVersioned(mk(40 to 44), p, keepVersions = 8)    // v3
+    val rows = { drain(): Unit; spark.read.parquet(s"$ckpt/out") }
+    val inserts = rows.where(col("_change") === "insert")
+      .select("event_id").as[Long].collect().toSet
+    assert((30L to 34L).toSet.subsetOf(inserts), "in-place rows surface at v3")
+    assert((40L to 44L).toSet.subsetOf(inserts))
+    assert(rows.where(col("_change") === "delete").count() == 0)
+  }
+
   test("the feed window is the retention window: a swept base version fails loudly") {
     val p = tmp("chgswept")
     writeV1(p, mk(1 to 20))

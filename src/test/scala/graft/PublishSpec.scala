@@ -264,6 +264,33 @@ class PublishSpec extends SparkSpec {
     assert(EsdbWriter.readLog(spark, dir).count() == 13)
   }
 
+  test("racing IVF builders: the loser conflicts and ensureIndex adopts the winner's index") {
+    val docs = (0 until 40).map(i => (i.toLong, Array.tabulate(8)(d => (i * 8 + d).toFloat / 10f)))
+      .toDF("vec_id", "embedding")
+    val path = freshDir() + "/ivfrace"
+    // deterministic cross-driver interleave (same shape as the racing-
+    // appenders test): driver A stages its index build; mid-stage,
+    // driver B's ensureIndex builds AND commits first; A's pointer
+    // rename must conflict, never clobber B
+    val e = intercept[java.io.IOException] {
+      Publish.publish(hconf, path) { tmp =>
+        graft.ops.Ivf.ensureIndex(docs, path, nLists = 4) // B wins while A stages
+        val (assigned, centroids) = graft.ops.Ivf.buildIndex(docs, nLists = 4)
+        assigned.write.partitionBy("list").parquet(s"$tmp/assigned")
+        centroids.write.parquet(s"$tmp/centroids")
+      }
+    }
+    assert(e.getMessage.startsWith("publish conflict"), e.getMessage)
+    val v1 = Publish.resolve(hconf, path)
+    // A's recovery IS ensureIndex: the committed index satisfies the
+    // build-if-absent contract, so it adopts v1 — no redundant rebuild,
+    // no version bump, and probes work
+    graft.ops.Ivf.ensureIndex(docs, path, nLists = 4)
+    assert(Publish.resolve(hconf, path) == v1, "loser must adopt, not rebuild")
+    assert(graft.ops.Ivf.ivfTopKIndexed(spark, path, docs.limit(3), k = 5, nProbe = 2)
+      .count() > 0)
+  }
+
   test("IVF index publish: crashed build leaves no trusted index; rebuild commits v2") {
     val docs = (0 until 40).map(i => (i.toLong, Array.tabulate(8)(d => (i * 8 + d).toFloat / 10f)))
       .toDF("vec_id", "embedding")
