@@ -249,6 +249,44 @@ object Queries {
     p
   }
 
+  /** MERGE (upsert) fixture behind `store_merge_upsert`: store = raw
+    * events; source = every `event_id % 11 == 0` row with value bumped
+    * +1000 (updates) plus every `event_id % 17 == 0` row re-keyed
+    * +2e9 with value +5000 (inserts), driven through the CALL
+    * merge_keyed procedure. Replaying the same source is a fixed point
+    * (each re-merge replaces rows with identical content), so the
+    * fixture needs no once-only marker.
+    */
+  private def ensureMergedStore(s: SparkSession, dir: String): String = synchronized {
+    val key = dir.replaceAll("[^A-Za-z0-9_-]", "_")
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft-mergestore/$key"
+    val conf = s.sparkContext.hadoopConfiguration
+    if (graft.engine.Publish.currentVersion(conf, p).isEmpty) {
+      graft.engine.Publish.publish(conf, p, keepVersions = 4) { tmp =>
+        graft.engine.EsdbWriter.write(ev(s, dir), tmp)
+      }: Unit
+    }
+    // v1 = unmerged build (a crashed earlier run); the merge commits v2
+    if (graft.engine.Publish.currentVersion(conf, p).exists(_._1 < 2)) {
+      val base = ev(s, dir)
+      base.filter(col("event_id") % 11 === 0)
+        .withColumn("value", col("value") + 1000)
+        .unionByName(
+          base.filter(col("event_id") % 17 === 0)
+            .withColumn("event_id", col("event_id") + 2000000000L)
+            .withColumn("value", col("value") + 5000))
+        .createOrReplaceTempView("merge_upsert_src")
+      val name = new java.io.File(p).getName
+      s.conf.set("spark.sql.catalog.esdb_mrg", classOf[graft.sources.EsdbCatalog].getName)
+      s.conf.set("spark.sql.catalog.esdb_mrg.root", new java.io.File(p).getParent)
+      s.sql(
+        s"""CALL esdb_mrg.system.merge_keyed(
+           |  table => '$name', source => 'merge_upsert_src',
+           |  keys => 'event_id', keep_versions => 4)""".stripMargin): Unit
+    }
+    p
+  }
+
   /** Change-feed fixture: v1 = events with `event_id % 3 != 0`; an
     * in-place append of the complement; a predicate DELETE
     * (`value < PredDeleteCutoff`); then a FULL compaction that renames
@@ -701,6 +739,37 @@ object Queries {
               |       max(CASE WHEN value >= $UpdateCutoff THEN 0.0 ELSE value END) AS max_value,
               |       count(CASE WHEN (CASE WHEN value >= $UpdateCutoff THEN '{}' ELSE props END) = '{}' THEN 1 END) AS n_redacted
               |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // keyed MERGE (upsert, X26): matched rows replaced by their source
+    // row, unmatched source rows inserted, one version commit — driven
+    // through the CALL merge_keyed SQL surface. The oracle recomputes
+    // the same upsert over raw events (CASE for updates, UNION for
+    // inserts), proving replacement exact, inserts complete, and
+    // nothing else touched
+    QuerySpec("store_merge_upsert",
+      (s, d) => {
+        val p = ensureMergedStore(s, d)
+        graft.engine.EsdbWriter.readOrdered(s, p)
+          .groupBy("space")
+          .agg(count(lit(1)).as("n_events"),
+            sum(round(col("value") * 100).cast("long")).as("sum_cents"),
+            max("event_id").as("max_event_id"))
+          .orderBy("space")
+      },
+      Some("""WITH merged AS (
+             |  SELECT event_type AS space,
+             |         CASE WHEN event_id % 11 = 0 THEN value + 1000 ELSE value END AS value,
+             |         event_id
+             |  FROM events
+             |  UNION ALL
+             |  SELECT event_type AS space, value + 5000 AS value,
+             |         event_id + 2000000000 AS event_id
+             |  FROM events WHERE event_id % 17 = 0
+             |)
+             |SELECT space, count(*) AS n_events,
+             |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents,
+             |       max(event_id) AS max_event_id
+             |FROM merged GROUP BY space ORDER BY space""".stripMargin)),
 
     // the same scan issued as PURE SQL TEXT through the catalog plugin
     // (EsdbCatalog): the store is a named table, the predicate pushes

@@ -864,6 +864,161 @@ object EsdbWriter {
     }
   }
 
+  /** Keyed MERGE (upsert) — the third member of the DML triad next to
+    * [[deleteWhere]]/[[updateWhere]]: target rows whose key tuple
+    * appears in `source` are REPLACED by the source row; source rows
+    * matching no target row are INSERTED. One atomic version commit.
+    *
+    * Scale shape (the copy-on-write discipline of the other two):
+    *  - source key bounds — an IN-list for small key sets, min/max
+    *    ranges otherwise — classify every file by footer stats in one
+    *    parallel footer round; only possibly-matching files rewrite,
+    *    the rest carry byte-for-byte. On a store `clusterBy`-ed on the
+    *    merge keys (X23) the rewrite footprint therefore tracks the
+    *    source's key-range selectivity, the same way predicate
+    *    DELETE/UPDATE do.
+    *  - the matched-row replacement is a LEFT ANTI join of the
+    *    footprint against the source's distinct key tuples —
+    *    churn-sized, AQE broadcasts it when small.
+    *  - inserts are the source rows themselves, landing in the same
+    *    written file set (idx_* recomputed from the payload; missing
+    *    evolved columns null-fill; field IDs re-stamped).
+    *
+    * Contract: source key tuples must be UNIQUE (a duplicate would
+    * make the upsert nondeterministic — refused loudly, like the
+    * reference refuses ambiguous writes) and non-null; source columns
+    * must be a subset of the store's (ALTER first for new columns).
+    * Target rows with null keys never match (SQL semantics) and are
+    * always carried. Returns (matchedReplaced, inserted).
+    */
+  def mergeInto(spark: SparkSession, path: String, source: DataFrame,
+                keys: Seq[String], keepVersions: Int = 1): (Long, Long) = {
+    require(!isSealed(path), s"store at $path is sealed (immutable; no rewrites)")
+    require(keys.nonEmpty, "MERGE requires at least one key column")
+    GraftSession.tune(spark)
+    val conf = hconf(spark)
+    val src = dataRoot(spark, path)
+    val storeSchema = FieldIds.active(
+      schemaManifest(conf, src).getOrElse(readFullWidth(spark, src).schema))
+    val storeCols = storeSchema.fieldNames.filterNot(_ == "bucket").toSet
+    val badKeys = keys.filterNot(k => storeCols(k) && source.columns.contains(k))
+    require(badKeys.isEmpty,
+      s"MERGE key(s) missing from store or source: ${badKeys.mkString(", ")}")
+    val extra = source.columns.filterNot(storeCols)
+    require(extra.isEmpty,
+      s"MERGE source has column(s) the store lacks: ${extra.mkString(", ")} — " +
+        "ALTER TABLE ADD COLUMNS first (additive evolution), then merge")
+    // one source pass: duplicate/null key tuples refuse before any IO
+    val stats = source.agg(
+      count(lit(1)).as("n"),
+      count_distinct(col(keys.head), keys.tail.map(col): _*).as("nd"),
+      count(when(keys.map(col(_).isNull).reduce(_ || _), lit(1))).as("nulls")).head()
+    val (nSrc, nDistinct, nNullKeys) = (stats.getLong(0), stats.getLong(1), stats.getLong(2))
+    require(nNullKeys == 0, s"MERGE source has $nNullKeys row(s) with null key — " +
+      "null never matches; filter them or fix the key")
+    require(nDistinct == nSrc, s"MERGE source has ${nSrc - nDistinct} duplicate key " +
+      "tuple(s) — an upsert with two source rows for one key is nondeterministic")
+    if (nSrc == 0) return (0L, 0L)
+    // conservative per-key footprint filters: exact IN-list when the
+    // key set is small (footer stats check each value), min/max ranges
+    // otherwise — footers only, no data pages
+    val InListCap = 10000L
+    val filters: Seq[org.apache.spark.sql.sources.Filter] =
+      if (keys.size == 1 && nDistinct <= InListCap) {
+        val vs = source.select(keys.head).distinct().collect().map(_.get(0))
+        Seq(org.apache.spark.sql.sources.In(keys.head, vs))
+      } else keys.flatMap { k =>
+        val mm = source.agg(min(col(k)), max(col(k))).head()
+        Seq(org.apache.spark.sql.sources.GreaterThanOrEqual(k, mm.get(0)),
+          org.apache.spark.sql.sources.LessThanOrEqual(k, mm.get(1)))
+      }
+    val srcPath = new org.apache.hadoop.fs.Path(src)
+    val fs = srcPath.getFileSystem(conf)
+    val subparts = subpartsOf(conf, src)
+    val spaceDirs = fs.listStatus(srcPath).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("space="))
+    val files: Seq[(String, org.apache.hadoop.fs.FileStatus, String)] = spaceDirs.flatMap { d =>
+      val sp = graft.sources.EsdbStoreSource
+        .unescapePathName(d.getPath.getName.drop("space=".length))
+      relativeDataFiles(fs, d.getPath).map { case (rel, f) => (rel, f, sp) }
+    }
+    val classified = {
+      import scala.collection.parallel.CollectionConverters._
+      files.toVector.par
+        .map { case (rel, f, sp) =>
+          (rel, f, DeleteWhere.fileMayMatch(conf, f.getPath, Some(sp), filters))
+        }
+        .toVector
+    }
+    val (rewrite, carry) = classified.partition(_._3)
+    // align the source to the store's width ONCE: idx_* recomputed from
+    // the payload (write-time index contract), evolved columns
+    // null-fill, field-ID metadata carried from the store schema
+    val indexAttrs = storeSchema.fieldNames.filter(_.startsWith("idx_"))
+      .map(_.stripPrefix("idx_")).toSeq
+    def alignSource(): DataFrame = {
+      val withIdx = indexAttrs.foldLeft(source) { (df, a) =>
+        df.withColumn(s"idx_$a", EventFrame.attr(a))
+      }
+      withIdx.select(storeSchema.fields.filterNot(_.name == "bucket").map { f =>
+        (if (withIdx.columns.contains(f.name)) col(f.name).cast(f.dataType)
+        else lit(null).cast(f.dataType)).as(f.name, f.metadata)
+      }.toSeq: _*)
+    }
+    val srcKeys = source.select(keys.map(col): _*).distinct()
+    var replacedRows = 0L
+    var matchedKeys = 0L
+    Publish.publish(conf, path, keepVersions) { tmp =>
+      val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+      val inserts = alignSource()
+      val (replaced, footprintBytes) =
+        if (rewrite.isEmpty) (inserts, 0L)
+        else {
+          val df = readFullWidth(spark, src, rewrite.map(_._2.getPath.toString))
+          // a key may match several target rows (keys need not be a
+          // target PK): replaced counts target rows, inserted counts
+          // source rows whose key matched nothing
+          replacedRows = df.join(srcKeys, keys, "left_semi").count()
+          matchedKeys = srcKeys.join(df, keys, "left_semi").count()
+          val kept = df.join(srcKeys, keys, "left_anti")
+          (kept.unionByName(inserts, allowMissingColumns = true),
+            rewrite.map(_._2.getLen).sum)
+        }
+      val cl = clusterChunksFor(clusterOf(conf, src),
+        footprintBytes, math.max(1L, classified.map(_._2.getLen).sum))
+      write(if (replaced.columns.contains("bucket")) replaced.drop("bucket") else replaced,
+        tmp, subparts = subparts, clusterBy = cl._1, clusterChunks = math.max(1, cl._2),
+        assignFieldIds = false)
+      carry.foreach { case (rel, f, _) =>
+        val dst = new org.apache.hadoop.fs.Path(tmpPath, rel)
+        fs.mkdirs(dst.getParent)
+        org.apache.hadoop.fs.FileUtil.copy(fs, f.getPath, fs, dst, false, conf): Unit
+      }
+      val oldTs = new org.apache.hadoop.fs.Path(srcPath, TsRangeManifest)
+      if (carry.nonEmpty && fs.exists(oldTs)) {
+        val dst = new org.apache.hadoop.fs.Path(tmpPath, TsRangeManifest)
+        fs.mkdirs(dst)
+        fs.listStatus(oldTs).toSeq
+          .filter(f => f.isFile && f.getLen > 0 &&
+            !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+          .foreach { f =>
+            org.apache.hadoop.fs.FileUtil.copy(fs, f.getPath, fs,
+              new org.apache.hadoop.fs.Path(dst, s"carry-${f.getPath.getName}"), false, conf): Unit
+          }
+      }
+      // schema sidecar survives (merge never narrows the schema)
+      schemaManifest(conf, src).foreach { old =>
+        schemaManifest(conf, tmp) match {
+          case Some(cur) => writeSchemaManifest(conf, tmp, unionSchemas(cur, old))
+          case None => writeSchemaManifest(conf, tmp, old)
+        }
+      }
+      // inserts can open new groupings: rebuild from the new state
+      writeGroupingsManifest(spark, tmp, SaveMode.Overwrite)
+    }: Unit
+    (replacedRows, nSrc - matchedKeys)
+  }
+
   /** Shared copy-on-write core of [[deleteWhere]] and [[updateWhere]]:
     * translate the conjunction, classify every data file by footer
     * stats (one parallel footer round, no data pages), rewrite only

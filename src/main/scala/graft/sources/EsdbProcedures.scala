@@ -22,7 +22,7 @@ object EsdbProcedures {
 
   val names: Seq[String] =
     Seq("compact", "compact_incremental", "compact_log", "vacuum", "seal", "rollback",
-      "update_where")
+      "update_where", "merge_keyed")
 
   private def p(name: String, dt: org.apache.spark.sql.types.DataType,
                 default: Option[String] = None,
@@ -114,6 +114,29 @@ object EsdbProcedures {
         val rewrote = UpdateSql.updateWhere(SparkSession.active, path(t),
           in.getUTF8String(1).toString, in.getUTF8String(2).toString, in.getInt(3))
         Seq(row(UTF8String.fromString(t), rewrote, version(t)))
+      }
+      case "merge_keyed" => proc("merge_keyed",
+        Seq(p("table", StringType),
+          p("source", StringType,
+            comment = "source rows: a table/view name, or a SELECT query"),
+          p("keys", StringType, comment = "comma-separated merge key column(s)"),
+          p("keep_versions", IntegerType, Some("1"))),
+        StructType(Seq(StructField("table", StringType),
+          StructField("replaced", LongType), StructField("inserted", LongType),
+          StructField("version", LongType))),
+        "keyed MERGE (upsert): target rows matching a source key are replaced, " +
+          "unmatched source rows insert; footer stats bound the rewrite footprint") { in =>
+        val t = in.getUTF8String(0).toString
+        val srcSpec = in.getUTF8String(1).toString.trim
+        val spark = SparkSession.active
+        val source =
+          if (srcSpec.toLowerCase.startsWith("select ") ||
+              srcSpec.toLowerCase.startsWith("with ")) spark.sql(srcSpec)
+          else spark.table(srcSpec)
+        val keys = in.getUTF8String(2).toString.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val (replaced, inserted) = EsdbWriter.mergeInto(
+          spark, path(t), source, keys, in.getInt(3))
+        Seq(row(UTF8String.fromString(t), replaced, inserted, version(t)))
       }
       case other => throw new UnsupportedOperationException(
         s"unknown procedure $other; available: ${names.mkString(", ")}")
