@@ -1707,9 +1707,14 @@ object EsdbWriter {
     def sweepStaged(): Unit = fs.listStatus(root).toSeq
       .filter(d => d.isDirectory && d.getPath.getName.startsWith("space="))
       .foreach { d =>
-        fs.listStatus(d.getPath).toSeq
-          .filter(f => f.isFile && f.getPath.getName.startsWith(s".stream-$epochId-"))
-          .foreach(f => fs.delete(f.getPath, false): Unit)
+        fs.listStatus(d.getPath).toSeq.foreach { c =>
+          if (c.isFile && c.getPath.getName.startsWith(s".stream-$epochId-"))
+            fs.delete(c.getPath, false): Unit
+          else if (c.isDirectory && c.getPath.getName.startsWith("bucket="))
+            fs.listStatus(c.getPath).toSeq
+              .filter(f => f.isFile && f.getPath.getName.startsWith(s".stream-$epochId-"))
+              .foreach(f => fs.delete(f.getPath, false): Unit)
+        }
       }
     if (LogCommits.committedEpochs(fs, root).contains(epochId)) {
       sweepStaged() // the replay's duplicates; the committed epoch stands

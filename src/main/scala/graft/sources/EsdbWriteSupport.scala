@@ -85,9 +85,7 @@ final class EsdbWriteBuilder(logicalPath: String, tableSchema: StructType,
               s"store streaming sink requires a $n ${dt.simpleString} column")
           }
           val root = graft.engine.Publish.resolve(conf, logicalPath)
-          require(graft.engine.EsdbWriter.subpartsOf(conf, root) == 1,
-            "store streaming sink covers flat stores; a subpartitioned store " +
-              "streams through StreamIngest.sinkStore (foreachBatch) for now")
+          val subparts = graft.engine.EsdbWriter.subpartsOf(conf, root)
           val base = graft.engine.EsdbWriter.schemaManifest(conf, root)
           // the write-time index contract (space_writer.go:47-49) holds
           // for streamed batches too: every idx_* column the store (or
@@ -117,7 +115,7 @@ final class EsdbWriteBuilder(logicalPath: String, tableSchema: StructType,
           val fileSchema = StructType(full.filterNot(_.name == "space"))
           EsdbRowParquetWriter.messageType(fileSchema): Unit
           new EsdbStoreStreamingWrite(logicalPath, writeSchema, fileSchema,
-            StructType(full), indexAttrs)
+            StructType(full), indexAttrs, subparts)
         }
       }
     }
@@ -324,13 +322,22 @@ final case class EsdbStoreFilesMessage(files: Seq[String],
   * not value-clustered (a micro-batch can't see the domain); stats
   * pruning stays CORRECT (footer min/max still bound each file) and
   * the next compaction re-clusters them.
+  *
+  * Subpartitioned stores (`subparts > 1`) stream too: a grouping's
+  * bucket is the same pure hash the batch writer uses
+  * ([[graft.engine.EsdbWriter.bucketOf]]), so the task keeps one open
+  * file per bucket of the CURRENT space (≤ subparts writers at once)
+  * and routes each row — a bucket's subsequence of the task's
+  * (grouping, ts desc, id)-sorted run is itself sorted, so the
+  * per-file invariant and grouping-pinned bucket pruning both hold.
   */
 final class EsdbStoreStreamingWrite(logicalPath: String, inputSchema: StructType,
                                     fileSchema: StructType, manifestSchema: StructType,
-                                    indexAttrs: Seq[String]) extends StreamingWrite {
+                                    indexAttrs: Seq[String],
+                                    subparts: Int) extends StreamingWrite {
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new EsdbStoreWriterFactory(logicalPath, inputSchema, fileSchema, indexAttrs,
+    new EsdbStoreWriterFactory(logicalPath, inputSchema, fileSchema, indexAttrs, subparts,
       new SerializableConfiguration(EsdbVectorReader.sessionConf()))
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -356,6 +363,7 @@ final class EsdbStoreStreamingWrite(logicalPath: String, inputSchema: StructType
 
 final class EsdbStoreWriterFactory(logicalPath: String, inputSchema: StructType,
                                    fileSchema: StructType, indexAttrs: Seq[String],
+                                   subparts: Int,
                                    conf: SerializableConfiguration)
   extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
@@ -370,18 +378,20 @@ final class EsdbStoreWriterFactory(logicalPath: String, inputSchema: StructType,
     fs.mkdirs(root)
     val marker = new Path(new Path(root, graft.engine.LogCommits.Dir), s"$epochId.commit")
     if (fs.exists(marker)) new EsdbNoopStreamWriter
-    else new EsdbStoreDataWriter(root, inputSchema, fileSchema, indexAttrs,
+    else new EsdbStoreDataWriter(root, inputSchema, fileSchema, indexAttrs, subparts,
       epochId, partitionId, hconf)
   }
 }
 
 /** Writes one task's micro-batch partition as one dot-staged file per
-  * space run. Rows arrive sorted with `space` leading (the sink's
-  * required ordering), so file rotation is a plain value-change check
-  * and each space yields exactly one file per task per epoch.
+  * (space run × bucket). Rows arrive sorted with `space` leading (the
+  * sink's required ordering), so space rotation is a plain value-change
+  * check; within a space, `subparts` writers stay open at most and each
+  * row routes to its grouping's hash bucket.
   */
 final class EsdbStoreDataWriter(root: Path, inputSchema: StructType,
                                 fileSchema: StructType, indexAttrs: Seq[String],
+                                subparts: Int,
                                 epochId: Long, partitionId: Int,
                                 conf: org.apache.hadoop.conf.Configuration)
   extends DataWriter[InternalRow] {
@@ -407,48 +417,67 @@ final class EsdbStoreDataWriter(root: Path, inputSchema: StructType,
   }
 
   private val fs = root.getFileSystem(conf)
-  private var writer: org.apache.parquet.hadoop.ParquetWriter[InternalRow] = _
+  // one open writer per bucket of the CURRENT space (flat store: one)
+  private val writers =
+    new Array[org.apache.parquet.hadoop.ParquetWriter[InternalRow]](subparts)
   private var currentSpace: org.apache.spark.unsafe.types.UTF8String = _
   private var currentGrouping: org.apache.spark.unsafe.types.UTF8String = _
+  private var currentBucket: Int = 0
   private val staged = scala.collection.mutable.ArrayBuffer.empty[String]
   private val pairs = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+
+  private def closeAll(): Unit = {
+    var b = 0
+    while (b < subparts) {
+      if (writers(b) != null) { writers(b).close(); writers(b) = null }
+      b += 1
+    }
+  }
+
+  private def openBucket(bucket: Int): org.apache.parquet.hadoop.ParquetWriter[InternalRow] = {
+    val spaceDir = new Path(root,
+      "space=" + ExternalCatalogUtils.escapePathName(currentSpace.toString))
+    val dir = if (subparts == 1) spaceDir else new Path(spaceDir, s"bucket=$bucket")
+    fs.mkdirs(dir)
+    val file = new Path(dir, f".stream-$epochId-p$partitionId%05d-" +
+      java.util.UUID.randomUUID().toString.take(8) + ".parquet")
+    staged += (if (subparts == 1) s"${spaceDir.getName}/${file.getName}"
+      else s"${spaceDir.getName}/${dir.getName}/${file.getName}")
+    EsdbRowParquetWriter.open(file, fileSchema, conf,
+      bloomCols = indexAttrs.map("idx_" + _))
+  }
 
   override def write(row: InternalRow): Unit = {
     val space = row.getUTF8String(spaceOrd)
     val grouping = row.getUTF8String(groupingOrd)
     if (space == null || grouping == null) throw new IllegalArgumentException(
       "store events require non-null space and grouping")
-    if (writer == null || !space.equals(currentSpace)) {
-      if (writer != null) writer.close()
+    if (currentSpace == null || !space.equals(currentSpace)) {
+      closeAll() // space runs are contiguous: the previous space is done
       currentSpace = space.clone()
       currentGrouping = null
-      val dir = new Path(root,
-        "space=" + ExternalCatalogUtils.escapePathName(space.toString))
-      fs.mkdirs(dir)
-      val file = new Path(dir, f".stream-$epochId-p$partitionId%05d-" +
-        java.util.UUID.randomUUID().toString.take(8) + ".parquet")
-      writer = EsdbRowParquetWriter.open(file, fileSchema, conf,
-        bloomCols = indexAttrs.map("idx_" + _))
-      staged += s"${dir.getName}/${file.getName}"
     }
     // rows sort (space, grouping, …), so distinct pairs are contiguous
-    // runs: O(#pairs) bookkeeping, no per-row set insertion
+    // runs: O(#pairs) bookkeeping, no per-row set insertion — and the
+    // bucket only changes when the grouping does (it is a pure hash)
     if (currentGrouping == null || !grouping.equals(currentGrouping)) {
       currentGrouping = grouping.clone()
       pairs += ((currentSpace.toString, currentGrouping.toString))
+      currentBucket =
+        if (subparts == 1) 0
+        else graft.engine.EsdbWriter.bucketOf(currentGrouping.toString, subparts)
     }
-    writer.write(project(row))
+    if (writers(currentBucket) == null) writers(currentBucket) = openBucket(currentBucket)
+    writers(currentBucket).write(project(row))
   }
 
   override def commit(): WriterCommitMessage = {
-    if (writer != null) writer.close()
-    writer = null
+    closeAll()
     EsdbStoreFilesMessage(staged.toSeq, pairs.toSeq)
   }
 
   override def abort(): Unit = {
-    if (writer != null) { try writer.close() catch { case _: Exception => () } }
-    writer = null
+    try closeAll() catch { case _: Exception => () }
     staged.foreach(f => fs.delete(new Path(root, f), false): Unit)
   }
 

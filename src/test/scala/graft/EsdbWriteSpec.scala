@@ -377,8 +377,7 @@ class EsdbWriteSpec extends SparkSpec {
     assert(EsdbWriter.readOrdered(spark, path).count() == 30 + n)
   }
 
-  test("the store sink refuses sealed and subpartitioned stores") {
-    // sealed
+  test("the store sink refuses a sealed store") {
     val sealedPath = freshDir("storesinkseal")
     EsdbWriter.write(ev(1 to 10), sealedPath)
     EsdbWriter.seal(spark, sealedPath, "k")
@@ -394,22 +393,38 @@ class EsdbWriteSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("closed") ||
       Option(e.getCause).exists(_.getMessage.contains("closed")), e.getMessage)
+  }
 
-    // subpartitioned: refused at query start with the foreachBatch pointer
+  test("the store sink streams into a SUBPARTITIONED store: bucket routing + pruning hold") {
     val subPath = freshDir("storesinksub")
     EsdbWriter.write(ev(1 to 40), subPath, subparts = 2)
-    val mem2 = memStream()
-    val src2 = mem2.toDF.toDF("space", "grouping", "ts_us", "event_id", "value", "payload", "idx_k")
+    val mem = memStream()
+    val src = mem.toDF.toDF("space", "grouping", "ts_us", "event_id", "value", "payload", "idx_k")
       .drop("idx_k")
-    mem2.addData(storeRows(41 to 42): _*)
-    val q2 = src2.writeStream.format("esdb").option("path", subPath)
+    mem.addData(storeRows(41 to 120): _*)
+    val q = src.writeStream.format("esdb").option("path", subPath)
       .option("checkpointLocation", freshDir("storesinksub-ckpt"))
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    val e2 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
-      q2.awaitTermination(120000)
-    }
-    assert(e2.getMessage.contains("subpartitioned") ||
-      Option(e2.getCause).exists(_.getMessage.contains("subpartitioned")), e2.getMessage)
+    assert(q.awaitTermination(120000))
+
+    val all = EsdbWriter.readOrdered(spark, subPath)
+    assert(all.count() == 120)
+    // streamed files landed in the grouping-hash bucket dirs, finalized
+    val spaceDirs = new java.io.File(subPath).listFiles()
+      .filter(_.getName.startsWith("space="))
+    val bucketFiles = spaceDirs.flatMap(_.listFiles())
+      .filter(d => d.isDirectory && d.getName.startsWith("bucket="))
+      .flatMap(_.listFiles()).map(_.getName)
+    assert(bucketFiles.exists(_.startsWith("stream-")), "epoch files must be in bucket dirs")
+    assert(!bucketFiles.exists(n => n.startsWith(".stream-") && !n.endsWith(".crc")))
+    // every grouping's rows live in its ONE hash bucket: the pinned scan
+    // (which prunes to that bucket) must see the full history
+    val scan = EventStore.scan(all, "s1", "g3")
+    val got = scan.select("event_id").collect().map(_.getLong(0)).toSet
+    val want = (1 to 120).filter(i => i % 3 == 1 && i % 7 == 3).map(_.toLong).toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(!hasSortNode(plan), "bucketed streamed files must keep the sorted layout:\n" + plan)
   }
 
   test("appends to a sealed stream are refused through the DSv2 path too") {
