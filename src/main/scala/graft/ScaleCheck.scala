@@ -594,6 +594,28 @@ object ScaleCheck {
     Seq(chg1, chg10).foreach(p => engine.EsdbWriter.compact(spark, p, keepVersions = 8)) // v4
     println(f"${"changes_zero_churn_compact"}%-20s ${feed(chg1, 3L)}%8.2f ${feed(chg10, 3L)}%8.2f   (hash-only pass, no payload shuffle)")
 
+    // ---- X26: keyed MERGE. On a key-interleaved layout every file's
+    // id range admits a match (full footprint — what any CoW engine
+    // pays); clusterBy on the merge key bounds the rewrite to the
+    // source's key slice, same lever as X23
+    def buildMrg(src: String, out: String, clustered: Boolean): String = {
+      engine.EsdbWriter.write(frame(src), fresh(out),
+        clusterBy = if (clustered) Seq("event_id") else Nil, clusterChunks = 16)
+      out
+    }
+    val mrgSource = spark.range(500).select(
+      lit("click").as("space"), lit("mg").as("grouping"),
+      (col("id") * 1000L).as("ts_us"), (col("id") + 3L).as("event_id"),
+      lit(1.5).as("value"), lit("{}").as("payload"))
+    def timeMerge(p: String): Double =
+      timed { engine.EsdbWriter.mergeInto(spark, p, mrgSource, Seq("event_id")): Unit }
+    timeMerge(buildMrg(sfDir, s"$bigDir/mrg_warm", clustered = false))
+    val m1 = timeMerge(buildMrg(sfDir, s"$bigDir/mrg_1x", clustered = false))
+    val m10 = timeMerge(buildMrg(bigDir, s"$bigDir/mrg_10x", clustered = false))
+    println(f"${"merge_interleaved_key"}%-24s $m1%8.2f $m10%8.2f ${m10 / m1}%5.1f (footprint = every overlapping file)")
+    val mc10 = timeMerge(buildMrg(bigDir, s"$bigDir/mrg_clu10", clustered = true))
+    println(f"${"merge_key_clustered_10x"}%-24s ${"-"}%8s $mc10%8.2f ${m10 / mc10}%5.1fx cheaper (footprint = the key slice)")
+
     // ---- X25: rename/drop are one sidecar write — flat at any scale
     def buildIded(src: String, out: String): String = {
       engine.EsdbWriter.write(frame(src).withColumn("note", lit("n")), fresh(out))
