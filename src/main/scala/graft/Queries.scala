@@ -47,6 +47,11 @@ object Queries {
     * chunk files and rewrite only the top range.
     */
   val ClusterCutoff = 200.0
+  /** ts_us cutoff for the Z-order fixture's delete — the last ~quarter
+    * of the events table's January-2024 window, i.e. a predicate on the
+    * SECOND clustering column (what a range curve cannot prune).
+    */
+  val ZorderTsCutoff = 1706011200000000L
   /** Hashed bag-of-words width for the quality-classifier trainer — an
     * honest model size (the weight vector is the literal the scoring
     * expression indexes; the oracle mirrors the same modulus).
@@ -216,6 +221,31 @@ object Queries {
     }
     graft.engine.EsdbWriter.deleteWhere(s, p,
       Seq(org.apache.spark.sql.sources.GreaterThanOrEqual("value", ClusterCutoff)))
+    p
+  }
+
+  /** Z-ORDER clustered store (`clusterBy = (value, ts_us)`,
+    * `clusterCurve = "zorder"`): files range-partition on the
+    * bit-interleaved quantile ranks of BOTH columns, so each file's
+    * footer min/max is narrow on each dimension independently. The
+    * fixture then deletes a trailing ts window — a predicate on the
+    * SECOND clustering column, exactly what a lexicographic range
+    * curve cannot prune — and the footer-stats classification carries
+    * the out-of-window files. Idempotent like [[ensureClusteredStore]]:
+    * post-delete stats prove a re-run a no-op.
+    */
+  private def ensureZorderStore(s: SparkSession, dir: String): String = synchronized {
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft-zorderstore/$key"
+    val conf = s.sparkContext.hadoopConfiguration
+    if (graft.engine.Publish.currentVersion(conf, p).isEmpty) {
+      graft.engine.Publish.publish(conf, p) { tmp =>
+        graft.engine.EsdbWriter.write(ev(s, dir), tmp,
+          clusterBy = Seq("value", "ts_us"), clusterChunks = 8, clusterCurve = "zorder")
+      }: Unit
+    }
+    graft.engine.EsdbWriter.deleteWhere(s, p,
+      Seq(org.apache.spark.sql.sources.GreaterThanOrEqual("ts_us", ZorderTsCutoff)))
     p
   }
 
@@ -646,6 +676,27 @@ object Queries {
               |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents,
               |       max(value) AS max_value
               |FROM events WHERE value < $ClusterCutoff OR value IS NULL
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Z-order clustering (X27): the same selectivity-priced delete as
+    // store_cluster_pruning, but on the SECOND clustering column — the
+    // dimension a lexicographic range curve leaves unprunable. The
+    // oracle pins the surviving content exactly; ClusterSpec separately
+    // proves the carried-file counts and per-dimension footer spans
+    QuerySpec("store_zorder_pruning",
+      (s, d) => {
+        val p = ensureZorderStore(s, d)
+        graft.engine.EsdbWriter.readOrdered(s, p)
+          .groupBy("space")
+          .agg(count(lit(1)).as("n_events"),
+            sum(round(col("value") * 100).cast("long")).as("sum_cents"),
+            max(col("ts_us")).as("max_ts_us"))
+          .orderBy("space")
+      },
+      Some(s"""SELECT event_type AS space, count(*) AS n_events,
+              |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents,
+              |       max(epoch_us(ts)) AS max_ts_us
+              |FROM events WHERE epoch_us(ts) < $ZorderTsCutoff OR ts IS NULL
               |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // rewrite-surviving row-level change feed: after append + DELETE +

@@ -200,8 +200,8 @@ object EsdbWriter {
     * both write() and append() so create and append can never diverge.
     */
   private def partitionForWrite(indexed: DataFrame, subparts: Int,
-                                cluster: (Seq[String], Int) = (Nil, 0)): (DataFrame, Seq[String]) = {
-    val (clusterCols, clusterChunks) = cluster
+                                cluster: Clustering = Clustering.none): (DataFrame, Seq[String]) = {
+    val Clustering(clusterCols, clusterChunks, clusterCurve) = cluster
     // Value-domain clustering is ACROSS files, never within: rows
     // range-partition on (space[, bucket], clusterCols) so each output
     // file's footer min/max on the declared columns covers a narrow,
@@ -215,8 +215,23 @@ object EsdbWriter {
     // blocks making point predicates sub-linear (sst/writer.go:48-50).
     def ranged(df: DataFrame, keys: Seq[org.apache.spark.sql.Column]): DataFrame =
       if (clusterCols.isEmpty) df.repartition(keys: _*)
-      else df.repartitionByRange(math.max(1, clusterChunks),
-        keys ++ clusterCols.map(col): _*)
+      else {
+        val curveCols =
+          if (clusterCurve == "zorder") {
+            // keep only the ceil(log2 chunks) LEADING bits of the
+            // z-value: chunk boundaries then land exactly on Z-blocks
+            // (axis-aligned rank rectangles) instead of wherever the
+            // row-count quantiles happen to cut the curve — the
+            // difference between "each file is a rectangle of the
+            // domain" and "boundary files straddle two rectangles"
+            val totalBits = ZorderBits * clusterCols.size
+            val keepBits = 32 - Integer.numberOfLeadingZeros(math.max(1, clusterChunks) - 1)
+            Seq(shiftright(zorderColumn(df, clusterCols),
+              math.max(0, totalBits - keepBits)))
+          }
+          else clusterCols.map(col)
+        df.repartitionByRange(math.max(1, clusterChunks), keys ++ curveCols: _*)
+      }
     if (subparts == 1)
       (ranged(indexed, Seq(col("space")))
         .sortWithinPartitions(col("space"), col("grouping"), col("ts_us").desc, col("event_id").asc),
@@ -275,43 +290,73 @@ object EsdbWriter {
     }
   }
 
-  /** Value-domain clustering a store was created with: (columns, chunk
-    * count), or (Nil, 0) for an unclustered store. Fixed at creation
+  /** Value-domain clustering declaration: columns, chunk count, and the
+    * space-filling CURVE files range-partition along —
+    *  - `range` (default): lexicographic `repartitionByRange` on the
+    *    declared columns. The FIRST column's per-file min/max is
+    *    narrow; later columns only prune within a leading-column tie.
+    *  - `zorder`: files range-partition on the bit-interleaved
+    *    quantile ranks of ALL declared columns, so EVERY column's
+    *    per-file min/max is narrow — balanced multi-predicate pruning
+    *    (the classic Z-order layout), at the price of each single
+    *    column pruning a bit less sharply than it would leading a
+    *    range curve. Numeric columns only (2-4 of them).
+    * Pruning needs no reader or stats changes either way: footer
+    * min/max per column is what [[DeleteWhere.fileMayMatch]] and the
+    * scan-level stats pruning already consume.
+    */
+  final case class Clustering(cols: Seq[String], chunks: Int, curve: String = "range") {
+    def isEmpty: Boolean = cols.isEmpty
+    def nonEmpty: Boolean = cols.nonEmpty
+  }
+  object Clustering {
+    val none: Clustering = Clustering(Nil, 0)
+    val Curves = Set("range", "zorder")
+  }
+
+  /** Value-domain clustering a store was created with ([[Clustering.none]]
+    * for an unclustered store). Fixed at creation
     * like [[subpartsOf]]: appends, compaction, and copy-on-write
     * rewrites all re-cluster on the same declaration, so the footer
     * min/max disjointness that prices predicate DELETE/UPDATE by
     * selectivity is a durable property of the store, not of one write.
     */
   def clusterOf(conf: org.apache.hadoop.conf.Configuration,
-                root: String): (Seq[String], Int) = {
+                root: String): Clustering = {
     val m = new org.apache.hadoop.fs.Path(root, ClusterMarker)
     val fs = m.getFileSystem(conf)
-    if (!fs.exists(m)) (Nil, 0)
+    if (!fs.exists(m)) Clustering.none
     else {
       val in = fs.open(m)
       val txt = try new String(
         org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim
       finally in.close()
+      def cols(s: String) = s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
       txt.split("\n").toList match {
-        case chunks :: cols :: Nil if chunks.trim.forall(_.isDigit) && chunks.trim.nonEmpty =>
-          (cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq, chunks.trim.toInt)
+        // pre-r11 two-line markers are range-curve by construction
+        case chunks :: cs :: Nil if chunks.trim.forall(_.isDigit) && chunks.trim.nonEmpty =>
+          Clustering(cols(cs), chunks.trim.toInt)
+        case chunks :: cs :: curve :: Nil if chunks.trim.forall(_.isDigit) &&
+            chunks.trim.nonEmpty && Clustering.Curves(curve.trim) =>
+          Clustering(cols(cs), chunks.trim.toInt, curve.trim)
         case _ =>
           // a corrupt marker must FAIL, not silently decluster: falling
-          // back to (Nil, 0) would quietly degrade the store's durable
+          // back to unclustered would quietly degrade the store's durable
           // clustering property on every subsequent append/rewrite
           throw new IllegalStateException(
-            s"unparseable cluster marker at $m — expected '<chunks>\\n<col,…>', " +
+            s"unparseable cluster marker at $m — expected '<chunks>\\n<col,…>[\\n<curve>]', " +
               s"got ${txt.take(80).replace("\n", "\\n")}")
       }
     }
   }
 
   private def writeClusterMarker(conf: org.apache.hadoop.conf.Configuration,
-                                 root: String, cluster: (Seq[String], Int)): Unit =
-    if (cluster._1.nonEmpty) {
+                                 root: String, cluster: Clustering): Unit =
+    if (cluster.nonEmpty) {
       val m = new org.apache.hadoop.fs.Path(root, ClusterMarker)
       val out = m.getFileSystem(conf).create(m, true)
-      try out.write(s"${cluster._2}\n${cluster._1.mkString(",")}".getBytes("UTF-8"))
+      try out.write(
+        s"${cluster.chunks}\n${cluster.cols.mkString(",")}\n${cluster.curve}".getBytes("UTF-8"))
       finally out.close()
     }
 
@@ -319,11 +364,44 @@ object EsdbWriter {
     * declared count scaled by the subset's byte share, so a rewrite
     * touching one file of fifty emits ~one file, not `chunks` slivers.
     */
-  private def clusterChunksFor(cluster: (Seq[String], Int),
-                               subsetBytes: Long, totalBytes: Long): (Seq[String], Int) =
-    if (cluster._1.isEmpty || totalBytes <= 0L) cluster
-    else (cluster._1, math.max(1, math.ceil(
-      cluster._2.toDouble * subsetBytes / totalBytes).toInt))
+  private def clusterChunksFor(cluster: Clustering,
+                               subsetBytes: Long, totalBytes: Long): Clustering =
+    if (cluster.isEmpty || totalBytes <= 0L) cluster
+    else cluster.copy(chunks = math.max(1, math.ceil(
+      cluster.chunks.toDouble * subsetBytes / totalBytes).toInt))
+
+  /** The Z-value column: each clustering column quantile-ranks into 64
+    * buckets (cuts from THIS batch — pruning needs only relative rank,
+    * so domain drift across appends costs sharpness, never correctness)
+    * and the ranks' bits interleave into one integer the writer
+    * range-partitions on. One `approxQuantile` job over all columns;
+    * the per-row rank is a codegen'd 63-element array scan.
+    */
+  private val ZorderBits = 6 // 64 ranks per column
+
+  private def zorderColumn(df: DataFrame, cols: Seq[String]): org.apache.spark.sql.Column = {
+    val Bits = ZorderBits
+    val n = cols.size
+    val probs = (1 until (1 << Bits)).map(_.toDouble / (1 << Bits)).toArray
+    val cuts = df.stat.approxQuantile(cols.toArray, probs, 0.01)
+    val ranks: Seq[org.apache.spark.sql.Column] = cols.zip(cuts).map { case (c, cut) =>
+      val distinctCuts = cut.distinct.sorted
+      if (distinctCuts.isEmpty) lit(0) // all-null or constant column
+      else {
+        val raw = size(filter(typedLit(distinctCuts.toSeq),
+          b => b <= coalesce(col(c).cast("double"), lit(Double.NegativeInfinity))))
+        // a low-cardinality column yields < 63 distinct cuts and raw
+        // ranks 0..d — stretch them over the full 6-bit code space or
+        // the top Z-blocks sit empty and chunks collapse unevenly
+        val d = distinctCuts.size
+        if (d >= (1 << Bits) - 1) raw
+        else (raw * lit((1 << Bits) - 1) / lit(d)).cast("int")
+      }
+    }
+    (for { b <- 0 until Bits; (r, i) <- ranks.zipWithIndex } yield
+      shiftleft(shiftright(r, b).bitwiseAND(lit(1)), b * n + i))
+      .reduce(_ + _)
+  }
 
   /** Write a canonical [[EventFrame]] as an immutable store.
     *
@@ -346,8 +424,11 @@ object EsdbWriter {
     */
   def write(ev: DataFrame, path: String, indexAttrs: Seq[String] = Nil,
             subparts: Int = 1, clusterBy: Seq[String] = Nil,
-            clusterChunks: Int = 8, assignFieldIds: Boolean = true): Unit = {
+            clusterChunks: Int = 8, assignFieldIds: Boolean = true,
+            clusterCurve: String = "range"): Unit = {
     require(subparts >= 1, s"subparts must be >= 1, got $subparts")
+    require(Clustering.Curves(clusterCurve),
+      s"unknown cluster curve '$clusterCurve' — ${Clustering.Curves.mkString(" or ")}")
     if (clusterBy.nonEmpty) {
       require(clusterChunks >= 1, s"clusterChunks must be >= 1, got $clusterChunks")
       val bad = clusterBy.filterNot(ev.columns.contains)
@@ -355,6 +436,14 @@ object EsdbWriter {
       val layout = clusterBy.filter(c => c == "space" || c == "bucket")
       require(layout.isEmpty,
         s"clusterBy on layout column(s) ${layout.mkString(", ")}: the layout already partitions on them")
+      if (clusterCurve == "zorder") {
+        require(clusterBy.size >= 2 && clusterBy.size <= 4,
+          "zorder clustering takes 2-4 columns (one column wants the default range curve)")
+        val nonNum = clusterBy.filterNot(c =>
+          ev.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+        require(nonNum.isEmpty,
+          s"zorder clustering is numeric-only; non-numeric: ${nonNum.mkString(", ")}")
+      }
     }
     val indexed0 = indexAttrs.foldLeft(ev) { (df, name) =>
       df.withColumn(s"idx_$name", EventFrame.attr(name))
@@ -369,7 +458,8 @@ object EsdbWriter {
     // bloom-filter every index column, both newly-derived and already-
     // materialized ones (rewrites/compaction carry idx_* columns in)
     val idxCols = indexed.columns.filter(_.startsWith("idx_")).map(_.drop(4)).toSeq
-    val (parted, partCols) = partitionForWrite(indexed, subparts, (clusterBy, clusterChunks))
+    val (parted, partCols) = partitionForWrite(indexed, subparts,
+      if (clusterBy.isEmpty) Clustering.none else Clustering(clusterBy, clusterChunks, clusterCurve))
     val writer = parted.write
       .mode(SaveMode.ErrorIfExists)
       .partitionBy(partCols: _*)
@@ -386,7 +476,8 @@ object EsdbWriter {
       val out = m.getFileSystem(hconf(ev.sparkSession)).create(m, true)
       try out.write(subparts.toString.getBytes("UTF-8")) finally out.close()
     }
-    writeClusterMarker(hconf(ev.sparkSession), path, (clusterBy, clusterChunks))
+    writeClusterMarker(hconf(ev.sparkSession), path,
+      if (clusterBy.isEmpty) Clustering.none else Clustering(clusterBy, clusterChunks, clusterCurve))
     // an empty frame writes no space dirs — manifests have nothing to
     // index (read-back would fail schema inference); the schema sidecar
     // below still records the store's logical schema
@@ -460,7 +551,8 @@ object EsdbWriter {
       // `bucket` is dropped because write() re-derives it
       val full = readFullWidth(spark, src)
       write(if (full.columns.contains("bucket")) full.drop("bucket") else full,
-        tmp, subparts = subparts, clusterBy = cluster._1, clusterChunks = math.max(1, cluster._2))
+        tmp, subparts = subparts, clusterBy = cluster.cols,
+        clusterChunks = math.max(1, cluster.chunks), clusterCurve = cluster.curve)
     }: Unit
   }
 
@@ -508,7 +600,8 @@ object EsdbWriter {
       // carried spaces keep their (possibly un-IDed) files: never stamp
       // fresh field IDs on a partial rewrite (see FieldIds' invariant)
       write(if (fragDf.columns.contains("bucket")) fragDf.drop("bucket") else fragDf,
-        tmp, subparts = subparts, clusterBy = cluster._1, clusterChunks = math.max(1, cluster._2),
+        tmp, subparts = subparts, clusterBy = cluster.cols,
+        clusterChunks = math.max(1, cluster.chunks), clusterCurve = cluster.curve,
         assignFieldIds = false)
       // the rewrite's sidecar covers only the fragmented spaces'
       // columns — fold the previous version's sidecar in so columns
@@ -616,7 +709,8 @@ object EsdbWriter {
         val cl = clusterChunksFor(clusterOf(conf, src), rw.map(_._2.getLen).sum,
           spaceDirs.flatMap(d => relativeDataFiles(fs, d.getPath)).map(_._2.getLen).sum)
         write(if (kept.columns.contains("bucket")) kept.drop("bucket") else kept,
-          tmp, subparts = subparts, clusterBy = cl._1, clusterChunks = math.max(1, cl._2),
+          tmp, subparts = subparts, clusterBy = cl.cols,
+          clusterChunks = math.max(1, cl.chunks), clusterCurve = cl.curve,
           assignFieldIds = false)
       } else {
         fs.mkdirs(tmpPath)
@@ -750,7 +844,8 @@ object EsdbWriter {
         val cl = clusterChunksFor(clusterOf(conf, src), rewrite.map(_._2.getLen).sum,
           files.map(_._2.getLen).sum)
         write(if (kept.columns.contains("bucket")) kept.drop("bucket") else kept,
-          tmp, subparts = subparts, clusterBy = cl._1, clusterChunks = math.max(1, cl._2),
+          tmp, subparts = subparts, clusterBy = cl.cols,
+          clusterChunks = math.max(1, cl.chunks), clusterCurve = cl.curve,
           assignFieldIds = false)
       } else {
         fs.mkdirs(tmpPath)
@@ -987,7 +1082,8 @@ object EsdbWriter {
       val cl = clusterChunksFor(clusterOf(conf, src),
         footprintBytes, math.max(1L, classified.map(_._2.getLen).sum))
       write(if (replaced.columns.contains("bucket")) replaced.drop("bucket") else replaced,
-        tmp, subparts = subparts, clusterBy = cl._1, clusterChunks = math.max(1, cl._2),
+        tmp, subparts = subparts, clusterBy = cl.cols,
+        clusterChunks = math.max(1, cl.chunks), clusterCurve = cl.curve,
         assignFieldIds = false)
       carry.foreach { case (rel, f, _) =>
         val dst = new org.apache.hadoop.fs.Path(tmpPath, rel)
@@ -1068,7 +1164,8 @@ object EsdbWriter {
       val cl = clusterChunksFor(clusterOf(conf, src), rewrite.map(_._2.getLen).sum,
         classified.map(_._2.getLen).sum)
       write(if (kept.columns.contains("bucket")) kept.drop("bucket") else kept,
-        tmp, subparts = subparts, clusterBy = cl._1, clusterChunks = math.max(1, cl._2),
+        tmp, subparts = subparts, clusterBy = cl.cols,
+        clusterChunks = math.max(1, cl.chunks), clusterCurve = cl.curve,
           assignFieldIds = false)
       carry.foreach { case (rel, f, _) =>
         val dst = new org.apache.hadoop.fs.Path(tmpPath, rel)

@@ -41,8 +41,8 @@ class ClusterSpec extends SparkSpec {
       .flatMap(d => EsdbWriter.relativeDataFiles(fs, d.getPath))
   }
 
-  /** Per-file (min, max) of `value` from parquet footers. */
-  private def valueRanges(p: String): Seq[(Double, Double)] = {
+  /** Per-file (min, max) of a numeric column from parquet footers. */
+  private def colRanges(p: String, colName: String): Seq[(Double, Double)] = {
     dataFiles(p).map { case (_, f) =>
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, hconf))
@@ -50,10 +50,10 @@ class ClusterSpec extends SparkSpec {
         var mn = Double.MaxValue; var mx = Double.MinValue
         r.getFooter.getBlocks.forEach { b =>
           b.getColumns.forEach { c =>
-            if (c.getPath.toDotString == "value") {
+            if (c.getPath.toDotString == colName) {
               val st = c.getStatistics
-              mn = math.min(mn, st.genericGetMin.asInstanceOf[Double])
-              mx = math.max(mx, st.genericGetMax.asInstanceOf[Double])
+              mn = math.min(mn, st.genericGetMin.asInstanceOf[Number].doubleValue())
+              mx = math.max(mx, st.genericGetMax.asInstanceOf[Number].doubleValue())
             }
           }
         }
@@ -61,6 +61,8 @@ class ClusterSpec extends SparkSpec {
       } finally r.close()
     }
   }
+
+  private def valueRanges(p: String): Seq[(Double, Double)] = colRanges(p, "value")
 
   test("clustered write: 8 near-disjoint value ranges, content and order intact") {
     val p = tmp("clustw")
@@ -73,7 +75,7 @@ class ClusterSpec extends SparkSpec {
       case Seq((_, mxA), (mnB, _)) => assert(mxA <= mnB, s"overlapping ranges: $sorted")
       case _ => ()
     }
-    assert(EsdbWriter.clusterOf(hconf, EsdbWriter.dataRoot(spark, p)) == (Seq("value"), 8))
+    assert(EsdbWriter.clusterOf(hconf, EsdbWriter.dataRoot(spark, p)) == EsdbWriter.Clustering(Seq("value"), 8))
     // content identical to the unclustered store; ordered scan holds
     val scan = EventStore.scan(EsdbWriter.readOrdered(spark, p), "s", "g1")
       .select("event_id").as[Long].collect().toSeq
@@ -122,7 +124,7 @@ class ClusterSpec extends SparkSpec {
         .toDF("space", "grouping", "ts_us", "event_id", "value", "payload"), p)
     EsdbWriter.compact(spark, p)
     // the marker survived the publish and the compacted store re-clustered
-    assert(EsdbWriter.clusterOf(hconf, EsdbWriter.dataRoot(spark, p)) == (Seq("value"), 4))
+    assert(EsdbWriter.clusterOf(hconf, EsdbWriter.dataRoot(spark, p)) == EsdbWriter.Clustering(Seq("value"), 4))
     val ranges = valueRanges(p).sortBy(_._1)
     assert(ranges.size >= 3 && ranges.size <= 5, s"expected ~4 files post-compact, got $ranges")
     ranges.sliding(2).foreach {
@@ -147,13 +149,96 @@ class ClusterSpec extends SparkSpec {
       (400 until 500).map(i => ("s", s"g${i % 4}", i.toLong * 1000, i.toLong, i.toDouble, s"p$i"))
         .toDF("space", "grouping", "ts_us", "event_id", "value", "payload"), p)
     assert(EsdbWriter.read(spark, p).count() == 500)
-    assert(EsdbWriter.clusterOf(hconf, EsdbWriter.dataRoot(spark, p)) == (Seq("value"), 4),
+    assert(EsdbWriter.clusterOf(hconf, EsdbWriter.dataRoot(spark, p)) == EsdbWriter.Clustering(Seq("value"), 4),
       "appendVersioned must carry the cluster marker into the new version")
     assert(EsdbWriter.subpartsOf(hconf, EsdbWriter.dataRoot(spark, p)) == 2)
     // grouping-pinned scan correctness across buckets + clusters
     val scan = EventStore.scan(EsdbWriter.readOrdered(spark, p), "s", "g2")
       .select("event_id").as[Long].collect().toSeq
     assert(scan == (0L until 500L).filter(_ % 4 == 2).reverse)
+  }
+
+  /** Two INDEPENDENT uniform dimensions: value ∈ [0,80), ts ∈ [0,40)ms
+    * — the shape where a lexicographic range curve leaves the second
+    * column unprunable and Z-order makes both narrow.
+    */
+  private def mkGrid(n: Int = 3200): DataFrame =
+    (0 until n).map(i => ("s", s"g${i % 4}", (i / 80).toLong * 1000, i.toLong,
+      (i % 80).toDouble, s"p$i"))
+      .toDF("space", "grouping", "ts_us", "event_id", "value", "payload")
+
+  test("zorder: BOTH columns' per-file ranges are narrow; range curve only the first") {
+    def avgSpan(rs: Seq[(Double, Double)]): Double =
+      rs.map { case (mn, mx) => mx - mn }.sum / rs.size
+    val pz = tmp("zorder")
+    EsdbWriter.write(mkGrid(), pz, clusterBy = Seq("value", "ts_us"),
+      clusterChunks = 16, clusterCurve = "zorder")
+    val pr = tmp("zrange")
+    EsdbWriter.write(mkGrid(), pr, clusterBy = Seq("value", "ts_us"), clusterChunks = 16)
+
+    // range curve: value (leading) is sharp, ts straddles ~the whole
+    // domain in every file; zorder: both dimensions ~quartered
+    val (zVal, zTs) = (avgSpan(colRanges(pz, "value")), avgSpan(colRanges(pz, "ts_us")))
+    val (rVal, rTs) = (avgSpan(colRanges(pr, "value")), avgSpan(colRanges(pr, "ts_us")))
+    assert(zVal <= 40.0, s"zorder value spans must be sub-half-domain, avg $zVal")
+    assert(zTs <= 20000.0, s"zorder ts spans must be sub-half-domain, avg $zTs")
+    assert(rTs > 2 * zTs,
+      s"range curve must leave ts wide (avg $rTs) vs zorder (avg $zTs)")
+    assert(rVal <= zVal, "range curve's LEADING column is allowed to be sharper")
+
+    // content + scan order identical to any other layout
+    assert(EsdbWriter.read(spark, pz).count() == 3200)
+    val scan = EventStore.scan(EsdbWriter.readOrdered(spark, pz), "s", "g1")
+      .select("event_id").as[Long].collect().toSeq
+    assert(scan == (0L until 3200L).filter(_ % 4 == 1)
+      .sortBy(i => (-(i / 80), i)), "ts-desc scan order must hold")
+
+    // the payoff: a ts-ONLY predicate delete prunes on the zorder store
+    // (the range-curve store must rewrite nearly everything)
+    val beforeZ = dataFiles(pz).map(_._1).toSet
+    EsdbWriter.deleteWhere(spark, pz, Seq(GreaterThanOrEqual("ts_us", 30000L)))
+    val carriedZ = beforeZ.intersect(dataFiles(pz).map(_._1).toSet)
+    val beforeR = dataFiles(pr).map(_._1).toSet
+    EsdbWriter.deleteWhere(spark, pr, Seq(GreaterThanOrEqual("ts_us", 30000L)))
+    val carriedR = beforeR.intersect(dataFiles(pr).map(_._1).toSet)
+    assert(carriedZ.size >= beforeZ.size / 2,
+      s"zorder must carry >= half its files on a 1/4-ts delete, carried ${carriedZ.size}/${beforeZ.size}")
+    assert(carriedZ.size > carriedR.size,
+      s"zorder must out-prune the range curve on the second column " +
+        s"(z ${carriedZ.size}/${beforeZ.size} vs r ${carriedR.size}/${beforeR.size})")
+    assert(EsdbWriter.read(spark, pz).count() == EsdbWriter.read(spark, pr).count())
+  }
+
+  test("append and compact preserve the zorder declaration") {
+    val p = tmp("zorderac")
+    EsdbWriter.write(mkGrid(1600), p, clusterBy = Seq("value", "ts_us"),
+      clusterChunks = 8, clusterCurve = "zorder")
+    EsdbWriter.append(mkGrid(3200).where(col("event_id") >= 1600), p)
+    EsdbWriter.compact(spark, p)
+    assert(EsdbWriter.clusterOf(hconf, EsdbWriter.dataRoot(spark, p)) ==
+      EsdbWriter.Clustering(Seq("value", "ts_us"), 8, "zorder"),
+      "marker must survive append + compact with its curve")
+    assert(EsdbWriter.read(spark, p).count() == 3200)
+    // post-compact both dimensions stay narrow
+    def avgSpan(rs: Seq[(Double, Double)]): Double =
+      rs.map { case (mn, mx) => mx - mn }.sum / rs.size
+    assert(avgSpan(colRanges(p, "value")) <= 50.0)
+    assert(avgSpan(colRanges(p, "ts_us")) <= 25000.0)
+  }
+
+  test("zorder refuses one column, >4 columns, non-numeric columns, unknown curves") {
+    val p = tmp("zorderbad")
+    intercept[IllegalArgumentException] {
+      EsdbWriter.write(mkGrid(10), p, clusterBy = Seq("value"), clusterCurve = "zorder")
+    }
+    intercept[IllegalArgumentException] {
+      EsdbWriter.write(mkGrid(10), p, clusterBy = Seq("value", "grouping"),
+        clusterCurve = "zorder")
+    }
+    intercept[IllegalArgumentException] {
+      EsdbWriter.write(mkGrid(10), p, clusterBy = Seq("value", "ts_us"),
+        clusterCurve = "hilbert")
+    }
   }
 
   test("clusterBy refuses layout and unknown columns") {
