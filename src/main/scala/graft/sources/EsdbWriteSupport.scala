@@ -491,13 +491,18 @@ final class EsdbStoreDataWriter(root: Path, inputSchema: StructType,
   * is why the catalog still rejects plain `CREATE TABLE`).
   *
   * Layout is steered by TBLPROPERTIES:
-  *  - `layout`       — `store` (bucketed, default) or `log` (flat
+  *  - `layout`        — `store` (bucketed, default) or `log` (flat
   *    id-ordered stream layout);
-  *  - `indexAttrs`   — comma-separated payload attrs materialized as
+  *  - `indexAttrs`    — comma-separated payload attrs materialized as
   *    bloom-filtered `idx_*` columns (space_writer.go:47-49);
-  *  - `subparts`     — hot-space subpartition count, fixed for the
+  *  - `subparts`      — hot-space subpartition count, fixed for the
   *    store's lifetime;
-  *  - `keepVersions` — publish retention for REPLACE (≥2 keeps the
+  *  - `clusterBy`     — comma-separated value-domain clustering
+  *    columns (X23), with `clusterChunks` (default 8) and
+  *    `clusterCurve` (`range` default, or `zorder` for balanced
+  *    multi-column pruning, X27) — fixed for the store's lifetime
+  *    like subparts;
+  *  - `keepVersions`  — publish retention for REPLACE (≥2 keeps the
   *    replaced snapshot readable by in-flight scans).
   *
   * Commit protocol: the query result is written into a fresh versioned
@@ -536,14 +541,20 @@ final class EsdbStagedTable(logicalPath: String, dataSchema: StructType,
             .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
           val subparts = Option(opts.get("subparts")).map(_.toInt).getOrElse(1)
           val keep = Option(opts.get("keepversions")).map(_.toInt).getOrElse(1)
+          val clusterBy = Option(opts.get("clusterby")).toSeq
+            .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+          val clusterChunks = Option(opts.get("clusterchunks")).map(_.toInt).getOrElse(8)
+          val clusterCurve = Option(opts.get("clustercurve")).getOrElse("range")
           Option(opts.get("layout")).getOrElse("store") match {
             case "store" =>
               graft.engine.Publish.publish(conf, logicalPath, keep) { tmp =>
-                graft.engine.EsdbWriter.write(data, tmp, indexAttrs, subparts)
+                graft.engine.EsdbWriter.write(data, tmp, indexAttrs, subparts,
+                  clusterBy = clusterBy, clusterChunks = clusterChunks,
+                  clusterCurve = clusterCurve)
               }: Unit
             case "log" =>
-              require(indexAttrs.isEmpty && subparts == 1,
-                "layout=log takes no indexAttrs/subparts (flat id-ordered stream layout)")
+              require(indexAttrs.isEmpty && subparts == 1 && clusterBy.isEmpty,
+                "layout=log takes no indexAttrs/subparts/clusterBy (flat id-ordered stream layout)")
               graft.engine.Publish.publish(conf, logicalPath, keep) { tmp =>
                 graft.engine.EsdbWriter.writeLog(data, tmp)
               }: Unit

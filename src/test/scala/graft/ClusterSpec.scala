@@ -241,6 +241,31 @@ class ClusterSpec extends SparkSpec {
     }
   }
 
+  test("CTAS TBLPROPERTIES create clustered stores, curve included") {
+    val root = tmp("clustctas")
+    val cat = "esdbclu"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.EsdbCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    mkGrid(800).createOrReplaceTempView("clu_src")
+    spark.sql(s"""CREATE TABLE $cat.zt TBLPROPERTIES (
+      'clusterBy'='value,ts_us', 'clusterChunks'='8', 'clusterCurve'='zorder')
+      AS SELECT * FROM clu_src""")
+    assert(EsdbWriter.clusterOf(hconf, EsdbWriter.dataRoot(spark, s"$root/zt")) ==
+      EsdbWriter.Clustering(Seq("value", "ts_us"), 8, "zorder"))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.zt").head().getLong(0) == 800)
+    // both dimensions narrow straight out of CTAS
+    def avgSpan(rs: Seq[(Double, Double)]): Double =
+      rs.map { case (mn, mx) => mx - mn }.sum / rs.size
+    assert(avgSpan(colRanges(s"$root/zt", "value")) <= 40.0)
+    assert(avgSpan(colRanges(s"$root/zt", "ts_us")) <= 5000.0)
+    // an invalid curve refuses the statement
+    intercept[Exception] {
+      spark.sql(s"""CREATE TABLE $cat.bad TBLPROPERTIES (
+        'clusterBy'='value,ts_us', 'clusterCurve'='hilbert')
+        AS SELECT * FROM clu_src""")
+    }
+  }
+
   test("clusterBy refuses layout and unknown columns") {
     val p = tmp("clustbad")
     intercept[IllegalArgumentException] {
