@@ -347,6 +347,32 @@ object Queries {
     p
   }
 
+  /** CDC replication fixture behind `store_replica_cdc`: a replica
+    * forked at the change fixture's v1 content (`event_id % 3 != 0`)
+    * and fed ONE window of `changesFeed(source, 1)` through
+    * [[graft.engine.EsdbWriter.applyChanges]] — the consumer loop that
+    * closes the CDC circle. Crash-safe: the apply commits the replica's
+    * v2 atomically, so a re-run either skips (v2 exists) or re-applies
+    * against the untouched v1.
+    */
+  private def ensureReplicaStore(s: SparkSession, dir: String): String = synchronized {
+    val src = ensureChangesStore(s, dir)
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft-repstore/$key"
+    val conf = s.sparkContext.hadoopConfiguration
+    if (graft.engine.Publish.currentVersion(conf, p).isEmpty) {
+      graft.engine.Publish.publish(conf, p, keepVersions = 4) { tmp =>
+        graft.engine.EsdbWriter.write(
+          ev(s, dir).filter(pmod(col("event_id"), lit(3)) =!= 0), tmp)
+      }: Unit
+    }
+    if (graft.engine.Publish.currentVersion(conf, p).exists(_._1 < 2)) {
+      graft.engine.EsdbWriter.applyChanges(
+        s, p, graft.engine.EsdbWriter.changesFeed(s, src, 1L), keepVersions = 4): Unit
+    }
+    p
+  }
+
   /** Incremental-read fixture: version 1 holds the events with
     * `event_id % 5 != 0`; the rest are APPENDED after the commit (into
     * the current version's dir, as real appends do). An incremental
@@ -768,6 +794,27 @@ object Queries {
               |       value, props AS payload
               |FROM events WHERE event_id % 3 <> 0 AND value < $PredDeleteCutoff
               |ORDER BY _change, event_id""".stripMargin)),
+
+    // CDC APPLIED (X28): a replica forked at the fixture's v1 and fed
+    // one changesFeed window through applyChanges must hold exactly the
+    // source's final content — the oracle recomputes that content from
+    // raw events, so the insert/delete feed AND its consumer are both
+    // pinned end-to-end
+    QuerySpec("store_replica_cdc",
+      (s, d) => {
+        val p = ensureReplicaStore(s, d)
+        graft.engine.EsdbWriter.readOrdered(s, p)
+          .groupBy("space")
+          .agg(count(lit(1)).as("n_events"),
+            sum(round(col("value") * 100).cast("long")).as("sum_cents"),
+            max("event_id").as("max_event_id"))
+          .orderBy("space")
+      },
+      Some(s"""SELECT event_type AS space, count(*) AS n_events,
+              |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents,
+              |       max(event_id) AS max_event_id
+              |FROM events WHERE value >= $PredDeleteCutoff
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // row-level UPDATE (GDPR redaction) as SQL: rows with value >= x
     // get value zeroed and payload scrubbed, everything else — and

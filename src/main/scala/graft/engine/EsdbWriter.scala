@@ -2376,4 +2376,119 @@ object EsdbWriter {
       .withColumn("_change", when(col("_d") > 0, lit("insert")).otherwise(lit("delete")))
       .select((rowCols :+ "_change").map(col): _*)
   }
+
+  /** Apply a change-feed batch to a REPLICA store — the consumer half
+    * of [[changesFeed]], closing the CDC loop: `replica ∖ deletes ∪
+    * inserts`, committed as one version. Feeding a replica of version
+    * v every window of the source's feed reproduces the source exactly
+    * (ChangesSpec proves the round trip across delete + update +
+    * compaction), so a downstream cluster can follow a store without
+    * re-reading it.
+    *
+    * Scale shape:
+    *  - a pure-insert window takes the [[appendVersioned]] fast path
+    *    (predecessor files carry byte-for-byte, O(batch + copies));
+    *  - a window with deletes classifies replica files by the delete
+    *    set's (space, event_id-range) footer stats — only files that
+    *    may hold a deleted row rewrite, the rest carry;
+    *  - the rewrite is `EXCEPT ALL` against the delete rows — multiset
+    *    semantics end-to-end, so duplicate rows replicate with their
+    *    multiplicity.
+    *
+    * DRIFT DETECTION: every delete row must remove exactly one replica
+    * row. A count mismatch means the replica diverged from the feed's
+    * source (manual edits, missed windows, wrong store) and throws
+    * loudly instead of quietly compounding the divergence. Returns
+    * (inserted, deleted).
+    */
+  def applyChanges(spark: SparkSession, path: String, feed: DataFrame,
+                   keepVersions: Int = 2): (Long, Long) = {
+    require(!isSealed(path), s"store at $path is sealed (immutable; no rewrites)")
+    require(feed.columns.contains("_change"),
+      "applyChanges takes a change feed (needs the _change column)")
+    GraftSession.tune(spark)
+    val conf = hconf(spark)
+    val inserts0 = feed.where(col("_change") === "insert").drop("_change")
+    val deletes0 = feed.where(col("_change") === "delete").drop("_change")
+    val nDel = deletes0.count()
+    val nIns = inserts0.count()
+    if (nDel == 0 && nIns == 0) return (0L, 0L)
+    if (nDel == 0) { appendVersioned(inserts0, path, keepVersions); return (nIns, 0L) }
+    val src = dataRoot(spark, path)
+    val srcPath = new org.apache.hadoop.fs.Path(src)
+    val fs = srcPath.getFileSystem(conf)
+    val subparts = subpartsOf(conf, src)
+    // footprint: only replica files whose (space, event_id range) stats
+    // admit a deleted row rewrite; everything else carries by name
+    val delStats = deletes0.agg(
+      collect_set(col("space")), min(col("event_id")), max(col("event_id"))).head()
+    val delSpaces = delStats.getSeq[String](0).toSet
+    val filters: Seq[org.apache.spark.sql.sources.Filter] =
+      if (delStats.isNullAt(1)) Nil
+      else Seq(org.apache.spark.sql.sources.GreaterThanOrEqual("event_id", delStats.getLong(1)),
+        org.apache.spark.sql.sources.LessThanOrEqual("event_id", delStats.getLong(2)))
+    val files: Seq[(String, org.apache.hadoop.fs.FileStatus, String)] =
+      fs.listStatus(srcPath).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("space="))
+        .flatMap { d =>
+          val sp = graft.sources.EsdbStoreSource
+            .unescapePathName(d.getPath.getName.drop("space=".length))
+          relativeDataFiles(fs, d.getPath).map { case (rel, f) => (rel, f, sp) }
+        }
+    val classified = {
+      import scala.collection.parallel.CollectionConverters._
+      files.toVector.par.map { case (rel, f, sp) =>
+        (rel, f, delSpaces.contains(sp) &&
+          DeleteWhere.fileMayMatch(conf, f.getPath, Some(sp), filters))
+      }.toVector
+    }
+    val (rewrite, carry) = classified.partition(_._3)
+    val target = readFullWidth(spark, src).schema.fields.filterNot(_.name == "bucket")
+    def align(df: DataFrame): DataFrame =
+      df.select(target.map(f =>
+        (if (df.columns.contains(f.name)) col(f.name).cast(f.dataType)
+        else lit(null).cast(f.dataType)).as(f.name, f.metadata)).toSeq: _*)
+    Publish.publish(conf, path, keepVersions) { tmp =>
+      val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+      val footprint =
+        if (rewrite.isEmpty) align(readFullWidth(spark, src).limit(0))
+        else align(readFullWidth(spark, src, rewrite.map(_._2.getPath.toString)))
+      val kept = footprint.exceptAll(align(deletes0))
+      // drift check: every delete must have consumed exactly one row
+      val removed = (if (rewrite.isEmpty) 0L else footprint.count()) - kept.count()
+      if (removed != nDel) throw new IllegalStateException(
+        s"replica at $path diverged from the feed's source: $nDel delete row(s) " +
+          s"matched only $removed replica row(s) — refusing to compound the drift")
+      val cl = clusterChunksFor(clusterOf(conf, src),
+        rewrite.map(_._2.getLen).sum, math.max(1L, classified.map(_._2.getLen).sum))
+      write(kept.unionByName(align(inserts0)), tmp, subparts = subparts,
+        clusterBy = cl.cols, clusterChunks = math.max(1, cl.chunks),
+        clusterCurve = cl.curve, assignFieldIds = false)
+      carry.foreach { case (rel, f, _) =>
+        val dst = new org.apache.hadoop.fs.Path(tmpPath, rel)
+        fs.mkdirs(dst.getParent)
+        org.apache.hadoop.fs.FileUtil.copy(fs, f.getPath, fs, dst, false, conf): Unit
+      }
+      val oldTs = new org.apache.hadoop.fs.Path(srcPath, TsRangeManifest)
+      if (carry.nonEmpty && fs.exists(oldTs)) {
+        val dst = new org.apache.hadoop.fs.Path(tmpPath, TsRangeManifest)
+        fs.mkdirs(dst)
+        fs.listStatus(oldTs).toSeq
+          .filter(f => f.isFile && f.getLen > 0 &&
+            !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+          .foreach { f =>
+            org.apache.hadoop.fs.FileUtil.copy(fs, f.getPath, fs,
+              new org.apache.hadoop.fs.Path(dst, s"carry-${f.getPath.getName}"), false, conf): Unit
+          }
+      }
+      schemaManifest(conf, src).foreach { old =>
+        schemaManifest(conf, tmp) match {
+          case Some(cur) => writeSchemaManifest(conf, tmp, unionSchemas(cur, old))
+          case None => writeSchemaManifest(conf, tmp, old)
+        }
+      }
+      writeGroupingsManifest(spark, tmp, SaveMode.Overwrite)
+    }: Unit
+    (nIns, nDel)
+  }
 }

@@ -22,7 +22,7 @@ object EsdbProcedures {
 
   val names: Seq[String] =
     Seq("compact", "compact_incremental", "compact_log", "vacuum", "seal", "rollback",
-      "update_where", "merge_keyed")
+      "update_where", "merge_keyed", "apply_changes")
 
   private def p(name: String, dt: org.apache.spark.sql.types.DataType,
                 default: Option[String] = None,
@@ -137,6 +137,24 @@ object EsdbProcedures {
         val (replaced, inserted) = EsdbWriter.mergeInto(
           spark, path(t), source, keys, in.getInt(3))
         Seq(row(UTF8String.fromString(t), replaced, inserted, version(t)))
+      }
+      case "apply_changes" => proc("apply_changes",
+        Seq(p("table", StringType, comment = "the replica store to apply onto"),
+          p("source", StringType, comment = "the followed store (same catalog)"),
+          p("since_version", LongType,
+            comment = "exclusive lower bound: apply the source's changes after this version"),
+          p("keep_versions", IntegerType, Some("2"))),
+        StructType(Seq(StructField("table", StringType),
+          StructField("inserted", LongType), StructField("deleted", LongType),
+          StructField("version", LongType))),
+        "CDC apply: drain the source's row-level change feed since a version into the " +
+          "replica (multiset-exact, stats-bounded footprint, drift detection)") { in =>
+        val t = in.getUTF8String(0).toString
+        val src = in.getUTF8String(1).toString
+        val spark = SparkSession.active
+        val feed = EsdbWriter.changesFeed(spark, path(src), in.getLong(2))
+        val (ins, del) = EsdbWriter.applyChanges(spark, path(t), feed, in.getInt(3))
+        Seq(row(UTF8String.fromString(t), ins, del, version(t)))
       }
       case other => throw new UnsupportedOperationException(
         s"unknown procedure $other; available: ${names.mkString(", ")}")

@@ -257,6 +257,115 @@ class ChangesSpec extends SparkSpec {
     assert(rows.where(col("_change") === "delete").count() == 0)
   }
 
+  private def contentEqual(a: DataFrame, b: DataFrame): Boolean = {
+    val cols = a.columns.toSet.intersect(b.columns.toSet).toSeq.sorted
+    val (x, y) = (a.select(cols.map(col): _*), b.select(cols.map(col): _*))
+    x.exceptAll(y).isEmpty && y.exceptAll(x).isEmpty
+  }
+
+  test("applyChanges replicates a store across delete + update + compaction exactly") {
+    val srcP = tmp("cdcsrc")
+    val repP = tmp("cdcrep")
+    val v1 = mk(1 to 60)
+    writeV1(srcP, v1)
+    writeV1(repP, v1) // the replica forks at v1
+
+    // source evolves through every rewrite kind
+    EsdbWriter.appendVersioned(mk(100 to 119), srcP, keepVersions = 8)                  // v2
+    EsdbWriter.deleteWhere(spark, srcP, Seq(LessThan("value", 1.0)), keepVersions = 8)  // v3
+    EsdbWriter.updateWhere(spark, srcP, Map("payload" -> lit("\"x\"")),
+      Seq(EqualTo("event_id", 105L)), keepVersions = 8)                                 // v4
+    EsdbWriter.compact(spark, srcP, keepVersions = 8)                                   // v5
+
+    val feed = EsdbWriter.changesFeed(spark, srcP, 1L)
+    val (ins, del) = EsdbWriter.applyChanges(spark, repP, feed)
+    assert(ins > 0 && del > 0, s"the window has both kinds, got ($ins, $del)")
+    assert(contentEqual(
+      EsdbWriter.readOrdered(spark, repP), EsdbWriter.readOrdered(spark, srcP)),
+      "replica must equal the source after one feed window")
+    // scan contract survives replication
+    val probe = EsdbWriter.readOrdered(spark, repP).select("space", "grouping").head()
+    val scan = graft.engine.EventStore.scan(
+      EsdbWriter.readOrdered(spark, repP), probe.getString(0), probe.getString(1))
+    val got = scan.select("ts_us", "event_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == got.sortBy { case (ts, id) => (-ts, id) })
+  }
+
+  test("applyChanges detects replica drift and refuses loudly") {
+    val srcP = tmp("cdcdriftsrc")
+    val repP = tmp("cdcdriftrep")
+    val v1 = mk(1 to 30)
+    writeV1(srcP, v1)
+    writeV1(repP, v1)
+    // the replica drifts: someone hand-deletes a row the feed will
+    // later try to delete too
+    EsdbWriter.deleteWhere(spark, repP, Seq(EqualTo("event_id", 3L)), keepVersions = 8)
+    EsdbWriter.deleteWhere(spark, srcP, Seq(LessThan("event_id", 10L)), keepVersions = 8)
+    val feed = EsdbWriter.changesFeed(spark, srcP, 1L)
+    val e = intercept[IllegalStateException] {
+      EsdbWriter.applyChanges(spark, repP, feed)
+    }
+    assert(e.getMessage.contains("diverged"), e.getMessage)
+  }
+
+  test("streaming replication: esdbchanges + foreachBatch(applyChanges) follows the source") {
+    val srcP = tmp("cdcstreamsrc")
+    val repP = tmp("cdcstreamrep")
+    val ckpt = tmp("cdcstreamck")
+    val v1 = mk(1 to 40)
+    writeV1(srcP, v1)
+    writeV1(repP, v1)
+    def follow(): Unit = {
+      val q = spark.readStream.format("esdbchanges")
+        .option("sinceVersion", "1").load(srcP)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          EsdbWriter.applyChanges(spark, repP, batch): Unit
+        }
+        .option("checkpointLocation", s"$ckpt/ck")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000))
+    }
+    EsdbWriter.appendVersioned(mk(200 to 219), srcP, keepVersions = 8)                 // v2
+    EsdbWriter.deleteWhere(spark, srcP, Seq(LessThan("value", 0.8)), keepVersions = 8) // v3
+    follow()
+    assert(contentEqual(
+      EsdbWriter.readOrdered(spark, repP), EsdbWriter.readOrdered(spark, srcP)))
+    // more source churn; the SAME checkpoint resumes at the next window
+    EsdbWriter.updateWhere(spark, srcP, Map("value" -> lit(0.0)),
+      Seq(EqualTo("event_id", 205L)), keepVersions = 8)                                // v4
+    EsdbWriter.compact(spark, srcP, keepVersions = 8)                                  // v5
+    follow()
+    assert(contentEqual(
+      EsdbWriter.readOrdered(spark, repP), EsdbWriter.readOrdered(spark, srcP)),
+      "the resumed follower must converge to the source again")
+  }
+
+  test("CALL apply_changes: the SQL surface replicates through the same engine path") {
+    val root = tmp("cdccall")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val v1 = mk(1 to 30)
+    Seq("src", "rep").foreach { t =>
+      Publish.publish(conf, s"$root/$t", keepVersions = 8) { tmpDir =>
+        EsdbWriter.write(v1, tmpDir)
+      }: Unit
+    }
+    EsdbWriter.appendVersioned(mk(50 to 59), s"$root/src", keepVersions = 8)
+    EsdbWriter.deleteWhere(spark, s"$root/src",
+      Seq(LessThan("value", 0.6)), keepVersions = 8)
+    val cat = "esdbcdc"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.EsdbCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val res = spark.sql(
+      s"CALL $cat.system.apply_changes(table => 'rep', source => 'src', since_version => 1)")
+      .collect()
+    assert(res.length == 1 && res(0).getLong(1) > 0 && res(0).getLong(2) > 0, res.mkString)
+    assert(contentEqual(
+      EsdbWriter.readOrdered(spark, s"$root/rep"),
+      EsdbWriter.readOrdered(spark, s"$root/src")))
+  }
+
   test("the feed window is the retention window: a swept base version fails loudly") {
     val p = tmp("chgswept")
     writeV1(p, mk(1 to 20))
