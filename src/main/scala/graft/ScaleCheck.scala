@@ -616,6 +616,40 @@ object ScaleCheck {
     val mc10 = timeMerge(buildMrg(bigDir, s"$bigDir/mrg_clu10", clustered = true))
     println(f"${"merge_key_clustered_10x"}%-24s ${"-"}%8s $mc10%8.2f ${m10 / mc10}%5.1fx cheaper (footprint = the key slice)")
 
+    // ---- X28: CDC apply — replicate one feed window onto a 1× vs 10×
+    // replica. The delete set is footprint-bounded by (space, id-range)
+    // stats, so the apply prices by the window's churn, not replica size
+    // the deleted slice is a CONSTANT synthetic batch inside v1 (values
+    // far below the base distribution): the window's churn stays fixed
+    // while the store grows 10x around it — the shape the claim is about
+    val doomedNeg = spark.range(1000).select(
+      lit("click").as("space"), lit("cd").as("grouping"),
+      (col("id") * 1000L).as("ts_us"), (col("id") + 930000000L).as("event_id"),
+      (col("id").cast("double") - lit(1000.0)).as("value"), lit("{}").as("payload"))
+    def buildPair(src: String, tag: String): (String, String) = {
+      val sp = s"$bigDir/cdc_${tag}_src"; val rp = s"$bigDir/cdc_${tag}_rep"
+      Seq(sp, rp).foreach { o =>
+        fresh(o)
+        engine.Publish.publish(spark.sparkContext.hadoopConfiguration, o, 8) { t =>
+          engine.EsdbWriter.write(frame(src).unionByName(doomedNeg), t)
+        }
+      }
+      engine.EsdbWriter.appendVersioned(doomedVal, sp, keepVersions = 8)
+      // the window carries BOTH kinds: inserts (the appended batch) and
+      // deletes (the constant doomed slice of v1)
+      engine.EsdbWriter.deleteWhere(spark, sp,
+        Seq(org.apache.spark.sql.sources.LessThan("value", -0.5)), keepVersions = 8): Unit
+      (sp, rp)
+    }
+    def timeApply(pair: (String, String)): Double = timed {
+      engine.EsdbWriter.applyChanges(spark, pair._2,
+        engine.EsdbWriter.changesFeed(spark, pair._1, 1L), keepVersions = 8): Unit
+    }
+    timeApply(buildPair(sfDir, "warm"))
+    val a1 = timeApply(buildPair(sfDir, "1x"))
+    val a10 = timeApply(buildPair(bigDir, "10x"))
+    println(f"${"cdc_apply_window"}%-24s $a1%8.2f $a10%8.2f ${a10 / a1}%5.1f (footprint = the window's churn)")
+
     // ---- X25: rename/drop are one sidecar write — flat at any scale
     def buildIded(src: String, out: String): String = {
       engine.EsdbWriter.write(frame(src).withColumn("note", lit("n")), fresh(out))

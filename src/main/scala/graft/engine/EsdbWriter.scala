@@ -941,6 +941,13 @@ object EsdbWriter {
       .getOrElse(read(spark, path).schema.fieldNames.toSet)
     val unknown = set.keySet -- storeCols
     require(unknown.isEmpty, s"UPDATE of unknown column(s): ${unknown.mkString(", ")}")
+    // space is the layout's partition key: moving events across spaces
+    // is a migration (write a new store), not a row UPDATE — and every
+    // footprint-scoped maintenance step (manifest deltas, ts-range
+    // refresh) assumes a rewrite stays inside its files' spaces
+    val layoutSet = set.keySet.intersect(Set("space", "bucket"))
+    require(layoutSet.isEmpty,
+      s"UPDATE of layout column(s) ${layoutSet.mkString(", ")} is not supported")
     rewriteWhere(spark, path, filters, keepVersions) { (df, cond) =>
       val missing = set.keySet -- df.columns.toSet
       require(missing.isEmpty, s"UPDATE of unknown column(s): ${missing.mkString(", ")}")
@@ -1003,12 +1010,20 @@ object EsdbWriter {
     require(extra.isEmpty,
       s"MERGE source has column(s) the store lacks: ${extra.mkString(", ")} — " +
         "ALTER TABLE ADD COLUMNS first (additive evolution), then merge")
+    // inserts become full store rows: the canonical identity columns
+    // cannot be null-filled in
+    val missingCanon = Seq("space", "grouping", "ts_us", "event_id")
+      .filterNot(source.columns.contains)
+    require(missingCanon.isEmpty,
+      s"MERGE source must carry the canonical columns; missing: ${missingCanon.mkString(", ")}")
     // one source pass: duplicate/null key tuples refuse before any IO
     val stats = source.agg(
       count(lit(1)).as("n"),
       count_distinct(col(keys.head), keys.tail.map(col): _*).as("nd"),
-      count(when(keys.map(col(_).isNull).reduce(_ || _), lit(1))).as("nulls")).head()
+      count(when(keys.map(col(_).isNull).reduce(_ || _), lit(1))).as("nulls"),
+      collect_set(col("space")).as("spaces")).head()
     val (nSrc, nDistinct, nNullKeys) = (stats.getLong(0), stats.getLong(1), stats.getLong(2))
+    val srcSpaces = stats.getSeq[String](3).toSet
     require(nNullKeys == 0, s"MERGE source has $nNullKeys row(s) with null key — " +
       "null never matches; filter them or fix the key")
     require(nDistinct == nSrc, s"MERGE source has ${nSrc - nDistinct} duplicate key " +
@@ -1109,8 +1124,11 @@ object EsdbWriter {
           case None => writeSchemaManifest(conf, tmp, old)
         }
       }
-      // inserts can open new groupings: rebuild from the new state
-      writeGroupingsManifest(spark, tmp, SaveMode.Overwrite)
+      // pairs changed only in the rewritten files' spaces and the
+      // source's spaces: rescan those (partition-pruned), carry the rest
+      refreshGroupingsManifestFor(spark, src, tmp,
+        rewrite.map(r => graft.sources.EsdbStoreSource.unescapePathName(
+          r._1.split('/').head.stripPrefix("space="))).toSet ++ srcSpaces)
     }: Unit
     (replacedRows, nSrc - matchedKeys)
   }
@@ -1193,15 +1211,12 @@ object EsdbWriter {
           case None => writeSchemaManifest(conf, tmp, old)
         }
       }
-      // groupings manifest rebuilt from survivors — an arbitrary
-      // predicate can empty a grouping
-      val anySpace = fs.exists(tmpPath) && fs.listStatus(tmpPath).exists(s =>
-        s.isDirectory && s.getPath.getName.startsWith("space="))
-      if (anySpace) writeGroupingsManifest(spark, tmp, SaveMode.Overwrite)
-      else {
-        val gm = new org.apache.hadoop.fs.Path(tmpPath, GroupingsManifest)
-        if (fs.exists(gm)) fs.delete(gm, true): Unit
-      }
+      // groupings manifest: only the rewritten files' spaces can have
+      // gained or lost pairs — rescan those dirs (partition-pruned),
+      // carry the rest of the manifest untouched
+      refreshGroupingsManifestFor(spark, src, tmp,
+        rewrite.map(r => graft.sources.EsdbStoreSource.unescapePathName(
+          r._1.split('/').head.stripPrefix("space="))).toSet)
     }: Unit
     true
   }
@@ -1442,6 +1457,49 @@ object EsdbWriter {
     * files (two small dictionary-encoded columns), appended per batch;
     * readers distinct across batches.
     */
+  /** Groupings-manifest upkeep for a REWRITE that touched only some
+    * spaces: pairs of untouched spaces carry straight from the old
+    * manifest (no data read), and only the touched spaces' dirs of the
+    * new version rescan — partition pruning confines the scan to those
+    * dirs, so manifest cost follows the rewrite footprint's spaces,
+    * not the store. (The old full rebuild made a one-file delete pay a
+    * store-wide 2-column scan — the kind of hidden O(store) job that
+    * dominates at 100 TB.) Falls back to the full rebuild when the
+    * predecessor has no manifest (legacy store).
+    */
+  private def refreshGroupingsManifestFor(spark: SparkSession, srcRoot: String,
+                                          tmpRoot: String, touched: Set[String]): Unit = {
+    val conf = hconf(spark)
+    val oldM = new org.apache.hadoop.fs.Path(srcRoot, GroupingsManifest)
+    val fs = oldM.getFileSystem(conf)
+    val tmpPath = new org.apache.hadoop.fs.Path(tmpRoot)
+    val anySpace = fs.exists(tmpPath) && fs.listStatus(tmpPath).exists(s =>
+      s.isDirectory && s.getPath.getName.startsWith("space="))
+    val dst = new org.apache.hadoop.fs.Path(tmpRoot, GroupingsManifest)
+    if (!anySpace) { // the rewrite emptied the store
+      if (fs.exists(dst)) fs.delete(dst, true): Unit
+      return
+    }
+    if (!fs.exists(oldM)) { writeGroupingsManifest(spark, tmpRoot, SaveMode.Overwrite); return }
+    val untouched = spark.read.parquet(s"$srcRoot/$GroupingsManifest")
+      .where(!col("space").isin(touched.toSeq: _*)).distinct()
+    val rescanned =
+      if (touched.isEmpty) untouched.limit(0)
+      else read(spark, tmpRoot)
+        .where(col("space").isin(touched.toSeq: _*)) // partition-pruned
+        .select(
+          col("space").as("space", org.apache.spark.sql.types.Metadata.empty),
+          col("grouping").as("grouping", org.apache.spark.sql.types.Metadata.empty))
+        .distinct()
+    // stage beside, then swap: the new version dir must never hold a
+    // half-written manifest a crashed job could leave behind
+    untouched.unionByName(rescanned)
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmpRoot/.$GroupingsManifest.new")
+    if (fs.exists(dst)) fs.delete(dst, true): Unit
+    if (!fs.rename(new org.apache.hadoop.fs.Path(s"$tmpRoot/.$GroupingsManifest.new"), dst))
+      throw new java.io.IOException(s"groupings manifest swap failed at $tmpRoot")
+  }
+
   private def writeGroupingsManifest(spark: SparkSession, path: String, mode: SaveMode): Unit =
     // metadata stripped: a store-derived frame carries field IDs, and a
     // manifest dir mixing ID-stamped rebuild files with bare append
@@ -2487,7 +2545,14 @@ object EsdbWriter {
           case None => writeSchemaManifest(conf, tmp, old)
         }
       }
-      writeGroupingsManifest(spark, tmp, SaveMode.Overwrite)
+      // pairs changed only where the window touched: the delete
+      // footprint's spaces and the inserted rows' spaces
+      val insSpaces =
+        if (nIns == 0) Set.empty[String]
+        else inserts0.agg(collect_set(col("space"))).head().getSeq[String](0).toSet
+      refreshGroupingsManifestFor(spark, src, tmp,
+        rewrite.map(r => graft.sources.EsdbStoreSource.unescapePathName(
+          r._1.split('/').head.stripPrefix("space="))).toSet ++ insSpaces)
     }: Unit
     (nIns, nDel)
   }

@@ -226,6 +226,25 @@ class ClusterSpec extends SparkSpec {
     assert(avgSpan(colRanges(p, "ts_us")) <= 25000.0)
   }
 
+  test("zorder handles null values and constant columns without losing rows") {
+    val p = tmp("zordernull")
+    val rows = (0 until 400).map { i =>
+      val v: java.lang.Double = if (i % 7 == 0) null else java.lang.Double.valueOf((i % 40).toDouble)
+      ("s", s"g${i % 4}", (i / 40).toLong * 1000, i.toLong, v, s"p$i")
+    }
+    val df = rows.toDF("space", "grouping", "ts_us", "event_id", "value", "payload")
+    EsdbWriter.write(df, p, clusterBy = Seq("value", "ts_us"),
+      clusterChunks = 4, clusterCurve = "zorder")
+    assert(EsdbWriter.read(spark, p).count() == 400)
+    assert(EsdbWriter.read(spark, p).where(col("value").isNull).count() ==
+      (0 until 400).count(_ % 7 == 0), "null-valued rows must survive clustering")
+    // a CONSTANT column degenerates to rank 0 everywhere — still writes
+    val pc = tmp("zorderconst")
+    EsdbWriter.write(df.withColumn("value", lit(5.0)), pc,
+      clusterBy = Seq("value", "ts_us"), clusterChunks = 4, clusterCurve = "zorder")
+    assert(EsdbWriter.read(spark, pc).count() == 400)
+  }
+
   test("zorder refuses one column, >4 columns, non-numeric columns, unknown curves") {
     val p = tmp("zorderbad")
     intercept[IllegalArgumentException] {
