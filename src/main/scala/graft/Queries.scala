@@ -52,6 +52,12 @@ object Queries {
     * SECOND clustering column (what a range curve cannot prune).
     */
   val ZorderTsCutoff = 1706011200000000L
+  /** Pinned clock + retention window for the maintenance fixture: with
+    * "now" at end-of-January, the policy keeps events since Jan 15 —
+    * `now - retention` lands exactly on [[MaintainCutoff]].
+    */
+  val MaintainNow = 1706659200000000L
+  val MaintainCutoff = 1705276800000000L
   /** Hashed bag-of-words width for the quality-classifier trainer — an
     * honest model size (the weight vector is the literal the scoring
     * expression indexes; the oracle mirrors the same modulus).
@@ -370,6 +376,30 @@ object Queries {
       graft.engine.EsdbWriter.applyChanges(
         s, p, graft.engine.EsdbWriter.changesFeed(s, src, 1L), keepVersions = 4): Unit
     }
+    p
+  }
+
+  /** Maintenance fixture behind `store_maintained`: the raw events as a
+    * store with a DECLARED policy (retention window ending at
+    * [[MaintainCutoff]], one file per space, one retained version),
+    * then `CALL maintain` with the clock pinned at [[MaintainNow]].
+    * Idempotent by convergence: a re-run's retention is a ts-manifest
+    * no-op, compaction finds nothing fragmented, vacuum nothing
+    * retired.
+    */
+  private def ensureMaintainedStore(s: SparkSession, dir: String): String = synchronized {
+    val key = dir.replaceAll("[^A-Za-z0-9_-]", "_")
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft-maintstore/$key"
+    val conf = s.sparkContext.hadoopConfiguration
+    if (graft.engine.Publish.currentVersion(conf, p).isEmpty) {
+      graft.engine.Publish.publish(conf, p, keepVersions = 4) { tmp =>
+        graft.engine.EsdbWriter.write(ev(s, dir), tmp)
+      }: Unit
+      graft.engine.Maintenance.setPolicy(conf, p, graft.engine.Maintenance.Policy(
+        retentionUs = Some(MaintainNow - MaintainCutoff),
+        maxFilesPerSpace = Some(1), keepVersions = 1))
+    }
+    graft.engine.Maintenance.maintain(s, p, nowUs = Some(MaintainNow)): Unit
     p
   }
 
@@ -794,6 +824,27 @@ object Queries {
               |       value, props AS payload
               |FROM events WHERE event_id % 3 <> 0 AND value < $PredDeleteCutoff
               |ORDER BY _change, event_id""".stripMargin)),
+
+    // policy-driven maintenance (X29): retention + fragmentation repair
+    // + version vacuum applied through the declared _POLICY with a
+    // pinned clock — the oracle recomputes the retention window over
+    // raw events, proving expiry exact (cutoff-exclusive) and nothing
+    // else lost across the compaction the policy also triggered
+    QuerySpec("store_maintained",
+      (s, d) => {
+        val p = ensureMaintainedStore(s, d)
+        graft.engine.EsdbWriter.readOrdered(s, p)
+          .groupBy("space")
+          .agg(count(lit(1)).as("n_events"),
+            sum(round(col("value") * 100).cast("long")).as("sum_cents"),
+            min(col("ts_us")).as("min_ts_us"))
+          .orderBy("space")
+      },
+      Some(s"""SELECT event_type AS space, count(*) AS n_events,
+              |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents,
+              |       min(epoch_us(ts)) AS min_ts_us
+              |FROM events WHERE epoch_us(ts) >= $MaintainCutoff
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // CDC APPLIED (X28): a replica forked at the fixture's v1 and fed
     // one changesFeed window through applyChanges must hold exactly the

@@ -1,0 +1,124 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+
+/** Policy-driven store maintenance — the operational autopilot over the
+  * primitives the engine already has: time retention
+  * ([[EsdbWriter.deleteOlderThan]], ts-manifest-priced), fragmentation
+  * repair ([[EsdbWriter.compactIncremental]], rewrites only fragmented
+  * spaces), and retired-version sweeping ([[Publish.vacuum]]). A policy
+  * is declared ONCE on the store (a `_POLICY` marker beside the seal
+  * marker — it survives every versioned publish) and `maintain` applies
+  * it idempotently: a second run against an already-conforming store
+  * commits nothing (every primitive is a stats/manifest-proven no-op),
+  * so a scheduler can call it blindly on every store it knows.
+  *
+  * The reference's analog is operational too: `.esdb` files are
+  * write-once and replaced wholesale (README.md:30-36); retention there
+  * is "stop shipping the old file". A mutable store needs the policy
+  * spelled out — this is where it lives.
+  */
+object Maintenance {
+
+  val PolicyMarker = "_POLICY"
+
+  /** What `maintain` enforces. All knobs optional: an absent knob means
+    * "leave that dimension alone".
+    *
+    * @param retentionUs       events older than (now − retentionUs) are
+    *                          deleted (ts-manifest-priced; straddling
+    *                          files rewrite, expired files just drop)
+    * @param maxFilesPerSpace  spaces fragmented past this many files
+    *                          re-compact (the rest carry)
+    * @param keepVersions      publish retention for the maintenance
+    *                          commits AND the vacuum floor
+    */
+  final case class Policy(retentionUs: Option[Long] = None,
+                          maxFilesPerSpace: Option[Int] = None,
+                          keepVersions: Int = 2) {
+    require(retentionUs.forall(_ > 0), s"retentionUs must be positive: $retentionUs")
+    require(maxFilesPerSpace.forall(_ >= 1), s"maxFilesPerSpace must be >= 1")
+    require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
+  }
+
+  def setPolicy(conf: org.apache.hadoop.conf.Configuration, path: String,
+                policy: Policy): Unit = {
+    val m = new org.apache.hadoop.fs.Path(path, PolicyMarker)
+    val out = m.getFileSystem(conf).create(m, true)
+    val txt = Seq(
+      policy.retentionUs.map(r => s"retention_us=$r"),
+      policy.maxFilesPerSpace.map(f => s"max_files_per_space=$f"),
+      Some(s"keep_versions=${policy.keepVersions}")).flatten.mkString("\n")
+    try out.write(txt.getBytes("UTF-8")) finally out.close()
+  }
+
+  def clearPolicy(conf: org.apache.hadoop.conf.Configuration, path: String): Unit = {
+    val m = new org.apache.hadoop.fs.Path(path, PolicyMarker)
+    val fs = m.getFileSystem(conf)
+    if (fs.exists(m)) fs.delete(m, false): Unit
+  }
+
+  /** The declared policy, or None for an unmanaged store. A corrupt
+    * marker throws (like the cluster marker): silently skipping
+    * maintenance would let retention quietly stop being enforced.
+    */
+  def policyOf(conf: org.apache.hadoop.conf.Configuration,
+               path: String): Option[Policy] = {
+    val m = new org.apache.hadoop.fs.Path(path, PolicyMarker)
+    val fs = m.getFileSystem(conf)
+    if (!fs.exists(m)) None
+    else {
+      val in = fs.open(m)
+      val txt = try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim
+      finally in.close()
+      val kv = txt.split("\n").map(_.trim).filter(_.nonEmpty).map { line =>
+        line.split("=", 2) match {
+          case Array(k, v) if v.trim.nonEmpty && v.trim.forall(_.isDigit) =>
+            k.trim -> v.trim.toLong
+          case _ => throw new IllegalStateException(
+            s"unparseable policy marker at $m: line '$line'")
+        }
+      }.toMap
+      val known = Set("retention_us", "max_files_per_space", "keep_versions")
+      val unknown = kv.keySet -- known
+      if (unknown.nonEmpty) throw new IllegalStateException(
+        s"unknown policy key(s) ${unknown.mkString(", ")} at $m")
+      Some(Policy(
+        retentionUs = kv.get("retention_us"),
+        maxFilesPerSpace = kv.get("max_files_per_space").map(_.toInt),
+        keepVersions = kv.getOrElse("keep_versions", 2L).toInt))
+    }
+  }
+
+  /** Apply the store's policy. Returns the actions that actually
+    * changed something ("retention", "compaction", "vacuum") — empty
+    * for an unmanaged or already-conforming store. `nowUs` pins the
+    * clock for tests and for replaying a maintenance schedule.
+    */
+  def maintain(spark: SparkSession, path: String,
+               nowUs: Option[Long] = None): Seq[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    policyOf(conf, path) match {
+      case None => Nil
+      case Some(p) =>
+        val actions = scala.collection.mutable.ArrayBuffer.empty[String]
+        def version(): Long = Publish.currentVersion(conf, path).map(_._1).getOrElse(0L)
+        p.retentionUs.foreach { r =>
+          val now = nowUs.getOrElse(System.currentTimeMillis() * 1000L)
+          val before = version()
+          EsdbWriter.deleteOlderThan(spark, path, now - r, keepVersions = p.keepVersions)
+          if (version() != before) actions += "retention"
+        }
+        p.maxFilesPerSpace.foreach { m =>
+          if (EsdbWriter.compactIncremental(spark, path, m, p.keepVersions))
+            actions += "compaction"
+        }
+        if (Publish.committedVersions(conf, path).size > p.keepVersions) {
+          Publish.vacuum(conf, path, keep = p.keepVersions)
+          actions += "vacuum"
+        }
+        actions.toSeq
+    }
+  }
+}

@@ -22,7 +22,7 @@ object EsdbProcedures {
 
   val names: Seq[String] =
     Seq("compact", "compact_incremental", "compact_log", "vacuum", "seal", "rollback",
-      "update_where", "merge_keyed", "apply_changes")
+      "update_where", "merge_keyed", "apply_changes", "set_policy", "maintain")
 
   private def p(name: String, dt: org.apache.spark.sql.types.DataType,
                 default: Option[String] = None,
@@ -155,6 +155,35 @@ object EsdbProcedures {
         val feed = EsdbWriter.changesFeed(spark, path(src), in.getLong(2))
         val (ins, del) = EsdbWriter.applyChanges(spark, path(t), feed, in.getInt(3))
         Seq(row(UTF8String.fromString(t), ins, del, version(t)))
+      }
+      case "set_policy" => proc("set_policy",
+        Seq(p("table", StringType),
+          p("retention_us", LongType, Some("0"),
+            comment = "delete events older than now - this (0 = no retention)"),
+          p("max_files_per_space", IntegerType, Some("0"),
+            comment = "re-compact spaces fragmented past this (0 = no compaction)"),
+          p("keep_versions", IntegerType, Some("2"))),
+        StructType(Seq(StructField("table", StringType), StructField("policy", StringType))),
+        "declare the store's maintenance policy (retention / fragmentation / version sweep)") { in =>
+        val t = in.getUTF8String(0).toString
+        val pol = graft.engine.Maintenance.Policy(
+          retentionUs = Some(in.getLong(1)).filter(_ > 0),
+          maxFilesPerSpace = Some(in.getInt(2)).filter(_ > 0),
+          keepVersions = in.getInt(3))
+        graft.engine.Maintenance.setPolicy(conf(), path(t), pol)
+        Seq(row(UTF8String.fromString(t), UTF8String.fromString(pol.toString)))
+      }
+      case "maintain" => proc("maintain",
+        Seq(p("table", StringType)),
+        StructType(Seq(StructField("table", StringType),
+          StructField("actions", StringType), StructField("version", LongType))),
+        "apply the store's declared policy idempotently: retention, fragmentation " +
+          "repair, retired-version vacuum — no-ops when already conforming") { in =>
+        val t = in.getUTF8String(0).toString
+        val actions = graft.engine.Maintenance.maintain(SparkSession.active, path(t))
+        Seq(row(UTF8String.fromString(t),
+          UTF8String.fromString(if (actions.isEmpty) "none" else actions.mkString(",")),
+          version(t)))
       }
       case other => throw new UnsupportedOperationException(
         s"unknown procedure $other; available: ${names.mkString(", ")}")
