@@ -95,6 +95,12 @@ object Maintenance {
     * changed something ("retention", "compaction", "vacuum") — empty
     * for an unmanaged or already-conforming store. `nowUs` pins the
     * clock for tests and for replaying a maintenance schedule.
+    *
+    * Layout-aware: an ordered store uses `deleteOlderThan` +
+    * `compactIncremental`; a LOG store (detected by its `_MANIFEST.log`
+    * sidecar) uses a stats-pruned ts predicate delete and `compactLog`
+    * — there `maxFilesPerSpace` doubles as the log's target file count
+    * (which is also its parallel-replay width).
     */
   def maintain(spark: SparkSession, path: String,
                nowUs: Option[Long] = None): Seq[String] = {
@@ -104,15 +110,31 @@ object Maintenance {
       case Some(p) =>
         val actions = scala.collection.mutable.ArrayBuffer.empty[String]
         def version(): Long = Publish.currentVersion(conf, path).map(_._1).getOrElse(0L)
+        def root() = new org.apache.hadoop.fs.Path(EsdbWriter.dataRoot(spark, path))
+        val fs = root().getFileSystem(conf)
+        val isLog = fs.exists(
+          new org.apache.hadoop.fs.Path(root(), EsdbWriter.LogManifest))
         p.retentionUs.foreach { r =>
           val now = nowUs.getOrElse(System.currentTimeMillis() * 1000L)
           val before = version()
-          EsdbWriter.deleteOlderThan(spark, path, now - r, keepVersions = p.keepVersions)
+          if (isLog) EsdbWriter.deleteWhereLog(spark, path,
+            Seq(org.apache.spark.sql.sources.LessThan("ts_us", now - r)),
+            keepVersions = p.keepVersions)
+          else EsdbWriter.deleteOlderThan(spark, path, now - r,
+            keepVersions = p.keepVersions)
           if (version() != before) actions += "retention"
         }
         p.maxFilesPerSpace.foreach { m =>
-          if (EsdbWriter.compactIncremental(spark, path, m, p.keepVersions))
-            actions += "compaction"
+          val did =
+            if (isLog) {
+              val files = LogCommits.visibleDataFiles(fs, root()).size
+              if (files > m) {
+                EsdbWriter.compactLog(spark, path, numFiles = m, keepVersions = p.keepVersions)
+                true
+              } else false
+            }
+            else EsdbWriter.compactIncremental(spark, path, m, p.keepVersions)
+          if (did) actions += "compaction"
         }
         if (Publish.committedVersions(conf, path).size > p.keepVersions) {
           Publish.vacuum(conf, path, keep = p.keepVersions)

@@ -48,8 +48,18 @@ class CdcFuzzSpec extends SparkSpec {
       val repP = tmp(s"cdcfuzzrep$trial")
       val conf = spark.sparkContext.hadoopConfiguration
       val v1 = mk(1L to 150L)
+      // every trial exercises a different physical layout: the CDC loop
+      // must be layout-blind (the feed is rows, not files)
+      val (subparts, cluster, curve) = trial match {
+        case 1 => (1, Nil, "range")
+        case 2 => (3, Nil, "range")
+        case _ => (1, Seq("value", "ts_us"), "zorder")
+      }
       Seq(srcP, repP).foreach { p =>
-        Publish.publish(conf, p, keepVersions = 16) { t => EsdbWriter.write(v1, t) }: Unit
+        Publish.publish(conf, p, keepVersions = 16) { t =>
+          EsdbWriter.write(v1, t, subparts = subparts,
+            clusterBy = cluster, clusterChunks = 4, clusterCurve = curve)
+        }: Unit
       }
       var nextId = 1000L
       var applied = 1L // the replica's last applied source version

@@ -72,6 +72,32 @@ class MaintenanceSpec extends SparkSpec {
     assert(Publish.currentVersion(hconf, p).get._1 == v)
   }
 
+  test("maintain is layout-aware: a LOG store trims by ts and re-compacts to the target width") {
+    val p = freshDir("polmaintlog") + "/log"
+    val t0 = 1706659200000000L
+    Publish.publish(hconf, p, keepVersions = 8) { tmp =>
+      EsdbWriter.writeLog(ev(1 to 60, t0), tmp)
+    }: Unit
+    (1 to 4).foreach(k =>
+      EsdbWriter.appendLog(ev((60 + k * 10) to (69 + k * 10), t0), p))
+
+    Maintenance.setPolicy(hconf, p, Maintenance.Policy(
+      retentionUs = Some(80L * 3600L * 1000000L), // keep the last 80 hours
+      maxFilesPerSpace = Some(2), keepVersions = 1))
+    val actions = Maintenance.maintain(spark, p, nowUs = Some(t0))
+    assert(actions.contains("retention"), s"got $actions")
+    assert(actions.contains("compaction"), s"got $actions")
+
+    // base ids 1..60 (ages 1-60h) survive; appends cover 70..109 and
+    // only 70..80 survive the 80h cutoff (exclusive: id 80 sits on it)
+    val ids = graft.engine.EventLog.iterate(EsdbWriter.readLog(spark, p))
+      .select("event_id").as[Long].collect().toSeq
+    assert(ids == ((1L to 60L) ++ (70L to 80L)),
+      s"got ${ids.take(5)}..${ids.takeRight(5)}")
+    // converged: a second run does nothing
+    assert(Maintenance.maintain(spark, p, nowUs = Some(t0)).isEmpty)
+  }
+
   test("an unmanaged store is a no-op; CALL surface reports actions") {
     val root = freshDir("polcall")
     Publish.publish(hconf, s"$root/t", keepVersions = 8) { tmp =>
