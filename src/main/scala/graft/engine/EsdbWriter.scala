@@ -2435,6 +2435,56 @@ object EsdbWriter {
       .select((rowCols :+ "_change").map(col): _*)
   }
 
+  /** Clone a store at its current — or a pinned — version to a NEW
+    * path, committed as the target's first version through the publish
+    * pointer (crash-safe: a half-copied clone has no pointer and is
+    * invisible). Everything in the version dir travels byte-for-byte —
+    * data files, groupings/ts/schema manifests, `_SUBPARTS`/`_CLUSTER`
+    * layout markers, and `_STREAM_COMMITS` epoch markers (a log
+    * store's files are invisible without them) — so the clone scans,
+    * mutates, and streams exactly like the source did at that version.
+    * LOGICAL-root markers deliberately do NOT travel: the clone is
+    * OPEN (no seal) and UNMANAGED (no `_POLICY`) — it is a new store,
+    * not a second pointer to the old one. The `_FILES` snapshot is
+    * regenerated by the clone's own publish.
+    *
+    * Locally this is a byte copy of one version (the price `compact`
+    * already pays); on an object store the per-file copies are
+    * server-side. Use it for what clones are for: dev/test sandboxes
+    * and destructive experiments against real data.
+    */
+  def cloneStore(spark: SparkSession, srcPath: String, dstPath: String,
+                 version: Option[Long] = None): Unit = {
+    val conf = hconf(spark)
+    val src = version match {
+      case Some(v) => Publish.resolveAt(conf, srcPath, v)
+      case None => dataRoot(spark, srcPath)
+    }
+    val srcRoot = new org.apache.hadoop.fs.Path(src)
+    val fs = srcRoot.getFileSystem(conf)
+    require(fs.exists(srcRoot), s"nothing to clone at $srcPath")
+    require(Publish.currentVersion(conf, dstPath).isEmpty &&
+      !fs.exists(new org.apache.hadoop.fs.Path(dstPath)),
+      s"clone target $dstPath already exists")
+    def copyTree(from: org.apache.hadoop.fs.Path, to: org.apache.hadoop.fs.Path): Unit =
+      fs.listStatus(from).foreach { st =>
+        val n = st.getPath.getName
+        if (!n.startsWith(".") && n != Publish.SnapshotFile) {
+          if (st.isDirectory) {
+            fs.mkdirs(new org.apache.hadoop.fs.Path(to, n))
+            copyTree(st.getPath, new org.apache.hadoop.fs.Path(to, n))
+          } else if (st.getLen > 0 || n.startsWith("_"))
+            org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
+              new org.apache.hadoop.fs.Path(to, n), false, conf): Unit
+        }
+      }
+    Publish.publish(conf, dstPath) { tmp =>
+      val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+      fs.mkdirs(tmpPath)
+      copyTree(srcRoot, tmpPath)
+    }: Unit
+  }
+
   /** Apply a change-feed batch to a REPLICA store — the consumer half
     * of [[changesFeed]], closing the CDC loop: `replica ∖ deletes ∪
     * inserts`, committed as one version. Feeding a replica of version

@@ -22,7 +22,8 @@ object EsdbProcedures {
 
   val names: Seq[String] =
     Seq("compact", "compact_incremental", "compact_log", "vacuum", "seal", "rollback",
-      "update_where", "merge_keyed", "apply_changes", "set_policy", "maintain")
+      "update_where", "merge_keyed", "apply_changes", "set_policy", "maintain",
+      "clone_table")
 
   private def p(name: String, dt: org.apache.spark.sql.types.DataType,
                 default: Option[String] = None,
@@ -184,6 +185,21 @@ object EsdbProcedures {
         Seq(row(UTF8String.fromString(t),
           UTF8String.fromString(if (actions.isEmpty) "none" else actions.mkString(",")),
           version(t)))
+      }
+      case "clone_table" => proc("clone_table",
+        Seq(p("table", StringType),
+          p("target", StringType, comment = "new table name (same catalog; must not exist)"),
+          p("version", LongType, Some("0"),
+            comment = "pin the clone to this committed version (0 = current head)")),
+        StructType(Seq(StructField("table", StringType),
+          StructField("target", StringType), StructField("version", LongType))),
+        "clone a store at a version into a new OPEN, UNMANAGED table — " +
+          "dev/test sandboxes over real data") { in =>
+        val t = in.getUTF8String(0).toString
+        val tgt = in.getUTF8String(1).toString
+        EsdbWriter.cloneStore(SparkSession.active, path(t), path(tgt),
+          Some(in.getLong(2)).filter(_ > 0))
+        Seq(row(UTF8String.fromString(t), UTF8String.fromString(tgt), version(tgt)))
       }
       case other => throw new UnsupportedOperationException(
         s"unknown procedure $other; available: ${names.mkString(", ")}")

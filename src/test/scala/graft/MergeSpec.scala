@@ -174,6 +174,19 @@ class MergeSpec extends SparkSpec {
     assert(scan.count() > 0)
   }
 
+  test("merge into an empty store is a pure insert; empty source is a no-op") {
+    val p = versioned("mergeempty", ev(1 to 1).limit(0))
+    val (r0, i0) = EsdbWriter.mergeInto(spark, p, ev(1 to 1).limit(0), Seq("event_id"))
+    assert((r0, i0) == ((0L, 0L)), "empty source must change nothing")
+    val (r, i) = EsdbWriter.mergeInto(spark, p, ev(1 to 20), Seq("event_id"), keepVersions = 4)
+    assert(r == 0 && i == 20, s"got ($r, $i)")
+    assert(EsdbWriter.readOrdered(spark, p).count() == 20)
+    // CDC sees pure inserts
+    val feed = EsdbWriter.changesFeed(spark, p, 1L)
+    assert(feed.where(col("_change") === "delete").count() == 0)
+    assert(feed.count() == 20)
+  }
+
   test("CALL merge_keyed: the SQL surface upserts through the same engine path") {
     val root = freshDir("mergecall")
     val conf = spark.sparkContext.hadoopConfiguration
