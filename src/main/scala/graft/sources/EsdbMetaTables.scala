@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.types.{BooleanType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -22,7 +22,7 @@ import graft.engine.{EsdbWriter, Publish}
   */
 object EsdbMetaTables {
 
-  val names: Set[String] = Set("versions", "files", "groupings", "tails", "changes")
+  val names: Set[String] = Set("versions", "files", "groupings", "tails", "changes", "policy")
 
   def load(logical: String, which: String, conf: Configuration): Table = which match {
     case "versions" =>
@@ -63,6 +63,19 @@ object EsdbMetaTables {
           StructField("attr", StringType, nullable = true),
           StructField("tail_event_id", LongType, nullable = true))),
         () => tailRows(logical, conf))
+    case "policy" =>
+      // the declared maintenance policy ([[graft.engine.Maintenance]]):
+      // zero rows = unmanaged, one row = the knobs CALL maintain enforces
+      new MetaTable(s"esdb:$logical.policy",
+        StructType(Seq(
+          StructField("retention_us", LongType, nullable = true),
+          StructField("max_files_per_space", IntegerType, nullable = true),
+          StructField("keep_versions", IntegerType, nullable = false))),
+        () => graft.engine.Maintenance.policyOf(conf, logical).toSeq.map { p =>
+          new GenericInternalRow(Array[Any](
+            p.retentionUs.map(Long.box).orNull,
+            p.maxFilesPerSpace.map(Int.box).orNull, p.keepVersions))
+        })
   }
 
   /** (relative file, space-or-null, bytes) for one data root: store

@@ -108,10 +108,16 @@ class MaintenanceSpec extends SparkSpec {
     val cat = "esdbpol"
     spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.EsdbCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    // an unmanaged store's policy metadata table is empty
+    assert(spark.sql(s"SELECT * FROM $cat.t.policy").count() == 0)
     spark.sql(s"CALL $cat.system.set_policy(table => 't', max_files_per_space => 1)")
       .collect(): Unit
     assert(Maintenance.policyOf(hconf, s"$root/t")
       .contains(Maintenance.Policy(None, Some(1), 2)))
+    // ... and SQL-discoverable once declared
+    val pol = spark.sql(s"SELECT * FROM $cat.t.policy").collect()
+    assert(pol.length == 1 && pol(0).isNullAt(0) &&
+      pol(0).getInt(1) == 1 && pol(0).getInt(2) == 2, pol.mkString)
     // fragment then CALL maintain
     EsdbWriter.append(ev(41 to 60, 1706659200000000L), s"$root/t")
     val res = spark.sql(s"CALL $cat.system.maintain(table => 't')").collect()
