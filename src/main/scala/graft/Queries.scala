@@ -403,6 +403,26 @@ object Queries {
     p
   }
 
+  /** Clone fixture behind `store_clone_scan`: the standard store cloned
+    * once per sfDir ([[graft.engine.EsdbWriter.cloneStore]]); the clone
+    * must serve the exact scans the source serves.
+    */
+  private def ensureClonedStore(s: SparkSession, dir: String): String = synchronized {
+    val src = ensureStore(s, dir)
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft-clonestore/$key"
+    val conf = s.sparkContext.hadoopConfiguration
+    if (graft.engine.Publish.currentVersion(conf, p).isEmpty) {
+      // a crashed earlier clone leaves a pointer-less dir: sweep it
+      // (cloneStore refuses existing targets)
+      val root = new org.apache.hadoop.fs.Path(p)
+      val fs = root.getFileSystem(conf)
+      if (fs.exists(root)) fs.delete(root, true): Unit
+      graft.engine.EsdbWriter.cloneStore(s, src, p)
+    }
+    p
+  }
+
   /** Incremental-read fixture: version 1 holds the events with
     * `event_id % 5 != 0`; the rest are APPENDED after the commit (into
     * the current version's dir, as real appends do). An incremental
@@ -824,6 +844,18 @@ object Queries {
               |       value, props AS payload
               |FROM events WHERE event_id % 3 <> 0 AND value < $PredDeleteCutoff
               |ORDER BY _change, event_id""".stripMargin)),
+
+    // store cloning (X30): the sandbox copy must serve the exact scan
+    // its source serves — same Sort-free ordered read, same oracle
+    QuerySpec("store_clone_scan",
+      (s, d) => {
+        val p = ensureClonedStore(s, d)
+        EventStore.scan(graft.engine.EsdbWriter.readOrdered(s, p), Space, Grouping)
+          .select("event_id", "ts_us", "value", "payload")
+      },
+      Some(s"""SELECT event_id, epoch_us(ts) AS ts_us, value, props AS payload
+              |FROM events WHERE event_type = '$Space' AND user_id = $Grouping
+              |ORDER BY ts_us DESC, event_id""".stripMargin)),
 
     // policy-driven maintenance (X29): retention + fragmentation repair
     // + version vacuum applied through the declared _POLICY with a
