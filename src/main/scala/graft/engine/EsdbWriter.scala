@@ -1081,10 +1081,16 @@ object EsdbWriter {
     Publish.publish(conf, path, keepVersions) { tmp =>
       val tmpPath = new org.apache.hadoop.fs.Path(tmp)
       val inserts = alignSource()
+      var cached: DataFrame = null
       val (replaced, footprintBytes) =
         if (rewrite.isEmpty) (inserts, 0L)
         else {
-          val df = readFullWidth(spark, src, rewrite.map(_._2.getPath.toString))
+          // the footprint is read three times (two match counts + the
+          // anti-join rewrite): cache it for the op's duration so the
+          // parquet scan happens once (churn-bounded, disk-spillable)
+          cached = readFullWidth(spark, src, rewrite.map(_._2.getPath.toString))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val df = cached
           // a key may match several target rows (keys need not be a
           // target PK): replaced counts target rows, inserted counts
           // source rows whose key matched nothing
@@ -1094,6 +1100,7 @@ object EsdbWriter {
           (kept.unionByName(inserts, allowMissingColumns = true),
             rewrite.map(_._2.getLen).sum)
         }
+      try {
       val cl = clusterChunksFor(clusterOf(conf, src),
         footprintBytes, math.max(1L, classified.map(_._2.getLen).sum))
       write(if (replaced.columns.contains("bucket")) replaced.drop("bucket") else replaced,
@@ -1129,6 +1136,7 @@ object EsdbWriter {
       refreshGroupingsManifestFor(spark, src, tmp,
         rewrite.map(r => graft.sources.EsdbStoreSource.unescapePathName(
           r._1.split('/').head.stripPrefix("space="))).toSet ++ srcSpaces)
+      } finally { if (cached != null) cached.unpersist(): Unit }
     }: Unit
     (replacedRows, nSrc - matchedKeys)
   }
@@ -2558,9 +2566,13 @@ object EsdbWriter {
         else lit(null).cast(f.dataType)).as(f.name, f.metadata)).toSeq: _*)
     Publish.publish(conf, path, keepVersions) { tmp =>
       val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+      // the footprint feeds the diff AND the drift count: cache it so
+      // the parquet scan happens once (churn-bounded, disk-spillable)
       val footprint =
-        if (rewrite.isEmpty) align(readFullWidth(spark, src).limit(0))
-        else align(readFullWidth(spark, src, rewrite.map(_._2.getPath.toString)))
+        (if (rewrite.isEmpty) align(readFullWidth(spark, src).limit(0))
+        else align(readFullWidth(spark, src, rewrite.map(_._2.getPath.toString))))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
       val kept = footprint.exceptAll(align(deletes0))
       // drift check: every delete must have consumed exactly one row
       val removed = (if (rewrite.isEmpty) 0L else footprint.count()) - kept.count()
@@ -2603,6 +2615,7 @@ object EsdbWriter {
       refreshGroupingsManifestFor(spark, src, tmp,
         rewrite.map(r => graft.sources.EsdbStoreSource.unescapePathName(
           r._1.split('/').head.stripPrefix("space="))).toSet ++ insSpaces)
+      } finally { footprint.unpersist(): Unit }
     }: Unit
     (nIns, nDel)
   }
