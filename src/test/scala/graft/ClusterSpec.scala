@@ -245,6 +245,26 @@ class ClusterSpec extends SparkSpec {
     assert(EsdbWriter.read(spark, pc).count() == 400)
   }
 
+  test("zorder composes with subpartitioning: bucketed scans and pruning both hold") {
+    val p = tmp("zordersub")
+    EsdbWriter.write(mkGrid(1600), p, subparts = 2,
+      clusterBy = Seq("value", "ts_us"), clusterChunks = 8, clusterCurve = "zorder")
+    assert(EsdbWriter.read(spark, p).count() == 1600)
+    // grouping-pinned scan across buckets + z-chunks stays exact + ordered
+    val scan = EventStore.scan(EsdbWriter.readOrdered(spark, p), "s", "g2")
+      .select("event_id").as[Long].collect().toSeq
+    assert(scan == (0L until 1600L).filter(_ % 4 == 2)
+      .sortBy(i => (-(i / 80), i)))
+    // a second-column predicate delete still prunes (files live under
+    // bucket dirs; footer classification is layout-blind)
+    val before = dataFiles(p).map(_._1).toSet
+    EsdbWriter.deleteWhere(spark, p, Seq(GreaterThanOrEqual("ts_us", 15000L)))
+    val carried = before.intersect(dataFiles(p).map(_._1).toSet)
+    assert(carried.nonEmpty, "out-of-window bucketed files must carry")
+    assert(EsdbWriter.read(spark, p).count() ==
+      (0 until 1600).count(i => (i / 80) * 1000 < 15000))
+  }
+
   test("zorder refuses one column, >4 columns, non-numeric columns, unknown curves") {
     val p = tmp("zorderbad")
     intercept[IllegalArgumentException] {
