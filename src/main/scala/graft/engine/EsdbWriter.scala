@@ -553,6 +553,7 @@ object EsdbWriter {
       write(if (full.columns.contains("bucket")) full.drop("bucket") else full,
         tmp, subparts = subparts, clusterBy = cluster.cols,
         clusterChunks = math.max(1, cluster.chunks), clusterCurve = cluster.curve)
+      carryStreamCommits(hconf(spark), src, tmp)
     }: Unit
   }
 
@@ -635,6 +636,8 @@ object EsdbWriter {
             }
         }
       }
+      // committed streaming epochs must replay as no-ops after the rewrite
+      carryStreamCommits(conf, src, tmp)
     }: Unit
     true
   }
@@ -770,6 +773,8 @@ object EsdbWriter {
           case None => writeSchemaManifest(conf, tmp, old)
         }
       }
+      // committed streaming epochs must replay as no-ops after the rewrite
+      carryStreamCommits(conf, src, tmp)
     }: Unit
   }
 
@@ -891,6 +896,8 @@ object EsdbWriter {
         val gm = new org.apache.hadoop.fs.Path(tmpPath, GroupingsManifest)
         if (fs.exists(gm)) fs.delete(gm, true): Unit
       }
+      // committed streaming epochs must replay as no-ops after the rewrite
+      carryStreamCommits(conf, src, tmp)
     }: Unit
   }
 
@@ -1137,6 +1144,8 @@ object EsdbWriter {
         rewrite.map(r => graft.sources.EsdbStoreSource.unescapePathName(
           r._1.split('/').head.stripPrefix("space="))).toSet ++ srcSpaces)
       } finally { if (cached != null) cached.unpersist(): Unit }
+      // committed streaming epochs must replay as no-ops after the rewrite
+      carryStreamCommits(conf, src, tmp)
     }: Unit
     (replacedRows, nSrc - matchedKeys)
   }
@@ -1225,6 +1234,8 @@ object EsdbWriter {
       refreshGroupingsManifestFor(spark, src, tmp,
         rewrite.map(r => graft.sources.EsdbStoreSource.unescapePathName(
           r._1.split('/').head.stripPrefix("space="))).toSet)
+      // committed streaming epochs must replay as no-ops after the rewrite
+      carryStreamCommits(conf, src, tmp)
     }: Unit
     true
   }
@@ -1822,6 +1833,29 @@ object EsdbWriter {
     * only under a misconfigured double-run) wins, and this attempt's
     * files — shadowed duplicates — are removed in deference.
     */
+  /** Carry `_STREAM_COMMITS` epoch markers from the live version into
+    * a staged rewrite. A streaming-sink batch that committed to the
+    * store but whose checkpoint had not yet recorded completion may be
+    * REPLAYED after the rewrite publishes; the marker is what makes
+    * that replay a no-op instead of a duplicate append. EVERY rewrite
+    * that publishes a new version of a store that might be a streaming
+    * sink target must call this (the log-layout rewrites inline the
+    * same copy).
+    */
+  private[graft] def carryStreamCommits(conf: org.apache.hadoop.conf.Configuration,
+                                        src: String, tmp: String): Unit = {
+    val markers = new org.apache.hadoop.fs.Path(src, LogCommits.Dir)
+    val fs = markers.getFileSystem(conf)
+    if (fs.exists(markers)) {
+      val dst = new org.apache.hadoop.fs.Path(tmp, LogCommits.Dir)
+      fs.mkdirs(dst)
+      fs.listStatus(markers).toSeq.filter(_.isFile).foreach { m =>
+        org.apache.hadoop.fs.FileUtil.copy(fs, m.getPath, fs,
+          new org.apache.hadoop.fs.Path(dst, m.getPath.getName), false, conf): Unit
+      }
+    }
+  }
+
   private def commitEpochMarker(fs: org.apache.hadoop.fs.FileSystem,
                                 conf: org.apache.hadoop.conf.Configuration,
                                 root: org.apache.hadoop.fs.Path,
@@ -1891,7 +1925,10 @@ object EsdbWriter {
       val dst = new org.apache.hadoop.fs.Path(p.getParent, p.getName.stripPrefix("."))
       if (!fs.rename(p, dst)) throw new java.io.IOException(
         s"could not finalize streamed file $rel at $path")
-      s"${p.getParent.getName}/${dst.getName}"
+      // the FULL relative path (dot stripped from the basename only):
+      // for subpartitioned stores rel is `space=X/bucket=N/.stream-…`,
+      // and the marker/cleanup paths must keep the `space=` segment
+      s"${new org.apache.hadoop.fs.Path(rel).getParent}/${dst.getName}"
     }
     sweepStaged()
     commitEpochMarker(fs, conf, root, epochId, finalNames)
@@ -2524,8 +2561,28 @@ object EsdbWriter {
       "applyChanges takes a change feed (needs the _change column)")
     GraftSession.tune(spark)
     val conf = hconf(spark)
-    val inserts0 = feed.where(col("_change") === "insert").drop("_change")
-    val deletes0 = feed.where(col("_change") === "delete").drop("_change")
+    // a feed column the replica lacks would otherwise be dropped by the
+    // align below — inserts would silently lose its values and the
+    // divergence only surfaces later as a drift exception on delete
+    locally {
+      val src0 = dataRoot(spark, path)
+      val replicaCols = schemaManifest(conf, src0).map(_.fieldNames.toSet)
+        .getOrElse(readFullWidth(spark, src0).schema.fieldNames.toSet)
+      val extra = feed.columns
+        .filterNot(c => c == "_change" || c == "bucket" || replicaCols.contains(c))
+      require(extra.isEmpty,
+        s"change feed carries column(s) [${extra.mkString(", ")}] the replica at " +
+          s"$path lacks — ALTER the replica first (silently dropping them would " +
+          "diverge the replica from the followed source)")
+    }
+    // the feed plan (typically an expensive two-version hash diff) is
+    // consumed several times — counts, delete-stats agg, the EXCEPT ALL,
+    // the drift count, the insert write, the insert-spaces agg: persist
+    // it for the apply's duration, mirroring the footprint cache
+    val fed = feed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+    val inserts0 = fed.where(col("_change") === "insert").drop("_change")
+    val deletes0 = fed.where(col("_change") === "delete").drop("_change")
     val nDel = deletes0.count()
     val nIns = inserts0.count()
     if (nDel == 0 && nIns == 0) return (0L, 0L)
@@ -2616,7 +2673,10 @@ object EsdbWriter {
         rewrite.map(r => graft.sources.EsdbStoreSource.unescapePathName(
           r._1.split('/').head.stripPrefix("space="))).toSet ++ insSpaces)
       } finally { footprint.unpersist(): Unit }
+      // committed streaming epochs must replay as no-ops after the rewrite
+      carryStreamCommits(conf, src, tmp)
     }: Unit
     (nIns, nDel)
+    } finally { fed.unpersist(): Unit }
   }
 }

@@ -130,10 +130,13 @@ object EsdbProcedures {
         val t = in.getUTF8String(0).toString
         val srcSpec = in.getUTF8String(1).toString.trim
         val spark = SparkSession.active
+        // a bare identifier resolves as a table/view; anything else —
+        // SELECT/WITH in any spelling, parenthesized queries, leading
+        // comments — goes through the SQL parser, so the error names
+        // the real problem instead of "table not found"
         val source =
-          if (srcSpec.toLowerCase.startsWith("select ") ||
-              srcSpec.toLowerCase.startsWith("with ")) spark.sql(srcSpec)
-          else spark.table(srcSpec)
+          if (srcSpec.matches("""[\w.`]+""")) spark.table(srcSpec)
+          else spark.sql(srcSpec)
         val keys = in.getUTF8String(2).toString.split(",").map(_.trim).filter(_.nonEmpty).toSeq
         val (replaced, inserted) = EsdbWriter.mergeInto(
           spark, path(t), source, keys, in.getInt(3))

@@ -308,6 +308,23 @@ class ChangesSpec extends SparkSpec {
     assert(e.getMessage.contains("diverged"), e.getMessage)
   }
 
+  test("applyChanges refuses a feed column the replica lacks instead of dropping it") {
+    val srcP = tmp("cdccolsrc")
+    val repP = tmp("cdccolrep")
+    writeV1(srcP, mk(1 to 30))
+    writeV1(repP, mk(1 to 30))
+    EsdbWriter.deleteWhere(spark, srcP, Seq(LessThan("event_id", 5L)), keepVersions = 8)
+    // the followed source gained a column the replica doesn't have yet:
+    // silently dropping it would lose insert values and surface later
+    // as a confusing drift error
+    val feed = EsdbWriter.changesFeed(spark, srcP, 1L)
+      .withColumn("extra_col", lit(1L))
+    val e = intercept[IllegalArgumentException] {
+      EsdbWriter.applyChanges(spark, repP, feed)
+    }
+    assert(e.getMessage.contains("extra_col") && e.getMessage.contains("ALTER"), e.getMessage)
+  }
+
   test("streaming replication: esdbchanges + foreachBatch(applyChanges) follows the source") {
     val srcP = tmp("cdcstreamsrc")
     val repP = tmp("cdcstreamrep")

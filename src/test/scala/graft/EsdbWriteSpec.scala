@@ -427,6 +427,85 @@ class EsdbWriteSpec extends SparkSpec {
     assert(!hasSortNode(plan), "bucketed streamed files must keep the sorted layout:\n" + plan)
   }
 
+  test("subpartitioned epoch markers record full space=/bucket= paths; replay sweeps in buckets") {
+    val path = freshDir("storesinksubmark")
+    EsdbWriter.write(ev(1 to 40), path, subparts = 2)
+    // stage an epoch-9 file inside a bucket dir, as the subpartitioned sink does
+    val bucketDir = new java.io.File(path, "space=s1").listFiles()
+      .find(d => d.isDirectory && d.getName.startsWith("bucket=")).get
+    val staged = new java.io.File(bucketDir, ".stream-9-p00001-aa000000.parquet")
+    val tmp = new java.io.File(freshDir("subm-tmp"), "d.parquet")
+    ev(201 to 210).where($"space" === "s1").drop("space").coalesce(1)
+      .write.parquet(tmp.getAbsolutePath)
+    java.nio.file.Files.move(
+      tmp.listFiles().find(_.getName.endsWith(".parquet")).get.toPath, staged.toPath)
+
+    EsdbWriter.commitStoreEpoch(spark, path, 9L,
+      staged = Seq(s"space=s1/${bucketDir.getName}/${staged.getName}"),
+      pairs = Nil, batchSchema = ev(1 to 1).schema)
+
+    val fin = new java.io.File(bucketDir, staged.getName.stripPrefix("."))
+    assert(!staged.exists() && fin.exists(), "staged file must finalize in its bucket dir")
+    // the marker must record the FULL relative path — dropping the
+    // space= segment would break the replay sweep and failure cleanup
+    val lines = new java.io.File(path, "_STREAM_COMMITS").listFiles()
+      .filter(_.getName == "9.commit")
+      .flatMap { m =>
+        val s = scala.io.Source.fromFile(m); try s.getLines().toList finally s.close()
+      }.filter(_.nonEmpty)
+    assert(lines.nonEmpty)
+    lines.foreach { n =>
+      assert(n.startsWith("space=s1/bucket="), s"marker must keep the full relative path, got $n")
+      assert(new java.io.File(path, n).isFile, s"marker path $n must resolve to a real file")
+    }
+    // replay of the committed epoch: its bucket-dir duplicate is swept
+    val dup = new java.io.File(bucketDir, ".stream-9-p00002-bb000000.parquet")
+    java.nio.file.Files.copy(fin.toPath, dup.toPath)
+    val before = EsdbWriter.readOrdered(spark, path).count()
+    EsdbWriter.commitStoreEpoch(spark, path, 9L, staged = Nil, pairs = Nil,
+      batchSchema = ev(1 to 1).schema)
+    assert(!dup.exists(), "replay duplicate in the bucket dir must be swept")
+    assert(EsdbWriter.readOrdered(spark, path).count() == before)
+  }
+
+  test("store-layout rewrites carry _STREAM_COMMITS: a replayed epoch stays a no-op after MERGE/compact") {
+    val path = freshDir("storemarkcarry")
+    EsdbWriter.write(ev(1 to 30), path)
+    // epoch 0 committed through the sink protocol; the staged file is a
+    // byte-copy of an engine-written file so every reader accepts it
+    val spaceDir = new java.io.File(path, "space=s1")
+    val donor = spaceDir.listFiles().find(f =>
+      f.getName.endsWith(".parquet") && !f.getName.startsWith(".")).get
+    val st = new java.io.File(spaceDir, ".stream-0-p00001-cc000000.parquet")
+    java.nio.file.Files.copy(donor.toPath, st.toPath)
+    EsdbWriter.commitStoreEpoch(spark, path, 0L, staged = Seq("space=s1/" + st.getName),
+      pairs = Nil, batchSchema = ev(1 to 1).schema)
+    def markers: Set[String] = {
+      val d = new java.io.File(EsdbWriter.dataRoot(spark, path), "_STREAM_COMMITS")
+      if (d.isDirectory) d.listFiles().map(_.getName).filter(_.endsWith(".commit")).toSet
+      else Set.empty
+    }
+    assert(markers.contains("0.commit"))
+
+    EsdbWriter.mergeInto(spark, path, ev(5 to 8), Seq("event_id"))
+    assert(markers.contains("0.commit"), "mergeInto dropped the epoch marker")
+    EsdbWriter.compact(spark, path)
+    assert(markers.contains("0.commit"), "compact dropped the epoch marker")
+
+    // the replay of epoch 0 against the rewritten store must be a no-op
+    val root = new java.io.File(EsdbWriter.dataRoot(spark, path))
+    val curSpace = new java.io.File(root, "space=s1")
+    val donor2 = curSpace.listFiles().find(f =>
+      f.getName.endsWith(".parquet") && !f.getName.startsWith(".")).get
+    val dup = new java.io.File(curSpace, ".stream-0-p00009-dd000000.parquet")
+    java.nio.file.Files.copy(donor2.toPath, dup.toPath)
+    val before = EsdbWriter.readOrdered(spark, path).count()
+    EsdbWriter.commitStoreEpoch(spark, path, 0L, staged = Nil, pairs = Nil,
+      batchSchema = ev(1 to 1).schema)
+    assert(!dup.exists(), "replayed epoch must sweep its duplicate, not re-append")
+    assert(EsdbWriter.readOrdered(spark, path).count() == before)
+  }
+
   test("appends to a sealed stream are refused through the DSv2 path too") {
     val path = freshDir("dsvwriteseal")
     EsdbWriter.writeLog(ev(1 to 40), path)

@@ -207,5 +207,18 @@ class MergeSpec extends SparkSpec {
       s"replaced/inserted from CALL: ${res(0)}")
     assert(spark.sql(s"SELECT value FROM $cat.orders WHERE event_id = 12").head().getDouble(0) == 88.0)
     assert(spark.sql(s"SELECT count(*) FROM $cat.orders").head().getLong(0) == 31)
+
+    // source forms beyond a bare identifier all go through the SQL
+    // parser: parenthesized, commented, and newline-separated queries
+    for (q <- Seq(
+      "(SELECT * FROM merge_src)",
+      "-- upsert batch\nSELECT * FROM merge_src",
+      "select\n* FROM merge_src")) {
+      val r = spark.sql(
+        s"CALL $cat.system.merge_keyed(table => 'orders', source => '${q.replace("'", "''")}', keys => 'event_id')")
+        .collect()
+      assert(r.length == 1, s"source form failed: $q")
+    }
+    assert(spark.sql(s"SELECT count(*) FROM $cat.orders").head().getLong(0) == 31)
   }
 }
