@@ -323,6 +323,72 @@ object Queries {
     p
   }
 
+  /** Fixture behind `store_merge_sql`: the SAME upsert as
+    * [[ensureMergedStore]] but issued as a NATIVE `MERGE INTO`
+    * statement — Spark's own DML planning through
+    * `SupportsRowLevelOperations` ([[graft.sources.EsdbRowLevelOperation]])
+    * driving the engine's footprint machinery, instead of the CALL
+    * procedure. Replaying the same source is a fixed point, and the
+    * version guard keeps re-runs from publishing no-op versions.
+    */
+  private def ensureMergedSqlStore(s: SparkSession, dir: String): String = synchronized {
+    val key = dir.replaceAll("[^A-Za-z0-9_-]", "_")
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft-mergesqlstore/$key"
+    val conf = s.sparkContext.hadoopConfiguration
+    if (graft.engine.Publish.currentVersion(conf, p).isEmpty) {
+      graft.engine.Publish.publish(conf, p, keepVersions = 4) { tmp =>
+        graft.engine.EsdbWriter.write(ev(s, dir), tmp)
+      }: Unit
+    }
+    if (graft.engine.Publish.currentVersion(conf, p).exists(_._1 < 2)) {
+      val base = ev(s, dir)
+      base.filter(col("event_id") % 11 === 0)
+        .withColumn("value", col("value") + 1000)
+        .unionByName(
+          base.filter(col("event_id") % 17 === 0)
+            .withColumn("event_id", col("event_id") + 2000000000L)
+            .withColumn("value", col("value") + 5000))
+        .createOrReplaceTempView("merge_sql_src")
+      val name = new java.io.File(p).getName
+      s.conf.set("spark.sql.catalog.esdb_mrgsql", classOf[graft.sources.EsdbCatalog].getName)
+      s.conf.set("spark.sql.catalog.esdb_mrgsql.root", new java.io.File(p).getParent)
+      s.sql(
+        s"""MERGE INTO esdb_mrgsql.$name t USING merge_sql_src s
+           |ON t.event_id = s.event_id
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin): Unit
+    }
+    p
+  }
+
+  /** Fixture behind `store_update_sql`: the SAME redaction as
+    * [[ensureUpdatedStore]] but issued as a NATIVE `UPDATE` statement
+    * (group-based copy-on-write via `SupportsRowLevelOperations`; the
+    * statement's predicate pushes into the operation scan and bounds
+    * the footprint by footer stats). The version guard keeps re-runs
+    * from republishing.
+    */
+  private def ensureUpdatedSqlStore(s: SparkSession, dir: String): String = synchronized {
+    val key = dir.replaceAll("[^A-Za-z0-9_-]", "_")
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft-updsqlstore/$key"
+    val conf = s.sparkContext.hadoopConfiguration
+    if (graft.engine.Publish.currentVersion(conf, p).isEmpty) {
+      graft.engine.Publish.publish(conf, p, keepVersions = 4) { tmp =>
+        graft.engine.EsdbWriter.write(ev(s, dir), tmp)
+      }: Unit
+    }
+    if (graft.engine.Publish.currentVersion(conf, p).exists(_._1 < 2)) {
+      val name = new java.io.File(p).getName
+      s.conf.set("spark.sql.catalog.esdb_updsql", classOf[graft.sources.EsdbCatalog].getName)
+      s.conf.set("spark.sql.catalog.esdb_updsql.root", new java.io.File(p).getParent)
+      s.sql(
+        s"""UPDATE esdb_updsql.$name
+           |SET value = 0.0, payload = '{}'
+           |WHERE value >= $UpdateCutoff""".stripMargin): Unit
+    }
+    p
+  }
+
   /** Change-feed fixture: v1 = events with `event_id % 3 != 0`; an
     * in-place append of the complement; a predicate DELETE
     * (`value < PredDeleteCutoff`); then a FULL compaction that renames
@@ -951,6 +1017,57 @@ object Queries {
              |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents,
              |       max(event_id) AS max_event_id
              |FROM merged GROUP BY space ORDER BY space""".stripMargin)),
+
+    // the SAME upsert as store_merge_upsert, issued as a NATIVE SQL
+    // `MERGE INTO` statement: Spark's RewriteMergeIntoTable plans it
+    // group-based through SupportsRowLevelOperations and the engine's
+    // replaceFootprint publishes the version — one oracle proves the
+    // two DML surfaces (CALL procedure, native statement) equivalent
+    QuerySpec("store_merge_sql",
+      (s, d) => {
+        val p = ensureMergedSqlStore(s, d)
+        graft.engine.EsdbWriter.readOrdered(s, p)
+          .groupBy("space")
+          .agg(count(lit(1)).as("n_events"),
+            sum(round(col("value") * 100).cast("long")).as("sum_cents"),
+            max("event_id").as("max_event_id"))
+          .orderBy("space")
+      },
+      Some("""WITH merged AS (
+             |  SELECT event_type AS space,
+             |         CASE WHEN event_id % 11 = 0 THEN value + 1000 ELSE value END AS value,
+             |         event_id
+             |  FROM events
+             |  UNION ALL
+             |  SELECT event_type AS space, value + 5000 AS value,
+             |         event_id + 2000000000 AS event_id
+             |  FROM events WHERE event_id % 17 = 0
+             |)
+             |SELECT space, count(*) AS n_events,
+             |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents,
+             |       max(event_id) AS max_event_id
+             |FROM merged GROUP BY space ORDER BY space""".stripMargin)),
+
+    // the SAME redaction as store_update_predicate, issued as a NATIVE
+    // SQL `UPDATE` statement (group-based copy-on-write; the WHERE
+    // pushes into the operation scan and footer stats bound the
+    // rewrite footprint)
+    QuerySpec("store_update_sql",
+      (s, d) => {
+        val p = ensureUpdatedSqlStore(s, d)
+        graft.engine.EsdbWriter.readOrdered(s, p)
+          .groupBy("space")
+          .agg(count(lit(1)).as("n_events"),
+            sum(round(col("value") * 100).cast("long")).as("sum_cents"),
+            max(col("value")).as("max_value"),
+            count(when(col("payload") === "{}", 1)).as("n_redacted"))
+          .orderBy("space")
+      },
+      Some(s"""SELECT event_type AS space, count(*) AS n_events,
+              |       CAST(sum(CAST(round((CASE WHEN value >= $UpdateCutoff THEN 0.0 ELSE value END)*100) AS BIGINT)) AS BIGINT) AS sum_cents,
+              |       max(CASE WHEN value >= $UpdateCutoff THEN 0.0 ELSE value END) AS max_value,
+              |       count(CASE WHEN (CASE WHEN value >= $UpdateCutoff THEN '{}' ELSE props END) = '{}' THEN 1 END) AS n_redacted
+              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // the same scan issued as PURE SQL TEXT through the catalog plugin
     // (EsdbCatalog): the store is a named table, the predicate pushes

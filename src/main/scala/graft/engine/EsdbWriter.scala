@@ -1240,6 +1240,102 @@ object EsdbWriter {
     true
   }
 
+  /** Replace an explicit file footprint with new content — the engine
+    * half of the native SQL row-level statements (`UPDATE`, `MERGE
+    * INTO`, predicate `DELETE FROM`) that Spark plans group-based
+    * through `SupportsRowLevelOperations`
+    * ([[graft.sources.EsdbRowLevelOperation]]). The operation's scan
+    * read exactly `rewriteRels`; `replacement` holds every surviving /
+    * updated / inserted row for those groups. One new version
+    * publishes: the replacement engine-written (re-sorted, re-bucketed,
+    * re-clustered at its byte share, idx_* re-derived from payload —
+    * the index is derived data, so a SET touching payload can never
+    * leave it stale), every other live file carried byte-for-byte.
+    *
+    * Refuses with a publish conflict when any footprint file is no
+    * longer in the live version — a concurrent rewrite landed between
+    * the statement's scan and its commit; the statement retries against
+    * the new head. Concurrent APPENDS are safe: their files are not in
+    * the footprint and carry.
+    */
+  private[graft] def replaceFootprint(spark: SparkSession, path: String,
+                                      rewriteRels: Set[String],
+                                      replacement: DataFrame,
+                                      keepVersions: Int = 2): Unit = {
+    require(!isSealed(path), s"store at $path is sealed (immutable; no rewrites)")
+    GraftSession.tune(spark)
+    val conf = hconf(spark)
+    val src = dataRoot(spark, path)
+    val srcPath = new org.apache.hadoop.fs.Path(src)
+    val fs = srcPath.getFileSystem(conf)
+    val subparts = subpartsOf(conf, src)
+    val files: Seq[(String, org.apache.hadoop.fs.FileStatus)] =
+      fs.listStatus(srcPath).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("space="))
+        .flatMap(d => relativeDataFiles(fs, d.getPath))
+    val missing = rewriteRels -- files.map(_._1).toSet
+    if (missing.nonEmpty) throw new java.io.IOException(
+      s"publish conflict: row-level operation footprint at $path is no longer " +
+        s"current (${missing.size} scanned file(s) were rewritten underneath, " +
+        s"e.g. ${missing.head}) — retry the statement against the new version")
+    val (rewrite, carry) = files.partition { case (rel, _) => rewriteRels.contains(rel) }
+    val storeSchema = FieldIds.active(
+      schemaManifest(conf, src).getOrElse(readFullWidth(spark, src).schema))
+    val indexAttrs = storeSchema.fieldNames.toSeq
+      .filter(_.startsWith("idx_")).map(_.stripPrefix("idx_"))
+    val base =
+      if (replacement.columns.contains("bucket")) replacement.drop("bucket") else replacement
+    val withIdx = indexAttrs.foldLeft(base)((df, a) =>
+      df.withColumn(s"idx_$a", EventFrame.attr(a)))
+    val aligned = withIdx.select(storeSchema.fields.filterNot(_.name == "bucket").map { f =>
+      (if (withIdx.columns.contains(f.name)) col(f.name).cast(f.dataType)
+      else lit(null).cast(f.dataType)).as(f.name, f.metadata)
+    }.toSeq: _*)
+    Publish.publish(conf, path, keepVersions) { tmp =>
+      val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+      val cl = clusterChunksFor(clusterOf(conf, src),
+        math.max(1L, rewrite.map(_._2.getLen).sum), math.max(1L, files.map(_._2.getLen).sum))
+      write(aligned, tmp, subparts = subparts, clusterBy = cl.cols,
+        clusterChunks = math.max(1, cl.chunks), clusterCurve = cl.curve,
+        assignFieldIds = false)
+      carry.foreach { case (rel, f) =>
+        val dst = new org.apache.hadoop.fs.Path(tmpPath, rel)
+        fs.mkdirs(dst.getParent)
+        org.apache.hadoop.fs.FileUtil.copy(fs, f.getPath, fs, dst, false, conf): Unit
+      }
+      // ts-range rows for carried files (names preserved); rewritten
+      // files were re-manifested by write()
+      val oldTs = new org.apache.hadoop.fs.Path(srcPath, TsRangeManifest)
+      if (carry.nonEmpty && fs.exists(oldTs)) {
+        val dst = new org.apache.hadoop.fs.Path(tmpPath, TsRangeManifest)
+        fs.mkdirs(dst)
+        fs.listStatus(oldTs).toSeq
+          .filter(f => f.isFile && f.getLen > 0 &&
+            !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+          .foreach { f =>
+            org.apache.hadoop.fs.FileUtil.copy(fs, f.getPath, fs,
+              new org.apache.hadoop.fs.Path(dst, s"carry-${f.getPath.getName}"), false, conf): Unit
+          }
+      }
+      // DML never narrows the logical schema
+      schemaManifest(conf, src).foreach { old =>
+        schemaManifest(conf, tmp) match {
+          case Some(cur) => writeSchemaManifest(conf, tmp, unionSchemas(cur, old))
+          case None => writeSchemaManifest(conf, tmp, old)
+        }
+      }
+      // pairs changed only where the statement touched: the rewritten
+      // files' spaces plus the replacement rows' spaces (MERGE inserts
+      // and UPDATE SET space can introduce new ones)
+      val repSpaces = aligned.agg(collect_set(col("space"))).head().getSeq[String](0).toSet
+      refreshGroupingsManifestFor(spark, src, tmp,
+        rewrite.map(r => graft.sources.EsdbStoreSource.unescapePathName(
+          r._1.split('/').head.stripPrefix("space="))).toSet ++ repSpaces)
+      // committed streaming epochs must replay as no-ops after the rewrite
+      carryStreamCommits(conf, src, tmp)
+    }: Unit
+  }
+
   /** Output partition count for a log rewrite, sized like [[compactLog]]
     * sizes its output: one range partition per `maxPartitionBytes` of
     * rewritten input — without this, `repartitionByRange(col)` defaults

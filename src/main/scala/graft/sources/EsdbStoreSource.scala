@@ -147,8 +147,24 @@ object EsdbStoreSource {
 final class EsdbStoreTable(path: String, tableSchema: StructType,
                            writePath: Option[String] = None)
   extends Table with SupportsRead with SupportsWrite
-  with org.apache.spark.sql.connector.catalog.SupportsDelete {
+  with org.apache.spark.sql.connector.catalog.SupportsDelete
+  with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   override def name(): String = s"esdb:$path"
+
+  /** Native SQL `UPDATE` / `MERGE INTO` / predicate `DELETE FROM`,
+    * planned group-based copy-on-write over the engine's footprint
+    * machinery (see [[EsdbRowLevelOperation]]). Keyed `DELETE FROM`
+    * stays metadata-only: Spark's OptimizeMetadataOnlyDeleteFromTable
+    * converts the rewritten plan back whenever [[canDeleteWhere]]
+    * accepts the predicate.
+    */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    val logical = writePath.getOrElse(throw new UnsupportedOperationException(
+      s"$name is a version-pinned snapshot and read-only; run DML against the live store path"))
+    new EsdbRowLevelOperationBuilder(logical, tableSchema, info)
+  }
 
   /** SQL `DELETE FROM` (GDPR scrub as pure SQL): accepted when the
     * conjunction reduces to space/grouping equality or IN — exactly
