@@ -52,6 +52,7 @@ object ScaleCheck {
     if (args.contains("replay")) { replayCheck(spark, sfDir, bigDir); spark.stop(); return }
     if (args.contains("delete")) { deleteCheck(spark, sfDir, bigDir); spark.stop(); return }
     if (args.contains("mutation")) { mutationCheck(spark, sfDir, bigDir); spark.stop(); return }
+    if (args.contains("lshcap")) { lshCapCheck(spark, sfDir, bigDir); spark.stop(); return }
     // user_id not offset: groupings keep their cardinality and grow in
     // length, the dominant real-world growth mode for an event store
     replicate(engine.Tables.events(spark, sfDir), Seq("event_id"), s"$bigDir/events.parquet")
@@ -292,6 +293,47 @@ object ScaleCheck {
     println(f"${"store_native_ingest"}%-24s $s1%8.2f $s10%8.2f ${s10 / s1}%5.1f")
     val sn = engine.EsdbWriter.readOrdered(spark, s"$bigDir/ingest_store_10x").count()
     require(sn == want, s"store-native ingest round-trip lost rows: $sn != $want")
+    // SUBPARTITIONED store sink (r12 row for the r11 claim): the seed
+    // store declares subparts=4, per-(space,bucket) writers stage epoch
+    // files under both layout levels, and the merge invariant must hold
+    // per bucket — measured like the flat layout, then the bucket-pruned
+    // grouping read-back asserted against the flat store's answer
+    def timeStoreSub(srcDir: String, out: String): Double = {
+      import scala.reflect.io.Directory
+      Seq(out, s"$out-ckpt").foreach(p => new Directory(new java.io.File(p)).deleteRecursively())
+      val schema = spark.read.parquet(srcDir).schema
+      val t0 = System.nanoTime()
+      engine.EsdbWriter.write(
+        engine.EventFrame.fromEvents(spark.read.parquet(srcDir)).limit(0).repartition(1),
+        out, subparts = 4)
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 8).parquet(srcDir)
+      engine.EventFrame.fromEvents(stream).writeStream
+        .format("esdb").option("path", out)
+        .option("checkpointLocation", s"$out-ckpt")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+      (System.nanoTime() - t0) / 1e9
+    }
+    timeStoreSub(oneX, s"$bigDir/ingest_sub_warm")
+    val b1 = math.min(timeStoreSub(oneX, s"$bigDir/ingest_sub_1x"),
+      timeStoreSub(oneX, s"$bigDir/ingest_sub_1x"))
+    val b10 = math.min(timeStoreSub(s"$bigDir/events.parquet", s"$bigDir/ingest_sub_10x"),
+      timeStoreSub(s"$bigDir/events.parquet", s"$bigDir/ingest_sub_10x"))
+    println(f"${"store_native_ingest_sub"}%-24s $b1%8.2f $b10%8.2f ${b10 / b1}%5.1f")
+    val bn = engine.EsdbWriter.readOrdered(spark, s"$bigDir/ingest_sub_10x").count()
+    require(bn == want, s"subpartitioned ingest round-trip lost rows: $bn != $want")
+    // bucket-pruned ordered read-back: a grouping-pinned scan on the
+    // subpartitioned store equals the flat store's (order included)
+    val subScan = engine.EventStore.scan(
+      engine.EsdbWriter.readOrdered(spark, s"$bigDir/ingest_sub_10x"), "click", "7")
+      .select("event_id").collect().map(_.getLong(0)).toSeq
+    val flatScan = engine.EventStore.scan(
+      engine.EsdbWriter.readOrdered(spark, s"$bigDir/ingest_store_10x"), "click", "7")
+      .select("event_id").collect().map(_.getLong(0)).toSeq
+    require(subScan == flatScan,
+      s"bucket-pruned scan diverged: ${subScan.take(5)} vs ${flatScan.take(5)}")
   }
 
   /** Ordered-read evidence at 10×: the same scans through the vanilla
@@ -815,5 +857,37 @@ object ScaleCheck {
       println(f"${"spj_skew90_plain"}%-24s $tPlain%8.2f")
       println(f"${"spj_skew90_split"}%-24s $tSplit%8.2f  split/plain=${tSplit / tPlain}%4.2f")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+  }
+
+  /** LSH bucket-cap evidence: the 10× replicate duplicates every
+    * document body 10× — an adversarial duplicate flood where every
+    * band bucket holds all copies, so uncapped candidate volume grows
+    * with the SQUARE of the duplication factor (the one superlinear
+    * term in the dedup family). The cap is set AT the flood size (8 <
+    * 10 copies) so the mechanism engages at test scale; the production
+    * default (1024) behaves identically against >1024-copy floods.
+    * Expect: capped 10×/1× ratio well under the uncapped one, and the
+    * bucket-stats bound linear in corpus size.
+    */
+  private def lshCapCheck(spark: SparkSession, sfDir: String, bigDir: String): Unit = {
+    replicate(engine.Tables.documents(spark, sfDir), Seq("doc_id"), s"$bigDir/documents.parquet")
+    def docs(dir: String) = engine.Tables.documents(spark, dir)
+    def time(dir: String, cap: Int): Double = {
+      val t0 = System.nanoTime()
+      ops.Dedup.minhashNearDups(docs(dir), 0.8, bucketCap = cap)
+        .queryExecution.toRdd.count()
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      ops.Caches.clear()
+      elapsed
+    }
+    for (cap <- Seq(0, 8)) { time(sfDir, cap); time(bigDir, cap) } // warm
+    println(f"${"variant"}%-24s ${"t_1x"}%8s ${"t_10x"}%8s ratio")
+    for ((label, cap) <- Seq(("minhash_uncapped", 0), ("minhash_cap8", 8))) {
+      val t1 = math.min(time(sfDir, cap), time(sfDir, cap))
+      val t10 = math.min(time(bigDir, cap), time(bigDir, cap))
+      println(f"$label%-24s $t1%8.2f $t10%8.2f ${t10 / t1}%5.1f")
+    }
+    val (nb, nover, uncapped, capped) = ops.Dedup.lshBucketStats(docs(bigDir), bucketCap = 8)
+    println(s"buckets=$nb oversized=$nover pair_bound_uncapped=$uncapped pair_bound_cap8=$capped")
   }
 }

@@ -64,18 +64,74 @@ object Dedup {
       .toDF("doc_id", "shash", "bands")
   }
 
+  /** Default per-(band, key) bucket bound for [[bandCandidates]]: far
+    * above any bucket an honest corpus produces at the default band
+    * config, low enough that a duplicate flood stays linear.
+    */
+  val DefaultBucketCap = 1024
+
   /** Candidate pairs (a < b) sharing at least one LSH band. The
     * self-join's two sides share one canonical plan, so the exchange is
     * computed once and reused; P(candidate) ≈ 1-(1-j^r)^b for Jaccard j.
+    *
+    * BUCKET CAP — the scale guard: a bucket of size m contributes
+    * m(m-1)/2 candidate pairs, so Σ m² drives the join, and on a
+    * duplicate-heavy corpus (the adversarial case: one document
+    * repeated k times floods its bucket in EVERY band) the total goes
+    * superlinear. Buckets larger than `bucketCap` are
+    * deterministically SPLIT into ceil(m/cap) sub-buckets by doc_id
+    * hash before the self-join, bounding each bucket's contribution by
+    * O(m · cap) — candidate volume is linear in corpus size at a fixed
+    * cap. Recall: a pair split apart in one band has b-1 independent
+    * other bands to collide in (and sub-bucketing keeps ~cap/m of
+    * same-bucket pairs even here); the residual loss is confined to
+    * oversized buckets, which on real corpora are near-duplicate
+    * floods that [[exact]] dedup and [[dedupClusters]]' transitive
+    * closure already cover. `bucketCap <= 0` disables the cap.
     */
-  private def bandCandidates(sigs: DataFrame): DataFrame = {
-    val buckets = sigs.select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "bkey")))
+  private def bandCandidates(sigs: DataFrame,
+                             bucketCap: Int = DefaultBucketCap): DataFrame = {
+    val raw = sigs.select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "bkey")))
+    val buckets =
+      if (bucketCap <= 0) raw.withColumn("sub", lit(0L))
+      else {
+        // sizes shuffle on the same (band, bkey) the join shuffles on;
+        // the aggregate carries two longs per bucket, never documents
+        val sizes = raw.groupBy("band", "bkey").agg(count(lit(1)).as("bsz"))
+        raw.join(sizes, Seq("band", "bkey"))
+          .withColumn("sub",
+            when(col("bsz") <= bucketCap, lit(0L))
+              .otherwise(pmod(xxhash64(col("doc_id")),
+                ceil(col("bsz").cast("double") / bucketCap).cast("long"))))
+          .drop("bsz")
+      }
     val l = buckets.as("l")
     val r = buckets.as("r")
     l.join(r, col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
-      col("l.doc_id") < col("r.doc_id"))
+      col("l.sub") === col("r.sub") && col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
       .distinct()
+  }
+
+  /** Diagnostic for the bucket cap: (buckets, oversized buckets,
+    * candidate pairs without the cap, candidate pairs with it). The
+    * "without" term is computed from bucket SIZES (Σ m(m-1)/2), not by
+    * materializing the uncapped join.
+    */
+  def lshBucketStats(docs: DataFrame, bucketCap: Int = DefaultBucketCap,
+                     bands: Int = 16, rowsPerBand: Int = 4): (Long, Long, Long, Long) = {
+    val sigs = minhashSignatures(docs, bands, rowsPerBand)
+    val sizes = sigs.select(posexplode(col("bands")).as(Seq("band", "bkey")))
+      .groupBy("band", "bkey").agg(count(lit(1)).as("m"))
+    val row = sizes.agg(
+      count(lit(1)).as("nb"),
+      sum(when(col("m") > bucketCap, 1L).otherwise(0L)).as("nover"),
+      sum((col("m") * (col("m") - 1) / 2).cast("long")).as("uncapped"),
+      // a split bucket lands ~cap-sized sub-buckets: bound the capped
+      // volume by m/2 * cap per oversized bucket, exact below the cap
+      sum(when(col("m") <= bucketCap, col("m") * (col("m") - 1) / 2)
+        .otherwise(col("m") * lit(bucketCap) / 2).cast("long")).as("capped")).head()
+    (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
   }
 
   /** Exact Jaccard over shingle-hash sets for candidate pairs only. */
@@ -98,9 +154,10 @@ object Dedup {
     * `Caches.clear()` after materializing the result.
     */
   def minhashNearDups(docs: DataFrame, threshold: Double = 0.8,
-                      bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+                      bands: Int = 16, rowsPerBand: Int = 4,
+                      bucketCap: Int = DefaultBucketCap): DataFrame = {
     val sigs = Caches.persist(minhashSignatures(docs, bands, rowsPerBand))
-    verifyJaccard(bandCandidates(sigs), sigs, threshold)
+    verifyJaccard(bandCandidates(sigs, bucketCap), sigs, threshold)
   }
 
   /** Exact n-gram Jaccard pairs above `threshold`: LSH proposes, exact

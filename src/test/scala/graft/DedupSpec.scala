@@ -30,6 +30,49 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => b == 4L || b == 5L || a == 4L })
   }
 
+  test("LSH bucket cap bounds candidate volume on a duplicate flood, keeps results sound") {
+    // an adversarial corpus: one document repeated 60×, plus the base
+    // docs — every band bucket of the flood holds all 60 copies
+    val flood = (100L until 160L).map(i =>
+      doc(i, "the same flooded document body repeated verbatim across the corpus rows"))
+    val corpus = (flood ++ Seq(
+      doc(1, "the quick brown fox jumps over the lazy dog again and again today"),
+      doc(2, "the quick brown fox jumps over the lazy dog again and again today"),
+      doc(4, "completely different content about spark query engines and distributed joins"))
+      ).toDF("doc_id", "text")
+
+    val (nb, nover, uncapped, capped) = Dedup.lshBucketStats(corpus, bucketCap = 8)
+    assert(nb > 0 && nover > 0, s"flood must oversize buckets (nb=$nb, nover=$nover)")
+    assert(capped < uncapped,
+      s"cap must shrink the candidate bound: capped=$capped uncapped=$uncapped")
+
+    val pairs = Dedup.minhashNearDups(corpus, 0.8, bucketCap = 8)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    // soundness: every returned pair is still exact-verified ≥ threshold
+    // (identical docs → jaccard 1000); the base near-pair survives
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
+    // the flood still links: sub-bucketing keeps ~cap-sized groups per
+    // band, so every copy pairs with SOMETHING in the flood
+    val floodIds = (100L until 160L).toSet
+    val linked = pairs.collect { case (a, b) if floodIds(a) || floodIds(b) => Set(a, b) }
+      .flatten.intersect(floodIds)
+    assert(linked.size == floodIds.size,
+      s"every flood copy must keep at least one candidate partner; missing=${floodIds -- linked}")
+    // determinism: a second run returns the same set
+    val again = Dedup.minhashNearDups(corpus, 0.8, bucketCap = 8)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(again == pairs)
+  }
+
+  test("bucket cap at the default leaves an honest corpus's pairs unchanged") {
+    val capped = Dedup.minhashNearDups(docs, 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val uncapped = Dedup.minhashNearDups(docs, 0.5, bucketCap = 0)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(capped == uncapped)
+  }
+
   test("exact jaccard values: identical pair scores 1000") {
     val j = Dedup.minhashNearDups(docs, 0.5)
       .where($"a" === 1L && $"b" === 2L)
