@@ -255,6 +255,27 @@ object Queries {
     p
   }
 
+  /** Z-order on a STRING leading column (r12: ranks come from monotone
+    * key embeddings, not raw numerics) — grouping × value, then a
+    * string-range predicate delete prices by the string dimension's
+    * footer spans. Same idempotent delete-on-ensure shape as
+    * [[ensureZorderStore]].
+    */
+  private def ensureZorderStringStore(s: SparkSession, dir: String): String = synchronized {
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft-zorderstr/$key"
+    val conf = s.sparkContext.hadoopConfiguration
+    if (graft.engine.Publish.currentVersion(conf, p).isEmpty) {
+      graft.engine.Publish.publish(conf, p) { tmp =>
+        graft.engine.EsdbWriter.write(ev(s, dir), tmp,
+          clusterBy = Seq("grouping", "value"), clusterChunks = 8, clusterCurve = "zorder")
+      }: Unit
+    }
+    graft.engine.EsdbWriter.deleteWhere(s, p,
+      Seq(org.apache.spark.sql.sources.GreaterThanOrEqual("grouping", "5")))
+    p
+  }
+
   /** Store with `value >= UpdateCutoff` rows REDACTED through pure SQL
     * (`CALL esdb.system.update_where` — the redaction half of GDPR,
     * next to [[ensurePredDeletedStore]]'s delete half): the footer-
@@ -841,6 +862,27 @@ object Queries {
               |FROM events WHERE epoch_us(ts) < $ZorderTsCutoff OR ts IS NULL
               |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Z-order with a STRING leading dimension (r12): the same
+    // selectivity-priced delete discipline, but the pruned predicate is
+    // a string range over `grouping` — timestamps and identifiers are
+    // the natural clustering keys of event data, and the rank embedding
+    // (6-byte UTF-8 prefix) keeps their footer spans narrow
+    QuerySpec("store_zorder_strings",
+      (s, d) => {
+        val p = ensureZorderStringStore(s, d)
+        graft.engine.EsdbWriter.readOrdered(s, p)
+          .groupBy("space")
+          .agg(count(lit(1)).as("n_events"),
+            sum(round(col("value") * 100).cast("long")).as("sum_cents"),
+            countDistinct(col("grouping")).as("n_groupings"))
+          .orderBy("space")
+      },
+      Some("""SELECT event_type AS space, count(*) AS n_events,
+             |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents,
+             |       count(DISTINCT CAST(user_id AS VARCHAR)) AS n_groupings
+             |FROM events WHERE CAST(user_id AS VARCHAR) < '5' OR user_id IS NULL
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // rewrite-surviving row-level change feed: after append + DELETE +
     // full compaction, changesFeed(v1) must return exactly the content
     // diff — inserts = appended survivors, deletes = removed v1 rows —
@@ -850,6 +892,29 @@ object Queries {
       (s, d) => {
         val p = ensureChangesStore(s, d)
         graft.engine.EsdbWriter.changesFeed(s, p, 1L)
+          .select(col("_change"), col("event_id"), col("space"), col("grouping"),
+            col("ts_us"), col("value"), col("payload"))
+          .orderBy("_change", "event_id")
+      },
+      Some(s"""SELECT 'insert' AS _change, event_id, event_type AS space,
+              |       CAST(user_id AS VARCHAR) AS grouping, epoch_us(ts) AS ts_us,
+              |       value, props AS payload
+              |FROM events WHERE event_id % 3 = 0 AND value >= $PredDeleteCutoff
+              |UNION ALL
+              |SELECT 'delete' AS _change, event_id, event_type AS space,
+              |       CAST(user_id AS VARCHAR) AS grouping, epoch_us(ts) AS ts_us,
+              |       value, props AS payload
+              |FROM events WHERE event_id % 3 <> 0 AND value < $PredDeleteCutoff
+              |ORDER BY _change, event_id""".stripMargin)),
+
+    // the same window through the bit-exact EXCEPT ALL audit path
+    // (r12, `exact = true`): by construction it must equal both the
+    // hashed feed and the oracle — the committed certificate that the
+    // 96-bit hash projection loses nothing on this fixture
+    QuerySpec("store_changes_exact",
+      (s, d) => {
+        val p = ensureChangesStore(s, d)
+        graft.engine.EsdbWriter.changesFeed(s, p, 1L, exact = true)
           .select(col("_change"), col("event_id"), col("space"), col("grouping"),
             col("ts_us"), col("value"), col("payload"))
           .orderBy("_change", "event_id")

@@ -379,17 +379,54 @@ object EsdbWriter {
     */
   private val ZorderBits = 6 // 64 ranks per column
 
+  /** Order-preserving numeric key for a Z-order column — the ranking
+    * only needs RELATIVE order, so any monotone embedding into double
+    * works: numerics cast; timestamps/dates rank by their epoch value;
+    * strings by their first 6 UTF-8 bytes read as a 48-bit big-endian
+    * integer (exact in a double; byte order IS Spark's string order, so
+    * the embedding is monotone — ties beyond the prefix cost pruning
+    * sharpness on long shared prefixes, never correctness).
+    */
+  private def zorderKey(df: DataFrame, c: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.types._
+    df.schema(c).dataType match {
+      case _: NumericType => col(c).cast("double")
+      case TimestampType => unix_micros(col(c)).cast("double")
+      case TimestampNTZType => unix_micros(col(c).cast(TimestampType)).cast("double")
+      case DateType => unix_date(col(c)).cast("double")
+      case BooleanType => col(c).cast("int").cast("double")
+      case StringType =>
+        conv(rpad(hex(substring(encode(col(c), "UTF-8"), 1, 6)), 12, "0"), 16, 10)
+          .cast("double")
+      case other => throw new IllegalArgumentException(
+        s"zorder clustering cannot rank column '$c' of type ${other.simpleString}")
+    }
+  }
+
+  private[engine] def zorderRankable(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: NumericType | TimestampType | TimestampNTZType | DateType |
+           BooleanType | StringType => true
+      case _ => false
+    }
+  }
+
   private def zorderColumn(df: DataFrame, cols: Seq[String]): org.apache.spark.sql.Column = {
     val Bits = ZorderBits
     val n = cols.size
     val probs = (1 until (1 << Bits)).map(_.toDouble / (1 << Bits)).toArray
-    val cuts = df.stat.approxQuantile(cols.toArray, probs, 0.01)
+    // approxQuantile is numeric-only: quantile the monotone keys, rank
+    // rows by the same key expressions — one job over all columns
+    val keyed = df.select(cols.zipWithIndex.map { case (c, i) =>
+      zorderKey(df, c).as(s"_zk$i") }.toSeq: _*)
+    val cuts = keyed.stat.approxQuantile(cols.indices.map(i => s"_zk$i").toArray, probs, 0.01)
     val ranks: Seq[org.apache.spark.sql.Column] = cols.zip(cuts).map { case (c, cut) =>
       val distinctCuts = cut.distinct.sorted
       if (distinctCuts.isEmpty) lit(0) // all-null or constant column
       else {
         val raw = size(filter(typedLit(distinctCuts.toSeq),
-          b => b <= coalesce(col(c).cast("double"), lit(Double.NegativeInfinity))))
+          b => b <= coalesce(zorderKey(df, c), lit(Double.NegativeInfinity))))
         // a low-cardinality column yields < 63 distinct cuts and raw
         // ranks 0..d — stretch them over the full 6-bit code space or
         // the top Z-blocks sit empty and chunks collapse unevenly
@@ -439,10 +476,10 @@ object EsdbWriter {
       if (clusterCurve == "zorder") {
         require(clusterBy.size >= 2 && clusterBy.size <= 4,
           "zorder clustering takes 2-4 columns (one column wants the default range curve)")
-        val nonNum = clusterBy.filterNot(c =>
-          ev.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
-        require(nonNum.isEmpty,
-          s"zorder clustering is numeric-only; non-numeric: ${nonNum.mkString(", ")}")
+        val unrankable = clusterBy.filterNot(c => zorderRankable(ev.schema(c).dataType))
+        require(unrankable.isEmpty,
+          "zorder clustering ranks numeric, string, timestamp, date and boolean " +
+            s"columns; unsupported: ${unrankable.mkString(", ")}")
       }
     }
     val indexed0 = indexAttrs.foldLeft(ev) { (df, name) =>
@@ -2481,12 +2518,15 @@ object EsdbWriter {
     * inside one feed window colliding on both hashes would cancel in
     * the delta and surface a wrong representative — by the birthday
     * bound, P(any collision) ≲ n²/2⁹⁷ ≈ 7e-12 for a billion-row
-    * window, below hardware fault rates. Audits needing certainty can
-    * diff two full reads (`readOrdered` at the pinned versions) with
-    * EXCEPT ALL — the exact form this hash projection replaced.
+    * window, below hardware fault rates. Audits needing certainty pass
+    * `exact = true` (streaming: `option("exactDiff", true)`) to route
+    * the window through the EXCEPT ALL form this hash projection
+    * replaced — bit-exact multiset difference, at the price of
+    * shuffling both windows' full payloads.
     */
-  def changesFeed(spark: SparkSession, path: String, sinceVersion: Long): DataFrame =
-    changesFeedBetween(spark, path, sinceVersion, None)
+  def changesFeed(spark: SparkSession, path: String, sinceVersion: Long,
+                  exact: Boolean = false): DataFrame =
+    changesFeedBetween(spark, path, sinceVersion, None, exact)
 
   /** The feed's fixed schema: the store's full-width canonical columns
     * (minus the bucket layout dir) plus `_change` — what the streaming
@@ -2508,7 +2548,7 @@ object EsdbWriter {
     * diff machinery at all.
     */
   def changesFeedBetween(spark: SparkSession, path: String, fromVersion: Long,
-                         toVersion: Option[Long]): DataFrame = {
+                         toVersion: Option[Long], exact: Boolean = false): DataFrame = {
     GraftSession.tune(spark)
     val conf = hconf(spark)
     def snap(v: Long): Set[String] = Publish.snapshotFiles(conf, path, v).getOrElse(
@@ -2539,6 +2579,11 @@ object EsdbWriter {
     // no added file can re-encode an old row — every added row is an
     // insert, served directly (no hash aggregation, no join)
     if (removedNames.isEmpty) return added.withColumn("_change", lit("insert"))
+    // audit mode: bit-exact multiset difference each way — no hash
+    // equivalence in the loop at all; both windows' payloads shuffle
+    if (exact)
+      return added.exceptAll(removed).withColumn("_change", lit("insert"))
+        .unionByName(removed.exceptAll(added).withColumn("_change", lit("delete")))
     // row identity = two independently-salted hash families over every
     // column (position literals interleaved so null placement can't
     // alias); 64+32 bits of two distinct algorithms — far beyond the

@@ -58,19 +58,61 @@ object Ivf {
     * disk or on object stores with no atomic rename. A rebuild on the
     * same path commits the next version and retires the old one.
     */
-  def writeIndex(corpus: DataFrame, path: String, nLists: Int = 16, seed: Long = 42L): Unit = {
+  def writeIndex(corpus: DataFrame, path: String, nLists: Int = 16, seed: Long = 42L,
+                 corpusPath: Option[String] = None): Unit = {
     val (assigned, centroids) = buildIndex(corpus, nLists, seed)
     val conf = corpus.sparkSession.sparkContext.hadoopConfiguration
     graft.engine.Publish.publish(conf, path) { tmp =>
       assigned.write.mode(SaveMode.ErrorIfExists).partitionBy("list").parquet(s"$tmp/assigned")
       centroids.write.mode(SaveMode.ErrorIfExists).parquet(s"$tmp/centroids")
+      corpusPath.foreach { cp =>
+        val f = new org.apache.hadoop.fs.Path(tmp, StampFile)
+        val out = f.getFileSystem(conf).create(f, false)
+        try out.write(corpusStamp(conf, cp).getBytes("UTF-8")) finally out.close()
+      }
     }: Unit
+  }
+
+  private val StampFile = "_corpus_stamp"
+
+  /** Identity of a publish-managed corpus at this instant: its current
+    * version number + uuid-suffixed data dir name — unique per commit,
+    * so ANY mutation (append, DELETE, MERGE, compaction, CDC apply)
+    * moves the stamp. An unversioned path (plain parquet dir that never
+    * published) has no commit history to stamp; staleness against it is
+    * undetectable and reported as such.
+    */
+  def corpusStamp(conf: org.apache.hadoop.conf.Configuration, corpusPath: String): String =
+    graft.engine.Publish.currentVersion(conf, corpusPath)
+      .map { case (v, dir) => s"$v/$dir" }.getOrElse("unversioned")
+
+  /** The corpus stamp a persisted index was built at, if it was built
+    * with `corpusPath` (older / ad-hoc indexes are unstamped).
+    */
+  def indexStamp(conf: org.apache.hadoop.conf.Configuration, path: String): Option[String] = {
+    val f = new org.apache.hadoop.fs.Path(graft.engine.Publish.resolve(conf, path), StampFile)
+    val fs = f.getFileSystem(conf)
+    if (!fs.exists(f)) None
+    else {
+      val in = fs.open(f)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+      finally in.close()
+    }
   }
 
   private def indexExists(conf: org.apache.hadoop.conf.Configuration, path: String): Boolean = {
     val root = new org.apache.hadoop.fs.Path(graft.engine.Publish.resolve(conf, path), "centroids")
     root.getFileSystem(conf).exists(root)
   }
+
+  /** Index present AND (when tied to a corpus) built at the corpus's
+    * CURRENT version — the freshness predicate ensureIndex rebuilds on
+    * and ivfTopKIndexed refuses on.
+    */
+  private def indexFresh(conf: org.apache.hadoop.conf.Configuration, path: String,
+                         corpusPath: Option[String]): Boolean =
+    indexExists(conf, path) && corpusPath.forall(cp =>
+      indexStamp(conf, path).contains(corpusStamp(conf, cp)))
 
   /** Build-if-absent — idempotent ACROSS drivers, not just within the
     * JVM: the `synchronized` only dedupes same-process callers; the
@@ -82,26 +124,53 @@ object Ivf {
     * precondition just became true. A conflict with no index behind it
     * (a different writer publishing non-index content to this path) is
     * a real error and rethrows.
+    *
+    * VERSION TIE (r12): pass `corpusPath` when the corpus lives in a
+    * publish-managed store — the build stamps the store's current
+    * version into the index, "build-if-absent" becomes "build-if-absent
+    * -or-stale", and a DELETE/MERGE/compaction on the store triggers a
+    * rebuild here instead of silently serving pre-mutation vectors.
+    * The conflict-adoption rule tightens accordingly: a racing build is
+    * adopted only if it is fresh for OUR corpus version.
     */
-  def ensureIndex(corpus: DataFrame, path: String, nLists: Int = 16, seed: Long = 42L): Unit =
+  def ensureIndex(corpus: DataFrame, path: String, nLists: Int = 16, seed: Long = 42L,
+                  corpusPath: Option[String] = None): Unit =
     synchronized {
       val conf = corpus.sparkSession.sparkContext.hadoopConfiguration
-      if (!indexExists(conf, path)) {
-        try writeIndex(corpus, path, nLists, seed)
+      if (!indexFresh(conf, path, corpusPath)) {
+        try writeIndex(corpus, path, nLists, seed, corpusPath)
         catch {
           case e: java.io.IOException if e.getMessage != null &&
               e.getMessage.startsWith("publish conflict") =>
-            if (!indexExists(conf, path)) throw e
+            if (!indexFresh(conf, path, corpusPath)) throw e
         }
       }
     }
 
   /** Probe a persisted index: exact-cosine top-k over the probed lists
     * of the current version's `assigned`, never touching the raw corpus.
+    *
+    * Pass `corpusPath` to tie the probe to a publish-managed corpus:
+    * the probe REFUSES (by default) an index whose recorded build stamp
+    * is not the corpus's current version — i.e. the corpus mutated
+    * since the build, and the index would serve pre-mutation vectors.
+    * `allowStale = true` overrides for callers that accept bounded
+    * staleness (e.g. probing during a rebuild window).
     */
   def ivfTopKIndexed(spark: SparkSession, path: String, queries: DataFrame,
-                     k: Int = 10, nProbe: Int = 4): DataFrame = {
-    val root = graft.engine.Publish.resolve(spark.sparkContext.hadoopConfiguration, path)
+                     k: Int = 10, nProbe: Int = 4,
+                     corpusPath: Option[String] = None,
+                     allowStale: Boolean = false): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    corpusPath.foreach { cp =>
+      val want = corpusStamp(conf, cp)
+      val have = indexStamp(conf, path)
+      if (!allowStale && !have.contains(want)) throw new IllegalStateException(
+        s"IVF index at $path is stale for corpus $cp: built at " +
+          s"${have.getOrElse("<unstamped>")}, corpus is now at $want — rebuild via " +
+          "ensureIndex(corpusPath = ...) or pass allowStale = true")
+    }
+    val root = graft.engine.Publish.resolve(conf, path)
     val assigned = spark.read.option("basePath", s"$root/assigned").parquet(s"$root/assigned")
     val centroids = spark.read.parquet(s"$root/centroids")
     probe(assigned, centroids, queries, k, nProbe)

@@ -80,17 +80,7 @@ class EsdbCatalog extends TableCatalog with SupportsNamespaces with StagingTable
     * children are tables has none of these at its own level, so
     * namespaces and tables never collide.
     */
-  private def isTable(dir: String): Boolean = {
-    val p = new Path(dir)
-    val fs = p.getFileSystem(conf)
-    if (!fs.exists(p) || !fs.getFileStatus(p).isDirectory) return false
-    if (Publish.currentVersion(conf, dir).isDefined) return true
-    fs.listStatus(p).exists { s =>
-      val n = s.getPath.getName
-      (s.isFile && (n.endsWith(".parquet") || n == "_SUCCESS" || n.startsWith("_MANIFEST"))) ||
-        (s.isDirectory && n.contains("="))
-    }
-  }
+  private def isTable(dir: String): Boolean = EsdbCatalog.isTableDir(conf, dir)
 
   private def isDir(dir: String): Boolean = {
     val p = new Path(dir)
@@ -383,5 +373,48 @@ class EsdbCatalog extends TableCatalog with SupportsNamespaces with StagingTable
         catalogName +: namespace)
     val p = new Path(dir)
     p.getFileSystem(conf).delete(p, true)
+  }
+}
+
+object EsdbCatalog {
+
+  /** The table-vs-namespace test, shared with the procedure surface
+    * (`maintain_all` walks the catalog root with it).
+    */
+  private[sources] def isTableDir(conf: org.apache.hadoop.conf.Configuration,
+                                  dir: String): Boolean = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p) || !fs.getFileStatus(p).isDirectory) return false
+    if (Publish.currentVersion(conf, dir).isDefined) return true
+    fs.listStatus(p).exists { s =>
+      val n = s.getPath.getName
+      (s.isFile && (n.endsWith(".parquet") || n == "_SUCCESS" || n.startsWith("_MANIFEST"))) ||
+        (s.isDirectory && n.contains("="))
+    }
+  }
+
+  /** Every table under the catalog root, as dotted identifiers in
+    * deterministic (sorted) order — the `maintain_all` sweep list.
+    * Namespace dirs recurse; table dirs do not (store-internal dirs
+    * like `space=X` or `_versions` are below them, never tables).
+    */
+  private[sources] def allTables(conf: org.apache.hadoop.conf.Configuration,
+                                 root: String): Seq[String] = {
+    def childDirs(dir: String): Seq[String] = {
+      val p = new Path(dir)
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) return Seq.empty
+      fs.listStatus(p).toSeq
+        .filter(s => s.isDirectory && !s.getPath.getName.startsWith("_"))
+        .map(_.getPath.getName)
+    }
+    def walk(dir: String, prefix: Seq[String]): Seq[Seq[String]] =
+      childDirs(dir).sorted.flatMap { n =>
+        val full = s"$dir/$n"
+        if (isTableDir(conf, full)) Seq(prefix :+ n)
+        else walk(full, prefix :+ n)
+      }
+    walk(root, Nil).map(_.mkString("."))
   }
 }

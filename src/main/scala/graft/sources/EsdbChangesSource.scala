@@ -31,6 +31,10 @@ import graft.engine.{EsdbWriter, Publish}
   *    cap how many committed versions one micro-batch may span, so a
   *    long-offline consumer catches up in bounded, checkpointed steps
   *    instead of one giant diff.
+  *  - `exactDiff` (default false): route every window through the
+  *    bit-exact EXCEPT ALL diff instead of the 96-bit hash projection
+  *    — the audit mode (full payloads shuffle; see
+  *    [[EsdbWriter.changesFeed]]'s probabilistic-bound note).
   *
   * Post-commit in-place appends (plain `append()`, no publish) are
   * not yet snapshot-captured; they surface when the next version
@@ -45,7 +49,8 @@ import graft.engine.{EsdbWriter, Publish}
   */
 class EsdbChangesStream(spark: SparkSession, path: String,
                         sinceVersion: Option[Long],
-                        maxVersionsPerTrigger: Option[Long]) extends Source {
+                        maxVersionsPerTrigger: Option[Long],
+                        exactDiff: Boolean = false) extends Source {
 
   private def conf = spark.sparkContext.hadoopConfiguration
 
@@ -82,7 +87,7 @@ class EsdbChangesStream(spark: SparkSession, path: String,
     val from = start.map(versionOf).getOrElse(startVersion)
     val to = versionOf(end)
     known = math.max(known, to)
-    val batch = EsdbWriter.changesFeedBetween(spark, path, from, Some(to))
+    val batch = EsdbWriter.changesFeedBetween(spark, path, from, Some(to), exactDiff)
       .select(schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*)
     // the streaming contract: the returned frame must carry
     // isStreaming=true (MicroBatchExecution asserts it)
@@ -116,6 +121,7 @@ class EsdbChangesSource extends StreamSourceProvider with DataSourceRegister {
     val lower = parameters.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
     new EsdbChangesStream(sqlContext.sparkSession, pathOf(parameters),
       lower.get("sinceversion").map(_.toLong),
-      lower.get("maxversionspertrigger").map(_.toLong))
+      lower.get("maxversionspertrigger").map(_.toLong),
+      lower.get("exactdiff").exists(_.toBoolean))
   }
 }

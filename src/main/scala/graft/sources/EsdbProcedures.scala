@@ -23,7 +23,7 @@ object EsdbProcedures {
   val names: Seq[String] =
     Seq("compact", "compact_incremental", "compact_log", "vacuum", "seal", "rollback",
       "update_where", "merge_keyed", "apply_changes", "set_policy", "maintain",
-      "clone_table")
+      "maintain_all", "clone_table")
 
   private def p(name: String, dt: org.apache.spark.sql.types.DataType,
                 default: Option[String] = None,
@@ -188,6 +188,25 @@ object EsdbProcedures {
         Seq(row(UTF8String.fromString(t),
           UTF8String.fromString(if (actions.isEmpty) "none" else actions.mkString(",")),
           version(t)))
+      }
+      case "maintain_all" => proc("maintain_all",
+        Seq.empty,
+        StructType(Seq(StructField("table", StringType),
+          StructField("actions", StringType), StructField("version", LongType))),
+        "sweep EVERY table under the catalog root and apply each store's declared " +
+          "_POLICY — the scheduler entry point: call it blindly on a cadence; " +
+          "unmanaged (policy-less) stores are reported and untouched") { _ =>
+        val spark = SparkSession.active
+        EsdbCatalog.allTables(conf(), root).map { t =>
+          val tp = path(t)
+          val label =
+            if (graft.engine.Maintenance.policyOf(conf(), tp).isEmpty) "unmanaged"
+            else {
+              val actions = graft.engine.Maintenance.maintain(spark, tp)
+              if (actions.isEmpty) "none" else actions.mkString(",")
+            }
+          row(UTF8String.fromString(t), UTF8String.fromString(label), version(t))
+        }
       }
       case "clone_table" => proc("clone_table",
         Seq(p("table", StringType),

@@ -69,6 +69,37 @@ class ChangesSpec extends SparkSpec {
     assert(redactedRows == (redactedOld ++ appendedRedacted))
   }
 
+  /** r12 audit mode: `exact = true` (streaming `option("exactDiff",
+    * true)`) routes the window through bit-exact EXCEPT ALL instead of
+    * the 96-bit hash projection — identical output by construction,
+    * proven here on the full rewrite gauntlet including duplicate rows
+    * (the multiset case hashes could in principle get wrong).
+    */
+  test("exact-diff mode produces the identical feed to the hashed projection") {
+    val p = tmp("chgexact")
+    // duplicates in v1: two identical copies of each of ids 1..5
+    val dup = mk(1 to 5).unionByName(mk(1 to 5))
+    writeV1(p, mk(6 to 60).unionByName(dup))
+    EsdbWriter.appendVersioned(mk(100 to 129), p, keepVersions = 8)
+    EsdbWriter.deleteWhere(spark, p, Seq(LessThan("value", 1.0)), keepVersions = 8)
+    EsdbWriter.updateWhere(spark, p, Map("payload" -> lit("{}")),
+      Seq(GreaterThanOrEqual("value", 12.0)), keepVersions = 8)
+    EsdbWriter.compact(spark, p, keepVersions = 8)
+    def multiset(df: DataFrame): Map[String, Int] =
+      df.collect().map(_.toString).groupBy(identity).map { case (k, v) => (k, v.length) }
+    for (from <- Seq(1L, 2L, 3L)) {
+      val hashed = multiset(EsdbWriter.changesFeed(spark, p, from))
+      val exact = multiset(EsdbWriter.changesFeed(spark, p, from, exact = true))
+      assert(hashed == exact, s"window since v$from diverged: " +
+        s"hashed-only=${(hashed.toSet -- exact.toSet).take(3)}, " +
+        s"exact-only=${(exact.toSet -- hashed.toSet).take(3)}")
+    }
+    // exact mode must also report the duplicate-row multiplicities
+    val exactFeed = EsdbWriter.changesFeed(spark, p, 1L, exact = true)
+    assert(exactFeed.where(col("_change") === "delete" && col("event_id") <= 5).count() == 10L,
+      "both copies of each duplicate deleted row must appear")
+  }
+
   test("changesFeed across ONLY a compaction nets to zero changes") {
     val p = tmp("chgnoop")
     writeV1(p, mk(1 to 40))

@@ -265,19 +265,62 @@ class ClusterSpec extends SparkSpec {
       (0 until 1600).count(i => (i / 80) * 1000 < 15000))
   }
 
-  test("zorder refuses one column, >4 columns, non-numeric columns, unknown curves") {
+  test("zorder refuses one column, >4 columns, unrankable columns, unknown curves") {
     val p = tmp("zorderbad")
     intercept[IllegalArgumentException] {
       EsdbWriter.write(mkGrid(10), p, clusterBy = Seq("value"), clusterCurve = "zorder")
     }
     intercept[IllegalArgumentException] {
-      EsdbWriter.write(mkGrid(10), p, clusterBy = Seq("value", "grouping"),
-        clusterCurve = "zorder")
+      EsdbWriter.write(mkGrid(10).withColumn("arr", array(lit(1))), p,
+        clusterBy = Seq("value", "arr"), clusterCurve = "zorder")
     }
     intercept[IllegalArgumentException] {
       EsdbWriter.write(mkGrid(10), p, clusterBy = Seq("value", "ts_us"),
         clusterCurve = "hilbert")
     }
+  }
+
+  /** Two INDEPENDENT non-numeric dims — a real TIMESTAMP (minutes
+    * 0..39) and a string tag (k000..k079, lexicographic = numeric) —
+    * the natural clustering keys of event data (r12: the numeric-only
+    * restriction is gone; ranks come from monotone key embeddings).
+    */
+  test("zorder ranks timestamp and string columns: both dims narrow per file") {
+    val df = (0 until 3200).map { i =>
+      ("s", s"g${i % 4}", (i / 80).toLong * 1000, i.toLong, 0.0, s"p$i",
+        new java.sql.Timestamp((i / 80).toLong * 60000L), f"k${i % 80}%03d")
+    }.toDF("space", "grouping", "ts_us", "event_id", "value", "payload", "seen_at", "tag")
+    val p = tmp("zorderts")
+    EsdbWriter.write(df, p, clusterBy = Seq("seen_at", "tag"), clusterChunks = 16,
+      clusterCurve = "zorder")
+    assert(EsdbWriter.read(spark, p).count() == 3200)
+    // per-file spans of both dims (string stats rank by the numeric
+    // suffix; domain: seen_at 0..2340s, tag 0..79)
+    val spans = dataFiles(p).map { case (_, f) =>
+      val r = spark.read.parquet(f.getPath.toString).agg(
+        (max(unix_timestamp(col("seen_at"))) - min(unix_timestamp(col("seen_at")))).as("ts"),
+        (max(substring(col("tag"), 2, 3).cast("int"))
+          - min(substring(col("tag"), 2, 3).cast("int"))).as("tag")).head()
+      (r.getLong(0), r.getInt(1))
+    }
+    val avgTs = spans.map(_._1).sum.toDouble / spans.size
+    val avgTag = spans.map(_._2).sum.toDouble / spans.size
+    assert(avgTs <= 1200.0, s"seen_at spans must be sub-half-domain, avg $avgTs")
+    assert(avgTag <= 40.0, s"tag spans must be sub-half-domain, avg $avgTag")
+    // a tag-only predicate delete prunes: out-of-range files carry
+    val before = dataFiles(p).map(_._1).toSet
+    EsdbWriter.deleteWhere(spark, p, Seq(GreaterThanOrEqual("tag", "k060")))
+    val carried = before.intersect(dataFiles(p).map(_._1).toSet)
+    assert(carried.size >= before.size / 2,
+      s"string zorder must carry >= half its files on a 1/4-tag delete, " +
+        s"carried ${carried.size}/${before.size}")
+    assert(EsdbWriter.read(spark, p).count() == 3200 - 3200 / 4)
+    // strings sharing a >6-byte prefix degenerate to one rank — domain
+    // sharpness is lost, rows never are
+    val pp = tmp("zorderpfx")
+    EsdbWriter.write(df.withColumn("tag", concat(lit("commonprefix_"), col("tag"))),
+      pp, clusterBy = Seq("seen_at", "tag"), clusterChunks = 8, clusterCurve = "zorder")
+    assert(EsdbWriter.read(spark, pp).count() == 3200)
   }
 
   test("CTAS TBLPROPERTIES create clustered stores, curve included") {

@@ -240,6 +240,53 @@ class EsdbCatalogSpec extends SparkSpec {
     }
   }
 
+  /** r12: the scheduler entry point — one CALL sweeps EVERY table under
+    * the catalog root and applies each store's declared `_POLICY`;
+    * policy-less stores are reported untouched.
+    */
+  test("CALL maintain_all sweeps the catalog: policies converge, unmanaged untouched") {
+    root
+    val conf = spark.sparkContext.hadoopConfiguration
+    def ev(ids: Range): DataFrame = ids.map(i =>
+      ("s", s"g${i % 3}", i.toLong * 1000, i.toLong, 0.0, "{}"))
+      .toDF("space", "grouping", "ts_us", "event_id", "value", "payload")
+    // A: fragmented store with a compaction policy
+    val pa = s"$root/ma_frag"
+    Publish.publish(conf, pa) { tmp => EsdbWriter.write(ev(1 to 60), tmp) }
+    EsdbWriter.append(ev(61 to 70), pa)
+    EsdbWriter.append(ev(71 to 80), pa)
+    graft.engine.Maintenance.setPolicy(conf, pa,
+      graft.engine.Maintenance.Policy(None, Some(1), keepVersions = 2))
+    // B: multi-version store in a NAMESPACE with a version-sweep policy
+    val pb = s"$root/ma_ns/deep"
+    Publish.publish(conf, pb) { tmp => EsdbWriter.write(ev(1 to 40), tmp) }
+    EsdbWriter.compact(spark, pb, keepVersions = 5)
+    EsdbWriter.compact(spark, pb, keepVersions = 5)
+    graft.engine.Maintenance.setPolicy(conf, pb,
+      graft.engine.Maintenance.Policy(None, None, keepVersions = 1))
+    // C: unmanaged (no policy)
+    val pc = s"$root/ma_plain"
+    Publish.publish(conf, pc) { tmp => EsdbWriter.write(ev(1 to 20), tmp) }
+
+    val swept = spark.sql(s"CALL $Cat.system.maintain_all()").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(swept("ma_frag") == "compaction", swept.toString)
+    assert(swept("ma_ns.deep") == "vacuum", swept.toString)
+    assert(swept("ma_plain") == "unmanaged", swept.toString)
+
+    // idempotent: a second blind sweep changes nothing
+    val again = spark.sql(s"CALL $Cat.system.maintain_all()").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(again("ma_frag") == "none" && again("ma_ns.deep") == "none" &&
+      again("ma_plain") == "unmanaged", again.toString)
+
+    // data intact through the sweep
+    assert(spark.sql(s"SELECT count(*) FROM $Cat.ma_frag").head().getLong(0) == 80L)
+    assert(spark.sql(s"SELECT count(*) FROM $Cat.ma_ns.deep").head().getLong(0) == 40L)
+    assert(graft.engine.Publish.committedVersions(conf, pb).size == 1,
+      "version sweep must have retired B's old versions")
+  }
+
   test("CALL rollback re-pins the live table to an older version without copying data") {
     root
     val conf = spark.sparkContext.hadoopConfiguration

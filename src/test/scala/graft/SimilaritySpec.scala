@@ -82,6 +82,53 @@ class SimilaritySpec extends SparkSpec {
       .exists(l => l.contains("Exchange") && !l.contains("BroadcastExchange")), p)
   }
 
+  /** r12: the persisted index is version-STAMPED to a publish-managed
+    * corpus store — a mutation (DELETE/MERGE/compaction) moves the
+    * store's version, the stamped probe refuses the now-stale index,
+    * and ensureIndex's build-if-absent becomes build-if-stale.
+    */
+  test("IVF index stamped to a mutable store: mutation → refusal → rebuild = full probe") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("ivfstamp").toString
+    val storePath = s"$base/corpus"
+    val idxPath = s"$base/idx"
+    graft.engine.EsdbWriter.write(
+      embs.select(lit("emb").as("space"), col("vec_id").cast("string").as("grouping"),
+        col("vec_id").as("ts_us"), col("vec_id").as("event_id"), lit(0.0).as("value"),
+        to_json(struct(col("embedding"))).as("payload")),
+      storePath)
+    def corpus = graft.engine.EsdbWriter.read(spark, storePath)
+      .select(col("event_id").as("vec_id"),
+        from_json(col("payload"),
+          org.apache.spark.sql.types.StructType.fromDDL("embedding array<float>")
+        )("embedding").as("embedding"))
+    def q = corpus.where(col("vec_id") < 5)
+    graft.ops.Ivf.ensureIndex(corpus, idxPath, nLists = 8, corpusPath = Some(storePath))
+    assert(graft.ops.Ivf.ivfTopKIndexed(spark, idxPath, q, 10,
+      corpusPath = Some(storePath)).count() > 0) // fresh: probes fine
+    // mutate the corpus: the store's publish version moves
+    graft.engine.EsdbWriter.deleteWhere(spark, storePath,
+      Seq(org.apache.spark.sql.sources.GreaterThanOrEqual("event_id", 400L)))
+    val e = intercept[IllegalStateException] {
+      graft.ops.Ivf.ivfTopKIndexed(spark, idxPath, q, 10, corpusPath = Some(storePath))
+    }
+    assert(e.getMessage.contains("stale"), e.getMessage)
+    // explicit staleness acceptance still serves the old vectors
+    assert(graft.ops.Ivf.ivfTopKIndexed(spark, idxPath, q, 10,
+      corpusPath = Some(storePath), allowStale = true).count() > 0)
+    // ensureIndex sees the moved stamp and rebuilds; full-probe equality
+    graft.ops.Ivf.ensureIndex(corpus, idxPath, nLists = 8, corpusPath = Some(storePath))
+    val fromIndex = graft.ops.Ivf.ivfTopKIndexed(spark, idxPath, q, 10, nProbe = 8,
+      corpusPath = Some(storePath))
+      .select("query_id", "rank", "neighbor_id", "cos_x1e6")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    val full = graft.ops.Ivf.ivfTopK(corpus, q, 10, nLists = 8, nProbe = 8)
+      .select("query_id", "rank", "neighbor_id", "cos_x1e6")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(fromIndex == full)
+    assert(fromIndex.forall(_._3 < 400L), "rebuilt index must not serve deleted vectors")
+  }
+
   test("ANN recall vs brute force is usable (>= 0.5 on sf0.001)") {
     val k = 10
     val brute = Similarity.bruteTopK(embs, queries, k)
