@@ -93,6 +93,16 @@ class CdcFuzzSpec extends SparkSpec {
         val head = Publish.currentVersion(conf, srcP).get._1
         while (applied < head) {
           val feed = EsdbWriter.changesFeedBetween(spark, srcP, applied, Some(applied + 1))
+          // r12: the hashed projection and the EXCEPT ALL audit path
+          // must agree on every randomized window (appends, deletes,
+          // updates, merges, compactions — multiset semantics included)
+          val exact = EsdbWriter.changesFeedBetween(spark, srcP, applied,
+            Some(applied + 1), exact = true)
+          val onlyHashed = feed.exceptAll(exact).count()
+          val onlyExact = exact.exceptAll(feed).count()
+          assert(onlyHashed == 0 && onlyExact == 0,
+            s"trial $trial window $applied: hashed vs exact feed diverged " +
+              s"($onlyHashed hashed-only, $onlyExact exact-only)")
           EsdbWriter.applyChanges(spark, repP, feed, keepVersions = 4): Unit
           applied += 1
         }

@@ -87,4 +87,60 @@ class MergeFuzzSpec extends SparkSpec {
         s"trial $trial: scan order violated after merge")
     }
   }
+
+  /** r12: the NATIVE SQL statements (`MERGE INTO`, `UPDATE`) planned
+    * through SupportsRowLevelOperations must hit the same model the
+    * engine-API fuzz pins — randomized stores (flat and subpartitioned,
+    * null groupings/timestamps, multi-file spaces), randomized sources
+    * and predicates.
+    */
+  test("fuzz: native SQL MERGE INTO and UPDATE equal their models exactly") {
+    for (trial <- 1 to 4) {
+      val rootDir = java.nio.file.Files.createTempDirectory(s"sqlfuzz$trial").toString
+      val cat = s"sqlfuzz$trial"
+      spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.EsdbCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.root", rootDir)
+      val p = s"$rootDir/t"
+      val base = mkRows(1L to 250L, nSpaces = 3, nGroupings = 6)
+      val subparts = if (trial % 2 == 0) 3 else 1
+      EsdbWriter.write(df(base), p, subparts = subparts)
+      val extra = mkRows(1000L to 1080L, nSpaces = 3, nGroupings = 6)
+      EsdbWriter.append(df(extra), p)
+      val target = base ++ extra
+
+      // --- MERGE INTO ---
+      val hitKeys = rnd.shuffle(target.map(_._4)).take(rnd.nextInt(50))
+      val freshKeys = (1 to (1 + rnd.nextInt(30))).map(_ => 7000L + rnd.nextInt(400))
+      val srcKeys = (hitKeys ++ freshKeys).distinct
+      val source = mkRows(srcKeys, nSpaces = 3, nGroupings = 6)
+        .map { case (s, g, ts, id, v, pl) => (s, if (g == null) "g0" else g, ts, id, v, pl) }
+      df(source).createOrReplaceTempView(s"sqlfuzz_src$trial")
+      spark.sql(s"""MERGE INTO $cat.t t USING sqlfuzz_src$trial s
+        ON t.event_id = s.event_id
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *""")
+      val keySet = srcKeys.toSet
+      val afterMerge = target.filterNot(t => keySet(t._4)) ++ source
+      assert(canon(EsdbWriter.readOrdered(spark, p)) == canon(df(afterMerge)),
+        s"trial $trial: SQL MERGE content mismatch (subparts=$subparts |src|=${source.size})")
+
+      // --- UPDATE ... WHERE ---
+      val cut = rnd.nextInt(900) / 10.0
+      spark.sql(s"UPDATE $cat.t SET payload = '{}' WHERE value >= $cut")
+      val afterUpdate = afterMerge.map { case t @ (s, g, ts, id, v, pl) =>
+        if (v >= cut) (s, g, ts, id, v, "{}") else t
+      }
+      assert(canon(EsdbWriter.readOrdered(spark, p)) == canon(df(afterUpdate)),
+        s"trial $trial: SQL UPDATE content mismatch (cut=$cut)")
+
+      // the scan contract survives both statements
+      val got = EsdbWriter.readOrdered(spark, p)
+      val probe = got.select("space", "grouping").na.drop().head()
+      val ids = graft.engine.EventStore.scan(got, probe.getString(0), probe.getString(1))
+        .select("ts_us", "event_id").na.drop("any", Seq("ts_us")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(ids == ids.sortBy { case (ts, id) => (-ts, id) },
+        s"trial $trial: scan order violated after SQL DML")
+    }
+  }
 }
