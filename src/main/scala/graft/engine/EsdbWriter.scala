@@ -1324,11 +1324,15 @@ object EsdbWriter {
       if (replacement.columns.contains("bucket")) replacement.drop("bucket") else replacement
     val withIdx = indexAttrs.foldLeft(base)((df, a) =>
       df.withColumn(s"idx_$a", EventFrame.attr(a)))
+    // consumed twice (the write, then the touched-spaces agg): persist
+    // for the publish's duration — churn-bounded, disk-spillable — so
+    // the staged replacement parquet is read once, mirroring
+    // applyChanges' feed cache
     val aligned = withIdx.select(storeSchema.fields.filterNot(_.name == "bucket").map { f =>
       (if (withIdx.columns.contains(f.name)) col(f.name).cast(f.dataType)
       else lit(null).cast(f.dataType)).as(f.name, f.metadata)
-    }.toSeq: _*)
-    Publish.publish(conf, path, keepVersions) { tmp =>
+    }.toSeq: _*).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try Publish.publish(conf, path, keepVersions) { tmp =>
       val tmpPath = new org.apache.hadoop.fs.Path(tmp)
       val cl = clusterChunksFor(clusterOf(conf, src),
         math.max(1L, rewrite.map(_._2.getLen).sum), math.max(1L, files.map(_._2.getLen).sum))
@@ -1371,6 +1375,7 @@ object EsdbWriter {
       // committed streaming epochs must replay as no-ops after the rewrite
       carryStreamCommits(conf, src, tmp)
     }: Unit
+    finally aligned.unpersist()
   }
 
   /** Output partition count for a log rewrite, sized like [[compactLog]]
@@ -1455,15 +1460,7 @@ object EsdbWriter {
           new org.apache.hadoop.fs.Path(tmpPath, f.getPath.getName), false, conf): Unit
       }
       // replayed committed epochs must stay no-ops after the trim
-      val markers = new org.apache.hadoop.fs.Path(srcPath, LogCommits.Dir)
-      if (fs.exists(markers)) {
-        val dst = new org.apache.hadoop.fs.Path(tmpPath, LogCommits.Dir)
-        fs.mkdirs(dst)
-        fs.listStatus(markers).toSeq.filter(_.isFile).foreach { m =>
-          org.apache.hadoop.fs.FileUtil.copy(fs, m.getPath, fs,
-            new org.apache.hadoop.fs.Path(dst, m.getPath.getName), false, conf): Unit
-        }
-      }
+      carryStreamCommits(conf, srcPath.toString, tmpPath.toString)
       // manifest rows for carried names travel with the version (stale
       // dropped-file rows are never looked up); the refresh below then
       // reads footers for the REWRITTEN files only
@@ -1534,15 +1531,7 @@ object EsdbWriter {
           new org.apache.hadoop.fs.Path(tmpPath, f.getPath.getName), false, conf): Unit
       }
       // replayed committed epochs must stay no-ops after the delete
-      val markers = new org.apache.hadoop.fs.Path(srcPath, LogCommits.Dir)
-      if (fs.exists(markers)) {
-        val dst = new org.apache.hadoop.fs.Path(tmpPath, LogCommits.Dir)
-        fs.mkdirs(dst)
-        fs.listStatus(markers).toSeq.filter(_.isFile).foreach { m =>
-          org.apache.hadoop.fs.FileUtil.copy(fs, m.getPath, fs,
-            new org.apache.hadoop.fs.Path(dst, m.getPath.getName), false, conf): Unit
-        }
-      }
+      carryStreamCommits(conf, srcPath.toString, tmpPath.toString)
       // manifest rows for carried names travel with the version; the
       // refresh covers only the rewritten files (footer reads)
       val oldM = new org.apache.hadoop.fs.Path(srcPath, LogManifest)
@@ -1589,15 +1578,7 @@ object EsdbWriter {
       }
       // log stores: committed-epoch markers carry so a replaying
       // streaming sink does not re-append truncated history
-      val markers = new org.apache.hadoop.fs.Path(srcPath, LogCommits.Dir)
-      if (fs.exists(markers)) {
-        val dst = new org.apache.hadoop.fs.Path(tmpPath, LogCommits.Dir)
-        fs.mkdirs(dst)
-        fs.listStatus(markers).toSeq.filter(_.isFile).foreach { mk =>
-          org.apache.hadoop.fs.FileUtil.copy(fs, mk.getPath, fs,
-            new org.apache.hadoop.fs.Path(dst, mk.getPath.getName), false, conf): Unit
-        }
-      }
+      carryStreamCommits(conf, srcPath.toString, tmpPath.toString)
       schemaManifest(conf, src).foreach(s => writeSchemaManifest(conf, tmp, s))
     }: Unit
   }
@@ -1972,8 +1953,8 @@ object EsdbWriter {
     * REPLAYED after the rewrite publishes; the marker is what makes
     * that replay a no-op instead of a duplicate append. EVERY rewrite
     * that publishes a new version of a store that might be a streaming
-    * sink target must call this (the log-layout rewrites inline the
-    * same copy).
+    * sink target must call this — every store- AND log-layout rewrite
+    * routes through here.
     */
   private[graft] def carryStreamCommits(conf: org.apache.hadoop.conf.Configuration,
                                         src: String, tmp: String): Unit = {
@@ -2129,10 +2110,6 @@ object EsdbWriter {
     val fs = src.getFileSystem(conf)
     val visible = LogCommits.visibleDataFiles(fs, src).map(_.getPath.toString)
     require(visible.nonEmpty, s"nothing to compact at $path")
-    val markers = {
-      val d = new org.apache.hadoop.fs.Path(src, LogCommits.Dir)
-      if (fs.exists(d)) fs.listStatus(d).toSeq.filter(_.isFile).map(_.getPath) else Seq.empty
-    }
     Publish.publish(conf, path, keepVersions) { tmp =>
       val full = readFullWidth(spark, src.toString, visible)
       full
@@ -2141,14 +2118,7 @@ object EsdbWriter {
         .write.parquet(tmp)
       refreshLogManifest(spark, tmp)
       writeSchemaManifest(conf, tmp, full.schema)
-      if (markers.nonEmpty) {
-        val dst = new org.apache.hadoop.fs.Path(tmp, LogCommits.Dir)
-        fs.mkdirs(dst)
-        markers.foreach { m =>
-          org.apache.hadoop.fs.FileUtil.copy(fs, m, fs,
-            new org.apache.hadoop.fs.Path(dst, m.getName), false, conf): Unit
-        }
-      }
+      carryStreamCommits(conf, src.toString, tmp)
     }: Unit
   }
 

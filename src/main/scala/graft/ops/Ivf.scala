@@ -60,15 +60,27 @@ object Ivf {
     */
   def writeIndex(corpus: DataFrame, path: String, nLists: Int = 16, seed: Long = 42L,
                  corpusPath: Option[String] = None): Unit = {
+    val conf = corpus.sparkSession.sparkContext.hadoopConfiguration
+    // stamp captured BEFORE the build, not at publish time: a corpus
+    // mutation landing mid-build must not get the new version stamped
+    // onto an index built from the old rows (the probe would then
+    // trust a stale index). [[ensureIndexFor]] closes the remaining
+    // window by pinning the data read to the stamped version itself.
+    writeIndexStamped(corpus, path, nLists, seed,
+      corpusPath.map(cp => corpusStamp(conf, cp)))
+  }
+
+  private def writeIndexStamped(corpus: DataFrame, path: String, nLists: Int,
+                                seed: Long, stamp: Option[String]): Unit = {
     val (assigned, centroids) = buildIndex(corpus, nLists, seed)
     val conf = corpus.sparkSession.sparkContext.hadoopConfiguration
     graft.engine.Publish.publish(conf, path) { tmp =>
       assigned.write.mode(SaveMode.ErrorIfExists).partitionBy("list").parquet(s"$tmp/assigned")
       centroids.write.mode(SaveMode.ErrorIfExists).parquet(s"$tmp/centroids")
-      corpusPath.foreach { cp =>
+      stamp.foreach { st =>
         val f = new org.apache.hadoop.fs.Path(tmp, StampFile)
         val out = f.getFileSystem(conf).create(f, false)
-        try out.write(corpusStamp(conf, cp).getBytes("UTF-8")) finally out.close()
+        try out.write(st.getBytes("UTF-8")) finally out.close()
       }
     }: Unit
   }
@@ -126,12 +138,17 @@ object Ivf {
     * a real error and rethrows.
     *
     * VERSION TIE (r12): pass `corpusPath` when the corpus lives in a
-    * publish-managed store — the build stamps the store's current
-    * version into the index, "build-if-absent" becomes "build-if-absent
-    * -or-stale", and a DELETE/MERGE/compaction on the store triggers a
-    * rebuild here instead of silently serving pre-mutation vectors.
-    * The conflict-adoption rule tightens accordingly: a racing build is
-    * adopted only if it is fresh for OUR corpus version.
+    * publish-managed store — the build stamps the store's version into
+    * the index, "build-if-absent" becomes "build-if-absent-or-stale",
+    * and a DELETE/MERGE/compaction on the store triggers a rebuild
+    * here instead of silently serving pre-mutation vectors. The
+    * conflict-adoption rule tightens accordingly: a racing build is
+    * adopted only if it is fresh for OUR corpus version. Caller
+    * contract: `corpus` must read the store's CURRENT version (create
+    * the frame after any mutations; a frame pinned to an older
+    * version would be indexed under the newer stamp). For a build
+    * that PINS the data to the stamped version by construction —
+    * race-free against concurrent mutations — use [[ensureIndexFor]].
     */
   def ensureIndex(corpus: DataFrame, path: String, nLists: Int = 16, seed: Long = 42L,
                   corpusPath: Option[String] = None): Unit =
@@ -146,6 +163,36 @@ object Ivf {
         }
       }
     }
+
+  /** The race-free store-tied build: resolves the corpus store's
+    * current (version, data dir) ONCE, reads the corpus from that
+    * pinned dir, and stamps the index with exactly that version — the
+    * stamp provably describes the rows that were indexed, no matter
+    * what mutations land before, during, or after the build (a
+    * mutation mid-build leaves the index stamped with the OLD version,
+    * so stamped probes correctly refuse it). `project` maps the pinned
+    * store frame to (vec_id, embedding) — e.g. decode the embedding
+    * from the payload.
+    */
+  def ensureIndexFor(spark: SparkSession, corpusPath: String, path: String,
+                     nLists: Int = 16, seed: Long = 42L)
+                    (project: DataFrame => DataFrame): Unit = synchronized {
+    val conf = spark.sparkContext.hadoopConfiguration
+    if (!indexFresh(conf, path, Some(corpusPath))) {
+      val cur = graft.engine.Publish.currentVersion(conf, corpusPath)
+      val stamp = cur.map { case (v, dir) => s"$v/$dir" }.getOrElse("unversioned")
+      val pinnedRoot = cur
+        .map { case (_, dir) => s"$corpusPath/${graft.engine.Publish.VersionsDir}/$dir" }
+        .getOrElse(corpusPath)
+      val corpus = project(graft.engine.EsdbWriter.read(spark, pinnedRoot))
+      try writeIndexStamped(corpus, path, nLists, seed, Some(stamp))
+      catch {
+        case e: java.io.IOException if e.getMessage != null &&
+            e.getMessage.startsWith("publish conflict") =>
+          if (!indexFresh(conf, path, Some(corpusPath))) throw e
+      }
+    }
+  }
 
   /** Probe a persisted index: exact-cosine top-k over the probed lists
     * of the current version's `assigned`, never touching the raw corpus.

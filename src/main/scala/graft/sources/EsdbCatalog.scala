@@ -394,13 +394,16 @@ object EsdbCatalog {
     }
   }
 
-  /** Every table under the catalog root, as dotted identifiers in
+  /** Every table under the catalog root, as identifier PARTS in
     * deterministic (sorted) order — the `maintain_all` sweep list.
-    * Namespace dirs recurse; table dirs do not (store-internal dirs
-    * like `space=X` or `_versions` are below them, never tables).
+    * Parts, not dotted strings: a directory name may itself contain a
+    * '.', and round-tripping through a dotted identifier would resolve
+    * the wrong path and silently skip the store. Namespace dirs
+    * recurse; table dirs do not (store-internal dirs like `space=X`
+    * or `_versions` are below them, never tables).
     */
   private[sources] def allTables(conf: org.apache.hadoop.conf.Configuration,
-                                 root: String): Seq[String] = {
+                                 root: String): Seq[Seq[String]] = {
     def childDirs(dir: String): Seq[String] = {
       val p = new Path(dir)
       val fs = p.getFileSystem(conf)
@@ -415,6 +418,6 @@ object EsdbCatalog {
         if (isTableDir(conf, full)) Seq(prefix :+ n)
         else walk(full, prefix :+ n)
       }
-    walk(root, Nil).map(_.mkString("."))
+    walk(root, Nil)
   }
 }

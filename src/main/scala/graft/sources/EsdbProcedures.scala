@@ -130,13 +130,14 @@ object EsdbProcedures {
         val t = in.getUTF8String(0).toString
         val srcSpec = in.getUTF8String(1).toString.trim
         val spark = SparkSession.active
-        // a bare identifier resolves as a table/view; anything else —
-        // SELECT/WITH in any spelling, parenthesized queries, leading
-        // comments — goes through the SQL parser, so the error names
-        // the real problem instead of "table not found"
-        val source =
-          if (srcSpec.matches("""[\w.`]+""")) spark.table(srcSpec)
-          else spark.sql(srcSpec)
+        // table/view names resolve first (including backquoted names
+        // with spaces or dashes the bare-identifier regex used to
+        // reject); anything that is NOT a resolvable name — SELECT/WITH
+        // in any spelling, parenthesized queries, leading comments —
+        // goes through the SQL parser. When BOTH fail, surface the SQL
+        // parser's error: a name lookup failure on a query string would
+        // mislead ("table not found" for a typo'd SELECT)
+        val source = scala.util.Try(spark.table(srcSpec)).getOrElse(spark.sql(srcSpec))
         val keys = in.getUTF8String(2).toString.split(",").map(_.trim).filter(_.nonEmpty).toSeq
         val (replaced, inserted) = EsdbWriter.mergeInto(
           spark, path(t), source, keys, in.getInt(3))
@@ -197,15 +198,18 @@ object EsdbProcedures {
           "_POLICY — the scheduler entry point: call it blindly on a cadence; " +
           "unmanaged (policy-less) stores are reported and untouched") { _ =>
         val spark = SparkSession.active
-        EsdbCatalog.allTables(conf(), root).map { t =>
-          val tp = path(t)
+        EsdbCatalog.allTables(conf(), root).map { parts =>
+          // resolve by PARTS, never by re-splitting a dotted name — a
+          // directory name containing '.' must still sweep correctly
+          val tp = (root +: parts).mkString("/")
           val label =
             if (graft.engine.Maintenance.policyOf(conf(), tp).isEmpty) "unmanaged"
             else {
               val actions = graft.engine.Maintenance.maintain(spark, tp)
               if (actions.isEmpty) "none" else actions.mkString(",")
             }
-          row(UTF8String.fromString(t), UTF8String.fromString(label), version(t))
+          val v = Publish.currentVersion(conf(), tp).map(_._1).getOrElse(0L)
+          row(UTF8String.fromString(parts.mkString(".")), UTF8String.fromString(label), v)
         }
       }
       case "clone_table" => proc("clone_table",

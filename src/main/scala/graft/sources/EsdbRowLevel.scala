@@ -112,14 +112,17 @@ final class EsdbRowLevelScanBuilder(op: EsdbRowLevelOperation, logicalPath: Stri
     // footer-stat classification, probed in parallel — one footer
     // round, the planning cost the engine DML already pays. With no
     // translatable condition (e.g. MERGE ON keys against a source)
-    // every file is footprint: correct, whole-store-rewrite priced;
+    // every file is footprint: correct, whole-store-rewrite priced —
+    // and the footer round is SKIPPED (it could prune nothing);
     // merge_keyed stays the stats-bounded path for that shape.
-    val fp = {
-      import scala.collection.parallel.CollectionConverters._
-      files.toVector.par.filter { case (_, f, sp) =>
-        graft.engine.DeleteWhere.fileMayMatch(conf, f.getPath, Some(sp), filters.toSeq)
-      }.toVector
-    }
+    val fp =
+      if (filters.isEmpty) files.toVector
+      else {
+        import scala.collection.parallel.CollectionConverters._
+        files.toVector.par.filter { case (_, f, sp) =>
+          graft.engine.DeleteWhere.fileMayMatch(conf, f.getPath, Some(sp), filters.toSeq)
+        }.toVector
+      }
     op.footprint = fp.map { case (rel, f, sp) => (rel, f.getPath.toString, sp, f.getLen) }
     op.classified = true
     new EsdbReplaceScan(resolved, required, op.footprint)

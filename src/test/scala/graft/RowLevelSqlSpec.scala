@@ -128,6 +128,29 @@ class RowLevelSqlSpec extends SparkSpec {
     assert(spark.sql(s"SELECT value FROM $cat.orders WHERE event_id = 21").head().getDouble(0) == 2.1)
   }
 
+  test("MERGE on an INDEXED store: explicit assignments work, idx_* re-derives from payload") {
+    val (cat, p) = catalogWith(ev(1 to 20), indexAttrs = Seq("k"))
+    Seq((7L, """{"k": 42}"""), (25L, """{"k": 9}"""))
+      .toDF("event_id", "payload").createOrReplaceTempView("rl_merge_idx")
+    // SET * cannot resolve derived idx_* columns from a source that
+    // lacks them — explicit assignments are the indexed-store form;
+    // the engine recomputes idx_* from the new payload regardless
+    spark.sql(
+      s"""MERGE INTO $cat.orders t USING rl_merge_idx s ON t.event_id = s.event_id
+         |WHEN MATCHED THEN UPDATE SET t.payload = s.payload
+         |WHEN NOT MATCHED THEN INSERT (space, grouping, ts_us, event_id, value, payload)
+         |  VALUES ('s1', 'g2', 25000, s.event_id, 0.5, s.payload)""".stripMargin)
+    val updated = spark.sql(s"SELECT idx_k, payload FROM $cat.orders WHERE event_id = 7").head()
+    assert(updated.getString(0) == "42",
+      s"idx_k must re-derive from the merged payload, got ${updated.getString(0)}")
+    val inserted = spark.sql(s"SELECT idx_k FROM $cat.orders WHERE event_id = 25").head()
+    assert(inserted.getString(0) == "9", s"inserted row's idx_k, got ${inserted.getString(0)}")
+    // untouched rows keep their derived index
+    val kept = spark.sql(s"SELECT count(*) FROM $cat.orders " +
+      s"WHERE idx_k = CAST(get_json_object(payload, '$$.k') AS STRING)").head()
+    assert(kept.getLong(0) == 21)
+  }
+
   test("predicate DELETE FROM (not keyed) now runs group-based instead of refusing") {
     val (cat, _) = catalogWith(ev(1 to 60))
     // value predicate — canDeleteWhere refuses it, so this exercises

@@ -97,13 +97,14 @@ class SimilaritySpec extends SparkSpec {
         col("vec_id").as("ts_us"), col("vec_id").as("event_id"), lit(0.0).as("value"),
         to_json(struct(col("embedding"))).as("payload")),
       storePath)
-    def corpus = graft.engine.EsdbWriter.read(spark, storePath)
-      .select(col("event_id").as("vec_id"),
+    val embed = (df: org.apache.spark.sql.DataFrame) =>
+      df.select(col("event_id").as("vec_id"),
         from_json(col("payload"),
           org.apache.spark.sql.types.StructType.fromDDL("embedding array<float>")
         )("embedding").as("embedding"))
+    def corpus = embed(graft.engine.EsdbWriter.read(spark, storePath))
     def q = corpus.where(col("vec_id") < 5)
-    graft.ops.Ivf.ensureIndex(corpus, idxPath, nLists = 8, corpusPath = Some(storePath))
+    graft.ops.Ivf.ensureIndexFor(spark, storePath, idxPath, nLists = 8)(embed)
     assert(graft.ops.Ivf.ivfTopKIndexed(spark, idxPath, q, 10,
       corpusPath = Some(storePath)).count() > 0) // fresh: probes fine
     // mutate the corpus: the store's publish version moves
@@ -116,8 +117,10 @@ class SimilaritySpec extends SparkSpec {
     // explicit staleness acceptance still serves the old vectors
     assert(graft.ops.Ivf.ivfTopKIndexed(spark, idxPath, q, 10,
       corpusPath = Some(storePath), allowStale = true).count() > 0)
-    // ensureIndex sees the moved stamp and rebuilds; full-probe equality
-    graft.ops.Ivf.ensureIndex(corpus, idxPath, nLists = 8, corpusPath = Some(storePath))
+    // ensureIndexFor sees the moved stamp and rebuilds — and because it
+    // PINS the read to the version it stamps, a caller-held stale
+    // corpus frame cannot poison the rebuild; full-probe equality
+    graft.ops.Ivf.ensureIndexFor(spark, storePath, idxPath, nLists = 8)(embed)
     val fromIndex = graft.ops.Ivf.ivfTopKIndexed(spark, idxPath, q, 10, nProbe = 8,
       corpusPath = Some(storePath))
       .select("query_id", "rank", "neighbor_id", "cos_x1e6")
