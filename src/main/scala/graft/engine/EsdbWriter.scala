@@ -395,13 +395,22 @@ object EsdbWriter {
       case TimestampNTZType => unix_micros(col(c).cast(TimestampType)).cast("double")
       case DateType => unix_date(col(c)).cast("double")
       case BooleanType => col(c).cast("int").cast("double")
-      case StringType =>
-        conv(rpad(hex(substring(encode(col(c), "UTF-8"), 1, 6)), 12, "0"), 16, 10)
-          .cast("double")
+      case StringType => zorderStringKey(col(c))
       case other => throw new IllegalArgumentException(
         s"zorder clustering cannot rank column '$c' of type ${other.simpleString}")
     }
   }
+
+  /** The string embedding, exposed for the monotonicity property test:
+    * first 6 UTF-8 bytes as a 48-bit big-endian integer in a double
+    * (exact below 2^53). Byte order IS Spark's string comparison
+    * order, so e(a) < e(b) ⇒ a < b, and a < b ⇒ e(a) ≤ e(b) with
+    * equality only on a shared ZERO-PADDED 6-byte prefix (the padding
+    * conflates a short string with its NUL-extended forms — a tie,
+    * never an inversion, so pruning stays sound).
+    */
+  private[graft] def zorderStringKey(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(rpad(hex(substring(encode(c, "UTF-8"), 1, 6)), 12, "0"), 16, 10).cast("double")
 
   private[engine] def zorderRankable(dt: org.apache.spark.sql.types.DataType): Boolean = {
     import org.apache.spark.sql.types._

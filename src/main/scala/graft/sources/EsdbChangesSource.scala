@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider, StreamSourceProvider, TableScan}
 import org.apache.spark.sql.types.StructType
 
 import graft.engine.{EsdbWriter, Publish}
@@ -99,7 +99,8 @@ class EsdbChangesStream(spark: SparkSession, path: String,
   override def stop(): Unit = ()
 }
 
-class EsdbChangesSource extends StreamSourceProvider with DataSourceRegister {
+class EsdbChangesSource extends StreamSourceProvider with RelationProvider
+  with DataSourceRegister {
 
   override def shortName(): String = "esdbchanges"
 
@@ -123,5 +124,37 @@ class EsdbChangesSource extends StreamSourceProvider with DataSourceRegister {
       lower.get("sinceversion").map(_.toLong),
       lower.get("maxversionspertrigger").map(_.toLong),
       lower.get("exactdiff").exists(_.toBoolean))
+  }
+
+  /** BATCH read of one feed window (r12) — the SQL-surface form of
+    * [[EsdbWriter.changesFeedBetween]]:
+    * {{{
+    *   spark.read.format("esdbchanges")
+    *     .option("sinceVersion", 3).load(path)          // (3 → head]
+    *   CREATE TEMPORARY VIEW f USING esdbchanges
+    *     OPTIONS (path '…', sinceVersion '3', toVersion '5')
+    * }}}
+    * `sinceVersion` is required (a batch window needs its exclusive
+    * lower bound; the stream form defaults it to the at-start head —
+    * meaningless for a one-shot read). `toVersion` pins the upper
+    * bound (default: live head); `exactDiff` routes through the
+    * EXCEPT ALL audit path. The relation's scan IS the distributed
+    * diff plan — nothing materializes on the driver.
+    */
+  override def createRelation(sqlContext: SQLContext,
+                              parameters: Map[String, String]): BaseRelation = {
+    val lower = parameters.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
+    val since = lower.getOrElse("sinceversion", throw new IllegalArgumentException(
+      "esdbchanges batch read requires option(\"sinceVersion\", v) — the window's " +
+        "exclusive lower bound")).toLong
+    val feed = EsdbWriter.changesFeedBetween(sqlContext.sparkSession, pathOf(parameters),
+      since, lower.get("toversion").map(_.toLong),
+      lower.get("exactdiff").exists(_.toBoolean))
+    val sqlc = sqlContext
+    new BaseRelation with TableScan {
+      override def sqlContext: SQLContext = sqlc
+      override def schema: StructType = feed.schema
+      override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = feed.rdd
+    }
   }
 }

@@ -100,6 +100,38 @@ class ChangesSpec extends SparkSpec {
       "both copies of each duplicate deleted row must appear")
   }
 
+  /** r12: the feed window as a BATCH relation — pure SQL consumers get
+    * the row-level CDC without Scala (`CREATE TEMPORARY VIEW ... USING
+    * esdbchanges`), same distributed diff plan underneath.
+    */
+  test("batch esdbchanges read: DataFrame and SQL-view forms equal the engine feed") {
+    val p = tmp("chgbatch")
+    writeV1(p, mk(1 to 60))
+    EsdbWriter.appendVersioned(mk(100 to 119), p, keepVersions = 8)
+    EsdbWriter.deleteWhere(spark, p, Seq(LessThan("value", 1.0)), keepVersions = 8)
+    val want = feedRows(EsdbWriter.changesFeed(spark, p, 1L))
+    val viaRead = feedRows(spark.read.format("esdbchanges")
+      .option("sinceVersion", 1L).load(p))
+    assert(viaRead == want)
+    spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW chg_batch_v
+      USING esdbchanges OPTIONS (path '$p', sinceVersion '1')""")
+    val viaSql = feedRows(spark.sql("SELECT * FROM chg_batch_v"))
+    assert(viaSql == want)
+    // pinned upper bound: (1 → 2] sees only the append's inserts
+    val window = spark.read.format("esdbchanges")
+      .option("sinceVersion", 1L).option("toVersion", 2L).load(p)
+    assert(feedRows(window) ==
+      feedRows(EsdbWriter.changesFeedBetween(spark, p, 1L, Some(2L))))
+    // exactDiff option routes the audit path; identical content
+    assert(feedRows(spark.read.format("esdbchanges")
+      .option("sinceVersion", 1L).option("exactDiff", true).load(p)) == want)
+    // a batch window needs its lower bound
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("esdbchanges").load(p)
+    }
+    assert(e.getMessage.contains("sinceVersion"), e.getMessage)
+  }
+
   test("changesFeed across ONLY a compaction nets to zero changes") {
     val p = tmp("chgnoop")
     writeV1(p, mk(1 to 40))

@@ -280,6 +280,39 @@ class ClusterSpec extends SparkSpec {
     }
   }
 
+  /** Property: the string rank embedding must be MONOTONE w.r.t.
+    * Spark's own string order — e(a) < e(b) ⇒ a < b always, and
+    * a < b ⇒ e(a) ≤ e(b) with equality only when the 6-byte UTF-8
+    * prefixes tie. Violations would place files' footer ranges out of
+    * order and silently break string-predicate pruning. Randomized
+    * strings including multibyte, empty, and shared-prefix cases.
+    */
+  test("zorder string key embedding is monotone w.r.t. Spark string order") {
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abé中z01! _"
+    def randStr(): String =
+      (0 until rnd.nextInt(12)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    val strs = (Seq("", "a", "aa", "b", "commonprefix_a", "commonprefix_b",
+      " ", "é", "中中中") ++ (1 to 500).map(_ => randStr())).distinct
+    val keyed = strs.toDF("s")
+      .select(col("s"), EsdbWriter.zorderStringKey(col("s")).as("k"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    def utf8(x: String) = org.apache.spark.unsafe.types.UTF8String.fromString(x)
+    // the embedding zero-pads to 6 bytes, so a short string ties with
+    // its zero-padded NUL extensions ("" ties with the 1-NUL string) -
+    // normalize the same way: equal padded prefixes tie, distinct rank strictly
+    def prefix6(x: String) = x.getBytes("UTF-8").take(6).padTo(6, 0.toByte).toSeq
+    def hx(x: String) = x.getBytes("UTF-8").map("%02X".format(_)).mkString
+    val sorted = keyed.sortWith((x, y) => utf8(x._1).compareTo(utf8(y._1)) < 0)
+    sorted.sliding(2).foreach { case Array((s1, k1), (s2, k2)) =>
+      assert(k1 <= k2, s"embedding out of order: ${hx(s1)}($k1) vs ${hx(s2)}($k2)")
+      if (prefix6(s1) != prefix6(s2))
+        assert(k1 < k2, s"distinct prefixes must rank strictly: ${hx(s1)}($k1) vs ${hx(s2)}($k2)")
+      else
+        assert(k1 == k2, s"tied prefixes must rank equal: ${hx(s1)}($k1) vs ${hx(s2)}($k2)")
+    }
+  }
+
   /** Two INDEPENDENT non-numeric dims — a real TIMESTAMP (minutes
     * 0..39) and a string tag (k000..k079, lexicographic = numeric) —
     * the natural clustering keys of event data (r12: the numeric-only
