@@ -23,7 +23,7 @@ object EsdbProcedures {
   val names: Seq[String] =
     Seq("compact", "compact_incremental", "compact_log", "vacuum", "seal", "rollback",
       "update_where", "merge_keyed", "apply_changes", "set_policy", "maintain",
-      "maintain_all", "clone_table")
+      "maintain_all", "clone_table", "build_vector_index", "vector_search")
 
   private def p(name: String, dt: org.apache.spark.sql.types.DataType,
                 default: Option[String] = None,
@@ -212,6 +212,50 @@ object EsdbProcedures {
           row(UTF8String.fromString(parts.mkString(".")), UTF8String.fromString(label), v)
         }
       }
+      case "build_vector_index" => proc("build_vector_index",
+        Seq(p("table", StringType),
+          p("attr", StringType, Some("'embedding'"),
+            comment = "payload JSON key holding the float-array embedding"),
+          p("lists", IntegerType, Some("16"))),
+        StructType(Seq(StructField("table", StringType), StructField("attr", StringType),
+          StructField("lists", IntegerType), StructField("corpus_version", LongType))),
+        "build (or refresh) the store's persisted IVF vector index over a payload " +
+          "embedding attr (vec_id = event_id) — stamped to the store's publish " +
+          "version: a stale index rebuilds, a fresh one no-ops") { in =>
+        val t = in.getUTF8String(0).toString
+        val attr = in.getUTF8String(1).toString
+        val spark = SparkSession.active
+        graft.ops.Ivf.ensureIndexFor(spark, path(t), vecIndexPathFor(root, t, attr),
+          nLists = in.getInt(2))(embeddingOf(attr))
+        Seq(row(UTF8String.fromString(t), UTF8String.fromString(attr),
+          in.getInt(2), version(t)))
+      }
+      case "vector_search" => proc("vector_search",
+        Seq(p("table", StringType),
+          p("query_id", LongType,
+            comment = "event_id of the probe row ('more like this')"),
+          p("attr", StringType, Some("'embedding'")),
+          p("k", IntegerType, Some("10")),
+          p("probes", IntegerType, Some("4"))),
+        StructType(Seq(StructField("neighbor_id", LongType),
+          StructField("rank", LongType), StructField("cos_x1e6", LongType))),
+        "approximate nearest neighbors of an existing row through the persisted " +
+          "IVF index; REFUSES a stale index (re-run build_vector_index after " +
+          "mutations). Result is k driver-bounded rows") { in =>
+        val t = in.getUTF8String(0).toString
+        val qid = in.getLong(1)
+        val attr = in.getUTF8String(2).toString
+        val spark = SparkSession.active
+        val queries = embeddingOf(attr)(EsdbWriter.read(spark, path(t)))
+          .where(org.apache.spark.sql.functions.col("vec_id") === qid)
+        val res = graft.ops.Ivf.ivfTopKIndexed(spark, vecIndexPathFor(root, t, attr), queries,
+          k = in.getInt(3), nProbe = in.getInt(4), corpusPath = Some(path(t)))
+          .select("neighbor_id", "rank", "cos_x1e6")
+          .limit(in.getInt(3)).collect()
+        if (res.isEmpty && queries.isEmpty) throw new IllegalArgumentException(
+          s"no row with event_id = $qid in $t (or its '$attr' attr is null)")
+        res.toSeq.map(r => row(r.getLong(0), r.getLong(1), r.getLong(2)))
+      }
       case "clone_table" => proc("clone_table",
         Seq(p("table", StringType),
           p("target", StringType, comment = "new table name (same catalog; must not exist)"),
@@ -233,6 +277,27 @@ object EsdbProcedures {
   }
 
   private def row(vals: Any*): InternalRow = new GenericInternalRow(vals.toArray)
+
+  /** Where a table's vector index lives: an underscore-prefixed sibling
+    * tree under the catalog root, invisible to table/namespace
+    * discovery (childDirs filters `_` dirs) and keyed by (table, attr).
+    */
+  private def vecIndexPathFor(root: String, table: String, attr: String): String =
+    (s"$root/_vecidx" +: table.split('.').toSeq :+ attr).mkString("/")
+
+  /** vec_id = event_id; embedding = float-array payload attr. The
+    * projection both the index build and the probe share.
+    */
+  private def embeddingOf(attr: String)(
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    df.select(col("event_id").as("vec_id"),
+      from_json(col("payload"),
+        org.apache.spark.sql.types.StructType(Seq(
+          StructField(attr, org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)))))(attr).as("embedding"))
+      .where(col("embedding").isNotNull)
+  }
 
   private def proc(pname: String, params: Seq[ProcedureParameter], out: StructType,
                    describe: String)(run: InternalRow => Seq[InternalRow]): UnboundProcedure =

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit, struct, to_json}
 
 import graft.engine.{EsdbWriter, Publish}
 
@@ -285,6 +285,55 @@ class EsdbCatalogSpec extends SparkSpec {
     assert(spark.sql(s"SELECT count(*) FROM $Cat.ma_ns.deep").head().getLong(0) == 40L)
     assert(graft.engine.Publish.committedVersions(conf, pb).size == 1,
       "version sweep must have retired B's old versions")
+  }
+
+  /** r12: ANN as pure SQL — build_vector_index persists a stamped IVF
+    * index over a payload embedding attr; vector_search probes it with
+    * "more like this" semantics and REFUSES after the store mutates.
+    */
+  test("CALL build_vector_index / vector_search: stamped ANN from SQL") {
+    root
+    val conf = spark.sparkContext.hadoopConfiguration
+    val embs = graft.engine.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val p = s"$root/vec_store"
+    Publish.publish(conf, p) { tmp =>
+      EsdbWriter.write(
+        embs.select(lit("emb").as("space"), col("vec_id").cast("string").as("grouping"),
+          col("vec_id").as("ts_us"), col("vec_id").as("event_id"), lit(0.0).as("value"),
+          to_json(struct(col("embedding"))).as("payload")),
+        tmp)
+    }: Unit
+    val built = spark.sql(
+      s"CALL $Cat.system.build_vector_index(table => 'vec_store', lists => 8)").collect().head
+    assert(built.getString(0) == "vec_store" && built.getInt(2) == 8)
+    // the index tree is catalog-invisible (underscore-prefixed)
+    assert(!spark.sql(s"SHOW TABLES IN $Cat").collect().map(_.getString(1)).contains("_vecidx"))
+    val hits = spark.sql(
+      s"CALL $Cat.system.vector_search(table => 'vec_store', query_id => 3, k => 5)").collect()
+    assert(hits.length == 5)
+    assert(hits.map(_.getLong(1)).sorted.sameElements(Array(1L, 2L, 3L, 4L, 5L)), "ranks 1..5")
+    assert(!hits.map(_.getLong(0)).contains(3L), "a row is not its own neighbor")
+    // re-building against an unchanged store is a no-op (same version)
+    val v0 = Publish.currentVersion(conf, s"$root/_vecidx/vec_store/embedding").get._1
+    spark.sql(s"CALL $Cat.system.build_vector_index(table => 'vec_store', lists => 8)")
+    assert(Publish.currentVersion(conf, s"$root/_vecidx/vec_store/embedding").get._1 == v0)
+    // mutation → stamped probe refuses, rebuild serves post-mutation rows
+    EsdbWriter.deleteWhere(spark, p,
+      Seq(org.apache.spark.sql.sources.GreaterThanOrEqual("event_id", 400L)))
+    val e = intercept[Exception] {
+      spark.sql(s"CALL $Cat.system.vector_search(table => 'vec_store', query_id => 3)").collect()
+    }
+    assert(e.getMessage.contains("stale"), e.getMessage)
+    spark.sql(s"CALL $Cat.system.build_vector_index(table => 'vec_store', lists => 8)")
+    val fresh = spark.sql(
+      s"CALL $Cat.system.vector_search(table => 'vec_store', query_id => 3, k => 10)").collect()
+    assert(fresh.nonEmpty && fresh.forall(_.getLong(0) < 400L),
+      "rebuilt index must not serve deleted vectors")
+    // unknown probe id refuses loudly
+    val miss = intercept[Exception] {
+      spark.sql(s"CALL $Cat.system.vector_search(table => 'vec_store', query_id => 999999)").collect()
+    }
+    assert(miss.getMessage.contains("no row"), miss.getMessage)
   }
 
   test("CALL rollback re-pins the live table to an older version without copying data") {
