@@ -77,13 +77,35 @@ object Ivf {
     graft.engine.Publish.publish(conf, path) { tmp =>
       assigned.write.mode(SaveMode.ErrorIfExists).partitionBy("list").parquet(s"$tmp/assigned")
       centroids.write.mode(SaveMode.ErrorIfExists).parquet(s"$tmp/centroids")
-      stamp.foreach { st =>
-        val f = new org.apache.hadoop.fs.Path(tmp, StampFile)
+      def sidecar(name: String, content: String): Unit = {
+        val f = new org.apache.hadoop.fs.Path(tmp, name)
         val out = f.getFileSystem(conf).create(f, false)
-        try out.write(st.getBytes("UTF-8")) finally out.close()
+        try out.write(content.getBytes("UTF-8")) finally out.close()
       }
+      sidecar(ListsFile, nLists.toString)
+      stamp.foreach(sidecar(StampFile, _))
     }: Unit
   }
+
+  private val ListsFile = "_build_lists"
+
+  private def sidecarText(conf: org.apache.hadoop.conf.Configuration,
+                          path: String, name: String): Option[String] = {
+    val f = new org.apache.hadoop.fs.Path(graft.engine.Publish.resolve(conf, path), name)
+    val fs = f.getFileSystem(conf)
+    if (!fs.exists(f)) None
+    else {
+      val in = fs.open(f)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+      finally in.close()
+    }
+  }
+
+  /** The nLists a persisted index was built with (None for pre-r12
+    * indexes without the sidecar).
+    */
+  def indexLists(conf: org.apache.hadoop.conf.Configuration, path: String): Option[Int] =
+    sidecarText(conf, path, ListsFile).map(_.toInt)
 
   private val StampFile = "_corpus_stamp"
 
@@ -101,16 +123,8 @@ object Ivf {
   /** The corpus stamp a persisted index was built at, if it was built
     * with `corpusPath` (older / ad-hoc indexes are unstamped).
     */
-  def indexStamp(conf: org.apache.hadoop.conf.Configuration, path: String): Option[String] = {
-    val f = new org.apache.hadoop.fs.Path(graft.engine.Publish.resolve(conf, path), StampFile)
-    val fs = f.getFileSystem(conf)
-    if (!fs.exists(f)) None
-    else {
-      val in = fs.open(f)
-      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
-      finally in.close()
-    }
-  }
+  def indexStamp(conf: org.apache.hadoop.conf.Configuration, path: String): Option[String] =
+    sidecarText(conf, path, StampFile)
 
   private def indexExists(conf: org.apache.hadoop.conf.Configuration, path: String): Boolean = {
     val root = new org.apache.hadoop.fs.Path(graft.engine.Publish.resolve(conf, path), "centroids")
@@ -122,9 +136,13 @@ object Ivf {
     * and ivfTopKIndexed refuses on.
     */
   private def indexFresh(conf: org.apache.hadoop.conf.Configuration, path: String,
-                         corpusPath: Option[String]): Boolean =
-    indexExists(conf, path) && corpusPath.forall(cp =>
-      indexStamp(conf, path).contains(corpusStamp(conf, cp)))
+                         corpusPath: Option[String], nLists: Int): Boolean =
+    indexExists(conf, path) &&
+      corpusPath.forall(cp => indexStamp(conf, path).contains(corpusStamp(conf, cp))) &&
+      // a re-request with DIFFERENT build params is a rebuild, not a
+      // no-op — otherwise tuning `lists` silently does nothing until
+      // the corpus happens to mutate (pre-sidecar indexes pass)
+      indexLists(conf, path).forall(_ == nLists)
 
   /** Build-if-absent — idempotent ACROSS drivers, not just within the
     * JVM: the `synchronized` only dedupes same-process callers; the
@@ -154,12 +172,12 @@ object Ivf {
                   corpusPath: Option[String] = None): Unit =
     synchronized {
       val conf = corpus.sparkSession.sparkContext.hadoopConfiguration
-      if (!indexFresh(conf, path, corpusPath)) {
+      if (!indexFresh(conf, path, corpusPath, nLists)) {
         try writeIndex(corpus, path, nLists, seed, corpusPath)
         catch {
           case e: java.io.IOException if e.getMessage != null &&
               e.getMessage.startsWith("publish conflict") =>
-            if (!indexFresh(conf, path, corpusPath)) throw e
+            if (!indexFresh(conf, path, corpusPath, nLists)) throw e
         }
       }
     }
@@ -178,7 +196,7 @@ object Ivf {
                      nLists: Int = 16, seed: Long = 42L)
                     (project: DataFrame => DataFrame): Unit = synchronized {
     val conf = spark.sparkContext.hadoopConfiguration
-    if (!indexFresh(conf, path, Some(corpusPath))) {
+    if (!indexFresh(conf, path, Some(corpusPath), nLists)) {
       val cur = graft.engine.Publish.currentVersion(conf, corpusPath)
       val stamp = cur.map { case (v, dir) => s"$v/$dir" }.getOrElse("unversioned")
       val pinnedRoot = cur
@@ -189,7 +207,7 @@ object Ivf {
       catch {
         case e: java.io.IOException if e.getMessage != null &&
             e.getMessage.startsWith("publish conflict") =>
-          if (!indexFresh(conf, path, Some(corpusPath))) throw e
+          if (!indexFresh(conf, path, Some(corpusPath), nLists)) throw e
       }
     }
   }

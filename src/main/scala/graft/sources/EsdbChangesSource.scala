@@ -107,7 +107,8 @@ class EsdbChangesSource extends StreamSourceProvider with RelationProvider
   private def pathOf(parameters: Map[String, String]): String = {
     val lower = parameters.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
     lower.getOrElse("path", throw new IllegalArgumentException(
-      "esdbchanges requires a store path: readStream.format(\"esdbchanges\").load(path)"))
+      "esdbchanges requires a store path: spark.read/readStream" +
+        ".format(\"esdbchanges\").load(path)"))
   }
 
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
@@ -139,7 +140,14 @@ class EsdbChangesSource extends StreamSourceProvider with RelationProvider
     * meaningless for a one-shot read). `toVersion` pins the upper
     * bound (default: live head); `exactDiff` routes through the
     * EXCEPT ALL audit path. The relation's scan IS the distributed
-    * diff plan — nothing materializes on the driver.
+    * diff plan — nothing materializes on the driver — and the window
+    * resolves at SCAN time, not view-creation time: a temporary view
+    * over a live head sees versions committed after the view was
+    * defined, and a retired base version fails with the feed's loud
+    * retention error on the query that hits it (same load-time
+    * resolution contract as the catalog tables). `needConversion =
+    * false` serves the plan's InternalRows directly — no Row
+    * round-trip per feed row.
     */
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String]): BaseRelation = {
@@ -147,14 +155,25 @@ class EsdbChangesSource extends StreamSourceProvider with RelationProvider
     val since = lower.getOrElse("sinceversion", throw new IllegalArgumentException(
       "esdbchanges batch read requires option(\"sinceVersion\", v) — the window's " +
         "exclusive lower bound")).toLong
-    val feed = EsdbWriter.changesFeedBetween(sqlContext.sparkSession, pathOf(parameters),
-      since, lower.get("toversion").map(_.toLong),
-      lower.get("exactdiff").exists(_.toBoolean))
+    val feedPath = pathOf(parameters)
+    val toVersion = lower.get("toversion").map(_.toLong)
+    val exact = lower.get("exactdiff").exists(_.toBoolean)
     val sqlc = sqlContext
+    val spark = sqlContext.sparkSession
     new BaseRelation with TableScan {
       override def sqlContext: SQLContext = sqlc
-      override def schema: StructType = feed.schema
-      override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = feed.rdd
+      // the declared schema is the view's contract; each scan's fresh
+      // feed aligns to it by name (a post-creation widened store's new
+      // column is simply not part of this view)
+      override val schema: StructType = EsdbWriter.changesFeedSchema(spark, feedPath)
+      override def needConversion: Boolean = false
+      override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+        val feed = EsdbWriter.changesFeedBetween(spark, feedPath, since, toVersion, exact)
+        val aligned = feed.select(schema.map(f =>
+          org.apache.spark.sql.functions.col(f.name).cast(f.dataType)).toSeq: _*)
+        aligned.queryExecution.toRdd
+          .asInstanceOf[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
+      }
     }
   }
 }

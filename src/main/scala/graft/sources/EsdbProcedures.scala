@@ -225,10 +225,20 @@ object EsdbProcedures {
         val t = in.getUTF8String(0).toString
         val attr = in.getUTF8String(1).toString
         val spark = SparkSession.active
-        graft.ops.Ivf.ensureIndexFor(spark, path(t), vecIndexPathFor(root, t, attr),
+        val idx = vecIndexPathFor(root, t, attr)
+        graft.ops.Ivf.ensureIndexFor(spark, path(t), idx,
           nLists = in.getInt(2))(embeddingOf(attr))
+        // report what the index IS, not what was requested: the lists
+        // sidecar and the corpus version parsed from the build stamp
+        // (a concurrent publish moving the store between the build and
+        // this read must not make the row claim a version the index
+        // does not have)
+        val lists = graft.ops.Ivf.indexLists(conf(), idx).getOrElse(in.getInt(2))
+        val stampedVersion = graft.ops.Ivf.indexStamp(conf(), idx)
+          .flatMap(_.split('/').headOption)
+          .flatMap(v => scala.util.Try(v.toLong).toOption).getOrElse(0L)
         Seq(row(UTF8String.fromString(t), UTF8String.fromString(attr),
-          in.getInt(2), version(t)))
+          lists, stampedVersion))
       }
       case "vector_search" => proc("vector_search",
         Seq(p("table", StringType),
@@ -251,7 +261,7 @@ object EsdbProcedures {
         val res = graft.ops.Ivf.ivfTopKIndexed(spark, vecIndexPathFor(root, t, attr), queries,
           k = in.getInt(3), nProbe = in.getInt(4), corpusPath = Some(path(t)))
           .select("neighbor_id", "rank", "cos_x1e6")
-          .limit(in.getInt(3)).collect()
+          .collect() // k-bounded: the heap aggregate emits at most k rows
         if (res.isEmpty && queries.isEmpty) throw new IllegalArgumentException(
           s"no row with event_id = $qid in $t (or its '$attr' attr is null)")
         res.toSeq.map(r => row(r.getLong(0), r.getLong(1), r.getLong(2)))

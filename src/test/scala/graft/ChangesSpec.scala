@@ -125,6 +125,12 @@ class ChangesSpec extends SparkSpec {
     // exactDiff option routes the audit path; identical content
     assert(feedRows(spark.read.format("esdbchanges")
       .option("sinceVersion", 1L).option("exactDiff", true).load(p)) == want)
+    // the window resolves at SCAN time: a version committed AFTER the
+    // view was defined appears on the next SELECT (live-head contract)
+    EsdbWriter.appendVersioned(mk(200 to 204), p, keepVersions = 8)
+    val after = feedRows(spark.sql("SELECT * FROM chg_batch_v"))
+    assert(after == want ++ (200 to 204).map(i => ("insert", i.toLong)),
+      s"view must see the post-creation version: ${after -- want}")
     // a batch window needs its lower bound
     val e = intercept[IllegalArgumentException] {
       spark.read.format("esdbchanges").load(p)

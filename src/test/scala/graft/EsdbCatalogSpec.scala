@@ -317,6 +317,13 @@ class EsdbCatalogSpec extends SparkSpec {
     val v0 = Publish.currentVersion(conf, s"$root/_vecidx/vec_store/embedding").get._1
     spark.sql(s"CALL $Cat.system.build_vector_index(table => 'vec_store', lists => 8)")
     assert(Publish.currentVersion(conf, s"$root/_vecidx/vec_store/embedding").get._1 == v0)
+    // ...but a DIFFERENT lists request is a rebuild, not a silent no-op
+    val retuned = spark.sql(
+      s"CALL $Cat.system.build_vector_index(table => 'vec_store', lists => 4)").collect().head
+    assert(retuned.getInt(2) == 4, retuned.toString)
+    assert(Publish.currentVersion(conf, s"$root/_vecidx/vec_store/embedding").get._1 > v0,
+      "changed lists must publish a new index version")
+    spark.sql(s"CALL $Cat.system.build_vector_index(table => 'vec_store', lists => 8)")
     // mutation → stamped probe refuses, rebuild serves post-mutation rows
     EsdbWriter.deleteWhere(spark, p,
       Seq(org.apache.spark.sql.sources.GreaterThanOrEqual("event_id", 400L)))
