@@ -90,7 +90,11 @@ object ScaleCheck {
       "corpus_mix",             // hash-threshold scan-stage sampling
       "corpus_decontaminate",   // shingle-hash broadcast join, text never shuffles
       "multimodal_features",    // real container decode kernel, no shuffle
-      "text_redact_pii")        // codegen regex scrub, scan-stage only
+      "text_redact_pii",        // codegen regex scrub, scan-stage only
+      "similarity_ivf",         // persisted-index probe (build amortized by ensureIndex)
+      "store_merge_sql",        // native MERGE INTO via SupportsRowLevelOperations
+      "store_zorder_strings",   // string-curve store: string-range delete + SPJ agg
+      "store_changes_exact")    // EXCEPT ALL audit feed (payloads shuffle by design)
 
     // `families=a,b` runs just those rows (adding a new family doesn't
     // require re-measuring the rest of the harness)
