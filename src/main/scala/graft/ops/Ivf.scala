@@ -82,16 +82,16 @@ object Ivf {
         val out = f.getFileSystem(conf).create(f, false)
         try out.write(content.getBytes("UTF-8")) finally out.close()
       }
-      sidecar(ListsFile, nLists.toString)
+      sidecar(ParamsFile, s"lists=$nLists seed=$seed")
       stamp.foreach(sidecar(StampFile, _))
     }: Unit
   }
 
-  private val ListsFile = "_build_lists"
+  private val ParamsFile = "_build_params"
 
-  private def sidecarText(conf: org.apache.hadoop.conf.Configuration,
-                          path: String, name: String): Option[String] = {
-    val f = new org.apache.hadoop.fs.Path(graft.engine.Publish.resolve(conf, path), name)
+  private def rootText(conf: org.apache.hadoop.conf.Configuration,
+                       root: String, name: String): Option[String] = {
+    val f = new org.apache.hadoop.fs.Path(root, name)
     val fs = f.getFileSystem(conf)
     if (!fs.exists(f)) None
     else {
@@ -101,11 +101,30 @@ object Ivf {
     }
   }
 
-  /** The nLists a persisted index was built with (None for pre-r12
-    * indexes without the sidecar).
+  private def parseParams(text: String): Option[(Int, Long)] = {
+    val kv = text.split("\\s+").flatMap(_.split('=') match {
+      case Array(k, v) => Some(k -> v); case _ => None
+    }).toMap
+    for { l <- kv.get("lists"); sd <- kv.get("seed") } yield (l.toInt, sd.toLong)
+  }
+
+  /** One pointer resolution → (resolved data root, build stamp, build
+    * params (lists, seed)). Reading every sidecar from the SAME
+    * resolved root means a concurrent rebuild can never make a caller
+    * observe a mix of two versions' metadata.
+    */
+  def indexMeta(conf: org.apache.hadoop.conf.Configuration, path: String):
+      (String, Option[String], Option[(Int, Long)]) = {
+    val root = graft.engine.Publish.resolve(conf, path)
+    (root, rootText(conf, root, StampFile),
+      rootText(conf, root, ParamsFile).flatMap(parseParams))
+  }
+
+  /** The nLists a persisted index was built with (None for indexes
+    * without the params sidecar).
     */
   def indexLists(conf: org.apache.hadoop.conf.Configuration, path: String): Option[Int] =
-    sidecarText(conf, path, ListsFile).map(_.toInt)
+    indexMeta(conf, path)._3.map(_._1)
 
   private val StampFile = "_corpus_stamp"
 
@@ -124,25 +143,26 @@ object Ivf {
     * with `corpusPath` (older / ad-hoc indexes are unstamped).
     */
   def indexStamp(conf: org.apache.hadoop.conf.Configuration, path: String): Option[String] =
-    sidecarText(conf, path, StampFile)
-
-  private def indexExists(conf: org.apache.hadoop.conf.Configuration, path: String): Boolean = {
-    val root = new org.apache.hadoop.fs.Path(graft.engine.Publish.resolve(conf, path), "centroids")
-    root.getFileSystem(conf).exists(root)
-  }
+    indexMeta(conf, path)._2
 
   /** Index present AND (when tied to a corpus) built at the corpus's
     * CURRENT version — the freshness predicate ensureIndex rebuilds on
     * and ivfTopKIndexed refuses on.
     */
   private def indexFresh(conf: org.apache.hadoop.conf.Configuration, path: String,
-                         corpusPath: Option[String], nLists: Int): Boolean =
-    indexExists(conf, path) &&
-      corpusPath.forall(cp => indexStamp(conf, path).contains(corpusStamp(conf, cp))) &&
-      // a re-request with DIFFERENT build params is a rebuild, not a
-      // no-op — otherwise tuning `lists` silently does nothing until
-      // the corpus happens to mutate (pre-sidecar indexes pass)
-      indexLists(conf, path).forall(_ == nLists)
+                         corpusPath: Option[String], nLists: Int, seed: Long): Boolean = {
+    // ONE pointer resolution for existence + both sidecars: no
+    // version-mixing under a concurrent rebuild, and one round trip
+    // instead of three on the hot no-op path
+    val (root, stamp, params) = indexMeta(conf, path)
+    val centroids = new org.apache.hadoop.fs.Path(root, "centroids")
+    centroids.getFileSystem(conf).exists(centroids) &&
+      corpusPath.forall(cp => stamp.contains(corpusStamp(conf, cp))) &&
+      // a re-request with DIFFERENT build params (lists OR seed) is a
+      // rebuild, not a no-op — otherwise tuning silently does nothing
+      // until the corpus happens to mutate (pre-sidecar indexes pass)
+      params.forall(_ == (nLists, seed))
+  }
 
   /** Build-if-absent — idempotent ACROSS drivers, not just within the
     * JVM: the `synchronized` only dedupes same-process callers; the
@@ -172,12 +192,12 @@ object Ivf {
                   corpusPath: Option[String] = None): Unit =
     synchronized {
       val conf = corpus.sparkSession.sparkContext.hadoopConfiguration
-      if (!indexFresh(conf, path, corpusPath, nLists)) {
+      if (!indexFresh(conf, path, corpusPath, nLists, seed)) {
         try writeIndex(corpus, path, nLists, seed, corpusPath)
         catch {
           case e: java.io.IOException if e.getMessage != null &&
               e.getMessage.startsWith("publish conflict") =>
-            if (!indexFresh(conf, path, corpusPath, nLists)) throw e
+            if (!indexFresh(conf, path, corpusPath, nLists, seed)) throw e
         }
       }
     }
@@ -196,7 +216,7 @@ object Ivf {
                      nLists: Int = 16, seed: Long = 42L)
                     (project: DataFrame => DataFrame): Unit = synchronized {
     val conf = spark.sparkContext.hadoopConfiguration
-    if (!indexFresh(conf, path, Some(corpusPath), nLists)) {
+    if (!indexFresh(conf, path, Some(corpusPath), nLists, seed)) {
       val cur = graft.engine.Publish.currentVersion(conf, corpusPath)
       val stamp = cur.map { case (v, dir) => s"$v/$dir" }.getOrElse("unversioned")
       val pinnedRoot = cur
@@ -207,7 +227,7 @@ object Ivf {
       catch {
         case e: java.io.IOException if e.getMessage != null &&
             e.getMessage.startsWith("publish conflict") =>
-          if (!indexFresh(conf, path, Some(corpusPath), nLists)) throw e
+          if (!indexFresh(conf, path, Some(corpusPath), nLists, seed)) throw e
       }
     }
   }

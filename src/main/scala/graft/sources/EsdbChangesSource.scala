@@ -169,9 +169,25 @@ class EsdbChangesSource extends StreamSourceProvider with RelationProvider
       override def needConversion: Boolean = false
       override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
         val feed = EsdbWriter.changesFeedBetween(spark, feedPath, since, toVersion, exact)
-        val aligned = feed.select(schema.map(f =>
-          org.apache.spark.sql.functions.col(f.name).cast(f.dataType)).toSeq: _*)
-        aligned.queryExecution.toRdd
+        // added store columns simply aren't part of this view; a
+        // MISSING or RETYPED column (e.g. a post-creation widening)
+        // refuses loudly — silently down-casting a widened column
+        // would wrap values (or die mid-scan under ANSI)
+        val drift = schema.flatMap { f =>
+          feed.schema.fields.find(_.name == f.name) match {
+            case None => Some(s"${f.name} (gone)")
+            case Some(g) if g.dataType != f.dataType =>
+              Some(s"${f.name}: view ${f.dataType.simpleString} vs " +
+                s"store ${g.dataType.simpleString}")
+            case _ => None
+          }
+        }
+        if (drift.nonEmpty) throw new IllegalStateException(
+          s"the store's schema evolved since this esdbchanges view was defined " +
+            s"(${drift.mkString("; ")}) — recreate the view to pick up the new schema")
+        feed.select(schema.map(f =>
+          org.apache.spark.sql.functions.col(f.name)).toSeq: _*)
+          .queryExecution.toRdd
           .asInstanceOf[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
       }
     }

@@ -228,13 +228,15 @@ object EsdbProcedures {
         val idx = vecIndexPathFor(root, t, attr)
         graft.ops.Ivf.ensureIndexFor(spark, path(t), idx,
           nLists = in.getInt(2))(embeddingOf(attr))
-        // report what the index IS, not what was requested: the lists
-        // sidecar and the corpus version parsed from the build stamp
-        // (a concurrent publish moving the store between the build and
-        // this read must not make the row claim a version the index
-        // does not have)
-        val lists = graft.ops.Ivf.indexLists(conf(), idx).getOrElse(in.getInt(2))
-        val stampedVersion = graft.ops.Ivf.indexStamp(conf(), idx)
+        // report what the index IS, not what was requested — one
+        // metadata resolution (no cross-version mix under a concurrent
+        // rebuild): lists from the params sidecar, with the centroid
+        // COUNT as the ground-truth fallback for pre-sidecar indexes;
+        // corpus version parsed from the build stamp
+        val (idxRoot, stampOpt, paramsOpt) = graft.ops.Ivf.indexMeta(conf(), idx)
+        val lists = paramsOpt.map(_._1).getOrElse(
+          spark.read.parquet(s"$idxRoot/centroids").count().toInt)
+        val stampedVersion = stampOpt
           .flatMap(_.split('/').headOption)
           .flatMap(v => scala.util.Try(v.toLong).toOption).getOrElse(0L)
         Seq(row(UTF8String.fromString(t), UTF8String.fromString(attr),
