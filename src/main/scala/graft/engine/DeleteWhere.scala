@@ -137,7 +137,30 @@ object DeleteWhere {
     * stat vs a double literal near 2^53 must not round into a false
     * "provably no match").
     */
-  private[engine] def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
+  /** Datetime filter values normalize to parquet's physical stat domain
+    * (DATE → epoch days Int, TIMESTAMP → epoch micros Long) so a
+    * date/timestamp-range predicate prunes by footer stats instead of
+    * conservatively rewriting every file. Covers both java.sql and
+    * java.time literal families (spark.sql.datetime.java8API toggles
+    * which one pushdown hands us).
+    */
+  private def normDatetime(v: Any): Any = v match {
+    case d: java.sql.Date =>
+      Int.box(org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(d))
+    case d: java.time.LocalDate => Int.box(java.lang.Math.toIntExact(d.toEpochDay))
+    case t: java.sql.Timestamp =>
+      Long.box(org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t))
+    case t: java.time.Instant =>
+      Long.box(org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(t))
+    case other => other
+  }
+
+  private[engine] def cmp(a0: Any, b0: Any): Option[Int] = {
+    val (a, b) = (normDatetime(a0), normDatetime(b0))
+    cmpNormed(a, b)
+  }
+
+  private def cmpNormed(a: Any, b: Any): Option[Int] = (a, b) match {
     case (x: String, y: String) =>
       Some(org.apache.spark.unsafe.types.UTF8String.fromString(x)
         .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y)))

@@ -265,6 +265,34 @@ class ClusterSpec extends SparkSpec {
       (0 until 1600).count(i => (i / 80) * 1000 < 15000))
   }
 
+  test("zorder ranks DATE and BOOLEAN columns: rows survive, date dim narrow per file") {
+    val df = (0 until 1600).map { i =>
+      ("s", s"g${i % 4}", (i / 40).toLong * 1000, i.toLong, 0.0, s"p$i",
+        java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i / 40)),
+        i % 2 == 0)
+    }.toDF("space", "grouping", "ts_us", "event_id", "value", "payload", "day", "flag")
+    val p = tmp("zorderdate")
+    EsdbWriter.write(df, p, clusterBy = Seq("day", "flag"), clusterChunks = 8,
+      clusterCurve = "zorder")
+    assert(EsdbWriter.read(spark, p).count() == 1600)
+    // per-file day spans (domain: 40 days) — the date dim must be narrow
+    val spans = dataFiles(p).map { case (_, f) =>
+      val r = spark.read.parquet(f.getPath.toString)
+        .agg((max(unix_date(col("day"))) - min(unix_date(col("day")))).as("d")).head()
+      r.getInt(0)
+    }
+    val avg = spans.sum.toDouble / spans.size
+    assert(avg <= 20.0, s"day spans must be sub-half-domain, avg $avg")
+    // a date-range predicate delete prunes by the date dimension
+    val before = dataFiles(p).map(_._1).toSet
+    EsdbWriter.deleteWhere(spark, p, Seq(GreaterThanOrEqual("day",
+      java.sql.Date.valueOf("2024-02-01"))))
+    val carried = before.intersect(dataFiles(p).map(_._1).toSet)
+    assert(carried.nonEmpty, "pre-February files must carry on a February+ delete")
+    assert(EsdbWriter.read(spark, p).count() ==
+      (0 until 1600).count(i => i / 40 < 31))
+  }
+
   test("zorder refuses one column, >4 columns, unrankable columns, unknown curves") {
     val p = tmp("zorderbad")
     intercept[IllegalArgumentException] {
