@@ -291,6 +291,11 @@ class ClusterSpec extends SparkSpec {
     assert(carried.nonEmpty, "pre-February files must carry on a February+ delete")
     assert(EsdbWriter.read(spark, p).count() ==
       (0 until 1600).count(i => i / 40 < 31))
+    // TimestampNTZ ranks through the same embedding (cast + epoch micros)
+    val pn = tmp("zorderntz")
+    EsdbWriter.write(df.withColumn("seen_ntz", col("day").cast("timestamp_ntz")), pn,
+      clusterBy = Seq("seen_ntz", "flag"), clusterChunks = 4, clusterCurve = "zorder")
+    assert(EsdbWriter.read(spark, pn).count() == 1600)
   }
 
   test("zorder refuses one column, >4 columns, unrankable columns, unknown curves") {

@@ -177,4 +177,38 @@ class DeleteFuzzSpec extends SparkSpec {
       assert(ids == expected, s"trial $trial (before=$before): trim diverged")
     }
   }
+
+  /** r12: datetime predicates normalize to parquet's stat domain
+    * (DeleteWhere.cmp) — randomized DATE-cutoff deletes must match the
+    * DataFrame filter exactly, nulls surviving, across layouts.
+    */
+  test("fuzz: random DATE-predicate deletes match the DataFrame filter exactly") {
+    for (trial <- 1 to 4) {
+      val dir = java.nio.file.Files.createTempDirectory(s"datefuzz$trial").toFile
+      dir.delete()
+      val p = dir.getAbsolutePath
+      val rows: Seq[(String, String, Long, Long, Double, String, java.sql.Date)] =
+        (1 to 300).map { i =>
+          val d: java.sql.Date =
+            if (rnd.nextInt(15) == 0) null
+            else java.sql.Date.valueOf(
+              java.time.LocalDate.of(2024, 1, 1).plusDays(rnd.nextInt(120)))
+          (s"s${rnd.nextInt(3)}", s"g${rnd.nextInt(6)}", rnd.nextInt(100000).toLong,
+            i.toLong, rnd.nextInt(100) / 10.0, "{}", d)
+        }
+      val df = rows.toDF("space", "grouping", "ts_us", "event_id", "value", "payload", "day")
+      EsdbWriter.write(df, p, subparts = if (trial % 2 == 0) 2 else 1)
+      val cut = java.sql.Date.valueOf(
+        java.time.LocalDate.of(2024, 1, 1).plusDays(rnd.nextInt(120)))
+      EsdbWriter.deleteWhere(spark, p,
+        Seq(org.apache.spark.sql.sources.GreaterThanOrEqual("day", cut)))
+      val expectedIds = df.filter(col("day").isNull || col("day") < lit(cut))
+        .select("event_id").as[Long].collect().toSet
+      val gotIds = EsdbWriter.read(spark, p)
+        .select("event_id").as[Long].collect().toSet
+      assert(gotIds == expectedIds,
+        s"trial $trial cut=$cut: missing=${(expectedIds -- gotIds).take(5)} " +
+          s"extra=${(gotIds -- expectedIds).take(5)}")
+    }
+  }
 }
