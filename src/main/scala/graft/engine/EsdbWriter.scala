@@ -1301,8 +1301,11 @@ object EsdbWriter {
     * Refuses with a publish conflict when any footprint file is no
     * longer in the live version — a concurrent rewrite landed between
     * the statement's scan and its commit; the statement retries against
-    * the new head. Concurrent APPENDS are safe: their files are not in
-    * the footprint and carry.
+    * the new head. The publish is additionally pinned to the head
+    * version the carry listing was taken at (`expectedVersion`), so a
+    * concurrent commit of ANY kind — including an append, whose files
+    * the stale listing would otherwise silently drop rather than
+    * carry — also surfaces as a conflict and retries.
     */
   private[graft] def replaceFootprint(spark: SparkSession, path: String,
                                       rewriteRels: Set[String],
@@ -1311,7 +1314,10 @@ object EsdbWriter {
     require(!isSealed(path), s"store at $path is sealed (immutable; no rewrites)")
     GraftSession.tune(spark)
     val conf = hconf(spark)
-    val src = dataRoot(spark, path)
+    // the head version the file listing below is taken at: publish pins
+    // to it, so a concurrent commit landing between this listing and
+    // the pointer commit conflicts loudly instead of being dropped
+    val (headAtScan, src) = Publish.resolveWithVersion(conf, path)
     val srcPath = new org.apache.hadoop.fs.Path(src)
     val fs = srcPath.getFileSystem(conf)
     val subparts = subpartsOf(conf, src)
@@ -1341,7 +1347,7 @@ object EsdbWriter {
       (if (withIdx.columns.contains(f.name)) col(f.name).cast(f.dataType)
       else lit(null).cast(f.dataType)).as(f.name, f.metadata)
     }.toSeq: _*).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try Publish.publish(conf, path, keepVersions) { tmp =>
+    try Publish.publish(conf, path, keepVersions, expectedVersion = headAtScan) { tmp =>
       val tmpPath = new org.apache.hadoop.fs.Path(tmp)
       val cl = clusterChunksFor(clusterOf(conf, src),
         math.max(1L, rewrite.map(_._2.getLen).sum), math.max(1L, files.map(_._2.getLen).sum))

@@ -109,7 +109,7 @@ object Maintenance {
       case None => Nil
       case Some(p) =>
         val actions = scala.collection.mutable.ArrayBuffer.empty[String]
-        def version(): Long = Publish.currentVersion(conf, path).map(_._1).getOrElse(0L)
+        def version(): Long = Publish.currentVersionNumber(conf, path).getOrElse(0L)
         def root() = new org.apache.hadoop.fs.Path(EsdbWriter.dataRoot(spark, path))
         val fs = root().getFileSystem(conf)
         val isLog = fs.exists(

@@ -59,11 +59,31 @@ object Publish {
     }
   }
 
+  /** Version number of the current head, if any — the one canonical
+    * accessor for callers that only need the number (everything else
+    * destructures [[currentVersion]]'s `(version, dirName)` pair).
+    */
+  def currentVersionNumber(conf: Configuration, root: String): Option[Long] =
+    currentVersion(conf, root).map(_._1)
+
   /** Resolve a logical store path to its current data root. */
   def resolve(conf: Configuration, root: String): String =
     currentVersion(conf, root)
       .map { case (_, dir) => s"$root/$VersionsDir/$dir" }
       .getOrElse(root)
+
+  /** [[resolve]] plus the head version it resolved at (`None` = legacy
+    * direct layout, nothing committed yet). Rewrites that list this
+    * root's files pass the version back as [[publish]]'s
+    * `expectedVersion` so a concurrent commit landing after the listing
+    * surfaces as a publish conflict instead of being silently dropped
+    * from the rewritten version.
+    */
+  def resolveWithVersion(conf: Configuration, root: String): (Option[Long], String) =
+    currentVersion(conf, root) match {
+      case Some((v, dir)) => (Some(v), s"$root/$VersionsDir/$dir")
+      case None => (None, root)
+    }
 
   /** Data dir name of one committed version, if its pointer exists. */
   def versionDir(conf: Configuration, root: String, version: Long): Option[String] = {
@@ -180,11 +200,24 @@ object Publish {
     * log-structured table formats. Retired later by [[vacuum]] or the
     * next publishes' sweeps.
     */
-  def publish(conf: Configuration, root: String, keepVersions: Int = 1)(
+  def publish(conf: Configuration, root: String, keepVersions: Int = 1,
+              expectedVersion: Option[Long] = None)(
       write: String => Unit): String = {
     require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
     val cur = currentVersion(conf, root)
-    val next = cur.map(_._1 + 1).getOrElse(1L)
+    // A rewrite built from a file listing taken at `expectedVersion`
+    // must commit as exactly `expectedVersion + 1`: anchoring `next` to
+    // the listing-time head (not a re-read) turns a concurrent commit
+    // in the listing→publish gap into a pointer-rename collision — a
+    // loud conflict — instead of a silently dropped version.
+    expectedVersion.foreach { exp =>
+      val head = cur.map(_._1).getOrElse(0L)
+      if (head != exp) throw new java.io.IOException(
+        s"publish conflict: rewrite at $root planned against version $exp " +
+          s"but head is $head — retry against the new version")
+    }
+    val next = expectedVersion.map(_ + 1)
+      .getOrElse(cur.map(_._1 + 1).getOrElse(1L))
     val dirName = s"$next-" + java.util.UUID.randomUUID().toString.take(8)
     val dataDir = s"$root/$VersionsDir/$dirName"
     write(dataDir)
@@ -204,6 +237,21 @@ object Publish {
     val out = fs.create(tmp, true)
     try out.write(dirName.getBytes("UTF-8")) finally out.close()
     val ptrPath = new Path(ptrDir, s"$next.ptr")
+    // Re-verify immediately before the commit point: retired pointer
+    // objects are vacuumable, so a rename at `next` could succeed even
+    // though a newer head exists — one last head read closes that
+    // window to the single atomic rename below (a same-number race
+    // inside it still collides on the rename and conflicts loudly).
+    expectedVersion.foreach { exp =>
+      val head = currentVersion(conf, root).map(_._1).getOrElse(0L)
+      if (head != exp) {
+        fs.delete(tmp, false)
+        fs.delete(new Path(dataDir), true)
+        throw new java.io.IOException(
+          s"publish conflict: version $next at $root raced a concurrent " +
+            s"publish (head moved to $head after the rewrite's file listing)")
+      }
+    }
     // FileSystem.rename on the local FS delegates to File.renameTo,
     // which OVERWRITES an existing destination on POSIX — two racing
     // publishers would both "commit" and then sweep each other's data.
@@ -460,6 +508,7 @@ object Publish {
     */
   def vacuum(conf: Configuration, root: String, keep: Int = 1): Unit = {
     require(keep >= 1, s"keep must be >= 1, got $keep")
+    sweepStaleStages(conf, root)
     val committed = committedVersions(conf, root)
     if (committed.size <= keep) return
     val fs = new Path(root).getFileSystem(conf)
@@ -467,6 +516,25 @@ object Publish {
     retire.foreach { case (v, dir) =>
       fs.delete(new Path(root, s"$VersionsDir/$dir"), true): Unit
       fs.delete(new Path(new Path(root, PtrDir), s"$v.ptr"), false): Unit
+    }
+  }
+
+  /** Sweep orphaned row-level staging dirs (`.rl-stage-*` at the
+    * logical root). The operation's own commit/abort deletes its stage;
+    * a driver crash between task commits and job commit leaks one, and
+    * nothing else looks at dot-dirs there. Only dirs past the grace
+    * period go — a live statement's stage is younger by construction.
+    */
+  def sweepStaleStages(conf: Configuration, root: String,
+                       graceMs: Long = 6L * 3600 * 1000): Unit = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(conf)
+    if (!fs.exists(rootPath)) return
+    val cutoff = System.currentTimeMillis() - graceMs
+    fs.listStatus(rootPath).foreach { s =>
+      if (s.isDirectory && s.getPath.getName.startsWith(".rl-stage-") &&
+          s.getModificationTime < cutoff)
+        fs.delete(s.getPath, true): Unit
     }
   }
 }

@@ -56,7 +56,7 @@ class EsdbChangesStream(spark: SparkSession, path: String,
 
   /** Exclusive lower bound of the whole stream. */
   private val startVersion: Long = sinceVersion.getOrElse {
-    Publish.currentVersion(conf, path).map(_._1).getOrElse(
+    Publish.currentVersionNumber(conf, path).getOrElse(
       throw new IllegalArgumentException(
         s"store at $path has no committed version yet — publish (compact/appendVersioned) " +
           "once, or pass option(\"sinceVersion\", v)"))
@@ -75,7 +75,7 @@ class EsdbChangesStream(spark: SparkSession, path: String,
   }
 
   override def getOffset: Option[Offset] = {
-    val latest = Publish.currentVersion(conf, path).map(_._1).getOrElse(startVersion)
+    val latest = Publish.currentVersionNumber(conf, path).getOrElse(startVersion)
     val capped = maxVersionsPerTrigger match {
       case Some(m) => math.min(latest, known + math.max(1L, m))
       case None => latest

@@ -100,7 +100,7 @@ object EsdbMetaTables {
 
   private def versionRows(logical: String, conf: Configuration): Seq[InternalRow] = {
     val committed = Publish.committedVersions(conf, logical)
-    val current = Publish.currentVersion(conf, logical).map(_._1)
+    val current = Publish.currentVersionNumber(conf, logical)
     val rows =
       if (committed.nonEmpty) committed.map { case (v, dir) =>
         (v, s"$logical/${Publish.VersionsDir}/$dir", current.contains(v))

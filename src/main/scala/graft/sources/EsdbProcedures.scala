@@ -37,7 +37,7 @@ object EsdbProcedures {
   def load(which: String, root: String, conf: () => Configuration): UnboundProcedure = {
     def path(table: String): String = (root +: table.split('.').toSeq).mkString("/")
     def version(table: String): Long =
-      Publish.currentVersion(conf(), path(table)).map(_._1).getOrElse(0L)
+      Publish.currentVersionNumber(conf(), path(table)).getOrElse(0L)
     which match {
       case "compact" => proc("compact",
         Seq(p("table", StringType),
@@ -130,14 +130,23 @@ object EsdbProcedures {
         val t = in.getUTF8String(0).toString
         val srcSpec = in.getUTF8String(1).toString.trim
         val spark = SparkSession.active
-        // table/view names resolve first (including backquoted names
-        // with spaces or dashes the bare-identifier regex used to
-        // reject); anything that is NOT a resolvable name — SELECT/WITH
-        // in any spelling, parenthesized queries, leading comments —
-        // goes through the SQL parser. When BOTH fail, surface the SQL
-        // parser's error: a name lookup failure on a query string would
-        // mislead ("table not found" for a typo'd SELECT)
-        val source = scala.util.Try(spark.table(srcSpec)).getOrElse(spark.sql(srcSpec))
+        // Strings that parse as a multipart identifier are table/view
+        // names — resolved with spark.table so genuine lookup failures
+        // (typo, metastore error) surface as-is. Everything else must
+        // parse as a QUERY before it runs: statements (DDL, INSERT,
+        // MERGE, SET, ...) are refused rather than executed as a side
+        // effect of being passed where a source belongs.
+        val parser = spark.sessionState.sqlParser
+        val source = scala.util.Try(parser.parseMultipartIdentifier(srcSpec)) match {
+          case scala.util.Success(_) => spark.table(srcSpec)
+          case scala.util.Failure(_) =>
+            import org.apache.spark.sql.catalyst.plans.logical.{Command, ParsedStatement}
+            val plan = parser.parsePlan(srcSpec)
+            require(!plan.isInstanceOf[Command] && !plan.isInstanceOf[ParsedStatement],
+              s"merge_keyed source must be a table/view name or a query; " +
+                s"got a ${plan.nodeName} statement, which merge_keyed refuses to execute")
+            spark.sql(srcSpec)
+        }
         val keys = in.getUTF8String(2).toString.split(",").map(_.trim).filter(_.nonEmpty).toSeq
         val (replaced, inserted) = EsdbWriter.mergeInto(
           spark, path(t), source, keys, in.getInt(3))

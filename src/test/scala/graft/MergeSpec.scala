@@ -220,5 +220,32 @@ class MergeSpec extends SparkSpec {
       assert(r.length == 1, s"source form failed: $q")
     }
     assert(spark.sql(s"SELECT count(*) FROM $cat.orders").head().getLong(0) == 31)
+
+    // a source string that parses as a STATEMENT is refused, not
+    // executed: the old Try(table).getOrElse(sql) fallback would have
+    // run arbitrary DDL/DML passed where a source belongs
+    spark.sql("CREATE OR REPLACE TEMP VIEW merge_victim AS SELECT 1 AS x")
+    for (stmt <- Seq("DROP VIEW merge_victim",
+                     "SET spark.graft.pwned=true",
+                     "INSERT INTO merge_victim VALUES (2)")) {
+      val e = intercept[Exception] {
+        spark.sql(s"CALL $cat.system.merge_keyed(table => 'orders', " +
+          s"source => '${stmt.replace("'", "''")}', keys => 'event_id')").collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("refuses to execute")), s"stmt not refused: $stmt -> $e")
+    }
+    // the refusal happened before execution: the view survived, the conf never set
+    assert(spark.sql("SELECT * FROM merge_victim").count() == 1)
+    assert(spark.conf.getOption("spark.graft.pwned").isEmpty)
+    // a genuine table-name typo surfaces as a lookup error, not a parse error
+    val typo = intercept[Exception] {
+      spark.sql(s"CALL $cat.system.merge_keyed(table => 'orders', " +
+        "source => 'no_such_view_xyz', keys => 'event_id')").collect()
+    }
+    def msgs2(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs2(t.getCause)
+    assert(msgs2(typo).exists(m => m.contains("no_such_view_xyz")), s"got: $typo")
   }
 }

@@ -310,4 +310,63 @@ class PublishSpec extends SparkSpec {
     assert(v2 != v1 && !new java.io.File(v1).exists())
     assert(graft.ops.Ivf.ivfTopKIndexed(spark, path, q, k = 5, nProbe = 2).count() > 0)
   }
+
+  test("expectedVersion pins a rewrite: a commit landing after the listing conflicts") {
+    val dir = freshDir()
+    EsdbWriter.write(ev(1 to 10), dir)
+    EsdbWriter.compact(spark, dir) // v1
+    val headAtListing = Publish.currentVersionNumber(hconf, dir).get
+    // a concurrent append commits v2 between "listing" and "publish"
+    EsdbWriter.appendVersioned(ev(11 to 12), dir)
+    val e = intercept[java.io.IOException] {
+      Publish.publish(hconf, dir, keepVersions = 2,
+        expectedVersion = Some(headAtListing)) { tmp =>
+        EsdbWriter.write(ev(1 to 10), tmp)
+      }
+    }
+    assert(e.getMessage.startsWith("publish conflict"), e.getMessage)
+    // the concurrent append's rows were NOT dropped
+    assert(EsdbWriter.read(spark, dir).count() == 12)
+    // with the CURRENT head as expected, the publish goes through
+    val head2 = Publish.currentVersionNumber(hconf, dir).get
+    Publish.publish(hconf, dir, keepVersions = 2, expectedVersion = Some(head2)) { tmp =>
+      EsdbWriter.write(ev(1 to 12), tmp)
+    }: Unit
+    assert(Publish.currentVersionNumber(hconf, dir).get == head2 + 1)
+  }
+
+  test("stage writer refuses a width+1 row whose leading field is not an op code") {
+    // EsdbStageDataWriter strips a leading __row_operation column when
+    // widths say one is present; a future Spark layout change must
+    // surface as an error here, never as silently shifted columns
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    val schema = StructType(Seq(StructField("a", IntegerType), StructField("b", IntegerType)))
+    val dir = new org.apache.hadoop.fs.Path(freshDir())
+    val w = new graft.sources.EsdbStageDataWriter(dir, schema, 0, 0L, hconf)
+    val bad = new GenericInternalRow(Array[Any](99, 1, 2)) // field 0 not in 1..3
+    val e = intercept[IllegalArgumentException] { w.write(bad) }
+    assert(e.getMessage.contains("operation"), e.getMessage)
+    val ok = new GenericInternalRow(Array[Any](1, 7, 8)) // delete op code leads
+    val w2 = new graft.sources.EsdbStageDataWriter(dir, schema, 1, 1L, hconf)
+    w2.write(ok)
+    w2.commit()
+    val read = spark.read.schema(schema).parquet(dir.toString).collect()
+    assert(read.length == 1 && read(0).getInt(0) == 7 && read(0).getInt(1) == 8)
+  }
+
+  test("vacuum sweeps orphaned .rl-stage-* dirs past the grace period") {
+    val dir = freshDir()
+    EsdbWriter.write(ev(1 to 10), dir)
+    EsdbWriter.compact(spark, dir)
+    EsdbWriter.compact(spark, dir) // two versions so vacuum has work
+    val stale = new java.io.File(dir, ".rl-stage-deadbeef")
+    val fresh = new java.io.File(dir, ".rl-stage-cafebabe")
+    assert(stale.mkdirs() && fresh.mkdirs())
+    java.nio.file.Files.write(stale.toPath.resolve("part-0.parquet"), Array[Byte](1, 2))
+    assert(stale.setLastModified(System.currentTimeMillis() - 7L * 3600 * 1000))
+    Publish.vacuum(hconf, dir, keep = 1)
+    assert(!stale.exists(), "stale stage dir must be swept")
+    assert(fresh.exists(), "in-flight stage dir must survive the grace period")
+  }
 }
