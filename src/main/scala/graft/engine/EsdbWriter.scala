@@ -1736,7 +1736,8 @@ object EsdbWriter {
     * `keepVersions >= 2` so a concurrent loser can still read the head
     * it staged against while retrying.
     */
-  def appendVersioned(ev: DataFrame, path: String, keepVersions: Int = 2): Unit = {
+  def appendVersioned(ev: DataFrame, path: String, keepVersions: Int = 2,
+                      indexAttrs: Seq[String] = Nil): Unit = {
     require(!isSealed(path), s"stream at $path is closed (reference: closed_stream.go:48-50)")
     val spark = ev.sparkSession
     val conf = hconf(spark)
@@ -1761,8 +1762,8 @@ object EsdbWriter {
             org.apache.hadoop.fs.FileUtil.copy(fs, s.getPath, fs,
               new org.apache.hadoop.fs.Path(dst, n), false, conf): Unit
         }
-        append(ev, tmp)
-      } else write(ev, tmp)
+        append(ev, tmp, indexAttrs)
+      } else write(ev, tmp, indexAttrs)
     }: Unit
   }
 
@@ -1797,6 +1798,29 @@ object EsdbWriter {
   }
 
   def isSealed(path: String): Boolean = Files.exists(Paths.get(path, SealMarker))
+
+  /** `_CDC` marker at the LOGICAL root: when set, the catalog INSERT
+    * path appends as its own versioned commit ([[appendVersioned]]) so
+    * SQL-ingested rows surface in the `esdbchanges` feed at their own
+    * version, instead of riding invisibly until the next unrelated
+    * publish. Off by default: a plain append is in-place and O(batch),
+    * a versioned one also carries the predecessor's files — the right
+    * default for a CDC-followed table, not for raw bulk ingest.
+    */
+  val CdcMarker = "_CDC"
+
+  def setCdc(conf: org.apache.hadoop.conf.Configuration, path: String,
+             enabled: Boolean): Unit = {
+    val m = new org.apache.hadoop.fs.Path(path, CdcMarker)
+    val fs = m.getFileSystem(conf)
+    if (enabled) { val out = fs.create(m, true); out.close() }
+    else if (fs.exists(m)) fs.delete(m, false): Unit
+  }
+
+  def cdcEnabled(conf: org.apache.hadoop.conf.Configuration, path: String): Boolean = {
+    val m = new org.apache.hadoop.fs.Path(path, CdcMarker)
+    m.getFileSystem(conf).exists(m)
+  }
 
   /** Per-space store statistics from parquet FOOTERS only — no data
     * pages are ever read: event count (row-group counts) and ts_us

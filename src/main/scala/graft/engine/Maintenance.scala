@@ -140,6 +140,18 @@ object Maintenance {
           Publish.vacuum(conf, path, keep = p.keepVersions)
           actions += "vacuum"
         }
+        // Declared vector indexes (`_VECIDX` registry): every commit
+        // above moves the corpus stamp, so re-run the build-if-stale
+        // contract for each — a no-op on a fresh index, a rebuild after
+        // retention/compaction. Without this the autopilot un-does ANN
+        // probing (stale indexes refuse) until a human rebuilds.
+        graft.ops.Ivf.registeredIndexes(conf, path).foreach { r =>
+          val before = Publish.currentVersionNumber(conf, r.indexPath)
+          graft.ops.Ivf.ensureIndexFor(spark, path, r.indexPath,
+            nLists = r.nLists, seed = r.seed)(graft.ops.Ivf.payloadEmbedding(r.attr))
+          if (Publish.currentVersionNumber(conf, r.indexPath) != before)
+            actions += "index_refresh"
+        }
         actions.toSeq
     }
   }

@@ -232,6 +232,76 @@ object Ivf {
     }
   }
 
+  /** Registry of the vector indexes DECLARED on a store: a `_VECIDX`
+    * marker at the store's LOGICAL root (beside `_POLICY` — it survives
+    * every versioned publish; clones copy only the resolved data dir,
+    * so a clone starts unregistered). One tab-separated line per index:
+    * `attr  nLists  seed  indexPath`. The declaration is what lets
+    * [[graft.engine.Maintenance.maintain]] re-run [[ensureIndexFor]]
+    * after its own commits — without it, every retention delete leaves
+    * a probe-refusing stale index until a human rebuilds.
+    */
+  val RegistryMarker = "_VECIDX"
+
+  final case class RegisteredIndex(attr: String, nLists: Int, seed: Long, indexPath: String)
+
+  /** Declare (or re-declare, replacing the same attr's line) an index
+    * on the store. Idempotent; called by `build_vector_index`.
+    */
+  def registerIndex(conf: org.apache.hadoop.conf.Configuration, storePath: String,
+                    reg: RegisteredIndex): Unit = {
+    require(!reg.attr.exists(c => c == '\t' || c == '\n') &&
+      !reg.indexPath.exists(c => c == '\t' || c == '\n'),
+      s"attr/index path must not contain tabs or newlines: $reg")
+    val entries = registeredIndexes(conf, storePath)
+      .filterNot(_.attr == reg.attr) :+ reg
+    val m = new org.apache.hadoop.fs.Path(storePath, RegistryMarker)
+    val out = m.getFileSystem(conf).create(m, true)
+    val txt = entries.map(r => s"${r.attr}\t${r.nLists}\t${r.seed}\t${r.indexPath}")
+      .mkString("\n")
+    try out.write(txt.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The store's declared indexes; empty when none. A corrupt marker
+    * throws (the policy-marker philosophy: silently skipping would let
+    * index freshness quietly stop being maintained).
+    */
+  def registeredIndexes(conf: org.apache.hadoop.conf.Configuration,
+                        storePath: String): Seq[RegisteredIndex] = {
+    val m = new org.apache.hadoop.fs.Path(storePath, RegistryMarker)
+    val fs = m.getFileSystem(conf)
+    if (!fs.exists(m)) Nil
+    else {
+      val in = fs.open(m)
+      val txt = try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim
+      finally in.close()
+      txt.split("\n").toSeq.map(_.trim).filter(_.nonEmpty).map { line =>
+        line.split("\t") match {
+          case Array(attr, lists, seed, idxPath)
+              if lists.forall(_.isDigit) && seed.forall(_.isDigit) =>
+            RegisteredIndex(attr, lists.toInt, seed.toLong, idxPath)
+          case _ => throw new IllegalStateException(
+            s"unparseable vector-index registry at $m: line '$line'")
+        }
+      }
+    }
+  }
+
+  /** The standard payload-JSON embedding projection (`vec_id` =
+    * event_id, `embedding` = the float array under `attr`) — one
+    * definition shared by the SQL procedures and maintenance refresh so
+    * a refreshed index is built from exactly what the original was.
+    */
+  def payloadEmbedding(attr: String)(df: DataFrame): DataFrame =
+    df.select(col("event_id").as("vec_id"),
+      from_json(col("payload"),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(attr,
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.FloatType)))))(attr).as("embedding"))
+      .where(col("embedding").isNotNull)
+
   /** Probe a persisted index: exact-cosine top-k over the probed lists
     * of the current version's `assigned`, never touching the raw corpus.
     *

@@ -272,6 +272,13 @@ class EsdbCatalog extends TableCatalog with SupportsNamespaces with StagingTable
         renames += (r.fieldNames.head -> r.newName)
       case d: TableChange.DeleteColumn if d.fieldNames.length == 1 =>
         drops += d.fieldNames.head
+      // ALTER TABLE t SET TBLPROPERTIES ('cdc'='true'|'false'): toggle
+      // the _CDC marker — whether INSERT INTO commits its own version
+      // (immediately change-feed-visible) or appends in place
+      case sp: TableChange.SetProperty if sp.property.equalsIgnoreCase("cdc") =>
+        EsdbWriter.setCdc(conf, logical, sp.value.trim.equalsIgnoreCase("true"))
+      case rp: TableChange.RemoveProperty if rp.property.equalsIgnoreCase("cdc") =>
+        EsdbWriter.setCdc(conf, logical, enabled = false)
       case other => throw new UnsupportedOperationException(
         s"esdb store schemas are fixed by their written layout; $other is not " +
           "expressible as a metadata-only change (rewrite via EsdbWriter + Publish.publish)")

@@ -237,6 +237,10 @@ object EsdbProcedures {
         val idx = vecIndexPathFor(root, t, attr)
         graft.ops.Ivf.ensureIndexFor(spark, path(t), idx,
           nLists = in.getInt(2))(embeddingOf(attr))
+        // declare the index on the store so maintain() keeps it fresh
+        // across its own retention/compaction commits
+        graft.ops.Ivf.registerIndex(conf(), path(t),
+          graft.ops.Ivf.RegisteredIndex(attr, in.getInt(2), 42L, idx))
         // report what the index IS, not what was requested — one
         // metadata resolution (no cross-version mix under a concurrent
         // rebuild): lists from the params sidecar, with the centroid
@@ -253,27 +257,48 @@ object EsdbProcedures {
       }
       case "vector_search" => proc("vector_search",
         Seq(p("table", StringType),
-          p("query_id", LongType,
-            comment = "event_id of the probe row ('more like this')"),
+          p("query_id", LongType, Some("-1"),
+            comment = "event_id of the probe row ('more like this'); omit when passing query"),
           p("attr", StringType, Some("'embedding'")),
           p("k", IntegerType, Some("10")),
-          p("probes", IntegerType, Some("4"))),
+          p("probes", IntegerType, Some("4")),
+          p("query", StringType, Some("''"),
+            comment = "probe vector as a JSON float array, e.g. '[0.1, -0.2, 0.3]' — " +
+              "the fresh-embedding form; mutually exclusive with query_id")),
         StructType(Seq(StructField("neighbor_id", LongType),
           StructField("rank", LongType), StructField("cos_x1e6", LongType))),
-        "approximate nearest neighbors of an existing row through the persisted " +
-          "IVF index; REFUSES a stale index (re-run build_vector_index after " +
-          "mutations). Result is k driver-bounded rows") { in =>
+        "approximate nearest neighbors of an existing row (query_id) or an " +
+          "arbitrary probe vector (query) through the persisted IVF index; " +
+          "REFUSES a stale index (re-run build_vector_index after mutations). " +
+          "Result is k driver-bounded rows") { in =>
+        import org.apache.spark.sql.functions._
         val t = in.getUTF8String(0).toString
         val qid = in.getLong(1)
         val attr = in.getUTF8String(2).toString
+        val qjson = in.getUTF8String(5).toString.trim
         val spark = SparkSession.active
-        val queries = embeddingOf(attr)(EsdbWriter.read(spark, path(t)))
-          .where(org.apache.spark.sql.functions.col("vec_id") === qid)
+        require((qid >= 0) ^ qjson.nonEmpty,
+          "pass exactly one of query_id (probe an existing row) or " +
+            "query (a JSON float-array literal)")
+        val queries =
+          if (qjson.nonEmpty) {
+            // external-vector probe: one driver-built row, validated
+            // HERE so a malformed literal errors instead of matching
+            // nothing (from_json is null-on-malformed)
+            val qdf = spark.range(1).select(lit(-1L).as("vec_id"),
+              from_json(lit(qjson), org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.FloatType)).as("embedding"))
+            val emb = qdf.head().getAs[scala.collection.Seq[Float]]("embedding")
+            require(emb != null && emb.nonEmpty,
+              s"query is not a JSON float array: $qjson")
+            qdf
+          } else embeddingOf(attr)(EsdbWriter.read(spark, path(t)))
+            .where(col("vec_id") === qid)
         val res = graft.ops.Ivf.ivfTopKIndexed(spark, vecIndexPathFor(root, t, attr), queries,
           k = in.getInt(3), nProbe = in.getInt(4), corpusPath = Some(path(t)))
           .select("neighbor_id", "rank", "cos_x1e6")
           .collect() // k-bounded: the heap aggregate emits at most k rows
-        if (res.isEmpty && queries.isEmpty) throw new IllegalArgumentException(
+        if (res.isEmpty && qjson.isEmpty && queries.isEmpty) throw new IllegalArgumentException(
           s"no row with event_id = $qid in $t (or its '$attr' attr is null)")
         res.toSeq.map(r => row(r.getLong(0), r.getLong(1), r.getLong(2)))
       }
@@ -310,15 +335,8 @@ object EsdbProcedures {
     * projection both the index build and the probe share.
     */
   private def embeddingOf(attr: String)(
-      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions._
-    df.select(col("event_id").as("vec_id"),
-      from_json(col("payload"),
-        org.apache.spark.sql.types.StructType(Seq(
-          StructField(attr, org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.FloatType)))))(attr).as("embedding"))
-      .where(col("embedding").isNotNull)
-  }
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    graft.ops.Ivf.payloadEmbedding(attr)(df)
 
   private def proc(pname: String, params: Seq[ProcedureParameter], out: StructType,
                    describe: String)(run: InternalRow => Seq[InternalRow]): UnboundProcedure =

@@ -56,7 +56,14 @@ final class EsdbWriteBuilder(logicalPath: String, tableSchema: StructType,
       else {
         val indexAttrs = tableSchema.fieldNames.toSeq
           .filter(_.startsWith("idx_")).map(_.stripPrefix("idx_"))
-        graft.engine.EsdbWriter.append(data, logicalPath, indexAttrs)
+        val conf = data.sparkSession.sparkContext.hadoopConfiguration
+        // a CDC-followed table (`_CDC` marker / TBLPROPERTIES cdc=true)
+        // appends as its OWN versioned commit so the rows surface in
+        // esdbchanges immediately, not at the next unrelated publish;
+        // the default stays the cheap in-place append
+        if (graft.engine.EsdbWriter.cdcEnabled(conf, logicalPath))
+          graft.engine.EsdbWriter.appendVersioned(data, logicalPath, indexAttrs = indexAttrs)
+        else graft.engine.EsdbWriter.append(data, logicalPath, indexAttrs)
       }
     }
   }
@@ -545,6 +552,7 @@ final class EsdbStagedTable(logicalPath: String, dataSchema: StructType,
             .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
           val clusterChunks = Option(opts.get("clusterchunks")).map(_.toInt).getOrElse(8)
           val clusterCurve = Option(opts.get("clustercurve")).getOrElse("range")
+          val cdc = Option(opts.get("cdc")).exists(_.equalsIgnoreCase("true"))
           Option(opts.get("layout")).getOrElse("store") match {
             case "store" =>
               graft.engine.Publish.publish(conf, logicalPath, keep) { tmp =>
@@ -561,6 +569,9 @@ final class EsdbStagedTable(logicalPath: String, dataSchema: StructType,
             case other => throw new IllegalArgumentException(
               s"unknown layout '$other' — store (bucketed) or log (flat stream)")
           }
+          // after the pointer commit: the marker lives at the logical
+          // root and steers every future INSERT INTO on this table
+          if (cdc) graft.engine.EsdbWriter.setCdc(conf, logicalPath, enabled = true)
         }
       }
     }

@@ -343,6 +343,67 @@ class EsdbCatalogSpec extends SparkSpec {
     assert(miss.getMessage.contains("no row"), miss.getMessage)
   }
 
+  /** r13: the fresh-embedding probe — `query => '[...]'` — so SQL can
+    * search with a vector that is not already a row of the corpus (the
+    * #1 real ANN use case; the r12 surface only did "more like this").
+    */
+  test("CALL vector_search with an arbitrary query vector") {
+    root
+    val conf = spark.sparkContext.hadoopConfiguration
+    val embs = graft.engine.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val p = s"$root/vec_store2"
+    Publish.publish(conf, p) { tmp =>
+      EsdbWriter.write(
+        embs.select(lit("emb").as("space"), col("vec_id").cast("string").as("grouping"),
+          col("vec_id").as("ts_us"), col("vec_id").as("event_id"), lit(0.0).as("value"),
+          to_json(struct(col("embedding"))).as("payload")),
+        tmp)
+    }: Unit
+    spark.sql(s"CALL $Cat.system.build_vector_index(table => 'vec_store2', lists => 8)")
+    // probe with row 3's own embedding passed as a LITERAL: must equal
+    // the DataFrame-API answer for the same external vector
+    val vec = embs.where(col("vec_id") === 3L)
+      .head().getAs[scala.collection.Seq[Float]]("embedding")
+    val qjson = vec.mkString("[", ",", "]")
+    val viaSql = spark.sql(
+      s"CALL $Cat.system.vector_search(table => 'vec_store2', query => '$qjson', k => 5)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    import spark.implicits._
+    val external = Seq((-1L, vec.toArray)).toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val viaApi = graft.ops.Ivf.ivfTopKIndexed(spark,
+        s"$root/_vecidx/vec_store2/embedding", external,
+        k = 5, nProbe = 4, corpusPath = Some(p))
+      .select("neighbor_id", "rank", "cos_x1e6")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(viaSql == viaApi, s"sql=$viaSql api=$viaApi")
+    assert(viaSql.length == 5 && viaSql.head._1 == 3L,
+      s"the corpus row the probe was copied from must rank first: $viaSql")
+    // exactly one probe form, well-formed
+    val both = intercept[Exception] {
+      spark.sql(s"CALL $Cat.system.vector_search(table => 'vec_store2', " +
+        s"query_id => 3, query => '$qjson')").collect()
+    }
+    assert(both.getMessage.contains("exactly one"), both.getMessage)
+    val neither = intercept[Exception] {
+      spark.sql(s"CALL $Cat.system.vector_search(table => 'vec_store2')").collect()
+    }
+    assert(neither.getMessage.contains("exactly one"), neither.getMessage)
+    val malformed = intercept[Exception] {
+      spark.sql(s"CALL $Cat.system.vector_search(table => 'vec_store2', " +
+        "query => 'not json')").collect()
+    }
+    assert(malformed.getMessage.contains("float array"), malformed.getMessage)
+    // staleness refusal applies to the query-vector form too
+    EsdbWriter.deleteWhere(spark, p,
+      Seq(org.apache.spark.sql.sources.GreaterThanOrEqual("event_id", 400L)))
+    val stale = intercept[Exception] {
+      spark.sql(s"CALL $Cat.system.vector_search(table => 'vec_store2', " +
+        s"query => '$qjson')").collect()
+    }
+    assert(stale.getMessage.contains("stale"), stale.getMessage)
+  }
+
   test("CALL rollback re-pins the live table to an older version without copying data") {
     root
     val conf = spark.sparkContext.hadoopConfiguration

@@ -128,4 +128,51 @@ class MaintenanceSpec extends SparkSpec {
     assert(res2(0).getString(1) == "none" || res2(0).getString(1) == "vacuum",
       s"second CALL must converge, got ${res2(0)}")
   }
+
+  /** r13: maintain keeps declared vector indexes fresh — a retention
+    * delete moves the corpus stamp, and without the refresh every
+    * maintained store's ANN probes refuse until a human rebuilds.
+    */
+  test("maintain refreshes a declared vector index after its own commits") {
+    import org.apache.spark.sql.functions._
+    val root = freshDir("polvec")
+    val p = s"$root/t"
+    val t0 = 1706659200000000L
+    // events carrying an embedding in the payload, spread over hours
+    val docs = (1 to 80).map { i =>
+      (s"s${i % 2}", s"g${i % 5}", t0 - i.toLong * 3600L * 1000000L, i.toLong, 0.0,
+        Array.tabulate(6)(d => (i * 6 + d).toFloat / 10f))
+    }.toDF("space", "grouping", "ts_us", "event_id", "value", "emb")
+      .select(col("space"), col("grouping"), col("ts_us"), col("event_id"),
+        col("value"), to_json(struct(col("emb").as("embedding"))).as("payload"))
+    Publish.publish(hconf, p, keepVersions = 8) { tmp =>
+      EsdbWriter.write(docs, tmp)
+    }: Unit
+    val cat = "esdbpolvec"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.EsdbCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"CALL $cat.system.build_vector_index(table => 't', lists => 4)").collect(): Unit
+    assert(graft.ops.Ivf.registeredIndexes(hconf, p).map(_.attr) == Seq("embedding"))
+    def search() = spark.sql(
+      s"CALL $cat.system.vector_search(table => 't', query_id => 3, k => 5)").collect()
+    assert(search().length == 5)
+    // retention delete via maintain: index refresh rides the same run
+    Maintenance.setPolicy(hconf, p, Maintenance.Policy(
+      retentionUs = Some(50L * 3600L * 1000000L), keepVersions = 1))
+    val actions = Maintenance.maintain(spark, p, nowUs = Some(t0))
+    assert(actions.contains("retention"), s"got $actions")
+    assert(actions.contains("index_refresh"), s"got $actions")
+    // probes keep working without a manual rebuild, and the refreshed
+    // index no longer serves retention-deleted vectors (id > 50)
+    val hits = search()
+    assert(hits.nonEmpty && hits.forall(_.getLong(0) <= 50L), hits.mkString(", "))
+    // converged: a second maintain neither commits nor re-refreshes
+    val again = Maintenance.maintain(spark, p, nowUs = Some(t0))
+    assert(!again.contains("index_refresh") && !again.contains("retention"), s"got $again")
+    // an indexless managed store never touches index machinery
+    val p2 = s"$root/t2"
+    Publish.publish(hconf, p2) { tmp => EsdbWriter.write(ev(1 to 10, t0), tmp) }: Unit
+    Maintenance.setPolicy(hconf, p2, Maintenance.Policy(maxFilesPerSpace = Some(4)))
+    assert(!Maintenance.maintain(spark, p2, nowUs = Some(t0)).contains("index_refresh"))
+  }
 }
