@@ -53,6 +53,7 @@ object ScaleCheck {
     if (args.contains("delete")) { deleteCheck(spark, sfDir, bigDir); spark.stop(); return }
     if (args.contains("mutation")) { mutationCheck(spark, sfDir, bigDir); spark.stop(); return }
     if (args.contains("lshcap")) { lshCapCheck(spark, sfDir, bigDir); spark.stop(); return }
+    if (args.contains("rebucket")) { rebucketCheck(spark, sfDir, bigDir); spark.stop(); return }
     // user_id not offset: groupings keep their cardinality and grow in
     // length, the dominant real-world growth mode for an event store
     replicate(engine.Tables.events(spark, sfDir), Seq("event_id"), s"$bigDir/events.parquet")
@@ -742,6 +743,65 @@ object ScaleCheck {
     require(nFull == nIncr, s"compaction paths diverged: $nFull != $nIncr")
     println(f"${"compact_full"}%-24s $tFull%8.2f")
     println(f"${"compact_incremental"}%-24s $tIncr%8.2f  incr/full=${tIncr / tFull}%4.2f")
+  }
+
+  /** Layout-evolution evidence: a store created FLAT (subparts=1) at
+    * 10× volume, then re-bucketed by `compact(subparts = 8)` — the r13
+    * lift of the "fixed at creation" restriction. Times a grouping-
+    * pinned scan before and after: flat must read the whole space,
+    * re-bucketed prunes to its hash bucket (~1/8), which is the whole
+    * point of letting a store that outgrew its creation layout
+    * re-bucket under one version commit instead of clone + rewrite.
+    */
+  private def rebucketCheck(spark: SparkSession, sfDir: String, bigDir: String): Unit = {
+    if (!new java.io.File(s"$bigDir/events.parquet").exists())
+      replicate(engine.Tables.events(spark, sfDir), Seq("event_id"), s"$bigDir/events.parquet")
+    val conf = spark.sparkContext.hadoopConfiguration
+    import scala.reflect.io.Directory
+    // ONE hot space holding the whole 10× volume — the shape the
+    // subparts lever exists for (a store created flat before the space
+    // went hot is exactly the store that needs to re-bucket)
+    val evf = engine.EventFrame.fromEvents(engine.Tables.events(spark, bigDir))
+      .withColumn("space", lit("hot"))
+    def build(out: String): Unit = {
+      new Directory(new java.io.File(out)).deleteRecursively()
+      engine.Publish.publish(conf, out) { tmp =>
+        engine.EsdbWriter.write(evf, tmp) // created flat: subparts = 1
+      }: Unit
+    }
+    val flatOut = s"$bigDir/store_rebucket_flat"
+    val bucketOut = s"$bigDir/store_rebucket_8"
+    build(flatOut); build(bucketOut)
+    val hot = evf.groupBy("space", "grouping").count()
+      .orderBy(desc("count")).head()
+    val (sp, gr) = (hot.getString(0), hot.getString(1))
+    def pinned(out: String): Long = engine.EventStore.scan(
+      engine.EsdbWriter.readOrdered(spark, out), sp, gr)
+      .queryExecution.toRdd.count()
+    def time(fn: => Unit): Double = {
+      val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
+    }
+    // the maintenance-cost half: a full compaction of the hot space is
+    // ONE task flat (a single sorted file to produce) but `subparts`
+    // tasks re-bucketed — the write parallelism the layout change buys
+    val tCompactFlat = time(engine.EsdbWriter.compact(spark, flatOut))
+    val tCompact8 = time(engine.EsdbWriter.compact(spark, bucketOut, subparts = Some(8)))
+    require(engine.EsdbWriter.subpartsOf(conf,
+      engine.Publish.resolve(conf, bucketOut)) == 8, "_SUBPARTS must be rewritten")
+    // the read half: a grouping-pinned scan opens the whole space flat
+    // (sorted layout: row-group stats still skip inside it) vs one
+    // bucket (1/8 of the files AND bytes even before row-group stats)
+    pinned(flatOut): Unit; pinned(bucketOut): Unit // warm
+    val rowsFlat = pinned(flatOut)
+    val rowsBucketed = pinned(bucketOut)
+    require(rowsFlat == rowsBucketed,
+      s"re-bucket changed a pinned scan's rows: $rowsFlat != $rowsBucketed")
+    val tFlat = math.min(time(pinned(flatOut): Unit), time(pinned(flatOut): Unit))
+    val tBucketed = math.min(time(pinned(bucketOut): Unit), time(pinned(bucketOut): Unit))
+    println(f"${"compact_hot_flat"}%-24s $tCompactFlat%8.2f  (subparts stays 1: one write task)")
+    println(f"${"compact_hot_rebucket_8"}%-24s $tCompact8%8.2f  flat/rebucket=${tCompactFlat / tCompact8}%4.2f (8 write tasks)")
+    println(f"${"pinned_scan_flat"}%-24s $tFlat%8.2f  ($rowsFlat rows of $sp/$gr)")
+    println(f"${"pinned_scan_rebucketed"}%-24s $tBucketed%8.2f  flat/rebucketed=${tFlat / tBucketed}%4.2f")
   }
 
   /** Hot-key evidence for [[ops.Skew.saltedTails]]: a replica of the

@@ -274,10 +274,12 @@ object EsdbWriter {
   def bucketOf(grouping: String, n: Int): Int =
     math.floorMod(graft.ops.DedupKernels.hashStr(grouping), n.toLong).toInt
 
-  /** Subpartition count a store was created with (1 = flat layout).
-    * Fixed at creation: appends and compaction reuse it, so every
-    * grouping's events stay in ONE bucket forever and grouping-pinned
-    * reads may prune to that bucket.
+  /** Subpartition count of a store VERSION (1 = flat layout). Fixed
+    * per version: appends and partial rewrites reuse it, so within a
+    * version every grouping's events stay in ONE bucket and grouping-
+    * pinned reads may prune to it. A FULL [[compact]] may change the
+    * count (it re-hashes every row anyway) — layout evolution for a
+    * store that outgrew its creation-time granularity.
     */
   def subpartsOf(conf: org.apache.hadoop.conf.Configuration, root: String): Int = {
     val m = new org.apache.hadoop.fs.Path(root, SubpartsMarker)
@@ -465,8 +467,9 @@ object EsdbWriter {
     * space lever: write parallelism becomes spaces × buckets instead
     * of one task per space, and since a grouping's bucket is a pure
     * hash, grouping-pinned reads prune to 1/subparts of the space.
-    * The count is recorded in a `_SUBPARTS` marker and fixed for the
-    * store's lifetime (appends and compaction reuse it).
+    * The count is recorded in a per-version `_SUBPARTS` marker; appends
+    * and partial rewrites reuse it, and a full [[compact]] may change
+    * it (see [[subpartsOf]]).
     */
   def write(ev: DataFrame, path: String, indexAttrs: Seq[String] = Nil,
             subparts: Int = 1, clusterBy: Seq[String] = Nil,
@@ -581,14 +584,31 @@ object EsdbWriter {
     * no atomic rename (S3-class): a crash at any step leaves readers on
     * the previous version, never on a partial store.
     */
-  def compact(spark: SparkSession, path: String, keepVersions: Int = 1): Unit = {
+  def compact(spark: SparkSession, path: String, keepVersions: Int = 1,
+              subparts: Option[Int] = None,
+              clusterChunks: Option[Int] = None): Unit = {
     require(!isSealed(path), s"store at $path is sealed (immutable; compaction is for open stores)")
+    require(subparts.forall(_ >= 1), s"subparts must be >= 1, got $subparts")
+    require(clusterChunks.forall(_ >= 1), s"clusterChunks must be >= 1, got $clusterChunks")
     GraftSession.tune(spark)
     val src = dataRoot(spark, path)
-    // subpartitioning is fixed at creation: the rewrite re-buckets with
-    // the same count (same hash), so groupings never change bucket
-    val subparts = subpartsOf(hconf(spark), src)
-    val cluster = clusterOf(hconf(spark), src)
+    // LAYOUT EVOLUTION: subpartitioning and cluster chunking are fixed
+    // per VERSION (each version dir carries its own _SUBPARTS/_CLUSTER
+    // markers), and a full compaction — the one rewrite that re-buckets
+    // every row anyway — is where they may legally change: pass a new
+    // count and the rewrite re-hashes every grouping into the new
+    // bucket space under one version commit. A store created small is
+    // therefore NOT stuck with its creation-time write parallelism and
+    // pruning granularity; partial rewrites (incremental compaction,
+    // copy-on-write deletes, merges) still reuse the current version's
+    // counts, because they carry files they must stay consistent with.
+    val newSubparts = subparts.getOrElse(subpartsOf(hconf(spark), src))
+    val cluster0 = clusterOf(hconf(spark), src)
+    clusterChunks.foreach { _ =>
+      require(cluster0.cols.nonEmpty,
+        s"store at $path declares no clusterBy columns; clusterChunks has nothing to rescale")
+    }
+    val cluster = clusterChunks.fold(cluster0)(ch => cluster0.copy(chunks = ch))
     Publish.publish(hconf(spark), path, keepVersions) { tmp =>
       // full-width read (not [[read]], which projects the canonical +
       // idx_* columns): compaction must preserve every stored column —
@@ -597,7 +617,7 @@ object EsdbWriter {
       // `bucket` is dropped because write() re-derives it
       val full = readFullWidth(spark, src)
       write(if (full.columns.contains("bucket")) full.drop("bucket") else full,
-        tmp, subparts = subparts, clusterBy = cluster.cols,
+        tmp, subparts = newSubparts, clusterBy = cluster.cols,
         clusterChunks = math.max(1, cluster.chunks), clusterCurve = cluster.curve)
       carryStreamCommits(hconf(spark), src, tmp)
     }: Unit

@@ -41,11 +41,19 @@ object EsdbProcedures {
     which match {
       case "compact" => proc("compact",
         Seq(p("table", StringType),
-          p("keep_versions", IntegerType, Some("1"))),
+          p("keep_versions", IntegerType, Some("1")),
+          p("subparts", IntegerType, Some("0"),
+            comment = "re-bucket every space into this many grouping-hash " +
+              "subpartitions (0 = keep the current count) — layout evolution " +
+              "for a store that outgrew its creation-time write parallelism"),
+          p("cluster_chunks", IntegerType, Some("0"),
+            comment = "rescale the clustering chunk count (0 = keep current)")),
         StructType(Seq(StructField("table", StringType), StructField("version", LongType))),
         "full compaction: rewrite the store as one sorted file set per space, publish as a new version") { in =>
         val t = in.getUTF8String(0).toString
-        EsdbWriter.compact(SparkSession.active, path(t), in.getInt(1))
+        EsdbWriter.compact(SparkSession.active, path(t), in.getInt(1),
+          subparts = Some(in.getInt(2)).filter(_ > 0),
+          clusterChunks = Some(in.getInt(3)).filter(_ > 0))
         Seq(row(UTF8String.fromString(t), version(t)))
       }
       case "compact_incremental" => proc("compact_incremental",

@@ -92,7 +92,6 @@ final class EsdbWriteBuilder(logicalPath: String, tableSchema: StructType,
               s"store streaming sink requires a $n ${dt.simpleString} column")
           }
           val root = graft.engine.Publish.resolve(conf, logicalPath)
-          val subparts = graft.engine.EsdbWriter.subpartsOf(conf, root)
           val base = graft.engine.EsdbWriter.schemaManifest(conf, root)
           // the write-time index contract (space_writer.go:47-49) holds
           // for streamed batches too: every idx_* column the store (or
@@ -122,7 +121,7 @@ final class EsdbWriteBuilder(logicalPath: String, tableSchema: StructType,
           val fileSchema = StructType(full.filterNot(_.name == "space"))
           EsdbRowParquetWriter.messageType(fileSchema): Unit
           new EsdbStoreStreamingWrite(logicalPath, writeSchema, fileSchema,
-            StructType(full), indexAttrs, subparts)
+            StructType(full), indexAttrs)
         }
       }
     }
@@ -340,11 +339,10 @@ final case class EsdbStoreFilesMessage(files: Seq[String],
   */
 final class EsdbStoreStreamingWrite(logicalPath: String, inputSchema: StructType,
                                     fileSchema: StructType, manifestSchema: StructType,
-                                    indexAttrs: Seq[String],
-                                    subparts: Int) extends StreamingWrite {
+                                    indexAttrs: Seq[String]) extends StreamingWrite {
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new EsdbStoreWriterFactory(logicalPath, inputSchema, fileSchema, indexAttrs, subparts,
+    new EsdbStoreWriterFactory(logicalPath, inputSchema, fileSchema, indexAttrs,
       new SerializableConfiguration(EsdbVectorReader.sessionConf()))
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -370,7 +368,6 @@ final class EsdbStoreStreamingWrite(logicalPath: String, inputSchema: StructType
 
 final class EsdbStoreWriterFactory(logicalPath: String, inputSchema: StructType,
                                    fileSchema: StructType, indexAttrs: Seq[String],
-                                   subparts: Int,
                                    conf: SerializableConfiguration)
   extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
@@ -383,6 +380,14 @@ final class EsdbStoreWriterFactory(logicalPath: String, inputSchema: StructType,
         s"stream at $logicalPath is closed (reference: closed_stream.go:48-50)")
     val root = new Path(graft.engine.Publish.resolve(hconf, logicalPath))
     fs.mkdirs(root)
+    // the bucket count is read from the SAME version dir this task's
+    // files land in, not captured at query start: a re-bucketing
+    // compaction (compact with a new subparts) landing mid-stream
+    // would otherwise leave this epoch hashing groupings into the OLD
+    // bucket space inside the NEW layout — silently unprunable. A
+    // version swap mid-epoch still surfaces via the commit's finalize
+    // rename (the staged files' dir is gone) and the epoch replays.
+    val subparts = graft.engine.EsdbWriter.subpartsOf(hconf, root.toString)
     val marker = new Path(new Path(root, graft.engine.LogCommits.Dir), s"$epochId.commit")
     if (fs.exists(marker)) new EsdbNoopStreamWriter
     else new EsdbStoreDataWriter(root, inputSchema, fileSchema, indexAttrs, subparts,
@@ -502,8 +507,8 @@ final class EsdbStoreDataWriter(root: Path, inputSchema: StructType,
   *    id-ordered stream layout);
   *  - `indexAttrs`    — comma-separated payload attrs materialized as
   *    bloom-filtered `idx_*` columns (space_writer.go:47-49);
-  *  - `subparts`      — hot-space subpartition count, fixed for the
-  *    store's lifetime;
+  *  - `subparts`      — hot-space subpartition count (changeable later
+  *    only by a full compaction with a new count);
   *  - `clusterBy`     — comma-separated value-domain clustering
   *    columns (X23), with `clusterChunks` (default 8) and
   *    `clusterCurve` (`range` default, or `zorder` for balanced

@@ -225,8 +225,19 @@ class EsdbCatalogSpec extends SparkSpec {
       s"CALL $Cat.system.compact(table => 'proc_scratch', keep_versions => 2)").collect().head
     assert(full.getLong(1) > inc.getLong(2), "compact must publish a newer version")
 
+    // r13 layout evolution from SQL: re-bucket at full compaction
+    val rebucket = spark.sql(
+      s"CALL $Cat.system.compact(table => 'proc_scratch', keep_versions => 2, subparts => 4)")
+      .collect().head
+    assert(rebucket.getLong(1) > full.getLong(1))
+    assert(EsdbWriter.subpartsOf(conf, Publish.resolve(conf, p)) == 4,
+      "_SUBPARTS must carry the new count")
+    assert(spark.sql(s"SELECT count(*) FROM $Cat.proc_scratch").head().getLong(0) == 120L)
+    assert(spark.sql(s"SELECT count(*) FROM $Cat.proc_scratch WHERE grouping = 'g1'")
+      .head().getLong(0) == 40L)
+
     val vac = spark.sql(s"CALL $Cat.system.vacuum(table => 'proc_scratch')").collect().head
-    assert(vac.getLong(1) == full.getLong(1))
+    assert(vac.getLong(1) == rebucket.getLong(1))
 
     val sealRow = spark.sql(
       s"CALL $Cat.system.seal(table => 'proc_scratch', index_name => 'k')").collect().head

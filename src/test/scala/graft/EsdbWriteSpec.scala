@@ -427,6 +427,44 @@ class EsdbWriteSpec extends SparkSpec {
     assert(!hasSortNode(plan), "bucketed streamed files must keep the sorted layout:\n" + plan)
   }
 
+  test("store sink follows a mid-stream re-bucket: later epochs hash into the NEW bucket space") {
+    val path = freshDir("storesinkrebucket")
+    EsdbWriter.write(ev(1 to 40), path, subparts = 2)
+    val mem = memStream()
+    val src = mem.toDF.toDF("space", "grouping", "ts_us", "event_id", "value", "payload", "idx_k")
+      .drop("idx_k")
+    val q = src.writeStream.format("esdb").option("path", path)
+      .option("checkpointLocation", freshDir("storesinkrebucket-ckpt"))
+      .start() // continuous micro-batches: the ONE long-lived writer
+    val conf = spark.sparkContext.hadoopConfiguration
+    val v = try {
+      mem.addData(storeRows(41 to 80): _*)
+      q.processAllAvailable()
+      // layout evolution lands between epochs, while the query is live
+      EsdbWriter.compact(spark, path, keepVersions = 2, subparts = Some(4))
+      val v = graft.engine.Publish.resolve(conf, path)
+      assert(EsdbWriter.subpartsOf(conf, v) == 4)
+      mem.addData(storeRows(81 to 140): _*)
+      q.processAllAvailable()
+      v
+    } finally q.stop()
+    // the post-compact epoch's files are in NEW-count bucket dirs (the
+    // sink reads the count per task from the version it writes into,
+    // not from query start)
+    val streamed = new java.io.File(v).listFiles().filter(_.getName.startsWith("space="))
+      .flatMap(_.listFiles()).filter(d => d.isDirectory && d.getName.startsWith("bucket="))
+      .flatMap(d => d.listFiles().filter(_.getName.startsWith("stream-")).map(_ => d.getName))
+    assert(streamed.nonEmpty && streamed.forall(_.drop(7).toInt < 4), streamed.mkString(","))
+    // pinned scans (pruned to the NEW buckets) see the whole history:
+    // pre-stream, pre-compact epoch, and post-compact epoch rows
+    val all = EsdbWriter.readOrdered(spark, path)
+    assert(all.count() == 140)
+    val got = EventStore.scan(all, "s1", "g3")
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val want = (1 to 140).filter(i => i % 3 == 1 && i % 7 == 3).map(_.toLong).toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+  }
+
   test("subpartitioned epoch markers record full space=/bucket= paths; replay sweeps in buckets") {
     val path = freshDir("storesinksubmark")
     EsdbWriter.write(ev(1 to 40), path, subparts = 2)

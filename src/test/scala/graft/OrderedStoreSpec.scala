@@ -586,4 +586,67 @@ class OrderedStoreSpec extends SparkSpec {
     EsdbWriter.seal(spark, dir.getAbsolutePath, "k")
     assert(EsdbWriter.readOrdered(spark, dir.getAbsolutePath).count() == 40)
   }
+
+  /** r13 layout evolution: a full compaction may change a store's
+    * subpartition count — the rewrite re-hashes every row anyway — so a
+    * store created small is not stuck with its creation-time write
+    * parallelism and pruning granularity.
+    */
+  test("layout evolution: compact re-buckets to a new subparts count; pruning follows") {
+    import graft.sources.{EsdbInputPartition, EsdbScan, EsdbScanBuilder, EsdbStoreSource}
+    import org.apache.spark.sql.sources.EqualTo
+    val dir = java.nio.file.Files.createTempDirectory("ordrebucket").toFile
+    dir.delete()
+    val path = dir.getAbsolutePath
+    val conf = spark.sparkContext.hadoopConfiguration
+    val mk = (r: Range) => r.map(i => ("hot", s"g${i % 20}", (i % 40).toLong * 10, i.toLong,
+      i / 3.0, s"""{"k": ${i % 5}}"""))
+      .toDF("space", "grouping", "ts_us", "event_id", "value", "payload")
+    // created flat — the "store that outgrew its layout" starting point
+    EsdbWriter.write(mk(1 to 300), path)
+    EsdbWriter.append(mk(301 to 400), path)
+    assert(EsdbWriter.subpartsOf(conf, path) == 1)
+    val expSpace = EventStore.scanSpace(EsdbWriter.read(spark, path), "hot")
+      .select("grouping", "ts_us", "event_id").as[(String, Long, Long)].collect().toSeq
+
+    EsdbWriter.compact(spark, path, keepVersions = 2, subparts = Some(8))
+    val v1 = graft.engine.Publish.resolve(conf, path)
+    assert(EsdbWriter.subpartsOf(conf, v1) == 8, "_SUBPARTS must be rewritten")
+    // layout: bucket dirs of the NEW count
+    val buckets = new java.io.File(v1, "space=hot").listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("bucket=")).map(_.getName)
+    assert(buckets.nonEmpty && buckets.forall(_.drop(7).toInt < 8), buckets.mkString(","))
+    // grouping-pinned reads prune to the NEW 1/8
+    def plannedFiles(filters: Array[org.apache.spark.sql.sources.Filter]): Seq[String] = {
+      val b = new EsdbScanBuilder(v1, EsdbStoreSource.canonicalSchema(v1))
+      b.pushFilters(filters)
+      b.build().asInstanceOf[EsdbScan].planInputPartitions()
+        .flatMap(_.asInstanceOf[EsdbInputPartition].files).toSeq
+    }
+    val g7b = EsdbWriter.bucketOf("g7", 8)
+    val pinned = plannedFiles(Array(EqualTo("grouping", "g7")))
+    assert(pinned.nonEmpty && pinned.forall(_.contains(s"bucket=$g7b/")),
+      s"pinned scan must read only the new bucket=$g7b: $pinned")
+    assert(pinned.size < plannedFiles(Array.empty).size)
+    // content + order parity across the re-bucket
+    val after = EventStore.scanSpace(EsdbWriter.readOrdered(spark, path), "hot")
+      .select("grouping", "ts_us", "event_id").as[(String, Long, Long)].collect().toSeq
+    assert(after == expSpace)
+    // appends AFTER the re-bucket hash into the new bucket space
+    EsdbWriter.append(mk(401 to 440), path)
+    val gotScan = EventStore.scan(EsdbWriter.readOrdered(spark, path), "hot", "g7")
+      .select("event_id").as[Long].collect().toSet
+    assert(gotScan == (1 to 440).filter(_ % 20 == 7).map(_.toLong).toSet)
+    // merge (keyed upsert) against the re-bucketed layout stays exact
+    EsdbWriter.mergeInto(spark, path,
+      mk(441 to 444), keys = Seq("event_id"), keepVersions = 2): Unit
+    assert(EsdbWriter.read(spark, path).count() == 444)
+    // ...and compacting back DOWN flattens the layout (marker gone = 1)
+    EsdbWriter.compact(spark, path, keepVersions = 2, subparts = Some(1))
+    val v3 = graft.engine.Publish.resolve(conf, path)
+    assert(EsdbWriter.subpartsOf(conf, v3) == 1)
+    assert(!new java.io.File(v3, "space=hot").listFiles()
+      .exists(d => d.isDirectory && d.getName.startsWith("bucket=")))
+    assert(EsdbWriter.read(spark, path).count() == 444)
+  }
 }
