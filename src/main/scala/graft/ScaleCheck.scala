@@ -54,6 +54,7 @@ object ScaleCheck {
     if (args.contains("mutation")) { mutationCheck(spark, sfDir, bigDir); spark.stop(); return }
     if (args.contains("lshcap")) { lshCapCheck(spark, sfDir, bigDir); spark.stop(); return }
     if (args.contains("rebucket")) { rebucketCheck(spark, sfDir, bigDir); spark.stop(); return }
+    if (args.contains("drift")) { driftCheck(spark, sfDir, bigDir); spark.stop(); return }
     // user_id not offset: groupings keep their cardinality and grow in
     // length, the dominant real-world growth mode for an event store
     replicate(engine.Tables.events(spark, sfDir), Seq("event_id"), s"$bigDir/events.parquet")
@@ -802,6 +803,69 @@ object ScaleCheck {
     println(f"${"compact_hot_rebucket_8"}%-24s $tCompact8%8.2f  flat/rebucket=${tCompactFlat / tCompact8}%4.2f (8 write tasks)")
     println(f"${"pinned_scan_flat"}%-24s $tFlat%8.2f  ($rowsFlat rows of $sp/$gr)")
     println(f"${"pinned_scan_rebucketed"}%-24s $tBucketed%8.2f  flat/rebucketed=${tFlat / tBucketed}%4.2f")
+  }
+
+  /** Cluster-sharpness drift evidence (r13, [[engine.ClusterHealth]]):
+    * a value-clustered store at 10× volume accumulates full-domain
+    * appends (each batch re-draws range cuts from ITSELF, so its files
+    * overlap every earlier batch's), then `maintain` re-clusters when
+    * the overlap factor passes the declared threshold. Times a narrow
+    * value-band DELETE's footprint proxy — the files a footer check
+    * admits — before and after the repair, which is exactly what the
+    * overlap factor prices.
+    */
+  private def driftCheck(spark: SparkSession, sfDir: String, bigDir: String): Unit = {
+    if (!new java.io.File(s"$bigDir/events.parquet").exists())
+      replicate(engine.Tables.events(spark, sfDir), Seq("event_id"), s"$bigDir/events.parquet")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val out = s"$bigDir/store_drift"
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File(out)).deleteRecursively()
+    val evf = engine.EventFrame.fromEvents(engine.Tables.events(spark, bigDir))
+    val parts = evf.withColumn("slice", pmod(col("event_id"), lit(5)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    engine.Publish.publish(conf, out) { tmp =>
+      engine.EsdbWriter.write(parts.where(col("slice") === 0).drop("slice"), tmp,
+        clusterBy = Seq("value"), clusterChunks = 16)
+    }: Unit
+    val freshOverlap = engine.ClusterHealth.worstOverlap(spark, out).getOrElse(1.0)
+    // 4 appends, each spanning the WHOLE value domain — worst drift
+    (1 to 4).foreach { k =>
+      engine.EsdbWriter.append(parts.where(col("slice") === k).drop("slice"), out)
+    }
+    parts.unpersist()
+    val driftedOverlap = engine.ClusterHealth.worstOverlap(spark, out).getOrElse(1.0)
+    def bandScan(): Long = {
+      // a 5%-of-domain value band: on a sharp clustering this opens
+      // ~5% of files; drifted, every overlapping file opens
+      val df = engine.EsdbWriter.read(spark, out)
+      df.where(col("value") >= 0.0 && col("value") < 0.05 * 1000)
+        .queryExecution.toRdd.count()
+    }
+    def time(fn: => Unit): Double = {
+      val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
+    }
+    bandScan(): Unit // warm
+    val rowsDrifted = bandScan()
+    val tDrifted = math.min(time(bandScan(): Unit), time(bandScan(): Unit))
+    engine.Maintenance.setPolicy(conf, out, engine.Maintenance.Policy(
+      keepVersions = 1, reclusterOverlapX100 = Some(200L)))
+    val t0 = System.nanoTime()
+    val actions = engine.Maintenance.maintain(spark, out)
+    val tRepair = (System.nanoTime() - t0) / 1e9
+    require(actions.contains("recluster"), s"maintain must fire past threshold: $actions")
+    val repairedOverlap = engine.ClusterHealth.worstOverlap(spark, out).getOrElse(1.0)
+    bandScan(): Unit // warm the new layout
+    val rowsRepaired = bandScan()
+    require(rowsDrifted == rowsRepaired, s"repair changed rows: $rowsDrifted != $rowsRepaired")
+    val tRepaired = math.min(time(bandScan(): Unit), time(bandScan(): Unit))
+    require(!engine.Maintenance.maintain(spark, out).contains("recluster"),
+      "second maintain must converge")
+    println(f"${"overlap_fresh"}%-24s $freshOverlap%8.2f  (expected files per point lookup)")
+    println(f"${"overlap_drifted"}%-24s $driftedOverlap%8.2f  (after 4 full-domain appends)")
+    println(f"${"overlap_repaired"}%-24s $repairedOverlap%8.2f  (maintain recluster, $tRepair%.2fs one-time)")
+    println(f"${"band_scan_drifted"}%-24s $tDrifted%8.2f  ($rowsDrifted rows)")
+    println(f"${"band_scan_repaired"}%-24s $tRepaired%8.2f  drifted/repaired=${tDrifted / tRepaired}%4.2f")
   }
 
   /** Hot-key evidence for [[ops.Skew.saltedTails]]: a replica of the

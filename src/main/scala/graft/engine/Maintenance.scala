@@ -32,13 +32,22 @@ object Maintenance {
     *                          re-compact (the rest carry)
     * @param keepVersions      publish retention for the maintenance
     *                          commits AND the vacuum floor
+    * @param reclusterOverlapX100  re-cluster (full compaction) when any
+    *                          declared cluster column's overlap factor
+    *                          ([[ClusterHealth]]: expected files opened
+    *                          per point lookup) exceeds this/100 —
+    *                          e.g. 300 = repair once lookups open 3×
+    *                          the files a fresh clustering would
     */
   final case class Policy(retentionUs: Option[Long] = None,
                           maxFilesPerSpace: Option[Int] = None,
-                          keepVersions: Int = 2) {
+                          keepVersions: Int = 2,
+                          reclusterOverlapX100: Option[Long] = None) {
     require(retentionUs.forall(_ > 0), s"retentionUs must be positive: $retentionUs")
     require(maxFilesPerSpace.forall(_ >= 1), s"maxFilesPerSpace must be >= 1")
     require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
+    require(reclusterOverlapX100.forall(_ > 100),
+      s"reclusterOverlapX100 must be > 100 (1.0× is a fresh clustering): $reclusterOverlapX100")
   }
 
   def setPolicy(conf: org.apache.hadoop.conf.Configuration, path: String,
@@ -48,7 +57,8 @@ object Maintenance {
     val txt = Seq(
       policy.retentionUs.map(r => s"retention_us=$r"),
       policy.maxFilesPerSpace.map(f => s"max_files_per_space=$f"),
-      Some(s"keep_versions=${policy.keepVersions}")).flatten.mkString("\n")
+      Some(s"keep_versions=${policy.keepVersions}"),
+      policy.reclusterOverlapX100.map(o => s"recluster_overlap_x100=$o")).flatten.mkString("\n")
     try out.write(txt.getBytes("UTF-8")) finally out.close()
   }
 
@@ -80,14 +90,16 @@ object Maintenance {
             s"unparseable policy marker at $m: line '$line'")
         }
       }.toMap
-      val known = Set("retention_us", "max_files_per_space", "keep_versions")
+      val known = Set("retention_us", "max_files_per_space", "keep_versions",
+        "recluster_overlap_x100")
       val unknown = kv.keySet -- known
       if (unknown.nonEmpty) throw new IllegalStateException(
         s"unknown policy key(s) ${unknown.mkString(", ")} at $m")
       Some(Policy(
         retentionUs = kv.get("retention_us"),
         maxFilesPerSpace = kv.get("max_files_per_space").map(_.toInt),
-        keepVersions = kv.getOrElse("keep_versions", 2L).toInt))
+        keepVersions = kv.getOrElse("keep_versions", 2L).toInt,
+        reclusterOverlapX100 = kv.get("recluster_overlap_x100")))
     }
   }
 
@@ -135,6 +147,23 @@ object Maintenance {
             }
             else EsdbWriter.compactIncremental(spark, path, m, p.keepVersions)
           if (did) actions += "compaction"
+        }
+        // cluster-sharpness repair: per-batch range cuts drift under
+        // appends ("drift costs sharpness, never correctness"), and
+        // nothing else measures the accumulated per-file span overlap —
+        // when a point lookup would open more than threshold× the files
+        // a fresh clustering would, a full compaction re-draws the cuts
+        // from the whole store. Skipped when fragmentation repair just
+        // ran a rewrite this pass only if still past threshold (the
+        // incremental rewrite may already have tightened enough).
+        p.reclusterOverlapX100.foreach { th =>
+          if (!isLog) {
+            val worst = ClusterHealth.worstOverlap(spark, path)
+            if (worst.exists(_ * 100.0 > th.toDouble)) {
+              EsdbWriter.compact(spark, path, keepVersions = p.keepVersions)
+              actions += "recluster"
+            }
+          }
         }
         if (Publish.committedVersions(conf, path).size > p.keepVersions) {
           Publish.vacuum(conf, path, keep = p.keepVersions)

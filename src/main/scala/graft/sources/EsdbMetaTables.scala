@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{BooleanType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -22,7 +22,8 @@ import graft.engine.{EsdbWriter, Publish}
   */
 object EsdbMetaTables {
 
-  val names: Set[String] = Set("versions", "files", "groupings", "tails", "changes", "policy")
+  val names: Set[String] =
+    Set("versions", "files", "groupings", "tails", "changes", "policy", "clustering")
 
   def load(logical: String, which: String, conf: Configuration): Table = which match {
     case "versions" =>
@@ -70,11 +71,31 @@ object EsdbMetaTables {
         StructType(Seq(
           StructField("retention_us", LongType, nullable = true),
           StructField("max_files_per_space", IntegerType, nullable = true),
-          StructField("keep_versions", IntegerType, nullable = false))),
+          StructField("keep_versions", IntegerType, nullable = false),
+          StructField("recluster_overlap_x100", LongType, nullable = true))),
         () => graft.engine.Maintenance.policyOf(conf, logical).toSeq.map { p =>
           new GenericInternalRow(Array[Any](
             p.retentionUs.map(Long.box).orNull,
-            p.maxFilesPerSpace.map(Int.box).orNull, p.keepVersions))
+            p.maxFilesPerSpace.map(Int.box).orNull, p.keepVersions,
+            p.reclusterOverlapX100.map(Long.box).orNull))
+        })
+    case "clustering" =>
+      // cluster-sharpness drift ([[graft.engine.ClusterHealth]]): one
+      // row per declared cluster column — `overlap` is the expected
+      // files a point lookup opens (1.0 = freshly clustered); zero rows
+      // = the store declares no clustering
+      new MetaTable(s"esdb:$logical.clustering",
+        StructType(Seq(
+          StructField("column", StringType, nullable = false),
+          StructField("files", IntegerType, nullable = false),
+          StructField("overlap", DoubleType, nullable = false),
+          StructField("domain_min", DoubleType, nullable = false),
+          StructField("domain_max", DoubleType, nullable = false))),
+        () => graft.engine.ClusterHealth.sharpness(
+          org.apache.spark.sql.SparkSession.active, logical).map { s =>
+          new GenericInternalRow(Array[Any](
+            org.apache.spark.unsafe.types.UTF8String.fromString(s.column),
+            s.files, s.overlap, s.domainMin, s.domainMax))
         })
   }
 

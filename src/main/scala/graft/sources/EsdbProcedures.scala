@@ -184,14 +184,18 @@ object EsdbProcedures {
             comment = "delete events older than now - this (0 = no retention)"),
           p("max_files_per_space", IntegerType, Some("0"),
             comment = "re-compact spaces fragmented past this (0 = no compaction)"),
-          p("keep_versions", IntegerType, Some("2"))),
+          p("keep_versions", IntegerType, Some("2")),
+          p("recluster_overlap_x100", LongType, Some("0"),
+            comment = "re-cluster when a cluster column's overlap factor exceeds " +
+              "this/100 — expected files per point lookup (0 = never)")),
         StructType(Seq(StructField("table", StringType), StructField("policy", StringType))),
         "declare the store's maintenance policy (retention / fragmentation / version sweep)") { in =>
         val t = in.getUTF8String(0).toString
         val pol = graft.engine.Maintenance.Policy(
           retentionUs = Some(in.getLong(1)).filter(_ > 0),
           maxFilesPerSpace = Some(in.getInt(2)).filter(_ > 0),
-          keepVersions = in.getInt(3))
+          keepVersions = in.getInt(3),
+          reclusterOverlapX100 = Some(in.getLong(4)).filter(_ > 0))
         graft.engine.Maintenance.setPolicy(conf(), path(t), pol)
         Seq(row(UTF8String.fromString(t), UTF8String.fromString(pol.toString)))
       }

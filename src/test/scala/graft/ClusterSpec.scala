@@ -426,4 +426,52 @@ class ClusterSpec extends SparkSpec {
       EsdbWriter.write(mk(10), p, clusterBy = Seq("value"), clusterChunks = 0)
     }
   }
+
+  /** r13: cluster-sharpness drift is MEASURED (ClusterHealth +
+    * `cat.t.clustering`) and REPAIRED by maintain — per-batch range
+    * cuts keep appends correct but let per-file spans overlap until
+    * point lookups open far more files than a fresh clustering would.
+    */
+  test("sharpness drift: appends degrade overlap; maintain re-clusters past the threshold") {
+    import graft.engine.{ClusterHealth, Maintenance}
+    val root = tmp("clusdrift")
+    val p = s"$root/t"
+    Publish.publish(hconf, p, keepVersions = 8) { tmpDir =>
+      EsdbWriter.write(mk(), tmpDir, clusterBy = Seq("value"), clusterChunks = 8)
+    }: Unit
+    val fresh = ClusterHealth.sharpness(spark, p)
+    assert(fresh.map(_.column) == Seq("value"))
+    assert(fresh.head.overlap <= 1.3, s"fresh clustering must tile the domain: $fresh")
+    // drift: each appended batch spans the WHOLE value domain, so its
+    // cuts overlap every earlier file's span
+    (1 to 4).foreach { k =>
+      EsdbWriter.append(mk(800).withColumn("event_id", col("event_id") + lit(k * 10000L)), p)
+    }
+    val drifted = ClusterHealth.worstOverlap(spark, p).get
+    assert(drifted > 3.0, s"4 full-domain appends must blow up the overlap, got $drifted")
+    // the SQL-visible form: cat.t.clustering reports the same drift
+    val cat = "esdbdrift"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.EsdbCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val metaRow = spark.sql(s"SELECT * FROM $cat.t.clustering").collect()
+    assert(metaRow.length == 1 && metaRow(0).getString(0) == "value")
+    assert(math.abs(metaRow(0).getDouble(2) - drifted) < 1e-9)
+    // an unclustered store reports zero rows
+    Publish.publish(hconf, s"$root/flat") { tmpDir => EsdbWriter.write(mk(40), tmpDir) }: Unit
+    assert(spark.sql(s"SELECT * FROM $cat.flat.clustering").count() == 0)
+    // policy-driven repair: maintain re-clusters once overlap > 2.0x
+    Maintenance.setPolicy(hconf, p, Maintenance.Policy(
+      keepVersions = 2, reclusterOverlapX100 = Some(200L)))
+    val actions = Maintenance.maintain(spark, p)
+    assert(actions.contains("recluster"), s"got $actions")
+    val repaired = ClusterHealth.worstOverlap(spark, p).getOrElse(1.0)
+    assert(repaired <= 1.5, s"re-cluster must restore near-disjoint spans, got $repaired")
+    assert(EsdbWriter.read(spark, p).count() == 800L * 5, "repair must lose nothing")
+    // converged: a second maintain does not re-compact
+    assert(!Maintenance.maintain(spark, p).contains("recluster"))
+    // and below the threshold nothing fires (fresh store, tight spans)
+    Maintenance.setPolicy(hconf, s"$root/flat", Maintenance.Policy(
+      keepVersions = 2, reclusterOverlapX100 = Some(200L)))
+    assert(!Maintenance.maintain(spark, s"$root/flat").contains("recluster"))
+  }
 }
