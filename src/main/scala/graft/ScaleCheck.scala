@@ -55,6 +55,7 @@ object ScaleCheck {
     if (args.contains("lshcap")) { lshCapCheck(spark, sfDir, bigDir); spark.stop(); return }
     if (args.contains("rebucket")) { rebucketCheck(spark, sfDir, bigDir); spark.stop(); return }
     if (args.contains("drift")) { driftCheck(spark, sfDir, bigDir); spark.stop(); return }
+    if (args.contains("recall")) { recallCheck(spark, sfDir, bigDir); spark.stop(); return }
     // user_id not offset: groupings keep their cardinality and grow in
     // length, the dominant real-world growth mode for an event store
     replicate(engine.Tables.events(spark, sfDir), Seq("event_id"), s"$bigDir/events.parquet")
@@ -803,6 +804,45 @@ object ScaleCheck {
     println(f"${"compact_hot_rebucket_8"}%-24s $tCompact8%8.2f  flat/rebucket=${tCompactFlat / tCompact8}%4.2f (8 write tasks)")
     println(f"${"pinned_scan_flat"}%-24s $tFlat%8.2f  ($rowsFlat rows of $sp/$gr)")
     println(f"${"pinned_scan_rebucketed"}%-24s $tBucketed%8.2f  flat/rebucketed=${tFlat / tBucketed}%4.2f")
+  }
+
+  /** IVF operating curve (r13): recall@10 at partial probes vs the
+    * full probe (nProbe = nLists, exact over the index by
+    * construction), at 1× and 10× corpus volume — the honesty row that
+    * turns the ANN family's exactness certificate
+    * (`similarity_ivf_full_probe`) into an operating curve a user can
+    * pick nProbe from. Asserted: recall@10 at the DEFAULT nProbe=4
+    * stays ≥ 0.4 at both scales on the fixture (synthetic near-uniform
+    * embeddings are IVF's adversarial case — real corpora cluster).
+    */
+  private def recallCheck(spark: SparkSession, sfDir: String, bigDir: String): Unit = {
+    if (!new java.io.File(s"$bigDir/embeddings.parquet").exists())
+      replicate(engine.Tables.embeddings(spark, sfDir), Seq("vec_id"), s"$bigDir/embeddings.parquet")
+    import scala.reflect.io.Directory
+    println(f"${"scale"}%-6s ${"nProbe"}%7s ${"recall@10"}%10s")
+    for ((label, dir) <- Seq(("1x", sfDir), ("10x", bigDir))) {
+      val emb = engine.Tables.embeddings(spark, dir).where(col("embedding").isNotNull)
+      val idx = s"$bigDir/ivf_recall_$label"
+      new Directory(new java.io.File(idx)).deleteRecursively()
+      ops.Ivf.ensureIndex(emb, idx, nLists = 16)
+      val queries = emb.where(pmod(col("vec_id"), lit(101)) === 7).limit(64)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def topk(nProbe: Int): Map[Long, Set[Long]] =
+        ops.Ivf.ivfTopKIndexed(spark, idx, queries, k = 10, nProbe = nProbe)
+          .select("query_id", "neighbor_id").collect()
+          .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      val truth = topk(16) // full probe: exact over the index
+      for (nProbe <- Seq(4, 8, 16)) {
+        val got = topk(nProbe)
+        val recall = truth.toSeq.map { case (q, t) =>
+          got.getOrElse(q, Set.empty[Long]).intersect(t).size.toDouble / math.max(1, t.size)
+        }.sum / math.max(1, truth.size)
+        println(f"$label%-6s $nProbe%7d $recall%10.3f")
+        if (nProbe == 4) require(recall >= 0.4,
+          f"recall@10 at the default nProbe=4 fell to $recall%.3f at $label")
+      }
+      queries.unpersist(): Unit
+    }
   }
 
   /** Cluster-sharpness drift evidence (r13, [[engine.ClusterHealth]]):
