@@ -490,6 +490,56 @@ object Queries {
     p
   }
 
+  /** Layout-evolution fixture behind `store_rebucket_scan` (r13): the
+    * events store created FLAT, then re-bucketed to 4 grouping-hash
+    * subpartitions by a full compaction — the subpart count is
+    * per-version, changeable at the one rewrite that re-hashes every
+    * row anyway. Pinned scans must prune to the NEW buckets and lose
+    * nothing across the transition.
+    */
+  private def ensureRebucketStore(s: SparkSession, dir: String): String = synchronized {
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft-rebucketstore/$key"
+    val conf = s.sparkContext.hadoopConfiguration
+    if (graft.engine.Publish.currentVersion(conf, p).isEmpty) {
+      graft.engine.Publish.publish(conf, p, keepVersions = 2) { tmp =>
+        graft.engine.EsdbWriter.write(ev(s, dir), tmp)
+      }: Unit
+    }
+    if (graft.engine.EsdbWriter.subpartsOf(conf,
+        graft.engine.Publish.resolve(conf, p)) != 4)
+      graft.engine.EsdbWriter.compact(s, p, keepVersions = 2, subparts = Some(4))
+    p
+  }
+
+  /** Sharpness-repair fixture behind `store_recluster_maintained`
+    * (r13): a value-clustered store whose second half arrives as one
+    * full-domain append (per-batch range cuts → drifted per-file
+    * spans), with a declared `recluster_overlap_x100` policy; maintain
+    * measures the drift ([[graft.engine.ClusterHealth]]) and repairs it
+    * with a re-clustering compaction, then converges (re-runs no-op).
+    */
+  private def ensureReclusteredStore(s: SparkSession, dir: String): String = synchronized {
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft-reclusterstore/$key"
+    val conf = s.sparkContext.hadoopConfiguration
+    if (graft.engine.Publish.currentVersion(conf, p).isEmpty) {
+      graft.engine.Publish.publish(conf, p, keepVersions = 2) { tmp =>
+        graft.engine.EsdbWriter.write(
+          ev(s, dir).filter(pmod(col("event_id"), lit(2)) === 0), tmp,
+          clusterBy = Seq("value"), clusterChunks = 8)
+      }: Unit
+      graft.engine.EsdbWriter.append(
+        ev(s, dir).filter(pmod(col("event_id"), lit(2)) =!= 0), p)
+      graft.engine.Maintenance.setPolicy(conf, p, graft.engine.Maintenance.Policy(
+        keepVersions = 2, reclusterOverlapX100 = Some(150L)))
+      val actions = graft.engine.Maintenance.maintain(s, p)
+      require(actions.contains("recluster"),
+        s"recluster fixture must drift past its threshold; maintain did: $actions")
+    } else graft.engine.Maintenance.maintain(s, p): Unit // converged no-op
+    p
+  }
+
   /** Clone fixture behind `store_clone_scan`: the standard store cloned
     * once per sfDir ([[graft.engine.EsdbWriter.cloneStore]]); the clone
     * must serve the exact scans the source serves.
@@ -1008,6 +1058,39 @@ object Queries {
               |       min(epoch_us(ts)) AS min_ts_us
               |FROM events WHERE epoch_us(ts) >= $MaintainCutoff
               |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // layout evolution (r13): the same pinned scan as
+    // space_scan_grouping, served by a store RE-BUCKETED after creation
+    // (flat -> 4 subparts at full compaction) — pruning follows the new
+    // count, content stays exact
+    QuerySpec("store_rebucket_scan",
+      (s, d) => {
+        val p = ensureRebucketStore(s, d)
+        EventStore.scan(graft.engine.EsdbWriter.readOrdered(s, p), Space, Grouping)
+          .select("event_id", "ts_us", "value", "payload")
+      },
+      Some(s"""SELECT event_id, epoch_us(ts) AS ts_us, value, props AS payload
+              |FROM events WHERE event_type = '$Space' AND user_id = $Grouping
+              |ORDER BY ts_us DESC, event_id""".stripMargin)),
+
+    // cluster-sharpness repair (r13): drifted value clustering measured
+    // by ClusterHealth and re-clustered by maintain under the declared
+    // policy — the oracle recomputes the FULL content from raw events,
+    // so the repair provably moves rows between files, never in or out
+    QuerySpec("store_recluster_maintained",
+      (s, d) => {
+        val p = ensureReclusteredStore(s, d)
+        graft.engine.EsdbWriter.readOrdered(s, p)
+          .groupBy("space")
+          .agg(count(lit(1)).as("n_events"),
+            sum(round(col("value") * 100).cast("long")).as("sum_cents"),
+            min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+          .orderBy("space")
+      },
+      Some("""SELECT event_type AS space, count(*) AS n_events,
+             |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents,
+             |       min(event_id) AS min_id, max(event_id) AS max_id
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // CDC APPLIED (X28): a replica forked at the fixture's v1 and fed
     // one changesFeed window through applyChanges must hold exactly the

@@ -240,18 +240,21 @@ final class EsdbStageDataWriter(dir: Path, schema: StructType,
       if (row.numFields == schema.length + 1) {
         import org.apache.spark.sql.catalyst.expressions.{BoundReference, Expression, UnsafeProjection}
         // Width alone is too weak a signal to reorder every column on:
-        // require the leading field to actually look like the
-        // RowDeltaUtils operation code (1=delete, 2=update, 3=insert)
-        // so a future layout change errors instead of corrupting rows.
+        // require the leading field to actually look like a
+        // RowDeltaUtils operation code (DELETE=1 … WRITE_WITH_METADATA=6;
+        // group-based ReplaceData hands WRITE=5) so a future layout
+        // change errors instead of corrupting rows.
+        import org.apache.spark.sql.catalyst.util.RowDeltaUtils
         val op = try row.getInt(0) catch {
           case e: Exception => throw new IllegalStateException(
             "row-level write produced a width+1 row whose field 0 is not " +
               "an int __row_operation column; Spark's ReplaceDataExec row " +
               "layout has changed — refusing to guess the projection", e)
         }
-        require(op >= 1 && op <= 3,
-          s"row-level write width+1 row leads with $op, not an operation " +
-            "code in 1..3; refusing to strip an unrecognized leading column")
+        require(op >= RowDeltaUtils.DELETE_OPERATION &&
+            op <= RowDeltaUtils.WRITE_WITH_METADATA_OPERATION,
+          s"row-level write width+1 row leads with $op, not a RowDeltaUtils " +
+            "operation code; refusing to strip an unrecognized leading column")
         shift = UnsafeProjection.create(schema.fields.toIndexedSeq.zipWithIndex.map {
           case (f, i) => BoundReference(i + 1, f.dataType, f.nullable): Expression
         })
