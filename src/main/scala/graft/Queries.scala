@@ -523,6 +523,15 @@ object Queries {
     val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
     val p = s"${System.getProperty("java.io.tmpdir")}/graft-reclusterstore/$key"
     val conf = s.sparkContext.hadoopConfiguration
+    // crash-idempotence: the policy marker is the LAST build step, so a
+    // versioned-but-unmanaged dir is a half-built fixture — rebuild it
+    // rather than serving half the events as "converged"
+    if (graft.engine.Publish.currentVersion(conf, p).isDefined &&
+        graft.engine.Maintenance.policyOf(conf, p).isEmpty) {
+      val root = new org.apache.hadoop.fs.Path(p)
+      val fs = root.getFileSystem(conf)
+      if (fs.exists(root)) fs.delete(root, true): Unit
+    }
     if (graft.engine.Publish.currentVersion(conf, p).isEmpty) {
       graft.engine.Publish.publish(conf, p, keepVersions = 2) { tmp =>
         graft.engine.EsdbWriter.write(

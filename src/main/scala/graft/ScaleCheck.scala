@@ -833,7 +833,7 @@ object ScaleCheck {
           .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
       val truth = topk(16) // full probe: exact over the index
       for (nProbe <- Seq(4, 8, 16)) {
-        val got = topk(nProbe)
+        val got = if (nProbe == 16) truth else topk(nProbe)
         val recall = truth.toSeq.map { case (q, t) =>
           got.getOrElse(q, Set.empty[Long]).intersect(t).size.toDouble / math.max(1, t.size)
         }.sum / math.max(1, truth.size)

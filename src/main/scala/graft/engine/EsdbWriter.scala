@@ -1829,18 +1829,43 @@ object EsdbWriter {
     */
   val CdcMarker = "_CDC"
 
+  /** The marker body records the publish retention CDC appends use —
+    * the CTAS `keepVersions` property persists here, so INSERT-driven
+    * version sweeps honor the declared window instead of silently
+    * collapsing history to the appendVersioned default.
+    */
   def setCdc(conf: org.apache.hadoop.conf.Configuration, path: String,
-             enabled: Boolean): Unit = {
+             enabled: Boolean, keepVersions: Int = 2): Unit = {
+    require(keepVersions >= 2,
+      s"cdc keepVersions must be >= 2 (a feed consumer needs the predecessor readable): $keepVersions")
     val m = new org.apache.hadoop.fs.Path(path, CdcMarker)
     val fs = m.getFileSystem(conf)
-    if (enabled) { val out = fs.create(m, true); out.close() }
+    if (enabled) {
+      val out = fs.create(m, true)
+      try out.write(keepVersions.toString.getBytes("UTF-8")) finally out.close()
+    }
     else if (fs.exists(m)) fs.delete(m, false): Unit
   }
 
-  def cdcEnabled(conf: org.apache.hadoop.conf.Configuration, path: String): Boolean = {
+  /** CDC retention when enabled (the marker body; legacy empty markers
+    * read as the default 2), None when the table is not CDC-marked.
+    */
+  def cdcKeepVersions(conf: org.apache.hadoop.conf.Configuration,
+                      path: String): Option[Int] = {
     val m = new org.apache.hadoop.fs.Path(path, CdcMarker)
-    m.getFileSystem(conf).exists(m)
+    val fs = m.getFileSystem(conf)
+    if (!fs.exists(m)) None
+    else {
+      val in = fs.open(m)
+      val txt = try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim
+      finally in.close()
+      Some(if (txt.nonEmpty && txt.forall(_.isDigit)) math.max(2, txt.toInt) else 2)
+    }
   }
+
+  def cdcEnabled(conf: org.apache.hadoop.conf.Configuration, path: String): Boolean =
+    cdcKeepVersions(conf, path).isDefined
 
   /** Per-space store statistics from parquet FOOTERS only — no data
     * pages are ever read: event count (row-group counts) and ts_us

@@ -253,6 +253,10 @@ object Ivf {
     require(!reg.attr.exists(c => c == '\t' || c == '\n') &&
       !reg.indexPath.exists(c => c == '\t' || c == '\n'),
       s"attr/index path must not contain tabs or newlines: $reg")
+    // only write what registeredIndexes can read back — an unparseable
+    // line would brick every later maintain() on this store
+    require(reg.nLists >= 1 && reg.seed >= 0,
+      s"registry entry must have nLists >= 1 and a non-negative seed: $reg")
     val entries = registeredIndexes(conf, storePath)
       .filterNot(_.attr == reg.attr) :+ reg
     val m = new org.apache.hadoop.fs.Path(storePath, RegistryMarker)

@@ -269,7 +269,7 @@ object EsdbProcedures {
       }
       case "vector_search" => proc("vector_search",
         Seq(p("table", StringType),
-          p("query_id", LongType, Some("-1"),
+          p("query_id", LongType, Some("NULL"),
             comment = "event_id of the probe row ('more like this'); omit when passing query"),
           p("attr", StringType, Some("'embedding'")),
           p("k", IntegerType, Some("10")),
@@ -285,33 +285,40 @@ object EsdbProcedures {
           "Result is k driver-bounded rows") { in =>
         import org.apache.spark.sql.functions._
         val t = in.getUTF8String(0).toString
-        val qid = in.getLong(1)
+        val hasQid = !in.isNullAt(1)
         val attr = in.getUTF8String(2).toString
         val qjson = in.getUTF8String(5).toString.trim
         val spark = SparkSession.active
-        require((qid >= 0) ^ qjson.nonEmpty,
+        require(hasQid ^ qjson.nonEmpty,
           "pass exactly one of query_id (probe an existing row) or " +
             "query (a JSON float-array literal)")
         val queries =
           if (qjson.nonEmpty) {
             // external-vector probe: one driver-built row, validated
             // HERE so a malformed literal errors instead of matching
-            // nothing (from_json is null-on-malformed)
+            // nothing (from_json is null-on-malformed) or blowing up
+            // mid-kernel (null elements, wrong dimension)
             val qdf = spark.range(1).select(lit(-1L).as("vec_id"),
               from_json(lit(qjson), org.apache.spark.sql.types.ArrayType(
                 org.apache.spark.sql.types.FloatType)).as("embedding"))
             val emb = qdf.head().getAs[scala.collection.Seq[Float]]("embedding")
-            require(emb != null && emb.nonEmpty,
-              s"query is not a JSON float array: $qjson")
+            require(emb != null && emb.nonEmpty && !emb.contains(null),
+              s"query is not a JSON float array (null or malformed element): $qjson")
+            val (idxRoot, _, _) = graft.ops.Ivf.indexMeta(
+              conf(), vecIndexPathFor(root, t, attr))
+            val dim = spark.read.parquet(s"$idxRoot/centroids")
+              .limit(1).select(size(col("centroid"))).head().getInt(0)
+            require(emb.size == dim,
+              s"query vector has ${emb.size} dims; the '$attr' index was built with $dim")
             qdf
           } else embeddingOf(attr)(EsdbWriter.read(spark, path(t)))
-            .where(col("vec_id") === qid)
+            .where(col("vec_id") === in.getLong(1))
         val res = graft.ops.Ivf.ivfTopKIndexed(spark, vecIndexPathFor(root, t, attr), queries,
           k = in.getInt(3), nProbe = in.getInt(4), corpusPath = Some(path(t)))
           .select("neighbor_id", "rank", "cos_x1e6")
           .collect() // k-bounded: the heap aggregate emits at most k rows
-        if (res.isEmpty && qjson.isEmpty && queries.isEmpty) throw new IllegalArgumentException(
-          s"no row with event_id = $qid in $t (or its '$attr' attr is null)")
+        if (res.isEmpty && hasQid && queries.isEmpty) throw new IllegalArgumentException(
+          s"no row with event_id = ${in.getLong(1)} in $t (or its '$attr' attr is null)")
         res.toSeq.map(r => row(r.getLong(0), r.getLong(1), r.getLong(2)))
       }
       case "clone_table" => proc("clone_table",

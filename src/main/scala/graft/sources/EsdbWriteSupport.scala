@@ -60,10 +60,20 @@ final class EsdbWriteBuilder(logicalPath: String, tableSchema: StructType,
         // a CDC-followed table (`_CDC` marker / TBLPROPERTIES cdc=true)
         // appends as its OWN versioned commit so the rows surface in
         // esdbchanges immediately, not at the next unrelated publish;
-        // the default stays the cheap in-place append
-        if (graft.engine.EsdbWriter.cdcEnabled(conf, logicalPath))
-          graft.engine.EsdbWriter.appendVersioned(data, logicalPath, indexAttrs = indexAttrs)
-        else graft.engine.EsdbWriter.append(data, logicalPath, indexAttrs)
+        // the default stays the cheap in-place append. Retention: the
+        // widest declared window wins (the marker's recorded CTAS
+        // keepVersions vs any _POLICY keep_versions), so an INSERT's
+        // version sweep never collapses history a consumer relies on.
+        graft.engine.EsdbWriter.cdcKeepVersions(conf, logicalPath) match {
+          case Some(markerKeep) =>
+            val keep = math.max(markerKeep,
+              graft.engine.Maintenance.policyOf(conf, logicalPath)
+                .map(_.keepVersions).getOrElse(2))
+            graft.engine.EsdbWriter.appendVersioned(data, logicalPath,
+              keepVersions = keep, indexAttrs = indexAttrs)
+          case None =>
+            graft.engine.EsdbWriter.append(data, logicalPath, indexAttrs)
+        }
       }
     }
   }
@@ -557,7 +567,11 @@ final class EsdbStagedTable(logicalPath: String, dataSchema: StructType,
             .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
           val clusterChunks = Option(opts.get("clusterchunks")).map(_.toInt).getOrElse(8)
           val clusterCurve = Option(opts.get("clustercurve")).getOrElse("range")
-          val cdc = Option(opts.get("cdc")).exists(_.equalsIgnoreCase("true"))
+          val cdc = Option(opts.get("cdc")).map { v =>
+            require(v.equalsIgnoreCase("true") || v.equalsIgnoreCase("false"),
+              s"TBLPROPERTIES cdc must be 'true' or 'false', got '$v'")
+            v.equalsIgnoreCase("true")
+          }.getOrElse(false)
           Option(opts.get("layout")).getOrElse("store") match {
             case "store" =>
               graft.engine.Publish.publish(conf, logicalPath, keep) { tmp =>
@@ -575,8 +589,10 @@ final class EsdbStagedTable(logicalPath: String, dataSchema: StructType,
               s"unknown layout '$other' — store (bucketed) or log (flat stream)")
           }
           // after the pointer commit: the marker lives at the logical
-          // root and steers every future INSERT INTO on this table
-          if (cdc) graft.engine.EsdbWriter.setCdc(conf, logicalPath, enabled = true)
+          // root and steers every future INSERT INTO on this table —
+          // recording the declared keepVersions so CDC appends honor it
+          if (cdc) graft.engine.EsdbWriter.setCdc(conf, logicalPath,
+            enabled = true, keepVersions = math.max(2, keep))
         }
       }
     }

@@ -350,6 +350,12 @@ class ChangesSpec extends SparkSpec {
     val feed = feedRows(EsdbWriter.changesFeed(spark, p, v1))
     assert(feed == (20L to 24L).map(("insert", _)).toSet, s"got $feed")
     assert(spark.sql(s"SELECT count(*) FROM $cat.t").head().getLong(0) == 15)
+    // the CTAS keepVersions=8 is recorded in the marker, so the
+    // INSERT-driven publish must NOT have swept early history — a
+    // lagging consumer can still drain the whole feed from v1
+    assert(EsdbWriter.cdcKeepVersions(conf, p).contains(8))
+    assert(Publish.committedVersions(conf, p).map(_._1).toSet.contains(v1),
+      "version 1 must survive CDC appends under the declared retention")
     // the idx contract holds on the versioned path too: payload-derived
     // columns stay derived (spot-check via a fresh scan)
     // toggling cdc off restores the cheap in-place append
@@ -370,6 +376,9 @@ class ChangesSpec extends SparkSpec {
     val feed3 = feedRows(EsdbWriter.changesFeed(spark, p, v2))
     assert((40L to 41L).map(("insert", _)).toSet.subsetOf(feed3), s"got $feed3")
     assert((30L to 31L).map(("insert", _)).toSet.subsetOf(feed3), s"got $feed3")
+    // a toggle cycle through ALTER falls back to the default retention
+    // (the off-toggle deletes the marker; declare a _POLICY for more)
+    assert(EsdbWriter.cdcKeepVersions(conf, p).contains(2))
   }
 
   private def contentEqual(a: DataFrame, b: DataFrame): Boolean = {
