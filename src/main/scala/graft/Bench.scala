@@ -202,8 +202,14 @@ object Bench {
     // `parsed: null` because the headline went through sbt's logger
     // ([info] prefixes, line wrapping, trailing shutdown chatter). A
     // file the driver can read directly never depends on log framing.
+    // Same off-SF guard as BENCH_SELF: a local sf0.001 contract check
+    // must not clobber the committed sf0.1 headline either (it did, in
+    // three consecutive rounds, until this line matched the guard).
+    val finalOut =
+      if (!priorFileExists || priorSf == sfDir) "BENCH_FINAL.json"
+      else s"BENCH_FINAL.${new java.io.File(sfDir).getName}.json"
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_FINAL.json"), headline + "\n")
+      java.nio.file.Paths.get(finalOut), headline + "\n")
     catch { case _: Exception => () }
     spark.stop()
     // headline (with per-query map) then the compact line LAST —
