@@ -56,6 +56,7 @@ object ScaleCheck {
     if (args.contains("rebucket")) { rebucketCheck(spark, sfDir, bigDir); spark.stop(); return }
     if (args.contains("drift")) { driftCheck(spark, sfDir, bigDir); spark.stop(); return }
     if (args.contains("recall")) { recallCheck(spark, sfDir, bigDir); spark.stop(); return }
+    if (args.contains("carry")) { carryCheck(spark, sfDir, bigDir); spark.stop(); return }
     // user_id not offset: groupings keep their cardinality and grow in
     // length, the dominant real-world growth mode for an event store
     replicate(engine.Tables.events(spark, sfDir), Seq("event_id"), s"$bigDir/events.parquet")
@@ -804,6 +805,41 @@ object ScaleCheck {
     println(f"${"compact_hot_rebucket_8"}%-24s $tCompact8%8.2f  flat/rebucket=${tCompactFlat / tCompact8}%4.2f (8 write tasks)")
     println(f"${"pinned_scan_flat"}%-24s $tFlat%8.2f  ($rowsFlat rows of $sp/$gr)")
     println(f"${"pinned_scan_rebucketed"}%-24s $tBucketed%8.2f  flat/rebucketed=${tFlat / tBucketed}%4.2f")
+  }
+
+  /** Versioned-append carry cost (r13): with `cdc=true` routing every
+    * catalog INSERT through [[engine.EsdbWriter.appendVersioned]], the
+    * predecessor carry must be metadata-priced or frequent small
+    * INSERTs pay O(store bytes) per statement. Data files now carry as
+    * HARD LINKS on the local FS (server-side COPY on object stores):
+    * this times a 100-row versioned append onto the 10× store and
+    * reports the carried byte volume the link spared.
+    */
+  private def carryCheck(spark: SparkSession, sfDir: String, bigDir: String): Unit = {
+    if (!new java.io.File(s"$bigDir/events.parquet").exists())
+      replicate(engine.Tables.events(spark, sfDir), Seq("event_id"), s"$bigDir/events.parquet")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val out = s"$bigDir/store_carry"
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File(out)).deleteRecursively()
+    val evf = engine.EventFrame.fromEvents(engine.Tables.events(spark, bigDir))
+    engine.Publish.publish(conf, out, keepVersions = 4) { tmp =>
+      engine.EsdbWriter.write(evf, tmp)
+    }: Unit
+    val root = new org.apache.hadoop.fs.Path(engine.Publish.resolve(conf, out))
+    val fs = root.getFileSystem(conf)
+    def bytes(p: org.apache.hadoop.fs.Path): Long =
+      fs.getContentSummary(p).getLength
+    val storeBytes = bytes(root)
+    val batch = evf.limit(100).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    batch.count(): Unit
+    val t0 = System.nanoTime()
+    engine.EsdbWriter.appendVersioned(batch, out, keepVersions = 4)
+    val t = (System.nanoTime() - t0) / 1e9
+    batch.unpersist()
+    require(engine.EsdbWriter.read(spark, out).count() == evf.count() + 100)
+    println(f"${"store_bytes_carried"}%-24s ${storeBytes / 1e6}%8.1f MB (linked, not copied)")
+    println(f"${"append_versioned_100row"}%-24s $t%8.2f s (O(files) links + one 100-row write)")
   }
 
   /** IVF operating curve (r13): recall@10 at partial probes vs the

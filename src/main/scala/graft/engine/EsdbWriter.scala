@@ -574,6 +574,68 @@ object EsdbWriter {
   def dataRoot(spark: SparkSession, path: String): String =
     Publish.resolve(hconf(spark), path)
 
+  /** Carry a file or tree into a new version's staging dir.
+    *
+    * Data files (`*.parquet`, not dot/underscore-prefixed) are
+    * WRITE-ONCE: every writer creates new uniquely-named files and
+    * "overwrite" means delete-then-recreate, never truncate-in-place.
+    * On the local filesystem they therefore carry as HARD LINKS — O(1)
+    * per file, no bytes moved, versions share the inode until the last
+    * reference is vacuumed (an unlink, which never disturbs the other
+    * version). This is what keeps versioned appends, copy-on-write
+    * rewrites, and CDC-mode INSERTs metadata-priced instead of
+    * O(store bytes) per commit. Object stores get the same price from
+    * their server-side COPY; any link failure falls back to a real
+    * copy. The `.crc` checksum sidecar links alongside (immutable with
+    * its data file) so checksummed local reads keep verifying.
+    *
+    * Everything else — markers (`_SUBPARTS`, `_CLUSTER`, schema
+    * sidecars) and other metadata — COPIES: those files ARE rewritten
+    * in place via `create(overwrite = true)`, which on the raw local FS
+    * truncates the inode and would corrupt every version sharing it.
+    */
+  private[graft] def carryInto(fs: org.apache.hadoop.fs.FileSystem,
+                           src: org.apache.hadoop.fs.Path,
+                           dst: org.apache.hadoop.fs.Path,
+                           conf: org.apache.hadoop.conf.Configuration): Unit = {
+    val st = fs.getFileStatus(src)
+    if (st.isDirectory) {
+      fs.mkdirs(dst)
+      fs.listStatus(src).foreach { c =>
+        carryInto(fs, c.getPath, new org.apache.hadoop.fs.Path(dst, c.getPath.getName), conf)
+      }
+      return
+    }
+    val name = src.getName
+    val linkable = name.endsWith(".parquet") &&
+      !name.startsWith("_") && !name.startsWith(".") && isRawLocal(fs)
+    if (linkable) {
+      val linked = try {
+        val s = new java.io.File(fs.makeQualified(src).toUri.getPath).toPath
+        val d = new java.io.File(fs.makeQualified(dst).toUri.getPath).toPath
+        java.nio.file.Files.createDirectories(d.getParent)
+        java.nio.file.Files.createLink(d, s)
+        // best-effort crc sidecar link (immutable beside its data file)
+        try {
+          val sc = s.getParent.resolve(s".${s.getFileName}.crc")
+          val dc = d.getParent.resolve(s".${d.getFileName}.crc")
+          if (java.nio.file.Files.exists(sc) && !java.nio.file.Files.exists(dc))
+            java.nio.file.Files.createLink(dc, sc): Unit
+        } catch { case _: Exception => () }
+        true
+      } catch { case _: Exception => false } // cross-device, perms: copy instead
+      if (linked) return
+    }
+    org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, conf): Unit
+  }
+
+  private def isRawLocal(fs: org.apache.hadoop.fs.FileSystem): Boolean = fs match {
+    case _: org.apache.hadoop.fs.RawLocalFileSystem => true
+    case c: org.apache.hadoop.fs.ChecksumFileSystem =>
+      c.getRawFileSystem.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
+    case _ => false
+  }
+
   /** Compact an open store: rewrite the current data root as one freshly
     * sorted file set per space (typically one file) plus a rebuilt
     * manifest, then commit it as a new version via the [[Publish]]
@@ -678,9 +740,8 @@ object EsdbWriter {
       //    included; on object stores this is a metadata-priced COPY)
       val tmpPath = new org.apache.hadoop.fs.Path(tmp)
       keep.foreach { d =>
-        org.apache.hadoop.fs.FileUtil.copy(fs, d.getPath, fs,
-          new org.apache.hadoop.fs.Path(tmpPath, d.getPath.getName),
-          /* deleteSource = */ false, conf): Unit
+        carryInto(fs, d.getPath,
+          new org.apache.hadoop.fs.Path(tmpPath, d.getPath.getName), conf)
       }
       // 3. manifests: the rewrite covered only fragmented spaces —
       //    carry the previous version's manifest files alongside
@@ -696,9 +757,8 @@ object EsdbWriter {
             .filter(f => f.isFile && f.getLen > 0 &&
               !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
             .foreach { f =>
-              org.apache.hadoop.fs.FileUtil.copy(fs, f.getPath, fs,
-                new org.apache.hadoop.fs.Path(dst, s"carry-${f.getPath.getName}"),
-                /* deleteSource = */ false, conf): Unit
+              carryInto(fs, f.getPath,
+                new org.apache.hadoop.fs.Path(dst, s"carry-${f.getPath.getName}"), conf)
             }
         }
       }
@@ -791,13 +851,13 @@ object EsdbWriter {
         }
       }
       carry.foreach { d =>
-        org.apache.hadoop.fs.FileUtil.copy(fs, d.getPath, fs,
-          new org.apache.hadoop.fs.Path(tmpPath, d.getPath.getName), false, conf): Unit
+        carryInto(fs, d.getPath,
+          new org.apache.hadoop.fs.Path(tmpPath, d.getPath.getName), conf)
       }
       carryWithin.foreach { case (rel, f) =>
         val dst = new org.apache.hadoop.fs.Path(tmpPath, rel)
         fs.mkdirs(dst.getParent)
-        org.apache.hadoop.fs.FileUtil.copy(fs, f.getPath, fs, dst, false, conf): Unit
+        carryInto(fs, f.getPath, dst, conf)
       }
       // groupings manifest: the rewrite's manifest covers surviving
       // rewritten rows; fold in carried rows — none can be doomed (a
@@ -827,8 +887,8 @@ object EsdbWriter {
           .filter(f => f.isFile && f.getLen > 0 &&
             !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
           .foreach { f =>
-            org.apache.hadoop.fs.FileUtil.copy(fs, f.getPath, fs,
-              new org.apache.hadoop.fs.Path(dst, s"carry-${f.getPath.getName}"), false, conf): Unit
+            carryInto(fs, f.getPath,
+              new org.apache.hadoop.fs.Path(dst, s"carry-${f.getPath.getName}"), conf)
           }
       }
       // schema sidecar: columns living only in carried spaces stay
@@ -930,7 +990,7 @@ object EsdbWriter {
       carry.foreach { case (rel, f) =>
         val dst = new org.apache.hadoop.fs.Path(tmpPath, rel)
         fs.mkdirs(dst.getParent)
-        org.apache.hadoop.fs.FileUtil.copy(fs, f.getPath, fs, dst, false, conf): Unit
+        carryInto(fs, f.getPath, dst, conf)
       }
       // ts-range rows for carried files (names preserved); rewritten
       // files were re-manifested by write()
@@ -942,8 +1002,8 @@ object EsdbWriter {
           .filter(f => f.isFile && f.getLen > 0 &&
             !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
           .foreach { f =>
-            org.apache.hadoop.fs.FileUtil.copy(fs, f.getPath, fs,
-              new org.apache.hadoop.fs.Path(dst, s"carry-${f.getPath.getName}"), false, conf): Unit
+            carryInto(fs, f.getPath,
+              new org.apache.hadoop.fs.Path(dst, s"carry-${f.getPath.getName}"), conf)
           }
       }
       // schema sidecar survives even an everything-expired retention
@@ -1183,7 +1243,7 @@ object EsdbWriter {
       carry.foreach { case (rel, f, _) =>
         val dst = new org.apache.hadoop.fs.Path(tmpPath, rel)
         fs.mkdirs(dst.getParent)
-        org.apache.hadoop.fs.FileUtil.copy(fs, f.getPath, fs, dst, false, conf): Unit
+        carryInto(fs, f.getPath, dst, conf)
       }
       val oldTs = new org.apache.hadoop.fs.Path(srcPath, TsRangeManifest)
       if (carry.nonEmpty && fs.exists(oldTs)) {
@@ -1193,8 +1253,8 @@ object EsdbWriter {
           .filter(f => f.isFile && f.getLen > 0 &&
             !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
           .foreach { f =>
-            org.apache.hadoop.fs.FileUtil.copy(fs, f.getPath, fs,
-              new org.apache.hadoop.fs.Path(dst, s"carry-${f.getPath.getName}"), false, conf): Unit
+            carryInto(fs, f.getPath,
+              new org.apache.hadoop.fs.Path(dst, s"carry-${f.getPath.getName}"), conf)
           }
       }
       // schema sidecar survives (merge never narrows the schema)
@@ -1271,7 +1331,7 @@ object EsdbWriter {
       carry.foreach { case (rel, f, _) =>
         val dst = new org.apache.hadoop.fs.Path(tmpPath, rel)
         fs.mkdirs(dst.getParent)
-        org.apache.hadoop.fs.FileUtil.copy(fs, f.getPath, fs, dst, false, conf): Unit
+        carryInto(fs, f.getPath, dst, conf)
       }
       // ts-range rows for carried files (names preserved); rewritten
       // files were re-manifested by write()
@@ -1283,8 +1343,8 @@ object EsdbWriter {
           .filter(f => f.isFile && f.getLen > 0 &&
             !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
           .foreach { f =>
-            org.apache.hadoop.fs.FileUtil.copy(fs, f.getPath, fs,
-              new org.apache.hadoop.fs.Path(dst, s"carry-${f.getPath.getName}"), false, conf): Unit
+            carryInto(fs, f.getPath,
+              new org.apache.hadoop.fs.Path(dst, s"carry-${f.getPath.getName}"), conf)
           }
       }
       // schema sidecar survives (deletes never narrow the schema)
@@ -1377,7 +1437,7 @@ object EsdbWriter {
       carry.foreach { case (rel, f) =>
         val dst = new org.apache.hadoop.fs.Path(tmpPath, rel)
         fs.mkdirs(dst.getParent)
-        org.apache.hadoop.fs.FileUtil.copy(fs, f.getPath, fs, dst, false, conf): Unit
+        carryInto(fs, f.getPath, dst, conf)
       }
       // ts-range rows for carried files (names preserved); rewritten
       // files were re-manifested by write()
@@ -1389,8 +1449,8 @@ object EsdbWriter {
           .filter(f => f.isFile && f.getLen > 0 &&
             !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
           .foreach { f =>
-            org.apache.hadoop.fs.FileUtil.copy(fs, f.getPath, fs,
-              new org.apache.hadoop.fs.Path(dst, s"carry-${f.getPath.getName}"), false, conf): Unit
+            carryInto(fs, f.getPath,
+              new org.apache.hadoop.fs.Path(dst, s"carry-${f.getPath.getName}"), conf)
           }
       }
       // DML never narrows the logical schema
@@ -1491,8 +1551,8 @@ object EsdbWriter {
           .write.mode(SaveMode.Append).parquet(tmp)
       }
       carry.foreach { f =>
-        org.apache.hadoop.fs.FileUtil.copy(fs, f.getPath, fs,
-          new org.apache.hadoop.fs.Path(tmpPath, f.getPath.getName), false, conf): Unit
+        carryInto(fs, f.getPath,
+          new org.apache.hadoop.fs.Path(tmpPath, f.getPath.getName), conf)
       }
       // replayed committed epochs must stay no-ops after the trim
       carryStreamCommits(conf, srcPath.toString, tmpPath.toString)
@@ -1507,8 +1567,8 @@ object EsdbWriter {
           .filter(f => f.isFile && f.getLen > 0 &&
             !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
           .foreach { f =>
-            org.apache.hadoop.fs.FileUtil.copy(fs, f.getPath, fs,
-              new org.apache.hadoop.fs.Path(dst, s"carry-${f.getPath.getName}"), false, conf): Unit
+            carryInto(fs, f.getPath,
+              new org.apache.hadoop.fs.Path(dst, s"carry-${f.getPath.getName}"), conf)
           }
       }
       refreshLogManifest(spark, tmp)
@@ -1562,8 +1622,8 @@ object EsdbWriter {
         .sortWithinPartitions(col("event_id"))
         .write.mode(SaveMode.Append).parquet(tmp)
       carry.foreach { case (f, _) =>
-        org.apache.hadoop.fs.FileUtil.copy(fs, f.getPath, fs,
-          new org.apache.hadoop.fs.Path(tmpPath, f.getPath.getName), false, conf): Unit
+        carryInto(fs, f.getPath,
+          new org.apache.hadoop.fs.Path(tmpPath, f.getPath.getName), conf)
       }
       // replayed committed epochs must stay no-ops after the delete
       carryStreamCommits(conf, srcPath.toString, tmpPath.toString)
@@ -1577,8 +1637,8 @@ object EsdbWriter {
           .filter(f => f.isFile && f.getLen > 0 &&
             !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
           .foreach { f =>
-            org.apache.hadoop.fs.FileUtil.copy(fs, f.getPath, fs,
-              new org.apache.hadoop.fs.Path(dst, s"carry-${f.getPath.getName}"), false, conf): Unit
+            carryInto(fs, f.getPath,
+              new org.apache.hadoop.fs.Path(dst, s"carry-${f.getPath.getName}"), conf)
           }
       }
       refreshLogManifest(spark, tmp)
@@ -1779,8 +1839,8 @@ object EsdbWriter {
           // every root-level sidecar that is not store data.
           if (n != Publish.SnapshotFile && n != Publish.PtrDir &&
               n != Publish.VersionsDir && !n.startsWith(SealMarker))
-            org.apache.hadoop.fs.FileUtil.copy(fs, s.getPath, fs,
-              new org.apache.hadoop.fs.Path(dst, n), false, conf): Unit
+            carryInto(fs, s.getPath,
+              new org.apache.hadoop.fs.Path(dst, n), conf)
         }
         append(ev, tmp, indexAttrs)
       } else write(ev, tmp, indexAttrs)
@@ -2714,8 +2774,8 @@ object EsdbWriter {
             fs.mkdirs(new org.apache.hadoop.fs.Path(to, n))
             copyTree(st.getPath, new org.apache.hadoop.fs.Path(to, n))
           } else if (st.getLen > 0 || n.startsWith("_"))
-            org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
-              new org.apache.hadoop.fs.Path(to, n), false, conf): Unit
+            carryInto(fs, st.getPath,
+              new org.apache.hadoop.fs.Path(to, n), conf)
         }
       }
     Publish.publish(conf, dstPath) { tmp =>
@@ -2839,7 +2899,7 @@ object EsdbWriter {
       carry.foreach { case (rel, f, _) =>
         val dst = new org.apache.hadoop.fs.Path(tmpPath, rel)
         fs.mkdirs(dst.getParent)
-        org.apache.hadoop.fs.FileUtil.copy(fs, f.getPath, fs, dst, false, conf): Unit
+        carryInto(fs, f.getPath, dst, conf)
       }
       val oldTs = new org.apache.hadoop.fs.Path(srcPath, TsRangeManifest)
       if (carry.nonEmpty && fs.exists(oldTs)) {
@@ -2849,8 +2909,8 @@ object EsdbWriter {
           .filter(f => f.isFile && f.getLen > 0 &&
             !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
           .foreach { f =>
-            org.apache.hadoop.fs.FileUtil.copy(fs, f.getPath, fs,
-              new org.apache.hadoop.fs.Path(dst, s"carry-${f.getPath.getName}"), false, conf): Unit
+            carryInto(fs, f.getPath,
+              new org.apache.hadoop.fs.Path(dst, s"carry-${f.getPath.getName}"), conf)
           }
       }
       schemaManifest(conf, src).foreach { old =>
