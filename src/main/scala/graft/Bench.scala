@@ -202,12 +202,21 @@ object Bench {
     // `parsed: null` because the headline went through sbt's logger
     // ([info] prefixes, line wrapping, trailing shutdown chatter). A
     // file the driver can read directly never depends on log framing.
-    // Same off-SF guard as BENCH_SELF: a local sf0.001 contract check
-    // must not clobber the committed sf0.1 headline either (it did, in
-    // three consecutive rounds, until this line matched the guard).
-    val finalOut =
-      if (!priorFileExists || priorSf == sfDir) "BENCH_FINAL.json"
+    // Same off-SF guard as BENCH_SELF — keyed off BENCH_FINAL's OWN
+    // recorded sf (the two files' states can diverge, e.g. a partial
+    // checkout), failing closed on an unreadable prior: a local
+    // sf0.001 contract check must not clobber the committed sf0.1
+    // headline (it did, in three consecutive rounds, until this guard).
+    val finalOut = {
+      val f = new java.io.File("BENCH_FINAL.json")
+      val finalPriorSf =
+        if (!f.isFile) null
+        else try new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(f).path("sf").asText("")
+        catch { case _: Exception => "" } // unreadable: fail closed
+      if (finalPriorSf == null || finalPriorSf == sfDir) "BENCH_FINAL.json"
       else s"BENCH_FINAL.${new java.io.File(sfDir).getName}.json"
+    }
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(finalOut), headline + "\n")
     catch { case _: Exception => () }

@@ -523,11 +523,14 @@ object Queries {
     val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
     val p = s"${System.getProperty("java.io.tmpdir")}/graft-reclusterstore/$key"
     val conf = s.sparkContext.hadoopConfiguration
-    // crash-idempotence: the policy marker is the LAST build step, so a
-    // versioned-but-unmanaged dir is a half-built fixture — rebuild it
-    // rather than serving half the events as "converged"
-    if (graft.engine.Publish.currentVersion(conf, p).isDefined &&
-        graft.engine.Maintenance.policyOf(conf, p).isEmpty) {
+    // crash-idempotence: the COMPLETE policy (recluster knob included)
+    // is the LAST build step, so a versioned dir whose policy is
+    // missing, corrupt (Try), or truncated-but-parseable without the
+    // knob is a half-built fixture — rebuild it rather than serving
+    // half the events as "converged"
+    val complete = scala.util.Try(graft.engine.Maintenance.policyOf(conf, p))
+      .toOption.flatten.exists(_.reclusterOverlapX100.isDefined)
+    if (graft.engine.Publish.currentVersion(conf, p).isDefined && !complete) {
       val root = new org.apache.hadoop.fs.Path(p)
       val fs = root.getFileSystem(conf)
       if (fs.exists(root)) fs.delete(root, true): Unit

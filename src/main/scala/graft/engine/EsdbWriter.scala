@@ -602,7 +602,11 @@ object EsdbWriter {
     if (st.isDirectory) {
       fs.mkdirs(dst)
       fs.listStatus(src).foreach { c =>
-        carryInto(fs, c.getPath, new org.apache.hadoop.fs.Path(dst, c.getPath.getName), conf)
+        // on a BARE RawLocalFileSystem listStatus exposes .crc sidecars;
+        // each is carried WITH its data file below — visiting it again
+        // would overwrite (truncate) the link just created
+        if (!c.getPath.getName.endsWith(".crc"))
+          carryInto(fs, c.getPath, new org.apache.hadoop.fs.Path(dst, c.getPath.getName), conf)
       }
       return
     }
@@ -1920,12 +1924,25 @@ object EsdbWriter {
       val txt = try new String(
         org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim
       finally in.close()
-      Some(if (txt.nonEmpty && txt.forall(_.isDigit)) math.max(2, txt.toInt) else 2)
+      // any unreadable body (non-digits, overflow) falls back to the
+      // default rather than failing every INSERT on the table
+      Some(scala.util.Try(txt.toInt).toOption.filter(_ >= 2).getOrElse(2))
     }
   }
 
   def cdcEnabled(conf: org.apache.hadoop.conf.Configuration, path: String): Boolean =
     cdcKeepVersions(conf, path).isDefined
+
+  /** One parser for the `cdc` table property (CTAS and ALTER share it
+    * so the two surfaces can never drift): strictly 'true'/'false',
+    * anything else refuses instead of silently disabling.
+    */
+  def parseCdcFlag(v: String): Boolean = {
+    val t = v.trim
+    require(t.equalsIgnoreCase("true") || t.equalsIgnoreCase("false"),
+      s"TBLPROPERTIES cdc must be 'true' or 'false', got '$v'")
+    t.equalsIgnoreCase("true")
+  }
 
   /** Per-space store statistics from parquet FOOTERS only — no data
     * pages are ever read: event count (row-group counts) and ts_us

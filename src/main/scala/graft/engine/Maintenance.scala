@@ -119,7 +119,16 @@ object Maintenance {
     val conf = spark.sparkContext.hadoopConfiguration
     policyOf(conf, path) match {
       case None => Nil
-      case Some(p) =>
+      case Some(p0) =>
+        // the widest declared retention wins everywhere versions are
+        // swept: a CDC-marked table records its own window (`_CDC`
+        // marker), and maintenance must not vacuum feed history the
+        // INSERT path is deliberately preserving
+        val p = EsdbWriter.cdcKeepVersions(conf, path) match {
+          case Some(cdcKeep) if cdcKeep > p0.keepVersions =>
+            p0.copy(keepVersions = cdcKeep)
+          case _ => p0
+        }
         val actions = scala.collection.mutable.ArrayBuffer.empty[String]
         def version(): Long = Publish.currentVersionNumber(conf, path).getOrElse(0L)
         def root() = new org.apache.hadoop.fs.Path(EsdbWriter.dataRoot(spark, path))

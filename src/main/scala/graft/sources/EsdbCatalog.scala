@@ -276,14 +276,11 @@ class EsdbCatalog extends TableCatalog with SupportsNamespaces with StagingTable
       // the _CDC marker — whether INSERT INTO commits its own version
       // (immediately change-feed-visible) or appends in place
       case sp: TableChange.SetProperty if sp.property.equalsIgnoreCase("cdc") =>
-        val v = sp.value.trim
-        if (!v.equalsIgnoreCase("true") && !v.equalsIgnoreCase("false"))
-          throw new IllegalArgumentException(
-            s"TBLPROPERTIES cdc must be 'true' or 'false', got '$v'")
         // re-enabling keeps a previously recorded retention; a fresh
         // enable records the default (declare a _POLICY for more)
         val keep = EsdbWriter.cdcKeepVersions(conf, logical).getOrElse(2)
-        EsdbWriter.setCdc(conf, logical, v.equalsIgnoreCase("true"), keepVersions = keep)
+        EsdbWriter.setCdc(conf, logical, EsdbWriter.parseCdcFlag(sp.value),
+          keepVersions = keep)
       case rp: TableChange.RemoveProperty if rp.property.equalsIgnoreCase("cdc") =>
         EsdbWriter.setCdc(conf, logical, enabled = false)
       case other => throw new UnsupportedOperationException(

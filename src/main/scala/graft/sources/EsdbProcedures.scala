@@ -304,12 +304,18 @@ object EsdbProcedures {
             val emb = qdf.head().getAs[scala.collection.Seq[Float]]("embedding")
             require(emb != null && emb.nonEmpty && !emb.contains(null),
               s"query is not a JSON float array (null or malformed element): $qjson")
-            val (idxRoot, _, _) = graft.ops.Ivf.indexMeta(
-              conf(), vecIndexPathFor(root, t, attr))
-            val dim = spark.read.parquet(s"$idxRoot/centroids")
-              .limit(1).select(size(col("centroid"))).head().getInt(0)
-            require(emb.size == dim,
-              s"query vector has ${emb.size} dims; the '$attr' index was built with $dim")
+            // dimension check is best-effort: when the index is absent
+            // or unreadable, fall through so ivfTopKIndexed raises its
+            // actionable "run build_vector_index" error instead of a
+            // raw path-does-not-exist from the centroids read here
+            val dimOpt = scala.util.Try {
+              val (idxRoot, _, _) = graft.ops.Ivf.indexMeta(
+                conf(), vecIndexPathFor(root, t, attr))
+              spark.read.parquet(s"$idxRoot/centroids")
+                .limit(1).select(size(col("centroid"))).head().getInt(0)
+            }.toOption
+            dimOpt.foreach(dim => require(emb.size == dim,
+              s"query vector has ${emb.size} dims; the '$attr' index was built with $dim"))
             qdf
           } else embeddingOf(attr)(EsdbWriter.read(spark, path(t)))
             .where(col("vec_id") === in.getLong(1))

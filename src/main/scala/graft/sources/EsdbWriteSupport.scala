@@ -567,11 +567,8 @@ final class EsdbStagedTable(logicalPath: String, dataSchema: StructType,
             .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
           val clusterChunks = Option(opts.get("clusterchunks")).map(_.toInt).getOrElse(8)
           val clusterCurve = Option(opts.get("clustercurve")).getOrElse("range")
-          val cdc = Option(opts.get("cdc")).map { v =>
-            require(v.equalsIgnoreCase("true") || v.equalsIgnoreCase("false"),
-              s"TBLPROPERTIES cdc must be 'true' or 'false', got '$v'")
-            v.equalsIgnoreCase("true")
-          }.getOrElse(false)
+          val cdc = Option(opts.get("cdc"))
+            .exists(graft.engine.EsdbWriter.parseCdcFlag)
           Option(opts.get("layout")).getOrElse("store") match {
             case "store" =>
               graft.engine.Publish.publish(conf, logicalPath, keep) { tmp =>

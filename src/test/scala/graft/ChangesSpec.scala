@@ -350,12 +350,21 @@ class ChangesSpec extends SparkSpec {
     val feed = feedRows(EsdbWriter.changesFeed(spark, p, v1))
     assert(feed == (20L to 24L).map(("insert", _)).toSet, s"got $feed")
     assert(spark.sql(s"SELECT count(*) FROM $cat.t").head().getLong(0) == 15)
-    // the CTAS keepVersions=8 is recorded in the marker, so the
-    // INSERT-driven publish must NOT have swept early history — a
-    // lagging consumer can still drain the whole feed from v1
+    // the CTAS keepVersions=8 is recorded in the marker, so INSERT-
+    // driven publishes must NOT sweep early history — two more INSERTs
+    // (v3, v4) give the assertion teeth: under the appendVersioned
+    // default keep=2 they WOULD retire v1/v2
     assert(EsdbWriter.cdcKeepVersions(conf, p).contains(8))
+    mk(25 to 26).createOrReplaceTempView("cdc_more1")
+    spark.sql(s"INSERT INTO $cat.t SELECT * FROM cdc_more1")
+    mk(27 to 28).createOrReplaceTempView("cdc_more2")
+    spark.sql(s"INSERT INTO $cat.t SELECT * FROM cdc_more2")
+    assert(Publish.currentVersionNumber(conf, p).get == v1 + 3)
     assert(Publish.committedVersions(conf, p).map(_._1).toSet.contains(v1),
       "version 1 must survive CDC appends under the declared retention")
+    // a lagging consumer can still drain the whole feed from v1
+    assert(feedRows(EsdbWriter.changesFeed(spark, p, v1)) ==
+      ((20L to 24L) ++ (25L to 28L)).map(("insert", _)).toSet)
     // the idx contract holds on the versioned path too: payload-derived
     // columns stay derived (spot-check via a fresh scan)
     // toggling cdc off restores the cheap in-place append
@@ -363,17 +372,17 @@ class ChangesSpec extends SparkSpec {
     assert(!EsdbWriter.cdcEnabled(conf, p))
     mk(30 to 31).createOrReplaceTempView("cdc_batch2")
     spark.sql(s"INSERT INTO $cat.t SELECT * FROM cdc_batch2")
-    assert(Publish.currentVersionNumber(conf, p).get == v2, "in-place append: no version")
-    assert(spark.sql(s"SELECT count(*) FROM $cat.t").head().getLong(0) == 17)
+    assert(Publish.currentVersionNumber(conf, p).get == v1 + 3, "in-place append: no version")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").head().getLong(0) == 21)
     // ...and back on via ALTER alone (no CTAS property needed)
     spark.sql(s"ALTER TABLE $cat.t SET TBLPROPERTIES('cdc'='true')")
     mk(40 to 41).createOrReplaceTempView("cdc_batch3")
     spark.sql(s"INSERT INTO $cat.t SELECT * FROM cdc_batch3")
-    val v3 = Publish.currentVersionNumber(conf, p).get
-    assert(v3 == v2 + 1)
-    // the v3 snapshot sweeps up the in-place rows with its own batch —
+    val v5 = Publish.currentVersionNumber(conf, p).get
+    assert(v5 == v1 + 4)
+    // the v5 snapshot sweeps up the in-place rows with its own batch —
     // same cadence contract as the engine-level test above
-    val feed3 = feedRows(EsdbWriter.changesFeed(spark, p, v2))
+    val feed3 = feedRows(EsdbWriter.changesFeed(spark, p, v5 - 1))
     assert((40L to 41L).map(("insert", _)).toSet.subsetOf(feed3), s"got $feed3")
     assert((30L to 31L).map(("insert", _)).toSet.subsetOf(feed3), s"got $feed3")
     // a toggle cycle through ALTER falls back to the default retention
