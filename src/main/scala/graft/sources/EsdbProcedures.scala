@@ -38,6 +38,13 @@ object EsdbProcedures {
     def path(table: String): String = (root +: table.split('.').toSeq).mkString("/")
     def version(table: String): Long =
       Publish.currentVersionNumber(conf(), path(table)).getOrElse(0L)
+    // the widest declared retention wins ANYWHERE versions are swept: a
+    // CDC-marked table (`_CDC` records its window) must not lose feed
+    // history to a compact/vacuum CALL with a narrower keep_versions —
+    // the same rule maintain() applies
+    def effKeep(table: String, requested: Int): Int =
+      math.max(requested,
+        EsdbWriter.cdcKeepVersions(conf(), path(table)).getOrElse(1))
     which match {
       case "compact" => proc("compact",
         Seq(p("table", StringType),
@@ -51,7 +58,7 @@ object EsdbProcedures {
         StructType(Seq(StructField("table", StringType), StructField("version", LongType))),
         "full compaction: rewrite the store as one sorted file set per space, publish as a new version") { in =>
         val t = in.getUTF8String(0).toString
-        EsdbWriter.compact(SparkSession.active, path(t), in.getInt(1),
+        EsdbWriter.compact(SparkSession.active, path(t), effKeep(t, in.getInt(1)),
           subparts = Some(in.getInt(2)).filter(_ > 0),
           clusterChunks = Some(in.getInt(3)).filter(_ > 0))
         Seq(row(UTF8String.fromString(t), version(t)))
@@ -65,7 +72,7 @@ object EsdbProcedures {
         "rewrite only spaces fragmented past the threshold; carry the rest") { in =>
         val t = in.getUTF8String(0).toString
         val published = EsdbWriter.compactIncremental(
-          SparkSession.active, path(t), in.getInt(1), in.getInt(2))
+          SparkSession.active, path(t), in.getInt(1), effKeep(t, in.getInt(2)))
         Seq(row(UTF8String.fromString(t), published, version(t)))
       }
       case "compact_log" => proc("compact_log",
@@ -75,7 +82,7 @@ object EsdbProcedures {
         StructType(Seq(StructField("table", StringType), StructField("version", LongType))),
         "rewrite an append log as num_files sorted files; epoch markers carry") { in =>
         val t = in.getUTF8String(0).toString
-        EsdbWriter.compactLog(SparkSession.active, path(t), in.getInt(1), in.getInt(2))
+        EsdbWriter.compactLog(SparkSession.active, path(t), in.getInt(1), effKeep(t, in.getInt(2)))
         Seq(row(UTF8String.fromString(t), version(t)))
       }
       case "vacuum" => proc("vacuum",
@@ -84,7 +91,7 @@ object EsdbProcedures {
         StructType(Seq(StructField("table", StringType), StructField("version", LongType))),
         "sweep retired publish versions past the retention window") { in =>
         val t = in.getUTF8String(0).toString
-        Publish.vacuum(conf(), path(t), in.getInt(1))
+        Publish.vacuum(conf(), path(t), effKeep(t, in.getInt(1)))
         Seq(row(UTF8String.fromString(t), version(t)))
       }
       case "seal" => proc("seal",
@@ -108,7 +115,7 @@ object EsdbProcedures {
         "re-pin the live table to an older committed version (no data copied; history stays monotonic)") { in =>
         val t = in.getUTF8String(0).toString
         val target = in.getLong(1)
-        val next = Publish.rollback(conf(), path(t), target, in.getInt(2))
+        val next = Publish.rollback(conf(), path(t), target, effKeep(t, in.getInt(2)))
         Seq(row(UTF8String.fromString(t), target, next))
       }
       case "update_where" => proc("update_where",
@@ -121,7 +128,8 @@ object EsdbProcedures {
         "row-level UPDATE via footer-stats copy-on-write: only files whose stats admit a match rewrite; the rest carry byte-for-byte") { in =>
         val t = in.getUTF8String(0).toString
         val rewrote = UpdateSql.updateWhere(SparkSession.active, path(t),
-          in.getUTF8String(1).toString, in.getUTF8String(2).toString, in.getInt(3))
+          in.getUTF8String(1).toString, in.getUTF8String(2).toString,
+          effKeep(t, in.getInt(3)))
         Seq(row(UTF8String.fromString(t), rewrote, version(t)))
       }
       case "merge_keyed" => proc("merge_keyed",
@@ -157,7 +165,7 @@ object EsdbProcedures {
         }
         val keys = in.getUTF8String(2).toString.split(",").map(_.trim).filter(_.nonEmpty).toSeq
         val (replaced, inserted) = EsdbWriter.mergeInto(
-          spark, path(t), source, keys, in.getInt(3))
+          spark, path(t), source, keys, effKeep(t, in.getInt(3)))
         Seq(row(UTF8String.fromString(t), replaced, inserted, version(t)))
       }
       case "apply_changes" => proc("apply_changes",
@@ -175,7 +183,8 @@ object EsdbProcedures {
         val src = in.getUTF8String(1).toString
         val spark = SparkSession.active
         val feed = EsdbWriter.changesFeed(spark, path(src), in.getLong(2))
-        val (ins, del) = EsdbWriter.applyChanges(spark, path(t), feed, in.getInt(3))
+        val (ins, del) = EsdbWriter.applyChanges(spark, path(t), feed,
+          effKeep(t, in.getInt(3)))
         Seq(row(UTF8String.fromString(t), ins, del, version(t)))
       }
       case "set_policy" => proc("set_policy",

@@ -390,6 +390,34 @@ class ChangesSpec extends SparkSpec {
     assert(EsdbWriter.cdcKeepVersions(conf, p).contains(2))
   }
 
+  /** r13: the CDC window is enforced ANYWHERE versions sweep — a
+    * compact/vacuum CALL with a narrower keep_versions must not retire
+    * feed history the `_CDC` marker declares a consumer may still need.
+    */
+  test("CALL compact/vacuum cannot sweep below a table's declared CDC window") {
+    val root = tmp("chgcdcsweep")
+    val cat = "esdbcdcsweep"
+    val conf = spark.sparkContext.hadoopConfiguration
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.EsdbCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    mk(1 to 10).createOrReplaceTempView("sweep_seed")
+    spark.sql(s"CREATE TABLE $cat.t TBLPROPERTIES('cdc'='true', 'keepVersions'='8') " +
+      "AS SELECT * FROM sweep_seed")
+    val p = s"$root/t"
+    val v1 = Publish.currentVersionNumber(conf, p).get
+    for (k <- 0 until 3) {
+      mk((20 + 2 * k) to (21 + 2 * k)).createOrReplaceTempView(s"sweep_b$k")
+      spark.sql(s"INSERT INTO $cat.t SELECT * FROM sweep_b$k")
+    }
+    // narrower CALLs are widened to the marker's window: v1 survives
+    spark.sql(s"CALL $cat.system.compact(table => 't', keep_versions => 1)").collect(): Unit
+    spark.sql(s"CALL $cat.system.vacuum(table => 't', keep => 1)").collect(): Unit
+    assert(Publish.committedVersions(conf, p).map(_._1).toSet.contains(v1),
+      "CDC window must survive compact/vacuum CALLs with narrower keeps")
+    val feed = feedRows(EsdbWriter.changesFeed(spark, p, v1))
+    assert(feed == (20L to 25L).map(("insert", _)).toSet, s"got $feed")
+  }
+
   private def contentEqual(a: DataFrame, b: DataFrame): Boolean = {
     val cols = a.columns.toSet.intersect(b.columns.toSet).toSeq.sorted
     val (x, y) = (a.select(cols.map(col): _*), b.select(cols.map(col): _*))
