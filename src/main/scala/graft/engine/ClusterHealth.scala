@@ -60,10 +60,14 @@ object ClusterHealth {
     if (files.isEmpty) return Nil
     val wanted = cols.toSet
     val par = math.max(1, math.min(files.size, spark.sparkContext.defaultParallelism))
+    // session conf travels to the executors (object-store creds and
+    // custom fs impls live there — a bare new Configuration() would
+    // fail or misresolve the footer opens on any non-default FS)
+    val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
     import spark.implicits._
     spark.createDataset(files).repartition(par)
       .flatMap { case (space, file) =>
-        val c = new org.apache.hadoop.conf.Configuration()
+        val c = serConf.value
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(
           org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
             new org.apache.hadoop.fs.Path(file), c))

@@ -657,7 +657,10 @@ object EsdbWriter {
     require(subparts.forall(_ >= 1), s"subparts must be >= 1, got $subparts")
     require(clusterChunks.forall(_ >= 1), s"clusterChunks must be >= 1, got $clusterChunks")
     GraftSession.tune(spark)
-    val src = dataRoot(spark, path)
+    // pin to the head the rewrite reads: a concurrent versioned commit
+    // between this resolve and the pointer commit must conflict loudly,
+    // not be silently dropped from the compacted version
+    val (headAtScan, src) = Publish.resolveWithVersion(hconf(spark), path)
     // LAYOUT EVOLUTION: subpartitioning and cluster chunking are fixed
     // per VERSION (each version dir carries its own _SUBPARTS/_CLUSTER
     // markers), and a full compaction — the one rewrite that re-buckets
@@ -675,7 +678,7 @@ object EsdbWriter {
         s"store at $path declares no clusterBy columns; clusterChunks has nothing to rescale")
     }
     val cluster = clusterChunks.fold(cluster0)(ch => cluster0.copy(chunks = ch))
-    Publish.publish(hconf(spark), path, keepVersions) { tmp =>
+    Publish.publish(hconf(spark), path, keepVersions, expectedVersion = headAtScan) { tmp =>
       // full-width read (not [[read]], which projects the canonical +
       // idx_* columns): compaction must preserve every stored column —
       // mergeSchema, because files written before a column was added
@@ -715,7 +718,7 @@ object EsdbWriter {
     require(!isSealed(path), s"store at $path is sealed (immutable; compaction is for open stores)")
     GraftSession.tune(spark)
     val conf = hconf(spark)
-    val src = dataRoot(spark, path)
+    val (headAtScan, src) = Publish.resolveWithVersion(conf, path)
     val srcPath = new org.apache.hadoop.fs.Path(src)
     val fs = srcPath.getFileSystem(conf)
     val spaceDirs = fs.listStatus(srcPath).toSeq
@@ -724,7 +727,7 @@ object EsdbWriter {
       relativeDataFiles(fs, d.getPath).size > maxFilesPerSpace)
     if (frag.isEmpty) return false
     val subparts = subpartsOf(conf, src)
-    Publish.publish(conf, path, keepVersions) { tmp =>
+    Publish.publish(conf, path, keepVersions, expectedVersion = headAtScan) { tmp =>
       // 1. the fragmented spaces go through the standard write path:
       //    merge width back to one file per space/bucket, blooms and
       //    manifests rebuilt for exactly these spaces
@@ -797,7 +800,7 @@ object EsdbWriter {
     if (spaces.exists(_.isEmpty) || groupings.exists(_.isEmpty)) return
     GraftSession.tune(spark)
     val conf = hconf(spark)
-    val src = dataRoot(spark, path)
+    val (headAtScan, src) = Publish.resolveWithVersion(conf, path)
     val srcPath = new org.apache.hadoop.fs.Path(src)
     val fs = srcPath.getFileSystem(conf)
     val subparts = subpartsOf(conf, src)
@@ -821,7 +824,7 @@ object EsdbWriter {
         }
     }
     if (affected.isEmpty) return // the manifest proved the delete a no-op
-    Publish.publish(conf, path, keepVersions) { tmp =>
+    Publish.publish(conf, path, keepVersions, expectedVersion = headAtScan) { tmp =>
       val tmpPath = new org.apache.hadoop.fs.Path(tmp)
       val (hit, carry) = spaceDirs.partition(d => affected.contains(spaceName(d)))
       val gs = groupings.map(_.toSeq).getOrElse(Nil)
@@ -927,7 +930,7 @@ object EsdbWriter {
     require(!isSealed(path), s"store at $path is sealed (immutable; no deletes)")
     GraftSession.tune(spark)
     val conf = hconf(spark)
-    val src = dataRoot(spark, path)
+    val (headAtScan, src) = Publish.resolveWithVersion(conf, path)
     val srcPath = new org.apache.hadoop.fs.Path(src)
     val fs = srcPath.getFileSystem(conf)
     val subparts = subpartsOf(conf, src)
@@ -968,7 +971,7 @@ object EsdbWriter {
       ranges.get(rel).exists { case (hasTs, mn, _, _) => !hasTs || !expired(mn) }
     }
     if (drop.isEmpty && rewrite.isEmpty) return // nothing expired: no version churn
-    Publish.publish(conf, path, keepVersions) { tmp =>
+    Publish.publish(conf, path, keepVersions, expectedVersion = headAtScan) { tmp =>
       val tmpPath = new org.apache.hadoop.fs.Path(tmp)
       if (rewrite.nonEmpty) {
         val df = readFullWidth(spark, src, rewrite.map(_._2.getPath.toString))
@@ -1136,7 +1139,11 @@ object EsdbWriter {
     require(keys.nonEmpty, "MERGE requires at least one key column")
     GraftSession.tune(spark)
     val conf = hconf(spark)
-    val src = dataRoot(spark, path)
+    // head at listing time: the footprint classification below and the
+    // long source-stats jobs run before publish reads the head again —
+    // a concurrent versioned commit in that window (routine via cdc=true
+    // INSERT / appendVersioned) must conflict loudly, not be dropped
+    val (headAtScan, src) = Publish.resolveWithVersion(conf, path)
     val storeSchema = FieldIds.active(
       schemaManifest(conf, src).getOrElse(readFullWidth(spark, src).schema))
     val storeCols = storeSchema.fieldNames.filterNot(_ == "bucket").toSet
@@ -1215,7 +1222,7 @@ object EsdbWriter {
     val srcKeys = source.select(keys.map(col): _*).distinct()
     var replacedRows = 0L
     var matchedKeys = 0L
-    Publish.publish(conf, path, keepVersions) { tmp =>
+    Publish.publish(conf, path, keepVersions, expectedVersion = headAtScan) { tmp =>
       val tmpPath = new org.apache.hadoop.fs.Path(tmp)
       val inserts = alignSource()
       var cached: DataFrame = null
@@ -1297,7 +1304,7 @@ object EsdbWriter {
         s"untranslatable predicate: ${filters.mkString(", ")}"))
     GraftSession.tune(spark)
     val conf = hconf(spark)
-    val src = dataRoot(spark, path)
+    val (headAtScan, src) = Publish.resolveWithVersion(conf, path)
     val srcPath = new org.apache.hadoop.fs.Path(src)
     val fs = srcPath.getFileSystem(conf)
     val subparts = subpartsOf(conf, src)
@@ -1319,7 +1326,7 @@ object EsdbWriter {
     }
     val (rewrite, carry) = classified.partition(_._3)
     if (rewrite.isEmpty) return false // stats proved a no-op: no version churn
-    Publish.publish(conf, path, keepVersions) { tmp =>
+    Publish.publish(conf, path, keepVersions, expectedVersion = headAtScan) { tmp =>
       val tmpPath = new org.apache.hadoop.fs.Path(tmp)
       val df = readFullWidth(spark, src, rewrite.map(_._2.getPath.toString))
       val kept = transform(df, cond)
@@ -1528,7 +1535,7 @@ object EsdbWriter {
     require(!isSealed(path), s"stream at $path is closed (reference: closed_stream.go:48-50)")
     GraftSession.tune(spark)
     val conf = hconf(spark)
-    val src = dataRoot(spark, path)
+    val (headAtScan, src) = Publish.resolveWithVersion(conf, path)
     val srcPath = new org.apache.hadoop.fs.Path(src)
     val fs = srcPath.getFileSystem(conf)
     def expired(id: Long): Boolean = if (inclusive) id <= beforeId else id < beforeId
@@ -1541,7 +1548,7 @@ object EsdbWriter {
       ranges.get(f.getPath.getName).exists { case (mn, _) => !expired(mn) })
     val rewrite = straddle ++ dropUnproven
     if (drop.isEmpty && rewrite.isEmpty) return // nothing expired: no version churn
-    Publish.publish(conf, path, keepVersions) { tmp =>
+    Publish.publish(conf, path, keepVersions, expectedVersion = headAtScan) { tmp =>
       val tmpPath = new org.apache.hadoop.fs.Path(tmp)
       fs.mkdirs(tmpPath)
       if (rewrite.nonEmpty) {
@@ -1604,7 +1611,7 @@ object EsdbWriter {
     require(filters.nonEmpty, "unbounded delete: use truncate() to empty a log")
     GraftSession.tune(spark)
     val conf = hconf(spark)
-    val src = dataRoot(spark, path)
+    val (headAtScan, src) = Publish.resolveWithVersion(conf, path)
     val srcPath = new org.apache.hadoop.fs.Path(src)
     val fs = srcPath.getFileSystem(conf)
     val visible = LogCommits.visibleDataFiles(fs, srcPath)
@@ -1616,7 +1623,7 @@ object EsdbWriter {
     }
     val (rewrite, carry) = classified.partition(_._2)
     if (rewrite.isEmpty) return // stats proved the delete a no-op: no version churn
-    Publish.publish(conf, path, keepVersions) { tmp =>
+    Publish.publish(conf, path, keepVersions, expectedVersion = headAtScan) { tmp =>
       val tmpPath = new org.apache.hadoop.fs.Path(tmp)
       fs.mkdirs(tmpPath)
       val df = readFullWidth(spark, src, rewrite.map(_._1.getPath.toString))
@@ -1897,6 +1904,13 @@ object EsdbWriter {
     * the CTAS `keepVersions` property persists here, so INSERT-driven
     * version sweeps honor the declared window instead of silently
     * collapsing history to the appendVersioned default.
+    *
+    * Disabling does NOT delete the marker: it rewrites it as an
+    * `off:<keep>` tombstone so the declared retention survives an
+    * off/on toggle — a feed consumer relying on a CTAS-declared wide
+    * window must not lose history because an operator flipped the flag
+    * twice. Re-enabling takes the WIDER of the requested and recorded
+    * windows (retention can widen silently, never narrow silently).
     */
   def setCdc(conf: org.apache.hadoop.conf.Configuration, path: String,
              enabled: Boolean, keepVersions: Int = 2): Unit = {
@@ -1904,18 +1918,31 @@ object EsdbWriter {
       s"cdc keepVersions must be >= 2 (a feed consumer needs the predecessor readable): $keepVersions")
     val m = new org.apache.hadoop.fs.Path(path, CdcMarker)
     val fs = m.getFileSystem(conf)
+    val recorded = recordedCdcKeep(conf, path)
     if (enabled) {
+      val keep = math.max(keepVersions, recorded.getOrElse(2))
       val out = fs.create(m, true)
-      try out.write(keepVersions.toString.getBytes("UTF-8")) finally out.close()
+      try out.write(keep.toString.getBytes("UTF-8")) finally out.close()
+    } else if (fs.exists(m) || recorded.isDefined) {
+      val out = fs.create(m, true)
+      try out.write(s"off:${recorded.getOrElse(keepVersions)}".getBytes("UTF-8"))
+      finally out.close()
     }
-    else if (fs.exists(m)) fs.delete(m, false): Unit
   }
 
-  /** CDC retention when enabled (the marker body; legacy empty markers
-    * read as the default 2), None when the table is not CDC-marked.
+  /** The retention the marker records regardless of the enabled flag —
+    * what a re-enable restores. None when no marker was ever written.
     */
-  def cdcKeepVersions(conf: org.apache.hadoop.conf.Configuration,
-                      path: String): Option[Int] = {
+  private def recordedCdcKeep(conf: org.apache.hadoop.conf.Configuration,
+                              path: String): Option[Int] =
+    readCdcMarker(conf, path).map(_._2)
+
+  /** Raw marker state: (enabled, recorded keepVersions). None = no
+    * marker file. Legacy empty/garbled bodies read as enabled at the
+    * default window (never fail an INSERT over a sidecar).
+    */
+  private def readCdcMarker(conf: org.apache.hadoop.conf.Configuration,
+                            path: String): Option[(Boolean, Int)] = {
     val m = new org.apache.hadoop.fs.Path(path, CdcMarker)
     val fs = m.getFileSystem(conf)
     if (!fs.exists(m)) None
@@ -1924,11 +1951,21 @@ object EsdbWriter {
       val txt = try new String(
         org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim
       finally in.close()
-      // any unreadable body (non-digits, overflow) falls back to the
-      // default rather than failing every INSERT on the table
-      Some(scala.util.Try(txt.toInt).toOption.filter(_ >= 2).getOrElse(2))
+      val (enabled, body) =
+        if (txt.startsWith("off:")) (false, txt.stripPrefix("off:")) else (true, txt)
+      Some((enabled,
+        scala.util.Try(body.toInt).toOption.filter(_ >= 2).getOrElse(2)))
     }
   }
+
+  /** CDC retention when enabled (the marker body; legacy empty markers
+    * read as the default 2), None when the table is not CDC-enabled —
+    * including when an `off:` tombstone preserves a disabled table's
+    * declared window for a later re-enable.
+    */
+  def cdcKeepVersions(conf: org.apache.hadoop.conf.Configuration,
+                      path: String): Option[Int] =
+    readCdcMarker(conf, path).collect { case (true, keep) => keep }
 
   def cdcEnabled(conf: org.apache.hadoop.conf.Configuration, path: String): Boolean =
     cdcKeepVersions(conf, path).isDefined
@@ -2267,11 +2304,12 @@ object EsdbWriter {
     require(!isSealed(path), s"stream at $path is closed (reference: closed_stream.go:48-50)")
     GraftSession.tune(spark)
     val conf = hconf(spark)
-    val src = new org.apache.hadoop.fs.Path(dataRoot(spark, path))
+    val (headAtScan, srcRoot) = Publish.resolveWithVersion(conf, path)
+    val src = new org.apache.hadoop.fs.Path(srcRoot)
     val fs = src.getFileSystem(conf)
     val visible = LogCommits.visibleDataFiles(fs, src).map(_.getPath.toString)
     require(visible.nonEmpty, s"nothing to compact at $path")
-    Publish.publish(conf, path, keepVersions) { tmp =>
+    Publish.publish(conf, path, keepVersions, expectedVersion = headAtScan) { tmp =>
       val full = readFullWidth(spark, src.toString, visible)
       full
         .repartitionByRange(math.max(1, numFiles), col("event_id"))
@@ -2859,7 +2897,10 @@ object EsdbWriter {
     val nIns = inserts0.count()
     if (nDel == 0 && nIns == 0) return (0L, 0L)
     if (nDel == 0) { appendVersioned(inserts0, path, keepVersions); return (nIns, 0L) }
-    val src = dataRoot(spark, path)
+    // head at listing time: the footprint classification and feed
+    // caching below run long Spark jobs before the pointer commit — a
+    // concurrent versioned commit in that window must conflict loudly
+    val (headAtScan, src) = Publish.resolveWithVersion(conf, path)
     val srcPath = new org.apache.hadoop.fs.Path(src)
     val fs = srcPath.getFileSystem(conf)
     val subparts = subpartsOf(conf, src)
@@ -2893,7 +2934,7 @@ object EsdbWriter {
       df.select(target.map(f =>
         (if (df.columns.contains(f.name)) col(f.name).cast(f.dataType)
         else lit(null).cast(f.dataType)).as(f.name, f.metadata)).toSeq: _*)
-    Publish.publish(conf, path, keepVersions) { tmp =>
+    Publish.publish(conf, path, keepVersions, expectedVersion = headAtScan) { tmp =>
       val tmpPath = new org.apache.hadoop.fs.Path(tmp)
       // the footprint feeds the diff AND the drift count: cache it so
       // the parquet scan happens once (churn-bounded, disk-spillable)

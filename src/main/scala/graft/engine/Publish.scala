@@ -519,22 +519,38 @@ object Publish {
     }
   }
 
+  /** Hadoop-conf key overriding [[sweepStaleStages]]'s grace period —
+    * deployments whose row-level statements legitimately run longer
+    * than the default 6h raise it (milliseconds).
+    */
+  val StageGraceKey = "graft.stage.sweep.grace.ms"
+  val DefaultStageGraceMs: Long = 6L * 3600 * 1000
+
   /** Sweep orphaned row-level staging dirs (`.rl-stage-*` at the
     * logical root). The operation's own commit/abort deletes its stage;
     * a driver crash between task commits and job commit leaks one, and
     * nothing else looks at dot-dirs there. Only dirs past the grace
-    * period go — a live statement's stage is younger by construction.
+    * period go — a live statement's stage is younger by construction:
+    * liveness is judged by the NEWEST mtime inside the dir (the
+    * statement's driver touches a `_HEARTBEAT` file periodically, and
+    * task writes refresh file mtimes), not the dir's own mtime, so a
+    * long-running statement that staged its files early is never swept
+    * mid-flight. `graceMs = None` reads [[StageGraceKey]] from `conf`.
     */
   def sweepStaleStages(conf: Configuration, root: String,
-                       graceMs: Long = 6L * 3600 * 1000): Unit = {
+                       graceMs: Option[Long] = None): Unit = {
+    val grace = graceMs.getOrElse(conf.getLong(StageGraceKey, DefaultStageGraceMs))
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(conf)
     if (!fs.exists(rootPath)) return
-    val cutoff = System.currentTimeMillis() - graceMs
+    val cutoff = System.currentTimeMillis() - grace
     fs.listStatus(rootPath).foreach { s =>
-      if (s.isDirectory && s.getPath.getName.startsWith(".rl-stage-") &&
-          s.getModificationTime < cutoff)
-        fs.delete(s.getPath, true): Unit
+      if (s.isDirectory && s.getPath.getName.startsWith(".rl-stage-")) {
+        val newest = (s.getModificationTime +:
+          (try fs.listStatus(s.getPath).toSeq.map(_.getModificationTime)
+           catch { case _: java.io.IOException => Nil })).max
+        if (newest < cutoff) fs.delete(s.getPath, true): Unit
+      }
     }
   }
 }

@@ -164,9 +164,31 @@ final class EsdbReplaceBatchWrite(op: EsdbRowLevelOperation, logicalPath: String
 
   private val stageDir = s"$logicalPath/.rl-stage-${UUID.randomUUID().toString.take(8)}"
 
-  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new EsdbStageWriterFactory(stageDir, schema,
-      new SerializableConfiguration(EsdbVectorReader.sessionConf()))
+  // Liveness beacon for Publish.sweepStaleStages: a concurrent vacuum
+  // judges a stage dir dead by its newest inner mtime, so a statement
+  // outliving the sweep grace keeps its stage alive by touching
+  // _HEARTBEAT from this driver-side daemon (started with the first
+  // writer factory, stopped by commit/abort — both always run).
+  private val heartbeat =
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
+      val t = new Thread(r, "rl-stage-heartbeat"); t.setDaemon(true); t
+    })
+
+  private def stopHeartbeat(): Unit = heartbeat.shutdownNow(): Unit
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val conf = EsdbVectorReader.sessionConf()
+    val serConf = new SerializableConfiguration(conf)
+    val beat = new Path(stageDir, "_HEARTBEAT")
+    heartbeat.scheduleWithFixedDelay(() => {
+      try {
+        val fsys = beat.getFileSystem(conf)
+        if (fsys.exists(new Path(stageDir)))
+          fsys.create(beat, true).close() // fresh mtime each touch
+      } catch { case _: Exception => () } // best-effort: never fail the write
+    }, 0, 5, java.util.concurrent.TimeUnit.MINUTES)
+    new EsdbStageWriterFactory(stageDir, schema, serConf)
+  }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
@@ -189,11 +211,13 @@ final class EsdbReplaceBatchWrite(op: EsdbRowLevelOperation, logicalPath: String
         else spark.read.schema(schema).parquet(staged: _*)
       graft.engine.EsdbWriter.replaceFootprint(spark, logicalPath, rels, replacement)
     } finally {
+      stopHeartbeat()
       if (fsys.exists(stage)) fsys.delete(stage, true): Unit
     }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    stopHeartbeat()
     val stage = new Path(stageDir)
     val fsys = stage.getFileSystem(
       SparkSession.active.sparkContext.hadoopConfiguration)

@@ -385,9 +385,11 @@ class ChangesSpec extends SparkSpec {
     val feed3 = feedRows(EsdbWriter.changesFeed(spark, p, v5 - 1))
     assert((40L to 41L).map(("insert", _)).toSet.subsetOf(feed3), s"got $feed3")
     assert((30L to 31L).map(("insert", _)).toSet.subsetOf(feed3), s"got $feed3")
-    // a toggle cycle through ALTER falls back to the default retention
-    // (the off-toggle deletes the marker; declare a _POLICY for more)
-    assert(EsdbWriter.cdcKeepVersions(conf, p).contains(2))
+    // a toggle cycle through ALTER preserves the CTAS-declared window:
+    // the off-toggle tombstones the marker instead of deleting it, so a
+    // feed consumer relying on keepVersions=8 cannot lose history to an
+    // operator flipping the flag off and back on
+    assert(EsdbWriter.cdcKeepVersions(conf, p).contains(8))
   }
 
   /** r13: the CDC window is enforced ANYWHERE versions sweep — a

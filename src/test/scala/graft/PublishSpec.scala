@@ -407,13 +407,32 @@ class PublishSpec extends SparkSpec {
     EsdbWriter.write(ev(1 to 10), dir)
     EsdbWriter.compact(spark, dir)
     EsdbWriter.compact(spark, dir) // two versions so vacuum has work
+    val old = System.currentTimeMillis() - 7L * 3600 * 1000
     val stale = new java.io.File(dir, ".rl-stage-deadbeef")
     val fresh = new java.io.File(dir, ".rl-stage-cafebabe")
-    assert(stale.mkdirs() && fresh.mkdirs())
+    val beating = new java.io.File(dir, ".rl-stage-00heart")
+    assert(stale.mkdirs() && fresh.mkdirs() && beating.mkdirs())
     java.nio.file.Files.write(stale.toPath.resolve("part-0.parquet"), Array[Byte](1, 2))
-    assert(stale.setLastModified(System.currentTimeMillis() - 7L * 3600 * 1000))
+    assert(stale.toPath.resolve("part-0.parquet").toFile.setLastModified(old))
+    assert(stale.setLastModified(old))
+    // a long-running statement: files staged hours ago, but the driver's
+    // heartbeat file is fresh — liveness is the NEWEST inner mtime
+    java.nio.file.Files.write(beating.toPath.resolve("part-0.parquet"), Array[Byte](1, 2))
+    assert(beating.toPath.resolve("part-0.parquet").toFile.setLastModified(old))
+    assert(beating.setLastModified(old))
+    java.nio.file.Files.write(beating.toPath.resolve("_HEARTBEAT"), Array.emptyByteArray)
     Publish.vacuum(hconf, dir, keep = 1)
     assert(!stale.exists(), "stale stage dir must be swept")
     assert(fresh.exists(), "in-flight stage dir must survive the grace period")
+    assert(beating.exists(), "a heartbeating stage dir must survive however old its files")
+    // the grace period is configurable: with a zero grace the fresh dir
+    // (no heartbeat, mtime now) is still younger than... nothing — so
+    // prove the knob works by sweeping it with grace 0 after aging it
+    assert(fresh.setLastModified(old))
+    val tuned = new org.apache.hadoop.conf.Configuration(hconf)
+    tuned.setLong(Publish.StageGraceKey, 3600 * 1000L)
+    Publish.sweepStaleStages(tuned, dir)
+    assert(!fresh.exists(), "configured 1h grace must sweep the 7h-old dir")
+    assert(beating.exists(), "heartbeat still protects within the tuned grace")
   }
 }
