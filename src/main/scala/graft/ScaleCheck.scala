@@ -840,6 +840,33 @@ object ScaleCheck {
     require(engine.EsdbWriter.read(spark, out).count() == evf.count() + 100)
     println(f"${"store_bytes_carried"}%-24s ${storeBytes / 1e6}%8.1f MB (linked, not copied)")
     println(f"${"append_versioned_100row"}%-24s $t%8.2f s (O(files) links + one 100-row write)")
+    // ---- manifest mode: the link-refusing-filesystem path (HDFS/S3) ----
+    // Same 10× store, carry.mode=manifest: the new version dir must
+    // physically hold ONLY the appended batch + sidecars — commit cost
+    // O(changed), no links, no byte copies. This is the mode `auto`
+    // picks on every non-raw-local filesystem.
+    val out2 = s"$bigDir/store_carry_manifest"
+    new Directory(new java.io.File(out2)).deleteRecursively()
+    conf.set(engine.Carry.ModeKey, "manifest")
+    try {
+      engine.Publish.publish(conf, out2, keepVersions = 4) { tmp =>
+        engine.EsdbWriter.write(evf, tmp)
+      }: Unit
+      val base = bytes(new org.apache.hadoop.fs.Path(engine.Publish.resolve(conf, out2)))
+      val batch2 = evf.limit(100).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      batch2.count(): Unit
+      val t1 = System.nanoTime()
+      engine.EsdbWriter.appendVersioned(batch2, out2, keepVersions = 4)
+      val tm = (System.nanoTime() - t1) / 1e9
+      batch2.unpersist()
+      val head = new org.apache.hadoop.fs.Path(engine.Publish.resolve(conf, out2))
+      val newBytes = bytes(head)
+      require(engine.EsdbWriter.read(spark, out2).count() == evf.count() + 100)
+      require(newBytes < base / 10,
+        f"manifest-mode commit materialized ${newBytes / 1e6}%.1f MB of a ${base / 1e6}%.1f MB store — not O(changed)")
+      println(f"${"manifest_commit_bytes"}%-24s ${newBytes / 1e6}%8.3f MB physical in the new version (store ${base / 1e6}%.0f MB)")
+      println(f"${"manifest_append_100row"}%-24s $tm%8.2f s (O(changed): one _CARRY + one 100-row write)")
+    } finally conf.unset(engine.Carry.ModeKey)
   }
 
   /** IVF operating curve (r13): recall@10 at partial probes vs the

@@ -49,14 +49,9 @@ object ClusterHealth {
     val root = new org.apache.hadoop.fs.Path(src)
     val fs = root.getFileSystem(conf)
     if (!fs.exists(root)) return Nil
-    val files: Seq[(String, String)] = fs.listStatus(root).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("space="))
-      .flatMap { d =>
-        val space = graft.sources.EsdbStoreSource
-          .unescapePathName(d.getPath.getName.drop("space=".length))
-        EsdbWriter.relativeDataFiles(fs, d.getPath)
-          .map { case (_, f) => (space, f.getPath.toString) }
-      }
+    val files: Seq[(String, String)] =
+      EsdbWriter.storeDataFiles(fs, root)
+        .map { case (_, f, space) => (space, f.getPath.toString) }
     if (files.isEmpty) return Nil
     val wanted = cols.toSet
     val par = math.max(1, math.min(files.size, spark.sparkContext.defaultParallelism))

@@ -557,14 +557,61 @@ object EsdbWriter {
     */
   private def readFullWidth(spark: SparkSession, root: String,
                             files: Seq[String] = Nil): DataFrame = {
-    val rd = schemaManifest(hconf(spark), root) match {
+    val conf = hconf(spark)
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(conf)
+    // a manifest-carrying version serves files OUTSIDE its own dir: a
+    // bare directory read would miss them, so enumerate the logical set
+    val effFiles: Seq[String] =
+      if (files.nonEmpty) files
+      else if (fs.exists(new org.apache.hadoop.fs.Path(rootPath, Carry.ManifestFile)))
+        Carry.dataFiles(fs, rootPath).map(_._2.getPath.toString)
+      else Nil
+    def schemaRead(strip: Set[String]) = schemaManifest(conf, root) match {
       // active(): tombstoned (dropped) fields stay OUT of every read —
       // a rewrite re-materializing them would resurrect dropped data
-      case Some(s) => spark.read.schema(FieldIds.active(s))
+      case Some(s) => spark.read.schema(org.apache.spark.sql.types.StructType(
+        FieldIds.active(s).fields.filterNot(f => strip.contains(f.name))))
       case None => spark.read.option("mergeSchema", "true")
     }
-    val based = rd.option("basePath", root)
-    if (files.isEmpty) based.parquet(root) else based.parquet(files: _*)
+    val rootPrefix = fs.makeQualified(rootPath).toString + "/"
+    val allUnderRoot = effFiles.forall(f =>
+      fs.makeQualified(new org.apache.hadoop.fs.Path(f)).toString.startsWith(rootPrefix))
+    if (allUnderRoot) {
+      // single-dir case: partition-dir inference fills space/bucket
+      val based = schemaRead(Set.empty).option("basePath", root)
+      if (effFiles.isEmpty) based.parquet(root) else based.parquet(effFiles: _*)
+    } else {
+      // files span version dirs (manifest carry): vanilla partition
+      // inference refuses sibling roots even with basePath, so read
+      // the raw files and attach `space` from the driver-known file
+      // list. The join key is the REL path (`space=…` onward), which
+      // is unique per file by construction — the basename alone is
+      // NOT: partitionBy writes the same `part-NNNNN-<taskUuid>` name
+      // under every space dir one task touches
+      val spaceOf: Seq[(String, String)] = effFiles.flatMap { f =>
+        // LAST occurrence, matching the SQL side's substring_index(-1):
+        // dir names can't contain '/', so the last '/space=' is always
+        // the real partition dir even if the store PATH contains one
+        val i = f.lastIndexOf("/space=")
+        if (i < 0) Nil
+        else {
+          val rel = f.substring(i + 1)
+          Seq(rel -> graft.sources.EsdbStoreSource.unescapePathName(
+            rel.substring("space=".length, rel.indexOf('/'))))
+        }
+      }
+      val raw = schemaRead(Set("space", "bucket")).parquet(effFiles: _*)
+      if (spaceOf.isEmpty) raw // log layout: space is a data column
+      else {
+        import spark.implicits._
+        val info = broadcast(spaceOf.toDF("_frel", "space"))
+        raw.withColumn("_frel",
+            concat(lit("space="),
+              substring_index(col("_metadata.file_path"), "/space=", -1)))
+          .join(info, "_frel").drop("_frel")
+      }
+    }
   }
 
   /** Current data root of a logical store path (see [[Publish]]): the
@@ -584,10 +631,14 @@ object EsdbWriter {
     * reference is vacuumed (an unlink, which never disturbs the other
     * version). This is what keeps versioned appends, copy-on-write
     * rewrites, and CDC-mode INSERTs metadata-priced instead of
-    * O(store bytes) per commit. Object stores get the same price from
-    * their server-side COPY; any link failure falls back to a real
-    * copy. The `.crc` checksum sidecar links alongside (immutable with
-    * its data file) so checksummed local reads keep verifying.
+    * O(store bytes) per commit ON THE LOCAL FS. Every other filesystem
+    * (HDFS has no hardlink; `FileUtil.copy` on s3a is a CLIENT-side
+    * read+write, not a server-side CopyObject) falls through to a real
+    * byte copy here — which is why rewrites carry DATA files through
+    * [[carryData]] instead: in manifest mode ([[Carry]]) kept files
+    * are referenced in place and this function only ever moves small
+    * sidecars. The `.crc` checksum sidecar links alongside (immutable
+    * with its data file) so checksummed local reads keep verifying.
     *
     * Everything else — markers (`_SUBPARTS`, `_CLUSTER`, schema
     * sidecars) and other metadata — COPIES: those files ARE rewritten
@@ -639,6 +690,59 @@ object EsdbWriter {
       c.getRawFileSystem.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
     case _ => false
   }
+
+  /** Carry a rewrite's untouched DATA files into the staging dir — the
+    * one place every copy-on-write operation prices its "kept" set.
+    * In manifest mode ([[Carry.manifestMode]]) each file becomes one
+    * `_CARRY` line referencing its ORIGINAL physical host (the
+    * enumeration already yields physical locations, so a file carried
+    * across ten versions still resolves in one hop) — commit cost
+    * O(changed files) on any filesystem, the Iceberg/Delta-style
+    * answer for HDFS (no hardlink) and S3 (client-side copy only).
+    * Link mode keeps the hard-link/copy behavior for raw-local FS.
+    * Files outside the store's `_versions` tree (legacy direct layout)
+    * always carry physically.
+    */
+  private[graft] def carryData(fs: org.apache.hadoop.fs.FileSystem,
+                               conf: org.apache.hadoop.conf.Configuration,
+                               logicalPath: String,
+                               tmpPath: org.apache.hadoop.fs.Path,
+                               entries: Seq[(String, org.apache.hadoop.fs.Path)]): Unit = {
+    if (entries.isEmpty) return
+    val root = new org.apache.hadoop.fs.Path(logicalPath)
+    if (Carry.manifestMode(conf, fs)) {
+      val (byRef, byCopy) = entries.map { case (rel, p) =>
+        (rel, p, Carry.vdirOf(root, p))
+      }.partition(_._3.isDefined)
+      Carry.appendManifest(fs, tmpPath,
+        byRef.map { case (rel, _, v) => rel -> v.get }.toMap)
+      byCopy.foreach { case (rel, p, _) =>
+        val dst = new org.apache.hadoop.fs.Path(tmpPath, rel)
+        fs.mkdirs(dst.getParent)
+        carryInto(fs, p, dst, conf)
+      }
+    } else entries.foreach { case (rel, p) =>
+      val dst = new org.apache.hadoop.fs.Path(tmpPath, rel)
+      fs.mkdirs(dst.getParent)
+      carryInto(fs, p, dst, conf)
+    }
+  }
+
+  /** Resolved (rel, status, space) enumeration of a store version's
+    * COMPLETE logical file set — physical plus manifest-carried, each
+    * status at its physical location. The one listing every rewrite,
+    * stat, and planner walks a bucketed store with.
+    */
+  def storeDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+                     dataDir: org.apache.hadoop.fs.Path):
+      Seq[(String, org.apache.hadoop.fs.FileStatus, String)] =
+    Carry.dataFiles(fs, dataDir).flatMap { case (rel, st) =>
+      if (!rel.startsWith("space=")) Nil // log-layout files have no space dir
+      else {
+        val seg = rel.substring("space=".length, rel.indexOf('/'))
+        Seq((rel, st, graft.sources.EsdbStoreSource.unescapePathName(seg)))
+      }
+    }
 
   /** Compact an open store: rewrite the current data root as one freshly
     * sorted file set per space (typically one file) plus a rebuilt
@@ -698,9 +802,10 @@ object EsdbWriter {
     * re-encodes the entire store per run — write amplification that
     * grows with store size, not with append volume; here the rewrite
     * cost tracks the fragmented fraction, and the carried spaces cost
-    * one file copy each (a server-side COPY on object stores — no
-    * decode/sort/encode, no bytes through the cluster). Relative file
-    * paths are preserved by the copy, so carried ts-range manifest
+    * one hard link each on the local FS or one `_CARRY` manifest line
+    * on everything else ([[carryData]]) — no decode/sort/encode, no
+    * bytes through the cluster. Relative file
+    * paths are preserved by the carry, so carried ts-range manifest
     * entries stay valid; manifest entries for rewritten files key on
     * now-absent names no reader ever looks up. Same snapshot
     * guarantees as [[compact]]: one pointer-commit publishes the new
@@ -721,17 +826,17 @@ object EsdbWriter {
     val (headAtScan, src) = Publish.resolveWithVersion(conf, path)
     val srcPath = new org.apache.hadoop.fs.Path(src)
     val fs = srcPath.getFileSystem(conf)
-    val spaceDirs = fs.listStatus(srcPath).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("space="))
-    val (frag, keep) = spaceDirs.partition(d =>
-      relativeDataFiles(fs, d.getPath).size > maxFilesPerSpace)
+    val bySpace: Map[String, Seq[(String, org.apache.hadoop.fs.FileStatus)]] =
+      storeDataFiles(fs, srcPath).groupMap(_._3)(t => (t._1, t._2))
+    val (frag, keep) = bySpace.toSeq.partition(_._2.size > maxFilesPerSpace)
     if (frag.isEmpty) return false
     val subparts = subpartsOf(conf, src)
     Publish.publish(conf, path, keepVersions, expectedVersion = headAtScan) { tmp =>
       // 1. the fragmented spaces go through the standard write path:
       //    merge width back to one file per space/bucket, blooms and
       //    manifests rebuilt for exactly these spaces
-      val fragDf = readFullWidth(spark, src, frag.map(_.getPath.toString))
+      val fragDf = readFullWidth(spark, src,
+        frag.flatMap(_._2).map(_._2.getPath.toString))
       val cluster = clusterOf(conf, src)
       // carried spaces keep their (possibly un-IDed) files: never stamp
       // fresh field IDs on a partial rewrite (see FieldIds' invariant)
@@ -743,13 +848,11 @@ object EsdbWriter {
       // columns — fold the previous version's sidecar in so columns
       // living only in carried spaces stay declared
       schemaManifest(conf, src).foreach(old => mergeSchemaManifest(conf, tmp, old))
-      // 2. carry compact spaces verbatim (recursive copy, bucket dirs
-      //    included; on object stores this is a metadata-priced COPY)
+      // 2. carry compact spaces' files verbatim — manifest references
+      //    in manifest mode, hard links on raw-local FS
       val tmpPath = new org.apache.hadoop.fs.Path(tmp)
-      keep.foreach { d =>
-        carryInto(fs, d.getPath,
-          new org.apache.hadoop.fs.Path(tmpPath, d.getPath.getName), conf)
-      }
+      carryData(fs, conf, path, tmpPath,
+        keep.flatMap(_._2).map { case (rel, f) => rel -> f.getPath })
       // 3. manifests: the rewrite covered only fragmented spaces —
       //    carry the previous version's manifest files alongside
       //    (groupings only ever accumulate under compaction, and the
@@ -804,11 +907,9 @@ object EsdbWriter {
     val srcPath = new org.apache.hadoop.fs.Path(src)
     val fs = srcPath.getFileSystem(conf)
     val subparts = subpartsOf(conf, src)
-    def spaceName(d: org.apache.hadoop.fs.FileStatus): String =
-      graft.sources.EsdbStoreSource.unescapePathName(d.getPath.getName.drop("space=".length))
-    val spaceDirs = fs.listStatus(srcPath).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("space="))
-    val inScope: Set[String] = spaces.getOrElse(spaceDirs.map(spaceName).toSet)
+    val allFiles: Seq[(String, org.apache.hadoop.fs.FileStatus, String)] =
+      storeDataFiles(fs, srcPath)
+    val inScope: Set[String] = spaces.getOrElse(allFiles.map(_._3).toSet)
     // manifest-driven targeting: only spaces PROVEN to hold a doomed
     // grouping are rewritten; a store without a manifest conservatively
     // rewrites every in-scope space
@@ -826,15 +927,15 @@ object EsdbWriter {
     if (affected.isEmpty) return // the manifest proved the delete a no-op
     Publish.publish(conf, path, keepVersions, expectedVersion = headAtScan) { tmp =>
       val tmpPath = new org.apache.hadoop.fs.Path(tmp)
-      val (hit, carry) = spaceDirs.partition(d => affected.contains(spaceName(d)))
+      val (hit, carry) = allFiles.partition { case (_, _, sp) => affected.contains(sp) }
       val gs = groupings.map(_.toSeq).getOrElse(Nil)
       val wantedBuckets: Option[Set[Int]] =
         if (groupings.isDefined && subparts > 1) Some(gs.map(bucketOf(_, subparts)).toSet)
         else None
       // within hit spaces, files in a bucket no doomed grouping hashes
       // to are carried, not rewritten
-      val hitFiles =
-        if (groupings.isDefined) hit.flatMap(d => relativeDataFiles(fs, d.getPath)) else Nil
+      val hitFiles: Seq[(String, org.apache.hadoop.fs.FileStatus)] =
+        if (groupings.isDefined) hit.map(t => (t._1, t._2)) else Nil
       val (rw, carryWithin) = hitFiles.partition { case (rel, _) =>
         wantedBuckets.forall(bs =>
           !rel.contains("/bucket=") || bs.exists(b => rel.contains(s"/bucket=$b/")))
@@ -843,7 +944,7 @@ object EsdbWriter {
         val df = readFullWidth(spark, src, rw.map(_._2.getPath.toString))
         val kept = df.filter(!col("grouping").isin(gs: _*) || col("grouping").isNull)
         val cl = clusterChunksFor(clusterOf(conf, src), rw.map(_._2.getLen).sum,
-          spaceDirs.flatMap(d => relativeDataFiles(fs, d.getPath)).map(_._2.getLen).sum)
+          allFiles.map(_._2.getLen).sum)
         write(if (kept.columns.contains("bucket")) kept.drop("bucket") else kept,
           tmp, subparts = subparts, clusterBy = cl.cols,
           clusterChunks = math.max(1, cl.chunks), clusterCurve = cl.curve,
@@ -857,15 +958,9 @@ object EsdbWriter {
               new org.apache.hadoop.fs.Path(tmpPath, name), false, conf): Unit
         }
       }
-      carry.foreach { d =>
-        carryInto(fs, d.getPath,
-          new org.apache.hadoop.fs.Path(tmpPath, d.getPath.getName), conf)
-      }
-      carryWithin.foreach { case (rel, f) =>
-        val dst = new org.apache.hadoop.fs.Path(tmpPath, rel)
-        fs.mkdirs(dst.getParent)
-        carryInto(fs, f.getPath, dst, conf)
-      }
+      carryData(fs, conf, path, tmpPath,
+        (carry.map(t => (t._1, t._2)) ++ carryWithin)
+          .map { case (rel, f) => rel -> f.getPath })
       // groupings manifest: the rewrite's manifest covers surviving
       // rewritten rows; fold in carried rows — none can be doomed (a
       // carried space holds no doomed grouping by the manifest proof; a
@@ -955,9 +1050,8 @@ object EsdbWriter {
           }.toMap
       }
     def expired(ts: Long): Boolean = if (inclusive) ts <= cutoffUs else ts < cutoffUs
-    val spaceDirs = fs.listStatus(srcPath).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("space="))
-    val files = spaceDirs.flatMap(d => relativeDataFiles(fs, d.getPath))
+    val files: Seq[(String, org.apache.hadoop.fs.FileStatus)] =
+      storeDataFiles(fs, srcPath).map(t => (t._1, t._2))
     // drop = whole range expired AND provably no null-ts rows (a null
     // fails every comparison, so null rows must survive any retention);
     // carry = whole range survives (or all null ts); rewrite =
@@ -994,11 +1088,8 @@ object EsdbWriter {
               new org.apache.hadoop.fs.Path(tmpPath, name), false, conf): Unit
         }
       }
-      carry.foreach { case (rel, f) =>
-        val dst = new org.apache.hadoop.fs.Path(tmpPath, rel)
-        fs.mkdirs(dst.getParent)
-        carryInto(fs, f.getPath, dst, conf)
-      }
+      carryData(fs, conf, path, tmpPath,
+        carry.map { case (rel, f) => rel -> f.getPath })
       // ts-range rows for carried files (names preserved); rewritten
       // files were re-manifested by write()
       val oldTs = new org.apache.hadoop.fs.Path(srcPath, TsRangeManifest)
@@ -1189,13 +1280,8 @@ object EsdbWriter {
     val srcPath = new org.apache.hadoop.fs.Path(src)
     val fs = srcPath.getFileSystem(conf)
     val subparts = subpartsOf(conf, src)
-    val spaceDirs = fs.listStatus(srcPath).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("space="))
-    val files: Seq[(String, org.apache.hadoop.fs.FileStatus, String)] = spaceDirs.flatMap { d =>
-      val sp = graft.sources.EsdbStoreSource
-        .unescapePathName(d.getPath.getName.drop("space=".length))
-      relativeDataFiles(fs, d.getPath).map { case (rel, f) => (rel, f, sp) }
-    }
+    val files: Seq[(String, org.apache.hadoop.fs.FileStatus, String)] =
+      storeDataFiles(fs, srcPath)
     val classified = {
       import scala.collection.parallel.CollectionConverters._
       files.toVector.par
@@ -1251,11 +1337,8 @@ object EsdbWriter {
         tmp, subparts = subparts, clusterBy = cl.cols,
         clusterChunks = math.max(1, cl.chunks), clusterCurve = cl.curve,
         assignFieldIds = false)
-      carry.foreach { case (rel, f, _) =>
-        val dst = new org.apache.hadoop.fs.Path(tmpPath, rel)
-        fs.mkdirs(dst.getParent)
-        carryInto(fs, f.getPath, dst, conf)
-      }
+      carryData(fs, conf, path, tmpPath,
+        carry.map { case (rel, f, _) => rel -> f.getPath })
       val oldTs = new org.apache.hadoop.fs.Path(srcPath, TsRangeManifest)
       if (carry.nonEmpty && fs.exists(oldTs)) {
         val dst = new org.apache.hadoop.fs.Path(tmpPath, TsRangeManifest)
@@ -1308,13 +1391,8 @@ object EsdbWriter {
     val srcPath = new org.apache.hadoop.fs.Path(src)
     val fs = srcPath.getFileSystem(conf)
     val subparts = subpartsOf(conf, src)
-    val spaceDirs = fs.listStatus(srcPath).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("space="))
-    val files: Seq[(String, org.apache.hadoop.fs.FileStatus, String)] = spaceDirs.flatMap { d =>
-      val sp = graft.sources.EsdbStoreSource
-        .unescapePathName(d.getPath.getName.drop("space=".length))
-      relativeDataFiles(fs, d.getPath).map { case (rel, f) => (rel, f, sp) }
-    }
+    val files: Seq[(String, org.apache.hadoop.fs.FileStatus, String)] =
+      storeDataFiles(fs, srcPath)
     // footer-stat classification, probed in parallel (independent IO)
     val classified = {
       import scala.collection.parallel.CollectionConverters._
@@ -1339,11 +1417,8 @@ object EsdbWriter {
         tmp, subparts = subparts, clusterBy = cl.cols,
         clusterChunks = math.max(1, cl.chunks), clusterCurve = cl.curve,
           assignFieldIds = false)
-      carry.foreach { case (rel, f, _) =>
-        val dst = new org.apache.hadoop.fs.Path(tmpPath, rel)
-        fs.mkdirs(dst.getParent)
-        carryInto(fs, f.getPath, dst, conf)
-      }
+      carryData(fs, conf, path, tmpPath,
+        carry.map { case (rel, f, _) => rel -> f.getPath })
       // ts-range rows for carried files (names preserved); rewritten
       // files were re-manifested by write()
       val oldTs = new org.apache.hadoop.fs.Path(srcPath, TsRangeManifest)
@@ -1413,9 +1488,7 @@ object EsdbWriter {
     val fs = srcPath.getFileSystem(conf)
     val subparts = subpartsOf(conf, src)
     val files: Seq[(String, org.apache.hadoop.fs.FileStatus)] =
-      fs.listStatus(srcPath).toSeq
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("space="))
-        .flatMap(d => relativeDataFiles(fs, d.getPath))
+      storeDataFiles(fs, srcPath).map(t => (t._1, t._2))
     val missing = rewriteRels -- files.map(_._1).toSet
     if (missing.nonEmpty) throw new java.io.IOException(
       s"publish conflict: row-level operation footprint at $path is no longer " +
@@ -1445,11 +1518,8 @@ object EsdbWriter {
       write(aligned, tmp, subparts = subparts, clusterBy = cl.cols,
         clusterChunks = math.max(1, cl.chunks), clusterCurve = cl.curve,
         assignFieldIds = false)
-      carry.foreach { case (rel, f) =>
-        val dst = new org.apache.hadoop.fs.Path(tmpPath, rel)
-        fs.mkdirs(dst.getParent)
-        carryInto(fs, f.getPath, dst, conf)
-      }
+      carryData(fs, conf, path, tmpPath,
+        carry.map { case (rel, f) => rel -> f.getPath })
       // ts-range rows for carried files (names preserved); rewritten
       // files were re-manifested by write()
       val oldTs = new org.apache.hadoop.fs.Path(srcPath, TsRangeManifest)
@@ -1561,10 +1631,8 @@ object EsdbWriter {
           .sortWithinPartitions(col("event_id"))
           .write.mode(SaveMode.Append).parquet(tmp)
       }
-      carry.foreach { f =>
-        carryInto(fs, f.getPath,
-          new org.apache.hadoop.fs.Path(tmpPath, f.getPath.getName), conf)
-      }
+      carryData(fs, conf, path, tmpPath,
+        carry.map(f => f.getPath.getName -> f.getPath))
       // replayed committed epochs must stay no-ops after the trim
       carryStreamCommits(conf, srcPath.toString, tmpPath.toString)
       // manifest rows for carried names travel with the version (stale
@@ -1632,10 +1700,8 @@ object EsdbWriter {
         .repartitionByRange(rewritePartitions(spark, rewrite.map(_._1.getLen).sum), col("event_id"))
         .sortWithinPartitions(col("event_id"))
         .write.mode(SaveMode.Append).parquet(tmp)
-      carry.foreach { case (f, _) =>
-        carryInto(fs, f.getPath,
-          new org.apache.hadoop.fs.Path(tmpPath, f.getPath.getName), conf)
-      }
+      carryData(fs, conf, path, tmpPath,
+        carry.map { case (f, _) => f.getPath.getName -> f.getPath })
       // replayed committed epochs must stay no-ops after the delete
       carryStreamCommits(conf, srcPath.toString, tmpPath.toString)
       // manifest rows for carried names travel with the version; the
@@ -1817,9 +1883,10 @@ object EsdbWriter {
     * append — two racing appenders BOTH commit (the loser's closure
     * re-stages against the winner's head, [[Publish.publishRetrying]])
     * and the store's history gains one auditable version per batch.
-    * Predecessor files CARRY byte-for-byte (an object-store server-side
-    * copy — no decode/sort/encode, cost O(batch write + file copies),
-    * never a store rewrite), so the version's `_FILES` diff is exactly
+    * Predecessor files CARRY without moving bytes — hard links on the
+    * local FS, in-place `_CARRY` references everywhere else
+    * ([[carryData]]); cost O(batch write + carried-file METADATA),
+    * never a store rewrite — so the version's `_FILES` diff is exactly
     * the appended files: a committed append-kind change-feed entry
     * ([[Publish.versionDiffs]]), and `option("changesSince", v)` keeps
     * reading pure deltas across it. [[append]] stays the cheapest
@@ -1839,6 +1906,7 @@ object EsdbWriter {
         val dst = new org.apache.hadoop.fs.Path(tmp)
         val fs = src.getFileSystem(conf)
         fs.mkdirs(dst)
+        val manifestMode = Carry.manifestMode(conf, fs)
         fs.listStatus(src).foreach { s =>
           val n = s.getPath.getName
           // the snapshot is re-recorded at commit; everything else
@@ -1848,11 +1916,20 @@ object EsdbWriter {
           // the staging dir being filled right now) and seal markers:
           // copying those would recurse into the destination, so skip
           // every root-level sidecar that is not store data.
+          // Manifest mode: data (space dirs) and the predecessor's own
+          // _CARRY are handled below by reference — the resolved
+          // enumeration re-points every file at its ORIGINAL host, so
+          // a chain of versioned appends stays one-hop.
+          val dataEntry = n.startsWith("space=") || n == Carry.ManifestFile
           if (n != Publish.SnapshotFile && n != Publish.PtrDir &&
-              n != Publish.VersionsDir && !n.startsWith(SealMarker))
+              n != Publish.VersionsDir && !n.startsWith(SealMarker) &&
+              !(manifestMode && dataEntry))
             carryInto(fs, s.getPath,
               new org.apache.hadoop.fs.Path(dst, n), conf)
         }
+        if (manifestMode)
+          carryData(fs, conf, path, dst,
+            Carry.dataFiles(fs, src).map { case (rel, st) => rel -> st.getPath })
         append(ev, tmp, indexAttrs)
       } else write(ev, tmp, indexAttrs)
     }: Unit
@@ -1994,13 +2071,7 @@ object EsdbWriter {
     val fs = root.getFileSystem(hconf)
     val files: Seq[(String, String)] =
       if (!fs.exists(root)) Nil
-      else fs.listStatus(root).toSeq
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("space="))
-        .flatMap { d =>
-          val space = graft.sources.EsdbStoreSource
-            .unescapePathName(d.getPath.getName.drop("space=".length))
-          relativeDataFiles(fs, d.getPath).map { case (_, f) => (space, f.getPath.toString) }
-        }
+      else storeDataFiles(fs, root).map { case (_, f, sp) => (sp, f.getPath.toString) }
     val par = math.max(1, math.min(files.size, spark.sparkContext.defaultParallelism))
     spark.createDataset(files).repartition(par)
       .mapPartitions { it =>
@@ -2510,12 +2581,10 @@ object EsdbWriter {
     if (!fs.exists(root)) return
     val known: Set[String] = tsRangeManifest(spark, path)
       .map(_.select("file").as[String].collect().toSet).getOrElse(Set.empty)
-    val fresh: Seq[String] = fs.listStatus(root).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("space="))
-      .filter(s => touchedSpaces.forall(_.contains(graft.sources.EsdbStoreSource
-        .unescapePathName(s.getPath.getName.drop("space=".length)))))
-      .flatMap(d => EsdbWriter.relativeDataFiles(fs, d.getPath).map(_._1))
-      .filterNot(known.contains)
+    val fresh: Seq[(String, String)] = storeDataFiles(fs, root)
+      .filter { case (_, _, sp) => touchedSpaces.forall(_.contains(sp)) }
+      .collect { case (rel, f, _) if !known.contains(rel) =>
+        (rel, f.getPath.toString) }
     if (fresh.isEmpty) return
     val rootStr = root.toString
     val par = math.max(1, math.min(fresh.size, spark.sparkContext.defaultParallelism))
@@ -2525,10 +2594,10 @@ object EsdbWriter {
     val rows = spark.createDataset(fresh).repartition(par)
       .mapPartitions { it =>
         val conf = serConf.value
-        it.flatMap { rel =>
+        it.flatMap { case (rel, phys) =>
           val r = org.apache.parquet.hadoop.ParquetFileReader.open(
             org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-              new org.apache.hadoop.fs.Path(s"$rootStr/$rel"), conf))
+              new org.apache.hadoop.fs.Path(phys), conf))
           try {
             var mn = Option.empty[Long]
             var mx = Option.empty[Long]
@@ -2627,8 +2696,14 @@ object EsdbWriter {
   def readTail(spark: SparkSession, path: String): DataFrame = {
     GraftSession.tune(spark)
     val root = dataRoot(spark, path)
+    // NOTE (manifest carry): the file stream source discovers files
+    // UNDER root only — history carried by `_CARRY` reference lives in
+    // predecessor dirs and is not replayed by a tail stream. Appends
+    // land physically in the current version dir, so tailing NEW data
+    // is exact in every mode; a full-history replay on a
+    // manifest-carried store should go through [[read]]/changesFeed.
     spark.readStream
-      .schema(spark.read.option("basePath", root).parquet(root).schema)
+      .schema(readFullWidth(spark, root).schema)
       .option("basePath", root)
       .parquet(root)
   }
@@ -2640,15 +2715,9 @@ object EsdbWriter {
   def read(spark: SparkSession, path: String): DataFrame = {
     GraftSession.tune(spark)
     val root = dataRoot(spark, path)
-    // evolved stores: the schema sidecar is authoritative (one read);
-    // without one, mergeSchema — plain inference picks ONE footer and
-    // races between pre- and post-evolution files
-    val df = schemaManifest(hconf(spark), root) match {
-      case Some(s) =>
-        spark.read.schema(FieldIds.active(s)).option("basePath", root).parquet(root)
-      case None =>
-        spark.read.option("mergeSchema", "true").option("basePath", root).parquet(root)
-    }
+    // schema sidecar vs mergeSchema, single-dir vs manifest-carried
+    // resolution: one code path for every layout ([[readFullWidth]])
+    val df = readFullWidth(spark, root)
     // canonical columns lead; every other LOGICAL column (idx_*,
     // evolution-added) follows — only the bucket layout dir is hidden
     val lead = Seq("space", "grouping", "ts_us", "event_id", "value", "payload")
@@ -2741,7 +2810,14 @@ object EsdbWriter {
         else lit(null).cast(f.dataType)).as(f.name)).toSeq: _*)
     def readRel(root: String, names: Seq[String]): DataFrame =
       if (names.isEmpty) align(readFullWidth(spark, cur).limit(0))
-      else align(readFullWidth(spark, root, names.map(n => s"$root/$n")))
+      else {
+        // rel → physical: a manifest-carrying version serves carried
+        // rels from predecessor host dirs, not its own
+        val rootPath = new org.apache.hadoop.fs.Path(root)
+        val fsys = rootPath.getFileSystem(conf)
+        val paths = Carry.resolvePaths(fsys, rootPath, names).map(_.toString)
+        align(readFullWidth(spark, root, paths))
+      }
     val added = readRel(cur, addedNames)
     val removed = readRel(sinceDir, removedNames)
     // pure-append window: nothing removed means no row disappeared and
@@ -2803,9 +2879,12 @@ object EsdbWriter {
     * not a second pointer to the old one. The `_FILES` snapshot is
     * regenerated by the clone's own publish.
     *
-    * Locally this is a byte copy of one version (the price `compact`
-    * already pays); on an object store the per-file copies are
-    * server-side. Use it for what clones are for: dev/test sandboxes
+    * This is a real byte copy of one version on EVERY filesystem (the
+    * price `compact` already pays; `FileUtil.copy` is client-side on
+    * object stores too): a clone is a self-contained replica, so
+    * manifest-carried files materialize physically rather than
+    * referencing the source. Use it for what clones are for: dev/test
+    * sandboxes
     * and destructive experiments against real data.
     */
   def cloneStore(spark: SparkSession, srcPath: String, dstPath: String,
@@ -2824,7 +2903,10 @@ object EsdbWriter {
     def copyTree(from: org.apache.hadoop.fs.Path, to: org.apache.hadoop.fs.Path): Unit =
       fs.listStatus(from).foreach { st =>
         val n = st.getPath.getName
-        if (!n.startsWith(".") && n != Publish.SnapshotFile) {
+        // _CARRY references the SOURCE store's version dirs — a clone
+        // is a self-contained replica, so carried files materialize
+        // physically below instead of copying the manifest
+        if (!n.startsWith(".") && n != Publish.SnapshotFile && n != Carry.ManifestFile) {
           if (st.isDirectory) {
             fs.mkdirs(new org.apache.hadoop.fs.Path(to, n))
             copyTree(st.getPath, new org.apache.hadoop.fs.Path(to, n))
@@ -2837,6 +2919,17 @@ object EsdbWriter {
       val tmpPath = new org.apache.hadoop.fs.Path(tmp)
       fs.mkdirs(tmpPath)
       copyTree(srcRoot, tmpPath)
+      // manifest-carried files: physical copy into the clone at their
+      // rel paths (cross-store manifest references are never written)
+      val manifest = Carry.readManifest(fs, srcRoot)
+      if (manifest.nonEmpty)
+        Carry.dataFiles(fs, srcRoot).foreach { case (rel, st) =>
+          if (manifest.contains(rel)) {
+            val dst = new org.apache.hadoop.fs.Path(tmpPath, rel)
+            fs.mkdirs(dst.getParent)
+            carryInto(fs, st.getPath, dst, conf)
+          }
+        }
     }: Unit
   }
 
@@ -2914,13 +3007,7 @@ object EsdbWriter {
       else Seq(org.apache.spark.sql.sources.GreaterThanOrEqual("event_id", delStats.getLong(1)),
         org.apache.spark.sql.sources.LessThanOrEqual("event_id", delStats.getLong(2)))
     val files: Seq[(String, org.apache.hadoop.fs.FileStatus, String)] =
-      fs.listStatus(srcPath).toSeq
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("space="))
-        .flatMap { d =>
-          val sp = graft.sources.EsdbStoreSource
-            .unescapePathName(d.getPath.getName.drop("space=".length))
-          relativeDataFiles(fs, d.getPath).map { case (rel, f) => (rel, f, sp) }
-        }
+      storeDataFiles(fs, srcPath)
     val classified = {
       import scala.collection.parallel.CollectionConverters._
       files.toVector.par.map { case (rel, f, sp) =>
@@ -2954,11 +3041,8 @@ object EsdbWriter {
       write(kept.unionByName(align(inserts0)), tmp, subparts = subparts,
         clusterBy = cl.cols, clusterChunks = math.max(1, cl.chunks),
         clusterCurve = cl.curve, assignFieldIds = false)
-      carry.foreach { case (rel, f, _) =>
-        val dst = new org.apache.hadoop.fs.Path(tmpPath, rel)
-        fs.mkdirs(dst.getParent)
-        carryInto(fs, f.getPath, dst, conf)
-      }
+      carryData(fs, conf, path, tmpPath,
+        carry.map { case (rel, f, _) => rel -> f.getPath })
       val oldTs = new org.apache.hadoop.fs.Path(srcPath, TsRangeManifest)
       if (carry.nonEmpty && fs.exists(oldTs)) {
         val dst = new org.apache.hadoop.fs.Path(tmpPath, TsRangeManifest)

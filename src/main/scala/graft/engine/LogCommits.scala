@@ -71,10 +71,20 @@ object LogCommits {
     */
   def visibleDataFiles(fs: FileSystem, root: Path): Seq[FileStatus] = {
     if (!fs.exists(root)) return Seq.empty
-    val files = fs.listStatus(root).toSeq.filter { f =>
+    val physical = fs.listStatus(root).toSeq.filter { f =>
       val n = f.getPath.getName
       f.isFile && f.getLen > 0 && !n.startsWith("_") && !n.startsWith(".")
     }
+    // manifest-carried files resolve to their physical hosts; names are
+    // preserved by carry, so the epoch-commit filter below still applies
+    val files =
+      if (Carry.readManifest(fs, root).isEmpty) physical
+      else {
+        val names = physical.map(_.getPath.getName).toSet
+        physical ++ Carry.dataFiles(fs, root).collect {
+          case (rel, st) if !rel.contains('/') && !names.contains(rel) => st
+        }
+      }
     // the sidecar is listed only when stream-batch files are present,
     // so pure batch-written logs pay nothing for the protocol
     if (files.exists(f => epochOf(f.getPath.getName).isDefined)) {

@@ -338,19 +338,13 @@ object Publish {
     val base = new Path(dataDir)
     val fs = base.getFileSystem(conf)
     if (!fs.exists(base)) fs.mkdirs(base)
-    val files = listDataFiles(fs, base, "")
+    // LOGICAL file set: physical files plus manifest-carried ones —
+    // carried rels must appear in the snapshot exactly as linked files
+    // would, or every manifest-mode rewrite reads as a full churn
+    val files = Carry.logicalRels(fs, base)
     val out = fs.create(new Path(base, SnapshotFile), true)
     try out.write(files.sorted.mkString("\n").getBytes("UTF-8")) finally out.close()
   }
-
-  private def listDataFiles(fs: FileSystem, p: Path, rel: String): Seq[String] =
-    fs.listStatus(p).toSeq.flatMap { st =>
-      val n = st.getPath.getName
-      if (n.startsWith("_") || n.startsWith(".")) Nil
-      else if (st.isDirectory) listDataFiles(fs, st.getPath, s"$rel$n/")
-      else if (st.getLen > 0) Seq(s"$rel$n")
-      else Nil
-    }
 
   /** The live store's CURRENT data-file set (relative paths) — the
     * at-head counterpart of [[snapshotFiles]]: includes post-commit
@@ -359,7 +353,7 @@ object Publish {
   def currentFiles(conf: Configuration, root: String): Set[String] = {
     val dir = new Path(resolve(conf, root))
     val fs = dir.getFileSystem(conf)
-    if (!fs.exists(dir)) Set.empty else listDataFiles(fs, dir, "").toSet
+    if (!fs.exists(dir)) Set.empty else Carry.logicalRels(fs, dir).toSet
   }
 
   /** One version's file-level changes relative to the previous RETAINED
@@ -491,10 +485,62 @@ object Publish {
     if (!fs.exists(versions)) return
     val retained = ((current - keep + 1) to current)
       .flatMap(v => versionDir(conf, root, v)).toSet + justPublished
-    fs.listStatus(versions).foreach { s =>
-      val n = s.getPath.getName
-      val v = scala.util.Try(n.takeWhile(_.isDigit).toLong).toOption
-      if (!retained.contains(n) && v.exists(_ <= current)) fs.delete(s.getPath, true): Unit
+    retireDirs(conf, root, retained,
+      fs.listStatus(versions).toSeq.filter { s =>
+        val n = s.getPath.getName
+        val v = scala.util.Try(n.takeWhile(_.isDigit).toLong).toOption
+        !retained.contains(n) && v.exists(_ <= current)
+      }.map(_.getPath))
+  }
+
+  /** Refcount-aware retirement: a retiring version dir may still HOST
+    * data files a retained version's `_CARRY` manifest references in
+    * place — those files (and their `.crc` sidecars) must survive, so
+    * retirement deletes per file and keeps a referenced host dir alive
+    * as a pure file host (its pointer is already gone, so it can no
+    * longer be read AS a version; later sweeps re-examine it once the
+    * last reference retires). Unreferenced dirs delete whole, exactly
+    * the pre-manifest behavior.
+    */
+  private def retireDirs(conf: Configuration, root: String,
+                         retained: Set[String], dirs: Seq[Path]): Unit = {
+    if (dirs.isEmpty) return
+    val fs = new Path(root).getFileSystem(conf)
+    // one manifest read per retained version; covers every retiring dir
+    val referenced: Map[String, Set[String]] =
+      Carry.referencedIn(fs, new Path(root), retained)
+    dirs.foreach { dir =>
+      referenced.get(dir.getName) match {
+        case None => fs.delete(dir, true): Unit
+        case Some(keepRels) =>
+          // delete everything except referenced data files (+ their
+          // .crc sidecars) and the dirs leading to them
+          val keepDirs: Set[String] = keepRels.flatMap { r =>
+            r.split('/').dropRight(1).inits.filter(_.nonEmpty).map(_.mkString("/"))
+          }
+          def sweep(p: Path, rel: String): Boolean = { // true = empty now
+            var allGone = true
+            fs.listStatus(p).foreach { st =>
+              val n = st.getPath.getName
+              val childRel = if (rel.isEmpty) n else s"$rel/$n"
+              if (st.isDirectory) {
+                if (!keepDirs.contains(childRel)) { fs.delete(st.getPath, true): Unit }
+                else if (sweep(st.getPath, childRel)) { fs.delete(st.getPath, false): Unit }
+                else allGone = false
+              } else {
+                val dataRel =
+                  if (n.startsWith(".") && n.endsWith(".crc"))
+                    // .crc sidecar lives and dies with its data file
+                    (if (rel.isEmpty) "" else s"$rel/") + n.stripPrefix(".").stripSuffix(".crc")
+                  else childRel
+                if (!keepRels.contains(dataRel)) { fs.delete(st.getPath, false): Unit }
+                else allGone = false
+              }
+            }
+            allGone
+          }
+          sweep(dir, ""): Unit
+      }
     }
   }
 
@@ -513,9 +559,20 @@ object Publish {
     if (committed.size <= keep) return
     val fs = new Path(root).getFileSystem(conf)
     val retire = committed.dropRight(keep)
-    retire.foreach { case (v, dir) =>
-      fs.delete(new Path(root, s"$VersionsDir/$dir"), true): Unit
+    val retained = committed.takeRight(keep).map(_._2).toSet
+    // pointers first (the version stops resolving), then refcount-aware
+    // dir retirement (files still referenced by a retained manifest
+    // survive in place)
+    retire.foreach { case (v, _) =>
       fs.delete(new Path(new Path(root, PtrDir), s"$v.ptr"), false): Unit
+    }
+    // every unpointed dir retires — including hosts a PREVIOUS sweep
+    // kept alive for a reference that has since itself retired
+    val versions = new Path(root, VersionsDir)
+    if (fs.exists(versions)) {
+      val hosts = fs.listStatus(versions).toSeq.map(_.getPath)
+        .filter(p => !retained.contains(p.getName) && !p.getName.startsWith("."))
+      retireDirs(conf, root, retained, hosts)
     }
   }
 

@@ -106,15 +106,13 @@ object EsdbMetaTables {
     val p = new Path(root)
     val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) return Nil
-    fs.listStatus(p).toSeq.flatMap { s =>
-      val n = s.getPath.getName
-      if (s.isDirectory && n.startsWith("space=")) {
-        val space = EsdbStoreSource.unescapePathName(n.drop("space=".length))
-        EsdbWriter.relativeDataFiles(fs, s.getPath)
-          .map { case (rel, f) => (rel, Some(space), f.getLen) }
-      } else if (s.isFile && s.getLen > 0 && !n.startsWith("_") && !n.startsWith(".") &&
-        n.endsWith(".parquet"))
-        Seq((n, None, s.getLen))
+    graft.engine.Carry.dataFiles(fs, p).flatMap { case (rel, st) =>
+      if (rel.startsWith("space=")) {
+        val space = EsdbStoreSource.unescapePathName(
+          rel.substring("space=".length, rel.indexOf('/')))
+        Seq((rel, Some(space), st.getLen))
+      } else if (rel.endsWith(".parquet") && !rel.contains('/'))
+        Seq((rel, None, st.getLen))
       else Nil
     }
   }

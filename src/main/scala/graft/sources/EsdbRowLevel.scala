@@ -102,13 +102,7 @@ final class EsdbRowLevelScanBuilder(op: EsdbRowLevelOperation, logicalPath: Stri
     val resolved = graft.engine.EsdbWriter.dataRoot(spark, logicalPath)
     val root = new Path(resolved)
     val fsys = root.getFileSystem(conf)
-    val files = fsys.listStatus(root).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("space="))
-      .flatMap { d =>
-        val sp = EsdbStoreSource.unescapePathName(d.getPath.getName.drop("space=".length))
-        graft.engine.EsdbWriter.relativeDataFiles(fsys, d.getPath)
-          .map { case (rel, f) => (rel, f, sp) }
-      }
+    val files = graft.engine.EsdbWriter.storeDataFiles(fsys, root)
     // footer-stat classification, probed in parallel — one footer
     // round, the planning cost the engine DML already pays. With no
     // translatable condition (e.g. MERGE ON keys against a source)

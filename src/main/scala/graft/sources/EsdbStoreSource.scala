@@ -107,8 +107,25 @@ object EsdbStoreSource {
     val inferred = graft.engine.EsdbWriter
       .schemaManifest(spark.sparkContext.hadoopConfiguration, path)
       .map(graft.engine.FieldIds.active) // tombstoned (dropped) fields stay hidden
-      .getOrElse(spark.read.option("mergeSchema", "true")
-        .option("basePath", path).parquet(path).schema)
+      .getOrElse {
+        val hconf = spark.sparkContext.hadoopConfiguration
+        val root = new org.apache.hadoop.fs.Path(path)
+        val fs = root.getFileSystem(hconf)
+        if (graft.engine.Carry.readManifest(fs, root).nonEmpty) {
+          // manifest-carried version with no schema sidecar: infer from
+          // the RESOLVED file set (the dir alone may hold no data) and
+          // re-attach the partition-dir columns the raw files lack
+          val resolved = graft.engine.Carry.dataFiles(fs, root)
+            .map(_._2.getPath.toString)
+          val raw = spark.read.option("mergeSchema", "true").parquet(resolved: _*).schema
+          val extra = Seq("space")
+            .filterNot(n => raw.fields.exists(_.name == n))
+            .map(n => org.apache.spark.sql.types.StructField(
+              n, org.apache.spark.sql.types.StringType))
+          StructType(raw.fields ++ extra)
+        } else spark.read.option("mergeSchema", "true")
+          .option("basePath", path).parquet(path).schema
+      }
     val raw = StructType(inferred.filterNot(_.name == "bucket"))
     val lead = Seq("space", "grouping", "ts_us", "event_id", "value", "payload")
       .flatMap(n => raw.fields.find(_.name == n))
@@ -676,13 +693,39 @@ final class EsdbScan(path: String, required: StructType, spaces: Option[Seq[Stri
           else if (effective.isEmpty) Some(Set.empty) // contradiction: no rows can match
           else None
         }
-      val dirs = fs.listStatus(root).toSeq
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("space="))
-        .map(s => (EsdbStoreSource.unescapePathName(s.getPath.getName.drop("space=".length)), s.getPath))
-        .filter { case (v, _) => spaces.forall(_.contains(v)) && runtimeSpaces.forall(_.contains(v)) }
+      // resolved enumeration: physical space dirs PLUS manifest-carried
+      // files hosted in predecessor version dirs. Space pruning happens
+      // on the rel path before any host-dir walk, so a pruned space
+      // still costs zero listings beyond the root's own
+      val spacePruned: Seq[(String, org.apache.hadoop.fs.FileStatus, String)] = {
+        val physical = fs.listStatus(root).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("space="))
+          .map(s => (EsdbStoreSource.unescapePathName(s.getPath.getName.drop("space=".length)), s.getPath))
+          .filter { case (v, _) => spaces.forall(_.contains(v)) && runtimeSpaces.forall(_.contains(v)) }
+          .flatMap { case (space, dir) =>
+            graft.engine.EsdbWriter.relativeDataFiles(fs, dir)
+              .map { case (rel, f) => (rel, f, space) }
+          }
+        val manifest = graft.engine.Carry.readManifest(fs, root)
+        if (manifest.isEmpty) physical
+        else {
+          def spaceOf(rel: String): String = EsdbStoreSource.unescapePathName(
+            rel.substring("space=".length, rel.indexOf('/')))
+          val wanted = manifest.filter { case (rel, _) =>
+            rel.startsWith("space=") && {
+              val sp = spaceOf(rel)
+              spaces.forall(_.contains(sp)) && runtimeSpaces.forall(_.contains(sp))
+            }
+          }
+          physical ++ graft.engine.Carry.resolveEntries(fs, root, wanted)
+            .map { case (rel, st) => (rel, st, spaceOf(rel)) }
+        }
+      }
+      val dirs = spacePruned.groupBy(_._3).toSeq
+        .map { case (space, fsl) => (space, fsl.map(t => (t._1, t._2))) }
         .sortBy(_._1)
-      dirs.flatMap { case (space, dir) =>
-        val files = graft.engine.EsdbWriter.relativeDataFiles(fs, dir)
+      dirs.flatMap { case (space, spaceFiles) =>
+        val files = spaceFiles
           // incremental read: drop files already in the baseline
           // version's at-commit snapshot (same relative-path format)
           .filter { case (rel, _) => sinceExcluded.forall(!_.contains(rel)) }
