@@ -906,6 +906,49 @@ object ScaleCheck {
       }
       queries.unpersist(): Unit
     }
+    // ---- clustered fixture at realistic nLists (r14) ----
+    // The rows above cover IVF's ADVERSARIAL case (near-uniform) and an
+    // inflated one (10x replicate). This is the regime IVF exists for:
+    // a gaussian mixture with clusters >> nLists, at nLists = 64 (tiny
+    // toy indexes stop at 16), probed at the RECALL-CONTRACT operating
+    // point a 0.9 build target selects — the r14 contract path end to
+    // end, asserted >= 0.9 against the full probe on fresh queries.
+    import spark.implicits._
+    val nClusters = 512
+    val dim = 32
+    val perCluster = 64
+    val rng = new scala.util.Random(11)
+    val centers = Array.fill(nClusters)(Array.fill(dim)(rng.nextGaussian().toFloat * 5f))
+    val mixture = (0 until nClusters * perCluster).map { i =>
+      val c = centers(i % nClusters)
+      (i.toLong, c.map(x => x + rng.nextGaussian().toFloat * 0.3f).toSeq)
+    }.toDF("vec_id", "embedding")
+      .repartition(32).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    mixture.count(): Unit
+    val idx = s"$bigDir/ivf_recall_clustered"
+    new Directory(new java.io.File(idx)).deleteRecursively()
+    val t0 = System.nanoTime()
+    ops.Ivf.ensureIndex(mixture, idx, nLists = 64, recallTarget = Some(0.9))
+    val buildS = (System.nanoTime() - t0) / 1e9
+    val conf = spark.sparkContext.hadoopConfiguration
+    val chosen = ops.Ivf.defaultProbes(conf, idx).getOrElse(64)
+    val fresh = mixture.where(pmod(xxhash64(col("vec_id")), lit(97)) === 13).limit(64)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def topkC(nProbe: Int): Map[Long, Set[Long]] =
+      ops.Ivf.ivfTopKIndexed(spark, idx, fresh, k = 10, nProbe = nProbe)
+        .select("query_id", "neighbor_id").collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val truthC = topkC(64)
+    val gotC = topkC(chosen)
+    val recallC = truthC.toSeq.map { case (q, t) =>
+      gotC.getOrElse(q, Set.empty[Long]).intersect(t).size.toDouble / math.max(1, t.size)
+    }.sum / math.max(1, truthC.size)
+    println(f"${"clustered(512c,64L)"}%-20s probes=$chosen%-3d recall@10=$recallC%6.3f build=$buildS%.1fs")
+    require(chosen < 64, s"0.9 contract on clustered data must not need the full probe: $chosen")
+    require(recallC >= 0.9,
+      f"contract-chosen probes=$chosen recalls $recallC%.3f < 0.9 on fresh clustered queries")
+    fresh.unpersist(): Unit
+    mixture.unpersist(): Unit
   }
 
   /** Cluster-sharpness drift evidence (r13, [[engine.ClusterHealth]]):

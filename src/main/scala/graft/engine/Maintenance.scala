@@ -186,7 +186,9 @@ object Maintenance {
         graft.ops.Ivf.registeredIndexes(conf, path).foreach { r =>
           val before = Publish.currentVersionNumber(conf, r.indexPath)
           graft.ops.Ivf.ensureIndexFor(spark, path, r.indexPath,
-            nLists = r.nLists, seed = r.seed)(graft.ops.Ivf.payloadEmbedding(r.attr))
+            nLists = r.nLists, seed = r.seed,
+            recallTarget = Some(r.recallTarget).filter(_ > 0.0))(
+            graft.ops.Ivf.payloadEmbedding(r.attr))
           if (Publish.currentVersionNumber(conf, r.indexPath) != before)
             actions += "index_refresh"
         }

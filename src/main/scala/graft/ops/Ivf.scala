@@ -59,7 +59,8 @@ object Ivf {
     * same path commits the next version and retires the old one.
     */
   def writeIndex(corpus: DataFrame, path: String, nLists: Int = 16, seed: Long = 42L,
-                 corpusPath: Option[String] = None): Unit = {
+                 corpusPath: Option[String] = None,
+                 recallTarget: Option[Double] = None): Unit = {
     val conf = corpus.sparkSession.sparkContext.hadoopConfiguration
     // stamp captured BEFORE the build, not at publish time: a corpus
     // mutation landing mid-build must not get the new version stamped
@@ -67,25 +68,104 @@ object Ivf {
     // trust a stale index). [[ensureIndexFor]] closes the remaining
     // window by pinning the data read to the stamped version itself.
     writeIndexStamped(corpus, path, nLists, seed,
-      corpusPath.map(cp => corpusStamp(conf, cp)))
+      corpusPath.map(cp => corpusStamp(conf, cp)), recallTarget)
   }
 
   private def writeIndexStamped(corpus: DataFrame, path: String, nLists: Int,
-                                seed: Long, stamp: Option[String]): Unit = {
-    val (assigned, centroids) = buildIndex(corpus, nLists, seed)
+                                seed: Long, stamp: Option[String],
+                                recallTarget: Option[Double] = None): Unit = {
+    val (assigned0, centroids0) = buildIndex(corpus, nLists, seed)
     val conf = corpus.sparkSession.sparkContext.hadoopConfiguration
+    // RECALL CONTRACT: with a declared target, sample a query set from
+    // the just-built index, measure recall@10 against the full probe at
+    // doubling nProbe steps, and record the smallest nProbe meeting the
+    // target — the OPERATING POINT stamped into the index that
+    // [[defaultProbes]]-aware probes use instead of a blind constant.
+    // Measured on the ACTUAL index (not a synthetic assumption), and
+    // re-measured by every rebuild — maintain's refresh included.
+    val recallSidecar: Option[String] = recallTarget.map { target =>
+      require(target > 0.0 && target <= 1.0,
+        s"recall_target must be in (0, 1], got $target")
+      val assigned = assigned0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val curve = measureRecall(assigned, centroids0, nLists)
+        val chosen = curve.find(_._2 >= target).map(_._1).getOrElse(nLists)
+        val curveTxt = curve.map { case (np, r) => f"$np:$r%.4f" }.mkString(",")
+        s"target=$target probes=$chosen curve=$curveTxt"
+      } finally { assigned.unpersist(): Unit }
+    }
     graft.engine.Publish.publish(conf, path) { tmp =>
-      assigned.write.mode(SaveMode.ErrorIfExists).partitionBy("list").parquet(s"$tmp/assigned")
-      centroids.write.mode(SaveMode.ErrorIfExists).parquet(s"$tmp/centroids")
+      assigned0.write.mode(SaveMode.ErrorIfExists).partitionBy("list").parquet(s"$tmp/assigned")
+      centroids0.write.mode(SaveMode.ErrorIfExists).parquet(s"$tmp/centroids")
       def sidecar(name: String, content: String): Unit = {
         val f = new org.apache.hadoop.fs.Path(tmp, name)
         val out = f.getFileSystem(conf).create(f, false)
         try out.write(content.getBytes("UTF-8")) finally out.close()
       }
-      sidecar(ParamsFile, s"lists=$nLists seed=$seed")
+      sidecar(ParamsFile,
+        s"lists=$nLists seed=$seed" +
+          recallTarget.fold("")(t => s" recall=$t"))
+      recallSidecar.foreach(sidecar(RecallFile, _))
       stamp.foreach(sidecar(StampFile, _))
     }: Unit
   }
+
+  /** recall@`k` vs the full probe at doubling nProbe steps, over a
+    * deterministic ≤64-query sample of the index's own vectors. Cheap:
+    * the sample is driver-bounded and each probe is a broadcast join.
+    */
+  private[graft] def measureRecall(assigned: DataFrame, centroids: DataFrame,
+                                   nLists: Int, k: Int = 10): Seq[(Int, Double)] = {
+    val sampled = {
+      val s = assigned.where(pmod(xxhash64(col("vec_id")), lit(101)) === 7)
+        .select("vec_id", "embedding").limit(64)
+      if (s.limit(1).isEmpty) assigned.select("vec_id", "embedding").limit(64) else s
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      def topk(nProbe: Int): Map[Long, Set[Long]] =
+        probe(assigned, centroids, sampled, k, nProbe)
+          .select("query_id", "neighbor_id").collect()
+          .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      val truth = topk(nLists)
+      val steps = (Iterator.iterate(1)(_ * 2).takeWhile(_ < nLists).toSeq :+ nLists).distinct
+      steps.map { np =>
+        val got = if (np == nLists) truth else topk(np)
+        val recall =
+          if (truth.isEmpty) 1.0
+          else truth.toSeq.map { case (q, t) =>
+            got.getOrElse(q, Set.empty[Long]).intersect(t).size.toDouble / math.max(1, t.size)
+          }.sum / truth.size
+        np -> recall
+      }
+    } finally { sampled.unpersist(): Unit }
+  }
+
+  private val RecallFile = "_recall"
+
+  /** The index's measured operating point: the smallest nProbe whose
+    * build-time recall@10 met the declared `recall_target`. None for
+    * indexes built without a contract — probes then default to the
+    * caller's constant.
+    */
+  def defaultProbes(conf: org.apache.hadoop.conf.Configuration, path: String): Option[Int] = {
+    val root = graft.engine.Publish.resolve(conf, path)
+    rootText(conf, root, RecallFile).flatMap { txt =>
+      txt.split("\\s+").collectFirst {
+        case kv if kv.startsWith("probes=") =>
+          scala.util.Try(kv.stripPrefix("probes=").toInt).toOption
+      }.flatten
+    }
+  }
+
+  /** The declared recall target recorded in the params sidecar (0.0 =
+    * none) — what freshness compares so re-declaring a different
+    * contract rebuilds and re-measures.
+    */
+  private def paramsRecall(text: String): Double =
+    text.split("\\s+").collectFirst {
+      case kv if kv.startsWith("recall=") =>
+        scala.util.Try(kv.stripPrefix("recall=").toDouble).getOrElse(0.0)
+    }.getOrElse(0.0)
 
   private val ParamsFile = "_build_params"
 
@@ -150,7 +230,8 @@ object Ivf {
     * and ivfTopKIndexed refuses on.
     */
   private def indexFresh(conf: org.apache.hadoop.conf.Configuration, path: String,
-                         corpusPath: Option[String], nLists: Int, seed: Long): Boolean = {
+                         corpusPath: Option[String], nLists: Int, seed: Long,
+                         recallTarget: Option[Double] = None): Boolean = {
     // ONE pointer resolution for existence + both sidecars: no
     // version-mixing under a concurrent rebuild, and one round trip
     // instead of three on the hot no-op path
@@ -161,7 +242,11 @@ object Ivf {
       // a re-request with DIFFERENT build params (lists OR seed) is a
       // rebuild, not a no-op — otherwise tuning silently does nothing
       // until the corpus happens to mutate (pre-sidecar indexes pass)
-      params.forall(_ == (nLists, seed))
+      params.forall(_ == (nLists, seed)) &&
+      // a DIFFERENT recall contract is a rebuild too: the operating
+      // point must be re-measured against the newly declared target
+      rootText(conf, root, ParamsFile).forall(txt =>
+        paramsRecall(txt) == recallTarget.getOrElse(0.0))
   }
 
   /** Build-if-absent — idempotent ACROSS drivers, not just within the
@@ -189,15 +274,16 @@ object Ivf {
     * race-free against concurrent mutations — use [[ensureIndexFor]].
     */
   def ensureIndex(corpus: DataFrame, path: String, nLists: Int = 16, seed: Long = 42L,
-                  corpusPath: Option[String] = None): Unit =
+                  corpusPath: Option[String] = None,
+                  recallTarget: Option[Double] = None): Unit =
     synchronized {
       val conf = corpus.sparkSession.sparkContext.hadoopConfiguration
-      if (!indexFresh(conf, path, corpusPath, nLists, seed)) {
-        try writeIndex(corpus, path, nLists, seed, corpusPath)
+      if (!indexFresh(conf, path, corpusPath, nLists, seed, recallTarget)) {
+        try writeIndex(corpus, path, nLists, seed, corpusPath, recallTarget)
         catch {
           case e: java.io.IOException if e.getMessage != null &&
               e.getMessage.startsWith("publish conflict") =>
-            if (!indexFresh(conf, path, corpusPath, nLists, seed)) throw e
+            if (!indexFresh(conf, path, corpusPath, nLists, seed, recallTarget)) throw e
         }
       }
     }
@@ -213,21 +299,22 @@ object Ivf {
     * from the payload.
     */
   def ensureIndexFor(spark: SparkSession, corpusPath: String, path: String,
-                     nLists: Int = 16, seed: Long = 42L)
+                     nLists: Int = 16, seed: Long = 42L,
+                     recallTarget: Option[Double] = None)
                     (project: DataFrame => DataFrame): Unit = synchronized {
     val conf = spark.sparkContext.hadoopConfiguration
-    if (!indexFresh(conf, path, Some(corpusPath), nLists, seed)) {
+    if (!indexFresh(conf, path, Some(corpusPath), nLists, seed, recallTarget)) {
       val cur = graft.engine.Publish.currentVersion(conf, corpusPath)
       val stamp = cur.map { case (v, dir) => s"$v/$dir" }.getOrElse("unversioned")
       val pinnedRoot = cur
         .map { case (_, dir) => s"$corpusPath/${graft.engine.Publish.VersionsDir}/$dir" }
         .getOrElse(corpusPath)
       val corpus = project(graft.engine.EsdbWriter.read(spark, pinnedRoot))
-      try writeIndexStamped(corpus, path, nLists, seed, Some(stamp))
+      try writeIndexStamped(corpus, path, nLists, seed, Some(stamp), recallTarget)
       catch {
         case e: java.io.IOException if e.getMessage != null &&
             e.getMessage.startsWith("publish conflict") =>
-          if (!indexFresh(conf, path, Some(corpusPath), nLists, seed)) throw e
+          if (!indexFresh(conf, path, Some(corpusPath), nLists, seed, recallTarget)) throw e
       }
     }
   }
@@ -243,7 +330,8 @@ object Ivf {
     */
   val RegistryMarker = "_VECIDX"
 
-  final case class RegisteredIndex(attr: String, nLists: Int, seed: Long, indexPath: String)
+  final case class RegisteredIndex(attr: String, nLists: Int, seed: Long, indexPath: String,
+                                   recallTarget: Double = 0.0)
 
   /** Declare (or re-declare, replacing the same attr's line) an index
     * on the store. Idempotent; called by `build_vector_index`.
@@ -257,11 +345,14 @@ object Ivf {
     // line would brick every later maintain() on this store
     require(reg.nLists >= 1 && reg.seed >= 0,
       s"registry entry must have nLists >= 1 and a non-negative seed: $reg")
+    require(reg.recallTarget >= 0.0 && reg.recallTarget <= 1.0,
+      s"registry entry recall target must be in [0, 1]: $reg")
     val entries = registeredIndexes(conf, storePath)
       .filterNot(_.attr == reg.attr) :+ reg
     val m = new org.apache.hadoop.fs.Path(storePath, RegistryMarker)
     val out = m.getFileSystem(conf).create(m, true)
-    val txt = entries.map(r => s"${r.attr}\t${r.nLists}\t${r.seed}\t${r.indexPath}")
+    val txt = entries.map(r =>
+        s"${r.attr}\t${r.nLists}\t${r.seed}\t${r.indexPath}\t${r.recallTarget}")
       .mkString("\n")
     try out.write(txt.getBytes("UTF-8")) finally out.close()
   }
@@ -284,7 +375,11 @@ object Ivf {
         line.split("\t") match {
           case Array(attr, lists, seed, idxPath)
               if lists.forall(_.isDigit) && seed.forall(_.isDigit) =>
-            RegisteredIndex(attr, lists.toInt, seed.toLong, idxPath)
+            RegisteredIndex(attr, lists.toInt, seed.toLong, idxPath) // legacy 4-field
+          case Array(attr, lists, seed, idxPath, target)
+              if lists.forall(_.isDigit) && seed.forall(_.isDigit) &&
+                scala.util.Try(target.toDouble).isSuccess =>
+            RegisteredIndex(attr, lists.toInt, seed.toLong, idxPath, target.toDouble)
           case _ => throw new IllegalStateException(
             s"unparseable vector-index registry at $m: line '$line'")
         }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.read.{LocalScan, Scan}
-import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{BooleanType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.engine.{EsdbWriter, Publish}
@@ -246,22 +246,33 @@ object EsdbProcedures {
         Seq(p("table", StringType),
           p("attr", StringType, Some("'embedding'"),
             comment = "payload JSON key holding the float-array embedding"),
-          p("lists", IntegerType, Some("16"))),
+          p("lists", IntegerType, Some("16")),
+          p("recall_target", DoubleType, Some("0.0D"),
+            comment = "declared recall@10 contract in (0,1]: the build samples " +
+              "its own vectors, measures the recall-vs-probes curve against the " +
+              "full probe, and stamps the smallest probes meeting the target as " +
+              "the index's default operating point (0 = no contract)")),
         StructType(Seq(StructField("table", StringType), StructField("attr", StringType),
-          StructField("lists", IntegerType), StructField("corpus_version", LongType))),
+          StructField("lists", IntegerType), StructField("corpus_version", LongType),
+          StructField("default_probes", IntegerType))),
         "build (or refresh) the store's persisted IVF vector index over a payload " +
           "embedding attr (vec_id = event_id) — stamped to the store's publish " +
-          "version: a stale index rebuilds, a fresh one no-ops") { in =>
+          "version: a stale index rebuilds, a fresh one no-ops. With " +
+          "recall_target, the measured operating point becomes vector_search's " +
+          "default probes") { in =>
         val t = in.getUTF8String(0).toString
         val attr = in.getUTF8String(1).toString
         val spark = SparkSession.active
         val idx = vecIndexPathFor(root, t, attr)
+        val target = Option(in.getDouble(3)).filter(_ > 0.0)
         graft.ops.Ivf.ensureIndexFor(spark, path(t), idx,
-          nLists = in.getInt(2))(embeddingOf(attr))
+          nLists = in.getInt(2), recallTarget = target)(embeddingOf(attr))
         // declare the index on the store so maintain() keeps it fresh
-        // across its own retention/compaction commits
+        // across its own retention/compaction commits — contract
+        // included, so a maintain-driven rebuild RE-MEASURES the curve
         graft.ops.Ivf.registerIndex(conf(), path(t),
-          graft.ops.Ivf.RegisteredIndex(attr, in.getInt(2), 42L, idx))
+          graft.ops.Ivf.RegisteredIndex(attr, in.getInt(2), 42L, idx,
+            target.getOrElse(0.0)))
         // report what the index IS, not what was requested — one
         // metadata resolution (no cross-version mix under a concurrent
         // rebuild): lists from the params sidecar, with the centroid
@@ -273,8 +284,9 @@ object EsdbProcedures {
         val stampedVersion = stampOpt
           .flatMap(_.split('/').headOption)
           .flatMap(v => scala.util.Try(v.toLong).toOption).getOrElse(0L)
+        val defProbes = graft.ops.Ivf.defaultProbes(conf(), idx).getOrElse(0)
         Seq(row(UTF8String.fromString(t), UTF8String.fromString(attr),
-          lists, stampedVersion))
+          lists, stampedVersion, defProbes))
       }
       case "vector_search" => proc("vector_search",
         Seq(p("table", StringType),
@@ -282,7 +294,9 @@ object EsdbProcedures {
             comment = "event_id of the probe row ('more like this'); omit when passing query"),
           p("attr", StringType, Some("'embedding'")),
           p("k", IntegerType, Some("10")),
-          p("probes", IntegerType, Some("4")),
+          p("probes", IntegerType, Some("0"),
+            comment = "lists to probe; 0 = the index's measured operating point " +
+              "(build_vector_index recall_target), or 4 when no contract was declared"),
           p("query", StringType, Some("''"),
             comment = "probe vector as a JSON float array, e.g. '[0.1, -0.2, 0.3]' — " +
               "the fresh-embedding form; mutually exclusive with query_id")),
@@ -328,8 +342,16 @@ object EsdbProcedures {
             qdf
           } else embeddingOf(attr)(EsdbWriter.read(spark, path(t)))
             .where(col("vec_id") === in.getLong(1))
-        val res = graft.ops.Ivf.ivfTopKIndexed(spark, vecIndexPathFor(root, t, attr), queries,
-          k = in.getInt(3), nProbe = in.getInt(4), corpusPath = Some(path(t)))
+        val idxPath = vecIndexPathFor(root, t, attr)
+        val probesArg = in.getInt(4)
+        require(probesArg >= 0, s"probes must be >= 0, got $probesArg")
+        // 0 = the index's recall-contract operating point; a blind
+        // constant only when the index declares no contract
+        val nProbe =
+          if (probesArg > 0) probesArg
+          else graft.ops.Ivf.defaultProbes(conf(), idxPath).getOrElse(4)
+        val res = graft.ops.Ivf.ivfTopKIndexed(spark, idxPath, queries,
+          k = in.getInt(3), nProbe = nProbe, corpusPath = Some(path(t)))
           .select("neighbor_id", "rank", "cos_x1e6")
           .collect() // k-bounded: the heap aggregate emits at most k rows
         if (res.isEmpty && hasQid && queries.isEmpty) throw new IllegalArgumentException(
