@@ -2018,6 +2018,9 @@ object EsdbWriter {
     * marker file. Legacy empty/garbled bodies read as enabled at the
     * default window (never fail an INSERT over a sidecar).
     */
+  def cdcMarkerState(conf: org.apache.hadoop.conf.Configuration,
+                     path: String): Option[(Boolean, Int)] = readCdcMarker(conf, path)
+
   private def readCdcMarker(conf: org.apache.hadoop.conf.Configuration,
                             path: String): Option[(Boolean, Int)] = {
     val m = new org.apache.hadoop.fs.Path(path, CdcMarker)

@@ -36,6 +36,29 @@ object Publish {
   val PtrDir = "_ptr"
   val VersionsDir = "_versions"
 
+  /** Read one small pointer object. On a checksum-verifying local FS
+    * the commit rename moves the file and its `.crc` sidecar in two
+    * steps, so a reader racing the rename can observe a mismatched
+    * pair for a sub-millisecond window — retry a few times before
+    * surfacing (the pair is immutable once both steps land).
+    */
+  private def readPtr(fs: FileSystem, p: Path): String = {
+    var attempt = 0
+    while (true) {
+      try {
+        val in = fs.open(p)
+        return try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+               finally in.close()
+      } catch {
+        case e: org.apache.hadoop.fs.ChecksumException =>
+          if (attempt >= 5) throw e
+          attempt += 1
+          Thread.sleep(2L << attempt)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Highest committed (version, dataDirName), or None when the root
     * has no pointer (legacy direct layout or nothing written yet).
     */
@@ -52,10 +75,7 @@ object Publish {
     if (ptrs.isEmpty) None
     else {
       val (v, p) = ptrs.maxBy(_._1)
-      val in = fs.open(p)
-      val name = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-                 finally in.close()
-      Some((v, name))
+      Some((v, readPtr(fs, p)))
     }
   }
 
@@ -90,12 +110,7 @@ object Publish {
     val p = new Path(new Path(root, PtrDir), s"$version.ptr")
     val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      val name = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-                 finally in.close()
-      Some(name)
-    }
+    else Some(readPtr(fs, p))
   }
 
   /** Resolve a PINNED version to its data root. Appends land in the
@@ -220,7 +235,26 @@ object Publish {
       .getOrElse(cur.map(_._1 + 1).getOrElse(1L))
     val dirName = s"$next-" + java.util.UUID.randomUUID().toString.take(8)
     val dataDir = s"$root/$VersionsDir/$dirName"
-    write(dataDir)
+    // A staging dir can be swept out from under a slow builder: once a
+    // concurrent winner commits OUR number and head advances past it,
+    // retention sweeps see an unpointed dir at v <= current and retire
+    // it. The builder's job then fails mid-write with an FS error —
+    // convert it to the publish conflict it semantically IS (the head
+    // moved; this build had already lost) so publishRetrying retries
+    // and pinned rewrites surface their standard loud refusal.
+    try write(dataDir)
+    catch {
+      case e: Throwable
+          if currentVersion(conf, root).exists(_._1 >= next) &&
+            !new Path(dataDir).getFileSystem(conf).exists(new Path(dataDir)) =>
+        // the head advanced past our number AND our staging dir is gone:
+        // a winner took this version and a retention sweep retired the
+        // dir mid-build — not a build failure, the conflict this build
+        // had already lost
+        throw new java.io.IOException(
+          s"publish conflict: staging dir $dirName at $root was retired by a " +
+            "concurrent publish's retention sweep mid-build — retry against the new head", e)
+    }
     // file-set snapshot BEFORE the pointer commit: the version's
     // at-commit file list, the baseline for incremental reads
     writeSnapshot(conf, dataDir)
@@ -485,11 +519,16 @@ object Publish {
     if (!fs.exists(versions)) return
     val retained = ((current - keep + 1) to current)
       .flatMap(v => versionDir(conf, root, v)).toSet + justPublished
+    // STRICTLY older numbers only: an unpointed dir numbered == current
+    // is a concurrent loser still staging against the head we just
+    // replaced — it will conflict (and self-delete) at its own pointer
+    // commit; sweeping it mid-build turns a clean conflict into a
+    // confusing job failure. It becomes sweepable next publish.
     retireDirs(conf, root, retained,
       fs.listStatus(versions).toSeq.filter { s =>
         val n = s.getPath.getName
         val v = scala.util.Try(n.takeWhile(_.isDigit).toLong).toOption
-        !retained.contains(n) && v.exists(_ <= current)
+        !retained.contains(n) && v.exists(_ < current)
       }.map(_.getPath))
   }
 
@@ -566,12 +605,22 @@ object Publish {
     retire.foreach { case (v, _) =>
       fs.delete(new Path(new Path(root, PtrDir), s"$v.ptr"), false): Unit
     }
-    // every unpointed dir retires — including hosts a PREVIOUS sweep
-    // kept alive for a reference that has since itself retired
+    // every unpointed dir AT OR BELOW the current head retires —
+    // including hosts a PREVIOUS sweep kept alive for a reference that
+    // has since itself retired. The version-number guard mirrors
+    // sweepVersions: a CONCURRENT publish's staging dir is numbered
+    // current+1 and must never be swept out from under the publisher.
+    val current = committed.last._1
     val versions = new Path(root, VersionsDir)
     if (fs.exists(versions)) {
       val hosts = fs.listStatus(versions).toSeq.map(_.getPath)
-        .filter(p => !retained.contains(p.getName) && !p.getName.startsWith("."))
+        .filter { p =>
+          val n = p.getName
+          val v = scala.util.Try(n.takeWhile(_.isDigit).toLong).toOption
+          // strictly older (see sweepVersions): a same-numbered dir may
+          // be a concurrent loser still staging
+          !retained.contains(n) && !n.startsWith(".") && v.exists(_ < current)
+        }
       retireDirs(conf, root, retained, hosts)
     }
   }

@@ -98,6 +98,12 @@ final class EsdbLogTable(path: String, tableSchema: StructType,
   with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = s"esdblog:$path"
 
+  /** Marker-derived TBLPROPERTIES (layout, carry mode, cdc, policy,
+    * seal) — same introspection surface as the bucketed store table.
+    */
+  override def properties(): java.util.Map[String, String] =
+    EsdbTableProperties.of(EsdbVectorReader.sessionConf(), path, writePath)
+
   /** Log history trim as SQL: `DELETE FROM log WHERE event_id < X` —
     * exactly the prefix trims the range-partitioned layout executes as
     * whole-file drops plus one straddler rewrite

@@ -168,6 +168,14 @@ final class EsdbStoreTable(path: String, tableSchema: StructType,
   with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   override def name(): String = s"esdb:$path"
 
+  /** Marker-derived TBLPROPERTIES (layout, subparts, clustering, carry
+    * mode, cdc, policy, declared vector indexes, seal) — SHOW
+    * TBLPROPERTIES / DESCRIBE EXTENDED answer lifecycle questions
+    * without metadata-table spelunking.
+    */
+  override def properties(): java.util.Map[String, String] =
+    EsdbTableProperties.of(EsdbVectorReader.sessionConf(), path, writePath)
+
   /** Native SQL `UPDATE` / `MERGE INTO` / predicate `DELETE FROM`,
     * planned group-based copy-on-write over the engine's footprint
     * machinery (see [[EsdbRowLevelOperation]]). Keyed `DELETE FROM`

@@ -599,6 +599,58 @@ class EsdbCatalogSpec extends SparkSpec {
     assert(hits(11, "").nonEmpty, "default-probe search works on the refreshed index")
   }
 
+  /** r14: SHOW TBLPROPERTIES / DESCRIBE EXTENDED surface what the
+    * sidecar markers know — layout, subparts, clustering, carry mode,
+    * cdc retention, policy, declared vector indexes — so operators
+    * stop spelunking `cat.t.policy` + `cat.t.clustering` + `_VECIDX`.
+    */
+  test("SHOW TBLPROPERTIES reflects the markers for store/log/cdc/clustered variants") {
+    root
+    val conf = spark.sparkContext.hadoopConfiguration
+    def props(t: String): Map[String, String] =
+      spark.sql(s"SHOW TBLPROPERTIES $Cat.$t").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+    // plain bucketed store
+    val pay = props("payments")
+    assert(pay.get("layout").contains("store") && pay.get("cdc").contains("false"), pay.toString)
+    assert(pay.get("carry").exists(Set("link", "manifest")), pay.toString)
+    assert(pay.contains("version") && pay.contains("subparts"), pay.toString)
+    // log store
+    val clk = props("prod.clicks")
+    assert(clk.get("layout").contains("log"), clk.toString)
+    // cdc + clustered + policy + vector index, via CTAS properties
+    (1 to 60).map(i => (s"s${i % 2}", s"g${i % 5}", i.toLong * 1000, i.toLong,
+      i.toDouble, s"""{"embedding": [${i / 10f}, ${i / 20f}]}"""))
+      .toDF("space", "grouping", "ts_us", "event_id", "value", "payload")
+      .createOrReplaceTempView("props_seed")
+    spark.sql(s"CREATE TABLE $Cat.props_t TBLPROPERTIES(" +
+      "'cdc'='true', 'keepVersions'='6', 'clusterBy'='value', 'clusterChunks'='2') " +
+      "AS SELECT * FROM props_seed")
+    graft.engine.Maintenance.setPolicy(conf, s"$root/props_t",
+      graft.engine.Maintenance.Policy(maxFilesPerSpace = Some(4), keepVersions = 3))
+    spark.sql(s"CALL $Cat.system.build_vector_index(table => 'props_t', lists => 2, " +
+      "recall_target => 0.5D)").collect(): Unit
+    val pt = props("props_t")
+    assert(pt.get("cdc").contains("true") && pt.get("cdc.keepVersions").contains("6"),
+      pt.toString)
+    assert(pt.get("cluster.columns").contains("value") &&
+      pt.get("cluster.chunks").contains("2"), pt.toString)
+    assert(pt.get("policy.keep_versions").contains("3") &&
+      pt.get("policy.max_files_per_space").contains("4"), pt.toString)
+    assert(pt.get("vecidx.embedding").exists(v =>
+      v.contains("lists=2") && v.contains("recall_target=0.5")), pt.toString)
+    // toggling cdc off is visible, with the tombstoned retention intact
+    spark.sql(s"ALTER TABLE $Cat.props_t SET TBLPROPERTIES('cdc'='false')")
+    val off = props("props_t")
+    assert(off.get("cdc").contains("false") && off.get("cdc.keepVersions").contains("6"),
+      off.toString)
+    // DESCRIBE EXTENDED carries the same map in its Table Properties row
+    val desc = spark.sql(s"DESCRIBE EXTENDED $Cat.props_t").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    val tp = desc.getOrElse("Table Properties", "")
+    assert(tp.contains("cluster.columns=value") && tp.contains("cdc=false"), tp)
+  }
+
   test("metadata tables: tails serves the seal-time sidecar") {
     root
     val conf = spark.sparkContext.hadoopConfiguration

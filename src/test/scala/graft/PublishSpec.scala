@@ -160,8 +160,12 @@ class PublishSpec extends SparkSpec {
     // no pointer was written -> resolution and reads are unchanged
     assert(EsdbWriter.read(spark, dir).select("event_id").as[Long].collect().toSet == before)
     assert(EsdbWriter.readOrdered(spark, dir).count() == 10)
-    // the next successful publish sweeps the orphan
-    EsdbWriter.compact(spark, dir)
+    // the publish that takes the orphan's NUMBER spares it (it could be
+    // a concurrent loser still staging — sweeping mid-build would turn
+    // its clean conflict into a job failure); the one after sweeps it
+    EsdbWriter.compact(spark, dir) // v2: same number as the orphan
+    assert(orphan.exists(), "a same-numbered stage dir must survive its winner's sweep")
+    EsdbWriter.compact(spark, dir) // v3: the orphan is strictly older now
     assert(!orphan.exists())
     assert(EsdbWriter.read(spark, dir).select("event_id").as[Long].collect().toSet == before)
   }
