@@ -121,16 +121,31 @@ object StreamIngest {
     * file stream source can list it. Idempotent per source file.
     */
   private def stageDir(file: String): String = synchronized {
-    import java.nio.file.{Files, Paths}
+    import java.nio.file.{Files, Paths, Path}
     val src = Paths.get(file).toAbsolutePath
     val key = src.toString.replaceAll("[^A-Za-z0-9._-]", "_")
     val dir = Paths.get(System.getProperty("java.io.tmpdir"), "graft-stream", key)
-    val link = dir.resolve(src.getFileName.toString)
-    if (!Files.exists(link)) {
-      Files.createDirectories(dir)
-      try Files.createSymbolicLink(link, src)
-      catch { case _: Exception => Files.copy(src, link) }
+    def stage(p: Path, name: String): Unit = {
+      val link = dir.resolve(name)
+      if (!Files.exists(link)) {
+        try Files.createSymbolicLink(link, p)
+        catch { case _: Exception => Files.copy(p, link): Unit }
+      }
     }
+    Files.createDirectories(dir)
+    if (Files.isDirectory(src)) {
+      // a directory-shaped table (Spark-written, one part file per
+      // task): the file stream source does NOT recurse into a
+      // non-partition subdir, so a single dir symlink would discover
+      // zero files — link each data file flat into the stage dir
+      val s = Files.list(src)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+          .foreach(p => stage(p, p.getFileName.toString))
+      } finally s.close()
+    } else stage(src, src.getFileName.toString)
     dir.toString
   }
 
