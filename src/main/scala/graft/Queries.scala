@@ -572,6 +572,54 @@ object Queries {
     p
   }
 
+  /** Manifest-carry fixture behind `store_manifest_scan` (r14/X35):
+    * the canonical events store rebuilt with `carry.mode=manifest` and
+    * mutated so the HEAD version serves mostly manifest-carried files —
+    * v1 = full write minus a withheld slice, v2 = versioned append of
+    * the slice (v1 carried by `_CARRY` reference), v3 = copy-on-write
+    * delete of one grouping (rewrite footprint only; the rest carried
+    * by reference again). The fixture REQUIRES the head to actually
+    * carry a manifest, so the query can never silently degrade to the
+    * physical-listing path — the oracle then proves the reference
+    * resolution row-exact against DuckDB over the raw table.
+    */
+  private def ensureManifestStore(s: SparkSession, dir: String): String = synchronized {
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft-manistore/$key"
+    val conf = s.sparkContext.hadoopConfiguration
+    if (graft.engine.Publish.currentVersion(conf, p).isEmpty) {
+      val prev = conf.get(graft.engine.Carry.ModeKey)
+      conf.set(graft.engine.Carry.ModeKey, "manifest")
+      try {
+        graft.engine.Publish.publish(conf, p, keepVersions = 8) { tmp =>
+          graft.engine.EsdbWriter.write(
+            ev(s, dir).filter(pmod(col("event_id"), lit(7)) =!= 0), tmp)
+        }: Unit
+        graft.engine.EsdbWriter.appendVersioned(
+          ev(s, dir).filter(pmod(col("event_id"), lit(7)) === 0), p, keepVersions = 8)
+        // a space-scoped delete: the doomed space's files drop, every
+        // OTHER space carries by `_CARRY` reference (a grouping delete
+        // would rewrite every file here — one file per space — and
+        // leave nothing carried)
+        graft.engine.EsdbWriter.delete(s, p,
+          spaces = Some(Set(ManifestDoomedSpace)), groupings = None,
+          keepVersions = 8)
+      } finally {
+        if (prev == null) conf.unset(graft.engine.Carry.ModeKey)
+        else conf.set(graft.engine.Carry.ModeKey, prev)
+      }
+    }
+    val head = new org.apache.hadoop.fs.Path(graft.engine.Publish.resolve(conf, p))
+    require(graft.engine.Carry.readManifest(head.getFileSystem(conf), head).nonEmpty,
+      s"manifest-carry fixture at $p must carry a _CARRY manifest at its head")
+    p
+  }
+
+  /** The space the manifest fixture deletes (its own store, so the
+    * standard scans are unaffected).
+    */
+  private val ManifestDoomedSpace = "error"
+
   /** Incremental-read fixture: version 1 holds the events with
     * `event_id % 5 != 0`; the rest are APPENDED after the commit (into
     * the current version's dir, as real appends do). An incremental
@@ -1040,6 +1088,24 @@ object Queries {
 
     // store cloning (X30): the sandbox copy must serve the exact scan
     // its source serves — same Sort-free ordered read, same oracle
+    // manifest-based predecessor carry (X35, r14): the head version of
+    // this store physically holds only its delete's rewrite footprint —
+    // everything else resolves through `_CARRY` references into older
+    // host dirs (the HDFS/S3 carry mode). The full-content oracle
+    // proves reference resolution row-exact: nothing lost, nothing
+    // duplicated, across an append + a copy-on-write delete chain
+    QuerySpec("store_manifest_scan",
+      (s, d) => {
+        val p = ensureManifestStore(s, d)
+        graft.engine.EsdbWriter.read(s, p)
+          .select("event_id", "ts_us", "space", "grouping", "value")
+          .orderBy("event_id")
+      },
+      Some(s"""SELECT event_id, epoch_us(ts) AS ts_us, event_type AS space,
+              |       CAST(user_id AS VARCHAR) AS grouping, value
+              |FROM events WHERE event_type <> '$ManifestDoomedSpace'
+              |ORDER BY event_id""".stripMargin)),
+
     QuerySpec("store_clone_scan",
       (s, d) => {
         val p = ensureClonedStore(s, d)

@@ -76,15 +76,19 @@ object LogCommits {
       f.isFile && f.getLen > 0 && !n.startsWith("_") && !n.startsWith(".")
     }
     // manifest-carried files resolve to their physical hosts; names are
-    // preserved by carry, so the epoch-commit filter below still applies
-    val files =
-      if (Carry.readManifest(fs, root).isEmpty) physical
+    // preserved by carry, so the epoch-commit filter below still applies.
+    // One manifest read, reusing the listing above (no second walk).
+    val files = {
+      val manifest = Carry.readManifest(fs, root)
+      if (manifest.isEmpty) physical
       else {
         val names = physical.map(_.getPath.getName).toSet
-        physical ++ Carry.dataFiles(fs, root).collect {
-          case (rel, st) if !rel.contains('/') && !names.contains(rel) => st
+        val wanted = manifest.filter { case (rel, _) =>
+          !rel.contains('/') && !names.contains(rel)
         }
+        physical ++ Carry.resolveEntries(fs, root, wanted).map(_._2)
       }
+    }
     // the sidecar is listed only when stream-batch files are present,
     // so pure batch-written logs pay nothing for the protocol
     if (files.exists(f => epochOf(f.getPath.getName).isDefined)) {

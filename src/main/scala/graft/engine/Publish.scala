@@ -36,6 +36,14 @@ object Publish {
   val PtrDir = "_ptr"
   val VersionsDir = "_versions"
 
+  /** Marker written into a version dir that retention gutted down to a
+    * pure FILE HOST (it keeps only data files a retained version's
+    * `_CARRY` still references): the dir exists, but it is no longer a
+    * complete version — pinned reads must refuse it exactly as if the
+    * dir were gone.
+    */
+  val RetiredMarker = "_RETIRED"
+
   /** Read one small pointer object. On a checksum-verifying local FS
     * the commit rename moves the file and its `.crc` sidecar in two
     * steps, so a reader racing the rename can observe a mismatched
@@ -128,11 +136,15 @@ object Publish {
       throw new java.io.FileNotFoundException(
         s"version $version was never committed at $root"))
     val data = new Path(root, s"$VersionsDir/$dir")
-    if (!data.getFileSystem(conf).exists(data))
+    val fs = data.getFileSystem(conf)
+    // a gutted file host (RetiredMarker) is NOT a readable version:
+    // it keeps only the files newer manifests reference, so resolving
+    // it would silently serve partial data
+    if (!fs.exists(data) || fs.exists(new Path(data, RetiredMarker)))
       throw new java.io.FileNotFoundException(
         s"version $version at $root has been retired (vacuumed or outside the " +
           "publish retention window); retained versions: " +
-          committedVersions(conf, root).filter(v => versionDataExists(conf, root, v._2))
+          committedVersions(conf, root).filter(v => versionDataReadable(conf, root, v._2))
             .map(_._1).mkString(", "))
     data.toString
   }
@@ -177,9 +189,10 @@ object Publish {
       .flatMap(v => versionDir(conf, root, v).map(v -> _))
   }
 
-  private def versionDataExists(conf: Configuration, root: String, dir: String): Boolean = {
+  private def versionDataReadable(conf: Configuration, root: String, dir: String): Boolean = {
     val p = new Path(root, s"$VersionsDir/$dir")
-    p.getFileSystem(conf).exists(p)
+    val fs = p.getFileSystem(conf)
+    fs.exists(p) && !fs.exists(new Path(p, RetiredMarker))
   }
 
   /** True when the root has at least one committed version OR legacy
@@ -245,7 +258,8 @@ object Publish {
     try write(dataDir)
     catch {
       case e: Throwable
-          if currentVersion(conf, root).exists(_._1 >= next) &&
+          if scala.util.control.NonFatal(e) &&
+            currentVersion(conf, root).exists(_._1 >= next) &&
             !new Path(dataDir).getFileSystem(conf).exists(new Path(dataDir)) =>
         // the head advanced past our number AND our staging dir is gone:
         // a winner took this version and a retention sweep retired the
@@ -552,6 +566,13 @@ object Publish {
       referenced.get(dir.getName) match {
         case None => fs.delete(dir, true): Unit
         case Some(keepRels) =>
+          // the dir survives ONLY as a file host — it no longer holds
+          // the version's complete file set (unreferenced data and all
+          // sidecars go below), so a pinned read must refuse it: mark
+          // it BEFORE gutting (crash-safe: a marked-but-unswept dir
+          // refuses pinned reads, never serves partial data)
+          val mark = fs.create(new Path(dir, RetiredMarker), true)
+          try mark.write("host".getBytes("UTF-8")) finally mark.close()
           // delete everything except referenced data files (+ their
           // .crc sidecars) and the dirs leading to them
           val keepDirs: Set[String] = keepRels.flatMap { r =>
@@ -572,7 +593,10 @@ object Publish {
                     // .crc sidecar lives and dies with its data file
                     (if (rel.isEmpty) "" else s"$rel/") + n.stripPrefix(".").stripSuffix(".crc")
                   else childRel
-                if (!keepRels.contains(dataRel)) { fs.delete(st.getPath, false): Unit }
+                // the retirement marker itself survives the gut — it is
+                // what makes resolveAt refuse this dir as a version
+                if (childRel == RetiredMarker) allGone = false
+                else if (!keepRels.contains(dataRel)) { fs.delete(st.getPath, false): Unit }
                 else allGone = false
               }
             }

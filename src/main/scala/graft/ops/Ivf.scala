@@ -83,19 +83,22 @@ object Ivf {
     // [[defaultProbes]]-aware probes use instead of a blind constant.
     // Measured on the ACTUAL index (not a synthetic assumption), and
     // re-measured by every rebuild — maintain's refresh included.
+    // the assignment feeds the recall probes AND the index write: hold
+    // one persist across both so the corpus read + KMeans transform
+    // runs once, not once per consumer
+    val assigned = recallTarget.fold(assigned0)(_ =>
+      assigned0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    try {
     val recallSidecar: Option[String] = recallTarget.map { target =>
       require(target > 0.0 && target <= 1.0,
         s"recall_target must be in (0, 1], got $target")
-      val assigned = assigned0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        val curve = measureRecall(assigned, centroids0, nLists)
-        val chosen = curve.find(_._2 >= target).map(_._1).getOrElse(nLists)
-        val curveTxt = curve.map { case (np, r) => f"$np:$r%.4f" }.mkString(",")
-        s"target=$target probes=$chosen curve=$curveTxt"
-      } finally { assigned.unpersist(): Unit }
+      val curve = measureRecall(assigned, centroids0, nLists)
+      val chosen = curve.find(_._2 >= target).map(_._1).getOrElse(nLists)
+      val curveTxt = curve.map { case (np, r) => f"$np:$r%.4f" }.mkString(",")
+      s"target=$target probes=$chosen curve=$curveTxt"
     }
     graft.engine.Publish.publish(conf, path) { tmp =>
-      assigned0.write.mode(SaveMode.ErrorIfExists).partitionBy("list").parquet(s"$tmp/assigned")
+      assigned.write.mode(SaveMode.ErrorIfExists).partitionBy("list").parquet(s"$tmp/assigned")
       centroids0.write.mode(SaveMode.ErrorIfExists).parquet(s"$tmp/centroids")
       def sidecar(name: String, content: String): Unit = {
         val f = new org.apache.hadoop.fs.Path(tmp, name)
@@ -108,6 +111,7 @@ object Ivf {
       recallSidecar.foreach(sidecar(RecallFile, _))
       stamp.foreach(sidecar(StampFile, _))
     }: Unit
+    } finally { if (recallTarget.isDefined) assigned.unpersist(): Unit }
   }
 
   /** recall@`k` vs the full probe at doubling nProbe steps, over a
@@ -195,9 +199,18 @@ object Ivf {
     */
   def indexMeta(conf: org.apache.hadoop.conf.Configuration, path: String):
       (String, Option[String], Option[(Int, Long)]) = {
+    val (root, stamp, txt) = indexMetaRaw(conf, path)
+    (root, stamp, txt.flatMap(parseParams))
+  }
+
+  /** [[indexMeta]] with the RAW params text (one read serves both the
+    * (lists, seed) parse and the recall-contract compare).
+    */
+  private def indexMetaRaw(conf: org.apache.hadoop.conf.Configuration, path: String):
+      (String, Option[String], Option[String]) = {
     val root = graft.engine.Publish.resolve(conf, path)
     (root, rootText(conf, root, StampFile),
-      rootText(conf, root, ParamsFile).flatMap(parseParams))
+      rootText(conf, root, ParamsFile))
   }
 
   /** The nLists a persisted index was built with (None for indexes
@@ -235,7 +248,8 @@ object Ivf {
     // ONE pointer resolution for existence + both sidecars: no
     // version-mixing under a concurrent rebuild, and one round trip
     // instead of three on the hot no-op path
-    val (root, stamp, params) = indexMeta(conf, path)
+    val (root, stamp, paramsTxt) = indexMetaRaw(conf, path)
+    val params = paramsTxt.flatMap(parseParams)
     val centroids = new org.apache.hadoop.fs.Path(root, "centroids")
     centroids.getFileSystem(conf).exists(centroids) &&
       corpusPath.forall(cp => stamp.contains(corpusStamp(conf, cp))) &&
@@ -243,10 +257,11 @@ object Ivf {
       // rebuild, not a no-op — otherwise tuning silently does nothing
       // until the corpus happens to mutate (pre-sidecar indexes pass)
       params.forall(_ == (nLists, seed)) &&
-      // a DIFFERENT recall contract is a rebuild too: the operating
-      // point must be re-measured against the newly declared target
-      rootText(conf, root, ParamsFile).forall(txt =>
-        paramsRecall(txt) == recallTarget.getOrElse(0.0))
+      // a DIFFERENT declared recall contract is a rebuild (the
+      // operating point must be re-measured) — but an OMITTED target
+      // (None) keeps whatever contract the index records: re-running
+      // without the argument must never silently discard a contract
+      recallTarget.forall(t => paramsTxt.forall(paramsRecall(_) == t))
   }
 
   /** Build-if-absent — idempotent ACROSS drivers, not just within the

@@ -101,8 +101,8 @@ final class EsdbLogTable(path: String, tableSchema: StructType,
   /** Marker-derived TBLPROPERTIES (layout, carry mode, cdc, policy,
     * seal) — same introspection surface as the bucketed store table.
     */
-  override def properties(): java.util.Map[String, String] =
-    EsdbTableProperties.of(EsdbVectorReader.sessionConf(), path, writePath)
+  private lazy val tableProps = EsdbTableProperties.of(path, writePath)
+  override def properties(): java.util.Map[String, String] = tableProps
 
   /** Log history trim as SQL: `DELETE FROM log WHERE event_id < X` —
     * exactly the prefix trims the range-partitioned layout executes as

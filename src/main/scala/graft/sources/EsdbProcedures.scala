@@ -264,7 +264,13 @@ object EsdbProcedures {
         val attr = in.getUTF8String(1).toString
         val spark = SparkSession.active
         val idx = vecIndexPathFor(root, t, attr)
+        // an omitted target keeps the contract already declared on this
+        // attr's index — re-running the CALL without the argument must
+        // never silently discard a recall contract (the setCdc rule:
+        // contracts never narrow silently)
         val target = Option(in.getDouble(3)).filter(_ > 0.0)
+          .orElse(graft.ops.Ivf.registeredIndexes(conf(), path(t))
+            .find(_.attr == attr).map(_.recallTarget).filter(_ > 0.0))
         graft.ops.Ivf.ensureIndexFor(spark, path(t), idx,
           nLists = in.getInt(2), recallTarget = target)(embeddingOf(attr))
         // declare the index on the store so maintain() keeps it fresh
@@ -273,6 +279,7 @@ object EsdbProcedures {
         graft.ops.Ivf.registerIndex(conf(), path(t),
           graft.ops.Ivf.RegisteredIndex(attr, in.getInt(2), 42L, idx,
             target.getOrElse(0.0)))
+
         // report what the index IS, not what was requested — one
         // metadata resolution (no cross-version mix under a concurrent
         // rebuild): lists from the params sidecar, with the centroid

@@ -168,7 +168,14 @@ final class EsdbReplaceBatchWrite(op: EsdbRowLevelOperation, logicalPath: String
       val t = new Thread(r, "rl-stage-heartbeat"); t.setDaemon(true); t
     })
 
-  private def stopHeartbeat(): Unit = heartbeat.shutdownNow(): Unit
+  private def stopHeartbeat(): Unit = {
+    heartbeat.shutdownNow(): Unit
+    // wait out any in-flight tick: its create(beat) would otherwise
+    // recreate the stage dir AFTER the commit/abort deletes it,
+    // leaking an orphan dot-dir until the next sweep's grace expires
+    try heartbeat.awaitTermination(10, java.util.concurrent.TimeUnit.SECONDS): Unit
+    catch { case _: InterruptedException => Thread.currentThread().interrupt() }
+  }
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val conf = EsdbVectorReader.sessionConf()

@@ -173,8 +173,8 @@ final class EsdbStoreTable(path: String, tableSchema: StructType,
     * TBLPROPERTIES / DESCRIBE EXTENDED answer lifecycle questions
     * without metadata-table spelunking.
     */
-  override def properties(): java.util.Map[String, String] =
-    EsdbTableProperties.of(EsdbVectorReader.sessionConf(), path, writePath)
+  private lazy val tableProps = EsdbTableProperties.of(path, writePath)
+  override def properties(): java.util.Map[String, String] = tableProps
 
   /** Native SQL `UPDATE` / `MERGE INTO` / predicate `DELETE FROM`,
     * planned group-based copy-on-write over the engine's footprint
@@ -717,6 +717,14 @@ final class EsdbScan(path: String, required: StructType, spaces: Option[Seq[Stri
         val manifest = graft.engine.Carry.readManifest(fs, root)
         if (manifest.isEmpty) physical
         else {
+          // same drift refusal as Carry.dataFiles: a rel both physical
+          // and manifest-carried would be planned TWICE — silently
+          // duplicated rows are never acceptable
+          val shadowed = physical.iterator.map(_._1).filter(manifest.contains).toSeq
+          if (shadowed.nonEmpty) throw new IllegalStateException(
+            s"carry drift at $root: ${shadowed.size} file(s) both physically " +
+              s"present and manifest-carried (e.g. ${shadowed.head}) — refusing " +
+              "to guess which copy is authoritative")
           def spaceOf(rel: String): String = EsdbStoreSource.unescapePathName(
             rel.substring("space=".length, rel.indexOf('/')))
           val wanted = manifest.filter { case (rel, _) =>

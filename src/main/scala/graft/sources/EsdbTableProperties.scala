@@ -22,9 +22,22 @@ import graft.engine.{Carry, EsdbWriter, Maintenance, Publish}
   */
 object EsdbTableProperties {
 
-  def of(conf: Configuration, resolved: String,
+  def of(resolved: String,
          writePath: Option[String]): java.util.Map[String, String] = {
     val m = new java.util.LinkedHashMap[String, String]()
+    try ofUnsafe(m, EsdbVectorReader.sessionConf(), resolved, writePath)
+    catch {
+      // introspection must never fail a DESCRIBE — including when no
+      // active session exists to resolve a Hadoop conf from
+      case e: Exception =>
+        m.put("properties.error", String.valueOf(e.getMessage)): Unit
+    }
+    m
+  }
+
+  private def ofUnsafe(m: java.util.LinkedHashMap[String, String],
+                       conf: Configuration, resolved: String,
+                       writePath: Option[String]): Unit = {
     val resolvedPath = new org.apache.hadoop.fs.Path(resolved)
     val fs = resolvedPath.getFileSystem(conf)
     // the logical root holds the lifecycle markers; a version-pinned
@@ -68,10 +81,8 @@ object EsdbTableProperties {
       }
       if (EsdbWriter.isSealed(logical)) put("sealed", "true")
     } catch {
-      // introspection must never fail a DESCRIBE: a corrupt marker is
-      // surfaced as its own property instead of an exception
+      // a corrupt marker is surfaced as its own property
       case e: Exception => put("properties.error", String.valueOf(e.getMessage))
     }
-    m
   }
 }

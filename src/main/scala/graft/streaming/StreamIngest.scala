@@ -137,14 +137,26 @@ object StreamIngest {
       // a directory-shaped table (Spark-written, one part file per
       // task): the file stream source does NOT recurse into a
       // non-partition subdir, so a single dir symlink would discover
-      // zero files — link each data file flat into the stage dir
-      val s = Files.list(src)
+      // zero files — link each data file flat into the stage dir,
+      // RECURSIVELY (partitioned tables nest space=/bucket= dirs;
+      // flattened names stay unique because part-file names carry a
+      // task uuid and the partition segments join the name)
+      val walk = Files.walk(src)
+      var staged = 0
       try {
         import scala.jdk.CollectionConverters._
-        s.iterator().asScala
-          .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
-          .foreach(p => stage(p, p.getFileName.toString))
-      } finally s.close()
+        walk.iterator().asScala
+          .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet") &&
+            !p.getFileName.toString.startsWith("_") && !p.getFileName.toString.startsWith("."))
+          .foreach { p =>
+            val rel = src.relativize(p).toString.replaceAll("[^A-Za-z0-9._-]", "_")
+            stage(p, rel)
+            staged += 1
+          }
+      } finally walk.close()
+      require(staged > 0,
+        s"no parquet data files found under $src — a silently empty stream " +
+          "would drain zero rows with no error")
     } else stage(src, src.getFileName.toString)
     dir.toString
   }

@@ -146,6 +146,29 @@ class CarrySpec extends AnyFunSuite with SparkSpec with BeforeAndAfterAll {
     assert(readIds(dir) == (1 to 45).map(_.toLong).toSet)
   }
 
+  test("a retention-gutted file host refuses pinned reads instead of serving partial data") {
+    val dir = tmp("carrygutted")
+    EsdbWriter.write(ev(1 to 40, "a").unionByName(ev(41 to 80, "b")), dir)
+    EsdbWriter.compact(spark, dir, keepVersions = 8) // v1: physical host, both spaces
+    // v2 carries ONLY space b (space a deleted) — v1 keeps hosting b's files
+    EsdbWriter.delete(spark, dir, spaces = Some(Set("a")), groupings = None,
+      keepVersions = 8)
+    // retire v1's dir via the retention sweep path (pointer SURVIVES —
+    // sweepVersions never deletes pointers): keep=1 on the next publish
+    EsdbWriter.appendVersioned(ev(81 to 85, "b"), dir, keepVersions = 1)
+    val v1dir = new java.io.File(s"$dir/${Publish.VersionsDir}")
+      .listFiles().filter(_.getName.startsWith("1-")).head
+    assert(v1dir.exists(), "v1 must survive as a file host (v2/v3 reference its b files)")
+    assert(new java.io.File(v1dir, Publish.RetiredMarker).exists(),
+      "a gutted host must be marked retired")
+    // pointer still exists, dir still exists — but resolving v1 as a
+    // VERSION must refuse: its space-a files and sidecars are gone
+    val e = intercept[java.io.FileNotFoundException](Publish.resolveAt(hconf, dir, 1L))
+    assert(e.getMessage.contains("retired"), e.getMessage)
+    // the live head still reads its full content through the host
+    assert(readIds(dir) == ((41 to 80) ++ (81 to 85)).map(_.toLong).toSet)
+  }
+
   test("drift refuses loudly: externally deleting a referenced host file breaks the read") {
     val dir = tmp("carrydrift")
     EsdbWriter.write(ev(1 to 30), dir)
