@@ -587,6 +587,17 @@ object Queries {
     val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
     val p = s"${System.getProperty("java.io.tmpdir")}/graft-manistore/$key"
     val conf = s.sparkContext.hadoopConfiguration
+    // self-heal a stale cache from an older fixture recipe: the query's
+    // whole point is reading THROUGH a manifest, so a cached store
+    // whose head carries none rebuilds instead of serving the wrong
+    // fixture (or failing every run until /tmp is cleaned by hand)
+    if (graft.engine.Publish.currentVersion(conf, p).isDefined) {
+      val head0 = new org.apache.hadoop.fs.Path(graft.engine.Publish.resolve(conf, p))
+      if (graft.engine.Carry.readManifest(head0.getFileSystem(conf), head0).isEmpty) {
+        val root = new org.apache.hadoop.fs.Path(p)
+        root.getFileSystem(conf).delete(root, true): Unit
+      }
+    }
     if (graft.engine.Publish.currentVersion(conf, p).isEmpty) {
       val prev = conf.get(graft.engine.Carry.ModeKey)
       conf.set(graft.engine.Carry.ModeKey, "manifest")
