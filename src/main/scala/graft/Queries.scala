@@ -587,18 +587,20 @@ object Queries {
     val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
     val p = s"${System.getProperty("java.io.tmpdir")}/graft-manistore/$key"
     val conf = s.sparkContext.hadoopConfiguration
-    // self-heal a stale cache from an older fixture recipe: the query's
-    // whole point is reading THROUGH a manifest, so a cached store
-    // whose head carries none rebuilds instead of serving the wrong
-    // fixture (or failing every run until /tmp is cleaned by hand)
-    if (graft.engine.Publish.currentVersion(conf, p).isDefined) {
-      val head0 = new org.apache.hadoop.fs.Path(graft.engine.Publish.resolve(conf, p))
-      if (graft.engine.Carry.readManifest(head0.getFileSystem(conf), head0).isEmpty) {
-        val root = new org.apache.hadoop.fs.Path(p)
-        root.getFileSystem(conf).delete(root, true): Unit
-      }
-    }
+    // self-heal a stale or half-built cache: the build writes a _DONE
+    // marker as its LAST step, so a crash mid-chain (or an older
+    // recipe's leftover) rebuilds instead of serving the wrong fixture
+    // (or failing every run until /tmp is cleaned by hand)
+    val done = new org.apache.hadoop.fs.Path(p, "_FIXTURE_DONE")
+    val pfs = done.getFileSystem(conf)
+    if (graft.engine.Publish.currentVersion(conf, p).isDefined && !pfs.exists(done))
+      pfs.delete(new org.apache.hadoop.fs.Path(p), true): Unit
     if (graft.engine.Publish.currentVersion(conf, p).isEmpty) {
+      // toggling the GLOBAL carry mode is safe here: every fixture
+      // builder in this object synchronizes on the same monitor, and
+      // store publishes only ever happen inside fixture builds — the
+      // four concurrently-running Verify queries cannot publish while
+      // this thread holds the lock
       val prev = conf.get(graft.engine.Carry.ModeKey)
       conf.set(graft.engine.Carry.ModeKey, "manifest")
       try {
@@ -619,6 +621,7 @@ object Queries {
         if (prev == null) conf.unset(graft.engine.Carry.ModeKey)
         else conf.set(graft.engine.Carry.ModeKey, prev)
       }
+      pfs.create(done, true).close() // build complete, cache valid
     }
     val head = new org.apache.hadoop.fs.Path(graft.engine.Publish.resolve(conf, p))
     require(graft.engine.Carry.readManifest(head.getFileSystem(conf), head).nonEmpty,

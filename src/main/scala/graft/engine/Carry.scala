@@ -142,12 +142,21 @@ object Carry {
     val physical = physicalFiles(fs, dataDir)
     val manifest = readManifest(fs, dataDir)
     if (manifest.isEmpty) return physical
-    val shadowed = physical.iterator.map(_._1).filter(manifest.contains).toSeq
+    assertNoShadow(physical.map(_._1), manifest, dataDir)
+    physical ++ resolveEntries(fs, dataDir, manifest)
+  }
+
+  /** The one drift rule every resolved listing enforces: a rel both
+    * physically present and manifest-carried has two candidate copies,
+    * and silently picking one is never acceptable.
+    */
+  def assertNoShadow(physicalRels: Seq[String], manifest: Map[String, String],
+                     at: Path): Unit = {
+    val shadowed = physicalRels.filter(manifest.contains)
     if (shadowed.nonEmpty) throw new IllegalStateException(
-      s"carry drift at $dataDir: ${shadowed.size} file(s) both physically " +
+      s"carry drift at $at: ${shadowed.size} file(s) both physically " +
         s"present and manifest-carried (e.g. ${shadowed.head}) — refusing " +
         "to guess which copy is authoritative")
-    physical ++ resolveEntries(fs, dataDir, manifest)
   }
 
   /** Resolve manifest entries (rel → host vdir) to physical statuses —

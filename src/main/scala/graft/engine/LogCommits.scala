@@ -82,10 +82,9 @@ object LogCommits {
       val manifest = Carry.readManifest(fs, root)
       if (manifest.isEmpty) physical
       else {
-        val names = physical.map(_.getPath.getName).toSet
-        val wanted = manifest.filter { case (rel, _) =>
-          !rel.contains('/') && !names.contains(rel)
-        }
+        // same LOUD drift rule as every other resolved listing
+        Carry.assertNoShadow(physical.map(_.getPath.getName), manifest, root)
+        val wanted = manifest.filter { case (rel, _) => !rel.contains('/') }
         physical ++ Carry.resolveEntries(fs, root, wanted).map(_._2)
       }
     }

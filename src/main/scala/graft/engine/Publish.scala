@@ -499,6 +499,14 @@ object Publish {
       throw new IllegalArgumentException(
         s"version $toVersion at $root was never committed or has been retired; " +
           s"committed: ${committedVersions(conf, root).map(_._1).mkString(", ")}"))
+    // a RetiredMarker-gutted file host is not a complete version: its
+    // pointer survives retention, but re-pointing the head at it would
+    // make the LIVE table silently serve partial data
+    require(versionDataReadable(conf, root, dirName),
+      s"version $toVersion at $root has been retired (its dir survives only " +
+        "as a file host for newer versions' carry manifests); retained: " +
+        committedVersions(conf, root).filter(v => versionDataReadable(conf, root, v._2))
+          .map(_._1).mkString(", "))
     val next = cur._1 + 1
     val ptrDir = new Path(root, PtrDir)
     val fs = ptrDir.getFileSystem(conf)

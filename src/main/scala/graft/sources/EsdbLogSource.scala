@@ -101,8 +101,18 @@ final class EsdbLogTable(path: String, tableSchema: StructType,
   /** Marker-derived TBLPROPERTIES (layout, carry mode, cdc, policy,
     * seal) — same introspection surface as the bucketed store table.
     */
-  private lazy val tableProps = EsdbTableProperties.of(path, writePath)
-  override def properties(): java.util.Map[String, String] = tableProps
+  // cached per binding, but an errored computation (transient FS
+  // hiccup, no active session on the first calling thread) is retried
+  // on the next call instead of sticking for the table's lifetime
+  @volatile private var tableProps: java.util.Map[String, String] = _
+  override def properties(): java.util.Map[String, String] = {
+    var p = tableProps
+    if (p == null || p.containsKey("properties.error")) {
+      p = EsdbTableProperties.of(path, writePath)
+      tableProps = p
+    }
+    p
+  }
 
   /** Log history trim as SQL: `DELETE FROM log WHERE event_id < X` —
     * exactly the prefix trims the range-partitioned layout executes as

@@ -247,11 +247,12 @@ object EsdbProcedures {
           p("attr", StringType, Some("'embedding'"),
             comment = "payload JSON key holding the float-array embedding"),
           p("lists", IntegerType, Some("16")),
-          p("recall_target", DoubleType, Some("0.0D"),
+          p("recall_target", DoubleType, Some("NULL"),
             comment = "declared recall@10 contract in (0,1]: the build samples " +
               "its own vectors, measures the recall-vs-probes curve against the " +
               "full probe, and stamps the smallest probes meeting the target as " +
-              "the index's default operating point (0 = no contract)")),
+              "the index's default operating point. Omitted = keep the contract " +
+              "already declared on this attr; an explicit 0 CLEARS it")),
         StructType(Seq(StructField("table", StringType), StructField("attr", StringType),
           StructField("lists", IntegerType), StructField("corpus_version", LongType),
           StructField("default_probes", IntegerType))),
@@ -264,13 +265,16 @@ object EsdbProcedures {
         val attr = in.getUTF8String(1).toString
         val spark = SparkSession.active
         val idx = vecIndexPathFor(root, t, attr)
-        // an omitted target keeps the contract already declared on this
-        // attr's index — re-running the CALL without the argument must
-        // never silently discard a recall contract (the setCdc rule:
-        // contracts never narrow silently)
-        val target = Option(in.getDouble(3)).filter(_ > 0.0)
-          .orElse(graft.ops.Ivf.registeredIndexes(conf(), path(t))
-            .find(_.attr == attr).map(_.recallTarget).filter(_ > 0.0))
+        // an OMITTED target (NULL) keeps the contract already declared
+        // on this attr's index — re-running the CALL without the
+        // argument must never silently discard a recall contract (the
+        // setCdc rule: contracts never narrow silently). An EXPLICIT 0
+        // clears it: the one API path that removes a contract.
+        val target =
+          if (in.isNullAt(3))
+            graft.ops.Ivf.registeredIndexes(conf(), path(t))
+              .find(_.attr == attr).map(_.recallTarget).filter(_ > 0.0)
+          else Some(in.getDouble(3)).filter(_ > 0.0)
         graft.ops.Ivf.ensureIndexFor(spark, path(t), idx,
           nLists = in.getInt(2), recallTarget = target)(embeddingOf(attr))
         // declare the index on the store so maintain() keeps it fresh

@@ -173,8 +173,18 @@ final class EsdbStoreTable(path: String, tableSchema: StructType,
     * TBLPROPERTIES / DESCRIBE EXTENDED answer lifecycle questions
     * without metadata-table spelunking.
     */
-  private lazy val tableProps = EsdbTableProperties.of(path, writePath)
-  override def properties(): java.util.Map[String, String] = tableProps
+  // cached per binding, but an errored computation (transient FS
+  // hiccup, no active session on the first calling thread) is retried
+  // on the next call instead of sticking for the table's lifetime
+  @volatile private var tableProps: java.util.Map[String, String] = _
+  override def properties(): java.util.Map[String, String] = {
+    var p = tableProps
+    if (p == null || p.containsKey("properties.error")) {
+      p = EsdbTableProperties.of(path, writePath)
+      tableProps = p
+    }
+    p
+  }
 
   /** Native SQL `UPDATE` / `MERGE INTO` / predicate `DELETE FROM`,
     * planned group-based copy-on-write over the engine's footprint
@@ -720,11 +730,7 @@ final class EsdbScan(path: String, required: StructType, spaces: Option[Seq[Stri
           // same drift refusal as Carry.dataFiles: a rel both physical
           // and manifest-carried would be planned TWICE — silently
           // duplicated rows are never acceptable
-          val shadowed = physical.iterator.map(_._1).filter(manifest.contains).toSeq
-          if (shadowed.nonEmpty) throw new IllegalStateException(
-            s"carry drift at $root: ${shadowed.size} file(s) both physically " +
-              s"present and manifest-carried (e.g. ${shadowed.head}) — refusing " +
-              "to guess which copy is authoritative")
+          graft.engine.Carry.assertNoShadow(physical.map(_._1), manifest, root)
           def spaceOf(rel: String): String = EsdbStoreSource.unescapePathName(
             rel.substring("space=".length, rel.indexOf('/')))
           val wanted = manifest.filter { case (rel, _) =>

@@ -137,10 +137,9 @@ object StreamIngest {
       // a directory-shaped table (Spark-written, one part file per
       // task): the file stream source does NOT recurse into a
       // non-partition subdir, so a single dir symlink would discover
-      // zero files — link each data file flat into the stage dir,
-      // RECURSIVELY (partitioned tables nest space=/bucket= dirs;
-      // flattened names stay unique because part-file names carry a
-      // task uuid and the partition segments join the name)
+      // zero files — link each data file flat into the stage dir
+      // (recursing through non-partition nesting; k=v partition dirs
+      // refuse below)
       val walk = Files.walk(src)
       var staged = 0
       try {
@@ -149,8 +148,16 @@ object StreamIngest {
           .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet") &&
             !p.getFileName.toString.startsWith("_") && !p.getFileName.toString.startsWith("."))
           .foreach { p =>
-            val rel = src.relativize(p).toString.replaceAll("[^A-Za-z0-9._-]", "_")
-            stage(p, rel)
+            val rel = src.relativize(p).toString
+            // Hive-partitioned layouts (k=v dirs) are REFUSED: the
+            // flattened name drops the partition-column VALUES and
+            // every row would read them as null — a silently wrong
+            // stream; read those through the engine sources instead
+            require(!rel.split('/').dropRight(1).exists(_.contains('=')),
+              s"cannot stage partitioned table $src as a stream source: " +
+                s"dir segment in '$rel' carries a partition value that " +
+                "flattening would drop")
+            stage(p, rel.replaceAll("[^A-Za-z0-9._-]", "_"))
             staged += 1
           }
       } finally walk.close()

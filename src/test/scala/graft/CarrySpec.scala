@@ -165,6 +165,10 @@ class CarrySpec extends AnyFunSuite with SparkSpec with BeforeAndAfterAll {
     // VERSION must refuse: its space-a files and sidecars are gone
     val e = intercept[java.io.FileNotFoundException](Publish.resolveAt(hconf, dir, 1L))
     assert(e.getMessage.contains("retired"), e.getMessage)
+    // ...and so must rollback: re-pointing the LIVE head at the gutted
+    // host would silently serve partial data on every later SELECT
+    val rb = intercept[IllegalArgumentException](Publish.rollback(hconf, dir, 1L))
+    assert(rb.getMessage.contains("retired"), rb.getMessage)
     // the live head still reads its full content through the host
     assert(readIds(dir) == ((41 to 80) ++ (81 to 85)).map(_.toLong).toSet)
   }
