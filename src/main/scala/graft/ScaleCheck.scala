@@ -699,6 +699,15 @@ object ScaleCheck {
     val a1 = timeApply(buildPair(sfDir, "1x"))
     val a10 = timeApply(buildPair(bigDir, "10x"))
     println(f"${"cdc_apply_window"}%-24s $a1%8.2f $a10%8.2f ${a10 / a1}%5.1f (footprint = the window's churn)")
+    // the same 10× apply under MANIFEST carry (the HDFS/S3 mode): the
+    // whole chain — versioned append, predicate delete, feed apply —
+    // carries untouched files by `_CARRY` reference, so the commit
+    // cost stays the window's churn with ZERO links available
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set(engine.Carry.ModeKey, "manifest")
+    val am10 = try timeApply(buildPair(bigDir, "mani10"))
+               finally hc.unset(engine.Carry.ModeKey)
+    println(f"${"cdc_apply_manifest_10x"}%-24s ${"-"}%8s $am10%8.2f ${a10 / am10}%5.2fx vs link mode (reference-carried, no links needed)")
 
     // ---- X25: rename/drop are one sidecar write — flat at any scale
     def buildIded(src: String, out: String): String = {
