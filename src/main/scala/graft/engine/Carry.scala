@@ -133,17 +133,58 @@ object Carry {
 
   /** The COMPLETE logical data-file set a version serves:
     * physically-present files plus manifest-carried ones, each with
-    * the FileStatus of its physical location. Refuses loudly when a
-    * manifest entry's file is gone (manifest/file drift — a vacuum
-    * bug or external deletion; silently serving a torn version is
-    * never acceptable).
+    * the FileStatus of its physical location. Carried entries are
+    * snapshot-priced ([[resolveCarried]]): sizes come from the
+    * version's own `_FILES`, host dirs are never listed, and drift
+    * (a referenced file gone — a vacuum bug or external deletion)
+    * refuses loudly at the file open; on the legacy walking path it
+    * refuses here. A torn version is never served silently.
     */
   def dataFiles(fs: FileSystem, dataDir: Path): Seq[(String, FileStatus)] = {
     val physical = physicalFiles(fs, dataDir)
     val manifest = readManifest(fs, dataDir)
     if (manifest.isEmpty) return physical
     assertNoShadow(physical.map(_._1), manifest, dataDir)
-    physical ++ resolveEntries(fs, dataDir, manifest)
+    physical ++ resolveCarried(fs, dataDir, manifest)
+  }
+
+  /** Host-dir listings performed by the WALKING resolve path — a test
+    * hook: the snapshot-priced contract is that reads of a version
+    * whose `_FILES` stamps sizes never list a host dir, at any carry
+    * chain length.
+    */
+  val hostWalks = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Resolve manifest entries to physical statuses, SNAPSHOT-PRICED:
+    * the version's own `_FILES` (v2) stamps every logical file's size,
+    * so carried entries resolve to synthesized statuses — zero host-dir
+    * listings, one sidecar read, flat in the carry-chain length. Drift
+    * (a referenced file deleted out from under a retained manifest)
+    * surfaces at the actual file open, which fails loudly with the
+    * missing path — a torn version is never served silently, it just
+    * refuses at read instead of at planning. Legacy v1 snapshots (and
+    * staging dirs, which have no snapshot yet) fall back to the
+    * walking [[resolveEntries]], which probes existence eagerly.
+    */
+  def resolveCarried(fs: FileSystem, dataDir: Path,
+                     entries: Map[String, String]): Seq[(String, FileStatus)] = {
+    if (entries.isEmpty) return Nil
+    logicalRootOf(dataDir) match {
+      case Some(root) =>
+        Publish.snapshotEntries(fs, dataDir) match {
+          case Some(snap) =>
+            val sizes = snap.iterator.map(e => e.rel -> e.size).toMap
+            if (entries.keysIterator.forall(sizes.contains)) {
+              val versions = new Path(root, Publish.VersionsDir)
+              entries.toSeq.map { case (rel, vdir) =>
+                val p = fs.makeQualified(new Path(new Path(versions, vdir), rel))
+                rel -> new FileStatus(sizes(rel), false, 1, 0L, 0L, p)
+              }
+            } else resolveEntries(fs, dataDir, entries)
+          case None => resolveEntries(fs, dataDir, entries)
+        }
+      case None => resolveEntries(fs, dataDir, entries)
+    }
   }
 
   /** The one drift rule every resolved listing enforces: a rel both
@@ -173,6 +214,7 @@ object Carry {
         "manifest carry is only defined under the publish layout"))
     entries.toSeq.groupMap(_._2)(_._1).toSeq.flatMap { case (vdir, rels) =>
       val host = new Path(new Path(root, Publish.VersionsDir), vdir)
+      hostWalks.incrementAndGet()
       val present: Map[String, FileStatus] = physicalFiles(fs, host).toMap
       rels.map { r =>
         r -> present.getOrElse(r, throw new IllegalStateException(

@@ -85,7 +85,7 @@ object LogCommits {
         // same LOUD drift rule as every other resolved listing
         Carry.assertNoShadow(physical.map(_.getPath.getName), manifest, root)
         val wanted = manifest.filter { case (rel, _) => !rel.contains('/') }
-        physical ++ Carry.resolveEntries(fs, root, wanted).map(_._2)
+        physical ++ Carry.resolveCarried(fs, root, wanted).map(_._2)
       }
     }
     // the sidecar is listed only when stream-batch files are present,

@@ -382,16 +382,77 @@ object Publish {
     */
   val SnapshotFile = "_FILES"
 
+  /** One parsed `_FILES` line: the rel path, the file's size, and the
+    * version-dir name physically hosting it (None = the snapshot's own
+    * dir). v1 snapshots recorded the rel alone; v2 stamps size and
+    * host so read planning of a manifest-carrying version is ONE
+    * sidecar read plus the version dir's own listing — host dirs are
+    * never listed on the read path, at any carry-chain length.
+    */
+  final case class SnapEntry(rel: String, size: Long, host: Option[String])
+
+  /** Parse a version's `_FILES` into v2 entries. None when the sidecar
+    * is absent or v1-format (any line without the size field) — the
+    * caller falls back to the walking resolve path.
+    */
+  def snapshotEntries(fs: FileSystem, dataDir: Path): Option[Seq[SnapEntry]] = {
+    val p = new Path(dataDir, SnapshotFile)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val lines = txt.split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSeq
+    val parsed = lines.map { line =>
+      line.split('\t') match {
+        case Array(rel, size) => scala.util.Try(size.toLong).toOption
+          .map(SnapEntry(rel, _, None))
+        case Array(rel, size, host) => scala.util.Try(size.toLong).toOption
+          .map(SnapEntry(rel, _, Some(host)))
+        case _ => None
+      }
+    }
+    if (parsed.exists(_.isEmpty)) None else Some(parsed.flatten)
+  }
+
   def writeSnapshot(conf: Configuration, dataDir: String): Unit = {
     val base = new Path(dataDir)
     val fs = base.getFileSystem(conf)
     if (!fs.exists(base)) fs.mkdirs(base)
     // LOGICAL file set: physical files plus manifest-carried ones —
     // carried rels must appear in the snapshot exactly as linked files
-    // would, or every manifest-mode rewrite reads as a full churn
-    val files = Carry.logicalRels(fs, base)
+    // would, or every manifest-mode rewrite reads as a full churn.
+    // v2: each line stamps `rel \t size [\t hostVdir]` so the read
+    // planner resolves carried entries from THIS one sidecar instead
+    // of listing every referenced host dir — the listing cost moves to
+    // publish time, and even there a host's sizes come from its OWN
+    // immutable snapshot (entries point at original hosts, where the
+    // file was physical); only a v1/absent host snapshot pays a walk.
+    val physical = Carry.physicalFiles(fs, base)
+    val manifest = Carry.readManifest(fs, base)
+    val carried: Seq[String] =
+      if (manifest.isEmpty) Nil
+      else {
+        val root = Carry.logicalRootOf(base).getOrElse(throw new IllegalStateException(
+          s"$base carries a ${Carry.ManifestFile} but is not a version dir — " +
+            "manifest carry is only defined under the publish layout"))
+        manifest.toSeq.groupMap(_._2)(_._1).toSeq.flatMap { case (vdir, rels) =>
+          val host = new Path(new Path(root, VersionsDir), vdir)
+          val stamped: Map[String, Long] =
+            snapshotEntries(fs, host)
+              .map(_.map(e => e.rel -> e.size).toMap).getOrElse(Map.empty)
+          lazy val walked: Map[String, Long] =
+            Carry.physicalFiles(fs, host).map { case (r, st) => r -> st.getLen }.toMap
+          rels.map { r =>
+            val size = stamped.getOrElse(r, walked.getOrElse(r,
+              throw new IllegalStateException(
+                s"carry drift at $base: manifest references $vdir/$r which no " +
+                  "longer exists — refusing to snapshot a torn version")))
+            s"$r\t$size\t$vdir"
+          }
+        }
+      }
+    val lines = physical.map { case (r, st) => s"$r\t${st.getLen}" } ++ carried
     val out = fs.create(new Path(base, SnapshotFile), true)
-    try out.write(files.sorted.mkString("\n").getBytes("UTF-8")) finally out.close()
+    try out.write(lines.sorted.mkString("\n").getBytes("UTF-8")) finally out.close()
   }
 
   /** The live store's CURRENT data-file set (relative paths) — the
@@ -434,7 +495,9 @@ object Publish {
       else {
         val in = fs.open(sp)
         val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-        Some(v -> txt.split("\n").map(_.trim).filter(_.nonEmpty).toSet)
+        // rel is the first tab field (v2 stamps size/host after it)
+        Some(v -> txt.split("\n").map(_.trim).filter(_.nonEmpty)
+          .map(_.split('\t')(0)).toSet)
       }
     }
     val firstCommitted = committed.headOption.map(_._1)
@@ -477,7 +540,9 @@ object Publish {
     if (!fs.exists(p)) return None
     val in = fs.open(p)
     val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    Some(txt.split("\n").map(_.trim).filter(_.nonEmpty).toSet)
+    // rel is the first tab field (v2 stamps size/host after it)
+    Some(txt.split("\n").map(_.trim).filter(_.nonEmpty)
+      .map(_.split('\t')(0)).toSet)
   }
 
   /** Roll the live table back to an older committed version: commit a

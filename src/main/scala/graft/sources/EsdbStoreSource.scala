@@ -739,7 +739,7 @@ final class EsdbScan(path: String, required: StructType, spaces: Option[Seq[Stri
               spaces.forall(_.contains(sp)) && runtimeSpaces.forall(_.contains(sp))
             }
           }
-          physical ++ graft.engine.Carry.resolveEntries(fs, root, wanted)
+          physical ++ graft.engine.Carry.resolveCarried(fs, root, wanted)
             .map { case (rel, st) => (rel, st, spaceOf(rel)) }
         }
       }

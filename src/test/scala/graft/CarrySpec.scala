@@ -181,11 +181,74 @@ class CarrySpec extends AnyFunSuite with SparkSpec with BeforeAndAfterAll {
     val v1 = Publish.resolveAt(hconf, dir, 1L)
     val victim = physicalParquet(v1).head
     java.nio.file.Files.delete(java.nio.file.Paths.get(victim))
-    val v2 = new org.apache.hadoop.fs.Path(Publish.resolveAt(hconf, dir, 2L))
-    val e = intercept[IllegalStateException] {
-      Carry.dataFiles(v2.getFileSystem(hconf), v2)
+    // snapshot-priced planning doesn't probe existence (zero host-dir
+    // round trips); the refusal moved to the file open, which names
+    // the missing path — torn data is never served silently
+    val e = intercept[Exception] {
+      EsdbWriter.read(spark, dir).select("event_id").collect()
     }
-    assert(e.getMessage.contains("carry drift"), e.getMessage)
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    val victimName = victim.substring(victim.lastIndexOf('/') + 1)
+    assert(chain(e).exists(c => c.getMessage != null && c.getMessage.contains(victimName)),
+      s"read failure must name the missing file, got: $e")
+    // the WALKING resolve path (legacy v1 snapshots) still refuses at
+    // planning time with the classic message
+    val v2 = new org.apache.hadoop.fs.Path(Publish.resolveAt(hconf, dir, 2L))
+    val fs = v2.getFileSystem(hconf)
+    val w = intercept[IllegalStateException] {
+      Carry.resolveEntries(fs, v2, Carry.readManifest(fs, v2))
+    }
+    assert(w.getMessage.contains("carry drift"), w.getMessage)
+  }
+
+  test("read planning never lists host dirs on a snapshot-stamped carry chain") {
+    val dir = tmp("carrypriced")
+    EsdbWriter.write(ev(1 to 60, "a").unionByName(ev(61 to 120, "b")), dir)
+    EsdbWriter.compact(spark, dir, keepVersions = 8) // v1: physical host
+    EsdbWriter.appendVersioned(ev(121 to 130, "a"), dir, keepVersions = 8) // v2
+    EsdbWriter.appendVersioned(ev(131 to 140, "b"), dir, keepVersions = 8) // v3
+    EsdbWriter.appendVersioned(ev(141 to 150, "a"), dir, keepVersions = 8) // v4
+    val head = new org.apache.hadoop.fs.Path(Publish.resolve(hconf, dir))
+    val fs = head.getFileSystem(hconf)
+    assert(Carry.readManifest(fs, head).nonEmpty, "head must be manifest-carrying")
+    val before = Carry.hostWalks.get()
+    // planning enumeration, the DSv2 scan, stats, and the full-width
+    // read all resolve carried entries from the head's own _FILES
+    val resolved = Carry.dataFiles(fs, head)
+    assert(EsdbWriter.read(spark, dir).count() == 150L)
+    assert(readIds(dir) == (1 to 150).map(_.toLong).toSet)
+    assert(EsdbWriter.storeStats(spark, dir)
+      .agg(sum("n_events")).head().getLong(0) == 150L)
+    assert(Carry.hostWalks.get() == before,
+      s"read path listed ${Carry.hostWalks.get() - before} host dir(s); " +
+        "snapshot-priced planning must list none")
+    // the synthesized statuses carry real sizes (stamped at publish)
+    val manifest = Carry.readManifest(fs, head)
+    resolved.filter { case (rel, _) => manifest.contains(rel) }.foreach {
+      case (rel, st) =>
+        val real = new java.io.File(st.getPath.toUri.getPath)
+        assert(real.isFile && real.length() == st.getLen, s"$rel: stamped ${st.getLen}")
+    }
+  }
+
+  test("legacy v1 _FILES (rels only) falls back to the walking resolve and stays correct") {
+    val dir = tmp("carrylegacy")
+    EsdbWriter.write(ev(1 to 40), dir)
+    EsdbWriter.compact(spark, dir, keepVersions = 8) // v1
+    EsdbWriter.appendVersioned(ev(41 to 50), dir, keepVersions = 8) // v2
+    val head = new org.apache.hadoop.fs.Path(Publish.resolve(hconf, dir))
+    val fs = head.getFileSystem(hconf)
+    // rewrite the head's snapshot in the pre-r15 rel-only format
+    val rels = Publish.snapshotEntries(fs, head).get.map(_.rel)
+    val out = fs.create(new org.apache.hadoop.fs.Path(head, Publish.SnapshotFile), true)
+    try out.write(rels.sorted.mkString("\n").getBytes("UTF-8")) finally out.close()
+    assert(Publish.snapshotEntries(fs, head).isEmpty, "v1 must parse as legacy")
+    val before = Carry.hostWalks.get()
+    assert(readIds(dir) == (1 to 50).map(_.toLong).toSet)
+    assert(Carry.hostWalks.get() > before, "legacy snapshot must take the walking path")
+    // and the incremental-read rel parse still works on both formats
+    assert(Publish.snapshotFiles(hconf, dir, 2L).get == rels.toSet)
   }
 
   test("changes feed stays exact across manifest-carried versions") {
