@@ -34,5 +34,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g measured best on the 128 GiB bench box (r15, guide §5): at 8g the
+  // 125-query sweep accumulates heap debt and the GC storms inflate the
+  // streaming family 2-5x (stream_tails_streaming 4.06s -> 0.80s at 16g,
+  // whole bench 87.4s -> 61.6s on back-to-back runs); 24g showed no
+  // further gain. Still overridable per-run via SPARK_DRIVER_MEM.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
