@@ -73,7 +73,7 @@ object StreamIngest {
     * checkpoint, so bounded oracle drains default low and a
     * throughput-sized production stream simply passes a higher value.
     */
-  val DefaultStatePartitions = 4
+  val DefaultStatePartitions = 1
 
   /** Run `body` against a CHILD session (`newSession()`: own SQLConf +
     * catalog, shared SparkContext) whose shuffle width is `n`. The
@@ -83,12 +83,60 @@ object StreamIngest {
     * catalog — including the drain's memory-sink table — is discarded
     * with the child, so sinks never accumulate across harness runs;
     * the returned DataFrame keeps the one live reference.
+    *
+    * Bounded-drain machinery cost (r15, measured via
+    * StreamingQueryProgress.durationMs on the sf0.1 drains):
+    *  - the trailing ZERO-DATA micro-batch is disabled. It exists to
+    *    advance the watermark and evict/finalize state, which an
+    *    AvailableNow drain discards at termination anyway; none of the
+    *    drains' OUTPUTS depend on it (Complete-mode aggregations emit
+    *    full state every batch; `dropDuplicatesWithinWatermark` and the
+    *    inner stream-stream join emit rows in the batch they arrive).
+    *    Measured: the extra batch cost 0.3-2.4s per drain — all of it
+    *    offset-log + state-commit fixed I/O on zero rows.
+    *  - state partitions default to 1 (was 4, was 32): every partition
+    *    is a store INSTANCE paying per-batch delta + commit I/O whether
+    *    or not it holds state (a stream-stream join runs FOUR stores
+    *    per partition). The bounded oracle drains hold 10^2..10^5 rows
+    *    of state, where even one partition's compute is trivial; a
+    *    throughput-sized production stream passes a higher value — the
+    *    parameter is recorded in each query's own checkpoint.
+    *  - the drain checkpoint (offsets/commits/state deltas: dozens of
+    *    small create+rename+fsync ops per batch) goes to the fastest
+    *    local scratch (tmpfs when present) and is deleted when the
+    *    drain returns. It is pure scaffolding for a bounded drain whose
+    *    result lives in the memory sink; a durable stream supplies its
+    *    own `checkpointLocation` and never enters this path.
     */
   private def withStatePartitions[A](spark: SparkSession, n: Int)(body: SparkSession => A): A = {
     val s = spark.newSession()
     graft.engine.GraftSession.tune(s)
     s.conf.set("spark.sql.shuffle.partitions", n.toString)
-    body(s)
+    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val ck = scratchCheckpointDir()
+    s.conf.set("spark.sql.streaming.checkpointLocation", ck.toString)
+    try body(s)
+    finally deleteQuietly(ck)
+  }
+
+  /** A fresh checkpoint dir on the fastest writable local scratch. */
+  private def scratchCheckpointDir(): java.nio.file.Path = {
+    import java.nio.file.{Files, Paths}
+    val shm = Paths.get("/dev/shm")
+    val root =
+      (if (Files.isDirectory(shm) && Files.isWritable(shm)) shm
+       else Paths.get(System.getProperty("java.io.tmpdir"))).resolve("graft-drain-ck")
+    Files.createDirectories(root)
+    Files.createTempDirectory(root, "ck")
+  }
+
+  private def deleteQuietly(p: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    try {
+      val all = Files.walk(p).iterator().asScala.toSeq.reverse
+      all.foreach(f => try Files.deleteIfExists(f) catch { case _: Exception => () })
+    } catch { case _: Exception => () }
   }
 
   /** Drain a WRITTEN log store through the micro-batch streaming source
