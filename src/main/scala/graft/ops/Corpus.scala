@@ -188,20 +188,34 @@ object Corpus {
     // sort; each side's filter prunes before the shingle kernel runs
     val tagged = docs.select(col("doc_id"), col("text"),
       splitBucket(seed).as("bucket"))
-    // 64-bit shingle keys (first 16 md5 hex chars): half the shuffle
-    // bytes of a full digest, collision odds ~n²/2^64 — vanishing for
-    // a screen that tolerates the odd extra flag — and still exactly
-    // recomputable by any engine (substr(md5(x), 1, 16))
+    // 64-bit shingle keys (first 8 md5 bytes, as one LONG): half the
+    // shuffle bytes of a full digest, collision odds ~n²/2^64 —
+    // vanishing for a screen that tolerates the odd extra flag. r15:
+    // the key is the raw 8 bytes as a big-endian long instead of their
+    // 16-char hex rendering (bijective, so join/count semantics are
+    // unchanged) — an 8-byte fixed-width join key instead of a 16-char
+    // string (guide §2.3, narrower types), and the kernel feeds the
+    // digest incrementally from per-token UTF-8 byte arrays computed
+    // once per document instead of building + encoding a fresh shingle
+    // string per window (same byte stream, same digest).
     def shingles(side: DataFrame): DataFrame =
       side.select($"doc_id".as[Long], $"text".as[String]).mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
+        val space = " ".getBytes(java.nio.charset.StandardCharsets.UTF_8)
         it.flatMap { case (id, text) =>
           val toks = text.split(" ", -1)
-          val seen = new scala.collection.mutable.HashSet[String]()
+          val tokBytes = toks.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val seen = new scala.collection.mutable.HashSet[Long]()
           (0 to toks.length - n).iterator.flatMap { i =>
-            val h = md.digest(toks.slice(i, i + n).mkString(" ")
-              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-              .take(8).map("%02x".format(_)).mkString
+            md.reset()
+            var j = i
+            while (j < i + n) {
+              if (j > i) md.update(space)
+              md.update(tokBytes(j))
+              j += 1
+            }
+            val d = md.digest()
+            val h = java.nio.ByteBuffer.wrap(d, 0, 8).getLong
             if (seen.add(h)) Some((id, h)) else None
           }
         }
@@ -237,19 +251,49 @@ object Corpus {
       .orderBy("split")
   }
 
+  /** Keep-list screen: exact-dup survivors that are also `lang` and at
+    * least `minQualityX1000`. r15: the language/quality/n_chars screens
+    * are all per-row functions of `text`, so they run in ONE pass over
+    * the corpus (quality and n_chars as codegen expressions feeding the
+    * same langId profile kernel [[TextOps.langOf]] uses), replacing the
+    * previous four scans + three joins with one scan + the single join
+    * against the dedup keep-list that a shuffle genuinely requires —
+    * guide §2.4 (remove shuffles outright) and §1.2 (don't re-read what
+    * one pass can produce). At 100 TB that is 1 corpus read instead
+    * of 4 and 1 small-key join instead of 3.
+    */
   def cleanCorpus(docs: DataFrame, lang: String = "en",
                   minQualityX1000: Long = 25L): DataFrame = {
+    val sp = docs.sparkSession
+    import sp.implicits._
     val keep = Dedup.exact(docs).select(col("keep_doc_id").as("doc_id"))
-    val langOk = TextOps.langId(docs)
-      .where(col("lang_pred") === lang)
-      .select("doc_id", "lang_pred")
-    val qualOk = TextOps.qualityScore(docs)
-      .where(col("quality_x1000") >= minQualityX1000)
-      .select("doc_id", "quality_x1000")
-    docs.select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+    val profiles = TextOps.langProfileSets
+    // quality_x1000 ≡ TextOps.qualityScore's integer expression
+    //   least(1000, ((len - len(replace(text,'the',''))) div 3) * 1000
+    //               div (len - len(replace(text,' ','')) + 1))
+    // computed directly: the numerator is 3×(left-to-right
+    // non-overlapping 'the' occurrences) div 3, the denominator is
+    // (space count + 1) = token count; n_chars counts codepoints
+    // exactly as SQL length() does.
+    val screened = docs.select($"doc_id".as[Long], $"text".as[String])
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val toks = text.split(" ", -1)
+          val (bestLang, _) = TextOps.langOf(toks, profiles)
+          if (bestLang != lang) None
+          else {
+            var occ = 0L
+            var idx = text.indexOf("the")
+            while (idx >= 0) { occ += 1; idx = text.indexOf("the", idx + 3) }
+            val q = math.min(1000L, occ * 1000L / toks.length)
+            if (q < minQualityX1000) None
+            else Some((id, text.codePointCount(0, text.length).toLong, bestLang, q))
+          }
+        }
+      }
+      .toDF("doc_id", "n_chars", "lang_pred", "quality_x1000")
+    screened
       .join(keep, "doc_id")
-      .join(langOk, "doc_id")
-      .join(qualOk, "doc_id")
       .orderBy("doc_id")
   }
 }

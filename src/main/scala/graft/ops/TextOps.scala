@@ -156,10 +156,30 @@ object TextOps {
     * partition and probed per token, instead of interpreted
     * array_contains per (token × profile).
     */
+  /** The langId argmax over one tokenized document: (code, score).
+    * Shared by [[langId]] and the single-pass [[Corpus.cleanCorpus]]
+    * screen so the two can't drift.
+    */
+  private[ops] def langOf(toks: Array[String],
+                          profiles: Seq[(String, Set[String])]): (String, Int) = {
+    var bestLang = ""
+    var bestScore = -1
+    profiles.foreach { case (code, set) =>
+      var s = 0
+      var i = 0
+      while (i < toks.length) { if (set.contains(toks(i))) s += 1; i += 1 }
+      if (s > bestScore || (s == bestScore && code > bestLang)) { bestScore = s; bestLang = code }
+    }
+    (bestLang, bestScore)
+  }
+
+  private[ops] lazy val langProfileSets: Seq[(String, Set[String])] =
+    langProfiles.map { case (code, words) => code -> words.toSet }
+
   def langId(docs: DataFrame): DataFrame = {
     val sp = docs.sparkSession
     import sp.implicits._
-    val profiles = langProfiles.map { case (code, words) => code -> words.toSet }
+    val profiles = langProfileSets
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
@@ -167,14 +187,7 @@ object TextOps {
           // DuckDB string_split, so the oracle denominator agrees even
           // on trailing-space documents
           val toks = text.split(" ", -1)
-          var bestLang = ""
-          var bestScore = -1
-          profiles.foreach { case (code, set) =>
-            var s = 0
-            var i = 0
-            while (i < toks.length) { if (set.contains(toks(i))) s += 1; i += 1 }
-            if (s > bestScore || (s == bestScore && code > bestLang)) { bestScore = s; bestLang = code }
-          }
+          val (bestLang, bestScore) = langOf(toks, profiles)
           (id, bestLang, bestScore.toLong * 1000 / math.max(toks.length, 1))
         }
       }
