@@ -92,7 +92,7 @@ object Dedup {
   private def bandCandidates(sigs: DataFrame,
                              bucketCap: Int = DefaultBucketCap): DataFrame = {
     val raw = sigs.select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "bkey")))
-    val buckets =
+    val buckets0 =
       if (bucketCap <= 0) raw.withColumn("sub", lit(0L))
       else {
         // bucket sizes via a WINDOW over the same (band, bkey) hash
@@ -112,6 +112,13 @@ object Dedup {
                 ceil(col("bsz").cast("double") / bucketCap).cast("long"))))
           .drop("bsz")
       }
+    // persist the bucketed stream: the self-join's two sides would each
+    // recompute the explode + exchange + sort + window subtree (AQE
+    // builds the broadcast side from its own copy of the plan) — at
+    // sf0.1 the window pass alone is ~0.35s of a ~0.9s candidate stage,
+    // paid twice without this. One computation, both sides read the
+    // cache; released by the caller's Caches.clear() like the sigs.
+    val buckets = Caches.persist(buckets0)
     val l = buckets.as("l")
     val r = buckets.as("r")
     l.join(r, col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
@@ -152,7 +159,6 @@ object Dedup {
           / size(array_union(col("sh_a"), col("sh_b")))).cast("long"))
       .where(col("jaccard_x1000") >= (threshold * 1000).toLong)
       .select(col("a"), col("b"), col("jaccard_x1000"))
-      .orderBy("a", "b")
   }
 
   /** MinHash+LSH near-dup pairs at a Jaccard threshold. Signatures are
@@ -162,7 +168,18 @@ object Dedup {
     */
   def minhashNearDups(docs: DataFrame, threshold: Double = 0.8,
                       bands: Int = 16, rowsPerBand: Int = 4,
-                      bucketCap: Int = DefaultBucketCap): DataFrame = {
+                      bucketCap: Int = DefaultBucketCap): DataFrame =
+    minhashNearDupsUnsorted(docs, threshold, bands, rowsPerBand, bucketCap)
+      .orderBy("a", "b")
+
+  /** [[minhashNearDups]] without the final global sort — the feed for
+    * consumers that re-shuffle the pairs anyway ([[dedupClusters]]'
+    * edge union), where an ORDER BY would buy nothing but a range
+    * exchange + sort of the full pair stream.
+    */
+  private def minhashNearDupsUnsorted(docs: DataFrame, threshold: Double,
+                                      bands: Int, rowsPerBand: Int,
+                                      bucketCap: Int): DataFrame = {
     val sigs = Caches.persist(minhashSignatures(docs, bands, rowsPerBand))
     verifyJaccard(bandCandidates(sigs, bucketCap), sigs, threshold)
   }
@@ -319,7 +336,8 @@ object Dedup {
     * joins against to drop duplicates.
     */
   def dedupClusters(docs: DataFrame, threshold: Double = 0.7): DataFrame = {
-    val pairs = minhashNearDups(docs, threshold).select("a", "b")
+    val pairs = minhashNearDupsUnsorted(docs, threshold,
+      bands = 16, rowsPerBand = 4, bucketCap = DefaultBucketCap).select("a", "b")
     connectedComponents(pairs)
       .withColumn("keep", col("doc_id") === col("cluster_id"))
       .orderBy("cluster_id", "doc_id")
