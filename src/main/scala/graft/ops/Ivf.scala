@@ -30,8 +30,15 @@ import graft.functions.VectorFunctions
   */
 object Ivf {
 
-  /** corpus → (vec_id, embedding, list) + the centroid table. */
-  def buildIndex(corpus: DataFrame, nLists: Int = 16, seed: Long = 42L): (DataFrame, DataFrame) = {
+  /** corpus → (vec_id, embedding, list) + the centroid table.
+    *
+    * `maxIter`/`initMode` tune quantizer quality vs build cost:
+    * persisted indexes keep the 5-round k-means|| default; callers for
+    * whom assignment quality is RESULT-IRRELEVANT (a full probe visits
+    * every list) may pass the cheapest settings.
+    */
+  def buildIndex(corpus: DataFrame, nLists: Int = 16, seed: Long = 42L,
+                 maxIter: Int = 5, initMode: String = "k-means||"): (DataFrame, DataFrame) = {
     val sp = corpus.sparkSession
     VectorFunctions.register(sp)
     val withVec = corpus.select(col("vec_id"), col("embedding"))
@@ -39,7 +46,8 @@ object Ivf {
     // 5 Lloyd iterations: the coarse quantizer only needs rough cells
     // (recall comes from nProbe, not centroid polish), and each KMeans
     // iteration is a full RDD pass — the dominant cost of index build
-    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(5)
+    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(maxIter)
+      .setInitMode(initMode)
       .setFeaturesCol("fv").setPredictionCol("list")
       .fit(withVec)
     val assigned = model.transform(withVec).select(col("vec_id"), col("embedding"), col("list"))
@@ -451,7 +459,17 @@ object Ivf {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
               nLists: Int = 16, nProbe: Int = 4): DataFrame = {
-    val (assigned, centroids) = buildIndex(corpus, nLists)
+    // nProbe >= nLists visits EVERY list, so the result is provably
+    // independent of the assignment (every (query, vector) pair is
+    // scored; ties break on neighbor_id, never on list) — the quantizer
+    // then runs at the cheapest settings instead of paying 2 k-means||
+    // init passes + 5 Lloyd rounds for cells the probe ignores. The
+    // KMeans fit was the dominant cost of the in-query full probe
+    // (measured ~1.4s of a ~1.6s query at sf0.1); partial-probe callers
+    // and the persisted-index build keep the quality defaults.
+    val (assigned, centroids) =
+      if (nProbe >= nLists) buildIndex(corpus, nLists, maxIter = 1, initMode = "random")
+      else buildIndex(corpus, nLists)
     probe(assigned, centroids, queries, k, nProbe)
   }
 

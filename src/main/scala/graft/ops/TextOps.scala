@@ -418,6 +418,67 @@ object TextOps {
       .map { case (w, c) => (w.toCharArray.map(_.toString), c) }
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.ops.Caches.track(words.toDF())
+    // size-aware strategy switch (the connectedComponents precedent):
+    // the merge loop runs on the VOCABULARY, which Heaps'-law-sublinear
+    // tracking makes driver-sized for any real corpus — below the
+    // threshold, collect the word table once and run the rounds locally
+    // (each distributed round was a full job + shuffle + take(1), pure
+    // fixed cost at this table size; 30k-merge production runs would be
+    // 30k sequential Spark jobs). The distributed path remains for
+    // synthetic vocabularies above the threshold; both compute the
+    // identical argmax ((count desc, pair asc) ties) and greedy merge.
+    val localVocabThreshold = 1000000L
+    if (words.count() <= localVocabThreshold) {
+      val local = words.collect()
+      val rules = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+      var table: Array[(Array[String], Long)] = local
+      var r = 0
+      var dry = false
+      while (r < numMerges && !dry) {
+        val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+        table.foreach { case (s, c) =>
+          var i = 0
+          while (i < s.length - 1) {
+            val k = (s(i), s(i + 1))
+            counts.update(k, counts.getOrElse(k, 0L) + c)
+            i += 1
+          }
+        }
+        if (counts.isEmpty) dry = true
+        else {
+          // tie order matches the distributed ORDER BY exactly: count
+          // desc, then a, b in Spark's BINARY string order (unsigned
+          // UTF-8 bytes) — Java's compareTo orders UTF-16 units, which
+          // diverges on supplementary characters
+          def utf8Lt(x: String, y: String): Boolean = {
+            val xb = x.getBytes("UTF-8"); val yb = y.getBytes("UTF-8")
+            val n = math.min(xb.length, yb.length)
+            var i = 0
+            while (i < n) {
+              val d = (xb(i) & 0xff) - (yb(i) & 0xff)
+              if (d != 0) return d < 0
+              i += 1
+            }
+            xb.length < yb.length
+          }
+          val ((a, b), cnt) = counts.reduce { (p, q) =>
+            val ((pa, pb), pc) = p; val ((qa, qb), qc) = q
+            val pWins =
+              if (pc != qc) pc > qc
+              else if (pa != qa) utf8Lt(pa, qa)
+              else if (pb != qb) utf8Lt(pb, qb)
+              else true
+            if (pWins) p else q
+          }
+          rules += ((r, a, b, cnt))
+          table = table.map { case (s, c) => (mergePair(s, a, b), c) }
+          r += 1
+        }
+      }
+      return sp.createDataFrame(rules.toSeq)
+        .toDF("merge_rank", "lhs", "rhs", "pair_count")
+        .orderBy("merge_rank")
+    }
     var table = words
     val rules = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
     var r = 0
@@ -502,13 +563,19 @@ object TextOps {
     var w = Array.fill(dim)(0L)
     for (_ <- 0 until iters) {
       // margin per doc under the current weights, then the batch
-      // update from every margin<=0 doc — one aggregation per round
+      // update from every margin<=0 doc. The doc's feature vector
+      // (≤ dim (j, cnt) entries — bounded by the model width, never by
+      // corpus size) rides through the margin aggregation, so the
+      // update is explode + re-aggregate instead of a second shuffle
+      // join back against feats — one exchange fewer per round
       val upd = feats
         .withColumn("wx", col("cnt") * udfFreeDot(w)(col("j")))
-        .groupBy("doc_id", "y").agg(sum(col("wx")).as("score"))
+        .groupBy("doc_id", "y")
+        .agg(sum(col("wx")).as("score"),
+          collect_list(struct(col("j"), col("cnt"))).as("fs"))
         .where(col("y") * col("score") <= 0)
-        .join(feats, Seq("doc_id", "y"))
-        .groupBy("j").agg(sum(col("y") * col("cnt")).as("g"))
+        .select(col("y"), explode(col("fs")).as("f"))
+        .groupBy(col("f.j").as("j")).agg(sum(col("y") * col("f.cnt")).as("g"))
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
       w = w.zipWithIndex.map { case (v, j) => v + upd.getOrElse(j, 0L) }
     }

@@ -150,20 +150,30 @@ object StreamIngest {
     */
   def drainLog(spark: SparkSession, path: String): DataFrame = {
     val qname = "graft_log_drain_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    // parallel replay: the drain re-sorts at the end, so it trades
-    // nothing for the per-group width
-    graft.engine.EsdbWriter.readLogStream(spark, path, parallel = true)
-      .writeStream.format("memory").queryName(qname)
-      .outputMode(OutputMode.Append())
-      .trigger(Trigger.AvailableNow())
-      .start()
-      .awaitTermination()
-    val prev = lastLogDrainSink.getAndSet(qname)
-    if (prev != null) spark.catalog.dropTempView(prev)
-    spark.table(qname).orderBy("event_id")
+    // stateless drain, but the offset/commit logs still pay dozens of
+    // small create+rename+fsync ops — run on a child session whose
+    // ephemeral checkpoint lives on the fastest local scratch (tmpfs
+    // when present) and is deleted when the drain returns, exactly like
+    // the stateful drains' withStatePartitions path (the child also
+    // scopes the memory-sink table, so sinks never accumulate across
+    // harness runs). A durable stream passes its own checkpointLocation
+    // and never enters this path.
+    val s = spark.newSession()
+    graft.engine.GraftSession.tune(s)
+    val ck = scratchCheckpointDir()
+    s.conf.set("spark.sql.streaming.checkpointLocation", ck.toString)
+    try {
+      // parallel replay: the drain re-sorts at the end, so it trades
+      // nothing for the per-group width
+      graft.engine.EsdbWriter.readLogStream(s, path, parallel = true)
+        .writeStream.format("memory").queryName(qname)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+      s.table(qname).orderBy("event_id")
+    } finally deleteQuietly(ck)
   }
-
-  private val lastLogDrainSink = new java.util.concurrent.atomic.AtomicReference[String]()
 
   /** Directory containing (a link to) the single-file table, so the
     * file stream source can list it. Idempotent per source file.
