@@ -2838,17 +2838,23 @@ object EsdbWriter {
     // churn sizes a feed window holds
     val rowCols = target.map(_.name).toSeq
     val salted = rowCols.zipWithIndex.flatMap { case (c, i) => Seq(lit(i), col(c)) }
-    val key = concat_ws(":", xxhash64(salted: _*), hash(salted: _*))
     // ONE tagged union of both windows: per row-hash, sum(±1) IS the
     // count delta (added − removed), so the former two count
     // aggregations + full-outer join collapse into a single hash
     // aggregation whose shuffle carries only (hash, ±1 partial sums) —
     // never payload bytes (r10's shape paid 2 groupBys + a full_outer
     // + 2 joins + 2 groupBys; this is 1 groupBy + 1 join + 1 groupBy)
+    // r16 (guide §2.3, narrower shuffle/join keys): the two hash
+    // families ride as TWO NUMERIC COLUMNS (8-byte long + 4-byte int)
+    // instead of the former concat_ws(":", …) rendering — the same
+    // 96 bits of identity without building a ~25-char string per row
+    // on every side, and the delta aggregation + join compare fixed-
+    // width integers instead of strings
     val tagged = added.withColumn("_side", lit(1L))
       .unionByName(removed.withColumn("_side", lit(-1L)))
-      .withColumn("_h", key)
-    val delta = tagged.groupBy("_h").agg(sum(col("_side")).as("_d"))
+      .withColumn("_h1", xxhash64(salted: _*))
+      .withColumn("_h2", hash(salted: _*))
+    val delta = tagged.groupBy("_h1", "_h2").agg(sum(col("_side")).as("_d"))
       .where(col("_d") =!= 0)
     // surplus hashes pull |Δ| representative rows from the surplus side
     // (equal-hash rows are identical, so first() per column is exact).
@@ -2859,9 +2865,9 @@ object EsdbWriter {
     // they appear in the feed; the sign filter drops the matched side
     // BEFORE the representative aggregation ever shuffles a payload
     tagged
-      .join(delta, "_h")
+      .join(delta, Seq("_h1", "_h2"))
       .where((col("_side") > 0) === (col("_d") > 0))
-      .groupBy("_h", "_d")
+      .groupBy("_h1", "_h2", "_d")
       .agg(rowCols.map(c => first(col(c)).as(c)).head,
         rowCols.map(c => first(col(c)).as(c)).tail: _*)
       .withColumn("_rep", explode(sequence(lit(1L), abs(col("_d")))))

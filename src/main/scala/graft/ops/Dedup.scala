@@ -178,8 +178,8 @@ object Dedup {
     * exchange + sort of the full pair stream.
     */
   private def minhashNearDupsUnsorted(docs: DataFrame, threshold: Double,
-                                      bands: Int, rowsPerBand: Int,
-                                      bucketCap: Int): DataFrame = {
+                                      bands: Int = 16, rowsPerBand: Int = 4,
+                                      bucketCap: Int = DefaultBucketCap): DataFrame = {
     val sigs = Caches.persist(minhashSignatures(docs, bands, rowsPerBand))
     verifyJaccard(bandCandidates(sigs, bucketCap), sigs, threshold)
   }
@@ -336,8 +336,10 @@ object Dedup {
     * joins against to drop duplicates.
     */
   def dedupClusters(docs: DataFrame, threshold: Double = 0.7): DataFrame = {
-    val pairs = minhashNearDupsUnsorted(docs, threshold,
-      bands = 16, rowsPerBand = 4, bucketCap = DefaultBucketCap).select("a", "b")
+    // band config inherited from minhashNearDupsUnsorted's defaults —
+    // the cluster feed must never silently diverge from the public
+    // pair view it clusters (r15 advice)
+    val pairs = minhashNearDupsUnsorted(docs, threshold).select("a", "b")
     connectedComponents(pairs)
       .withColumn("keep", col("doc_id") === col("cluster_id"))
       .orderBy("cluster_id", "doc_id")
@@ -384,14 +386,19 @@ object Dedup {
       .withColumn("nrm", Similarity.norm(col("embedding")))
     val l = b.as("l")
     val r = b.as("r")
+    // a pair colliding in several tables is emitted exactly once by the
+    // first-colliding-table predicate — the post-join distinct() (an
+    // extra exchange + dedup aggregation of the surviving pair stream)
+    // is gone, and each pair costs exactly one dot product (r16, guide
+    // §2.4 remove shuffles outright)
     l.join(r, col("l.t") === col("r.t") && col("l.bucket") === col("r.bucket") &&
-        col("l.vec_id") < col("r.vec_id"))
+        col("l.vec_id") < col("r.vec_id") &&
+        Similarity.firstCollision(tables, col("l.t"), col("l.buckets"), col("r.buckets")))
       .select(col("l.vec_id").as("a"), col("r.vec_id").as("b"),
         (Similarity.dot(col("l.embedding"), col("r.embedding"))
           / (col("l.nrm") * col("r.nrm"))).as("cos"))
       .where(col("cos") >= threshold)
       .select(col("a"), col("b"), floor(col("cos") * 1000000).cast("long").as("cos_x1e6"))
-      .distinct()
       .orderBy("a", "b")
   }
 }

@@ -237,6 +237,14 @@ object Embeddings {
     // dimensions hot path measured ~20× slower (11.5s → ~1s at sf0.1)
     val f3 = fxVectors(emb, 1e3).toDF("vec_id", "v")
       .withColumn("n2", call_function("vec_dot_long", col("v"), col("v")))
+    // NOT persisted (r16, measured): sharing the (vec_id, cluster, v,
+    // n2) frame via Caches.persist was tried — the self-join's two
+    // sides each recompute the assignment pass + fxVectors kernel —
+    // and measured SLOWER (1.03 → 1.09s best-of-4 at sf0.1): the
+    // duplicate subtrees run as independent parallel stages while a
+    // cache materialization serializes them, and the kernel is cheaper
+    // than the cache round-trip. At cluster scale the broadcast side
+    // is collected once either way.
     val side = asn.join(f3, "vec_id")
     val l = side.as("l")
     val r = broadcast(side).as("r")

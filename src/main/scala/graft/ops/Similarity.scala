@@ -56,7 +56,10 @@ object Similarity {
       if ((splitmix64(table.toLong * 1000003 + bit.toLong * 8191 + i) & 1L) == 0L) 1.0f else -1.0f
     }
 
-  /** (vec_id, embedding, t, bucket) rows across `tables` LSH tables.
+  /** (vec_id, embedding, t, bucket, buckets) rows across `tables` LSH
+    * tables — `bucket` is table t's key, `buckets` the row's key in
+    * EVERY table (the per-vector array computed once and shared by all
+    * t rows).
     *
     * Runs as a per-partition kernel with the hyperplanes precomputed in
     * the task closure: the expression form (tables × bits typedlit
@@ -65,6 +68,13 @@ object Similarity {
     * per-query analysis/canonicalization of those trees dominated the
     * runtime of the small-query case. The kernel math is identical
     * (sequential double accumulation, sign bit per plane).
+    *
+    * `buckets` exists for [[firstCollision]]: a candidate pair
+    * colliding in several tables must be emitted once, and the arrays
+    * let the join keep exactly the FIRST colliding table's row — no
+    * distinct / dedup exchange of the pair stream at all (r16, guide
+    * §2.4). Cost: `tables` extra longs per exploded row, dwarfed by the
+    * embedding payload already on it.
     */
   def withBuckets(embs: DataFrame, tables: Int = 8, bits: Int = 8, dims: Int = 64): DataFrame = {
     val sp = embs.sparkSession
@@ -76,7 +86,9 @@ object Similarity {
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         it.flatMap { case (id, vec) =>
-          (0 until tables).iterator.map { t =>
+          val barr = new Array[Long](tables)
+          var t = 0
+          while (t < tables) {
             var bucket = 0L
             var b = 0
             while (b < bits) {
@@ -88,12 +100,29 @@ object Similarity {
               if (acc >= 0) bucket |= (1L << b)
               b += 1
             }
-            (id, vec, t, bucket)
+            barr(t) = bucket
+            t += 1
           }
+          (0 until tables).iterator.map(t => (id, vec, t, barr(t), barr))
         }
       }
-      .toDF("vec_id", "embedding", "t", "bucket")
+      .toDF("vec_id", "embedding", "t", "bucket", "buckets")
   }
+
+  /** TRUE iff table `t` is the FIRST table in which the two rows'
+    * bucket arrays collide: for every earlier table i < t the keys
+    * differ. Joining LSH sides on (t, bucket) and filtering with this
+    * predicate emits every colliding pair EXACTLY once — replacing the
+    * post-join `distinct()` (a full exchange + aggregation of the pair
+    * stream, in [[annTopK]]'s case keyed on the float vectors
+    * themselves) with a codegen'd per-row boolean over ≤ `tables`
+    * array cells. Both sides carry identical `t`; either's works.
+    */
+  private[ops] def firstCollision(tables: Int, t: Column,
+                                  lBuckets: Column, rBuckets: Column): Column =
+    (0 until tables).map { i =>
+      lit(i) >= t || lBuckets.getItem(i) =!= rBuckets.getItem(i)
+    }.reduce(_ && _)
 
   /** Per-query top-k of scored candidates via the [[graft.functions.TopKByScore]]
     * heap aggregate: map-side partial combine keeps k candidates per
@@ -140,15 +169,25 @@ object Similarity {
               tables: Int = 8, bits: Int = 4): DataFrame = {
     VectorFunctions.register(corpus.sparkSession)
     val cb = withBuckets(corpus, tables, bits).withColumn("cn", norm(col("embedding")))
+      .withColumnRenamed("buckets", "cbuckets")
     val qb = broadcast(withBuckets(queries, tables, bits)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-        norm(col("embedding")).as("qn"), col("t"), col("bucket")))
-    val cand = cb.join(qb, Seq("t", "bucket"))
-      .where(col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("qv"), col("qn"),
-        col("vec_id").as("neighbor_id"), col("embedding").as("cv"), col("cn"))
-      .distinct()
-    val scored = cand.withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+        norm(col("embedding")).as("qn"), col("t"), col("bucket"),
+        col("buckets").as("qbuckets")))
+    // A (query, candidate) pair colliding in several tables must score
+    // once. r15 deduped with a distinct over the full candidate row —
+    // whose hash keys were the two FLOAT VECTORS themselves, so the
+    // dedup exchange shuffled every candidate pair's qv+cv payload
+    // (~0.5 KB/pair at 64 dims) and hashed float arrays. r16 (guide
+    // §2.3/§2.4: shuffle keys, not payloads; remove the exchange):
+    // [[firstCollision]] keeps exactly one colliding row per pair at
+    // the join itself, so the pair stream flows straight into the
+    // top-k heap aggregate — one dot per pair, no dedup exchange.
+    val scored = cb.join(qb, Seq("t", "bucket"))
+      .where(col("query_id") =!= col("vec_id") &&
+        firstCollision(tables, col("t"), col("cbuckets"), col("qbuckets")))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (dot(col("qv"), col("embedding")) / (col("qn") * col("cn"))).as("cos"))
     topK(scored, k)
   }
 }

@@ -233,10 +233,17 @@ object TextOps {
       .toDF("doc_id", "grams")
       .select(col("doc_id"), explode(col("grams")).as("gram"))
     val bench = grams(docs.where(benchPred)).select("gram").distinct()
+    // n_hits = count DISTINCT matching grams — but shingleStrings
+    // already emits each document's grams deduped (LinkedHashSet), so
+    // every (doc_id, gram) row is unique by construction and a plain
+    // count is exactly equal (r16, guide §2.4): countDistinct planned a
+    // (doc_id, gram)-keyed dedup aggregation with its own full exchange
+    // of the joined pair stream before the per-doc count; count(1)
+    // partial-aggregates map-side and ships one row per doc per task.
     grams(docs.where(!benchPred))
       .join(broadcast(bench), "gram")
       .groupBy("doc_id")
-      .agg(countDistinct("gram").as("n_hits"))
+      .agg(count(lit(1)).as("n_hits"))
       .orderBy("doc_id")
   }
 
