@@ -1,9 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
 
-/** Scratch measurement probe for the r15 optimization round — times
+/** Scratch measurement probe for the r16 optimization round — times
   * individual pipeline substages. Dev-only; not part of any contract.
   */
 object DevProbe {
@@ -29,21 +28,39 @@ object DevProbe {
     }
     def force(df: DataFrame): Long = df.queryExecution.toRdd.count()
 
-    val e = engine.Tables.embeddings(spark, sfDir)
-    force(e.select(count(lit(1)))) // warm scan
+    // stream_log_replay dissection: where do the ~0.7s outside the
+    // micro-batch trigger go?
+    val key = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft-logstore/$key"
+    // fixture exists from prior bench runs; if not, build via the query
+    if (graft.engine.Publish.currentVersion(spark.sparkContext.hadoopConfiguration, p).isEmpty) {
+      println("[probe] building log store fixture first")
+      force(SparkEntry.queries("stream_log_replay")(spark, sfDir))
+    }
 
     (1 to 3).foreach { round =>
       println(s"--- round $round ---")
-      val (a1, _) = time(s"buildIndex default (5 iter, kmeans||)")(
-        ops.Ivf.buildIndex(e, nLists = 16))
-      time("  force assigned")(force(a1))
-      val (a2, _) = time(s"buildIndex cheap (1 iter, random)")(
-        ops.Ivf.buildIndex(e, nLists = 16, maxIter = 1, initMode = "random"))
-      time("  force assigned")(force(a2))
-      val q = e.where(col("vec_id") < 10)
-      val full = ops.Ivf.ivfTopK(e, q, 10, nLists = 16, nProbe = 16)
-      time("full ivfTopK (build+probe)")(force(full))
-      ops.Caches.clear()
+      val s = time("newSession + tune")({
+        val s = spark.newSession()
+        graft.engine.GraftSession.tune(s)
+        s
+      })
+      val ck = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get("/dev/shm"), "probe-ck")
+      s.conf.set("spark.sql.streaming.checkpointLocation", ck.toString)
+      val src = time("readLogStream (source construction)")(
+        graft.engine.EsdbWriter.readLogStream(s, p, parallel = true))
+      val qname = "probe_drain_" + round
+      val q = time("writeStream.start")(
+        src.writeStream.format("memory").queryName(qname)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start())
+      time("awaitTermination")(q.awaitTermination())
+      val out = s.table(qname).orderBy("event_id")
+      time("materialize result (sort 10k memory rows)")(force(out))
+      time("full drainLog again (steady)")(
+        force(graft.streaming.StreamIngest.drainLog(spark, p)))
     }
     spark.stop()
   }

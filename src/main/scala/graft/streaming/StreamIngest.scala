@@ -71,9 +71,27 @@ object StreamIngest {
     * partitions its ~128 join store instances made fixed I/O 80% of
     * the query). The partition count is recorded in each query's own
     * checkpoint, so bounded oracle drains default low and a
-    * throughput-sized production stream simply passes a higher value.
+    * throughput-sized production stream simply passes a higher value
+    * — REQUIRED for any stream whose state is meant to scale; one
+    * partition per 1-4 executor cores is the usual shape.
+    *
+    * Default 4, not 1 (r16, measured): with the drain checkpoint on
+    * tmpfs a partition's per-batch commit is ~40 ms, so the r15
+    * single-partition default — right when checkpoints hit disk and
+    * commit I/O dominated — had flipped the bottleneck to state-
+    * operator COMPUTE running serially (the sf0.1 session-window drain
+    * holds ~95k state rows: addBatch 2.0-2.6 s of a 3.1 s query at one
+    * partition). Best-of-3 across the five bounded drains:
+    * 1 → 4 partitions cut session_counts 3.08→1.60 s, enrich_interval
+    * 2.22→1.62 s, windowed 1.57→1.12 s, dedup 1.22→0.82 s, tails
+    * 1.15→0.86 s; 8 partitions measured uniformly SLOWER than 4 at
+    * both local[32] and local[8] (commit overhead growing past the
+    * compute win), and 4 also beat 1 and 2 at local[8] — the value is
+    * state-size-driven, not a core-count tune. Clamped to the
+    * session's parallelism in [[withStatePartitions]] so a tiny local
+    * session never runs more store instances than cores.
     */
-  val DefaultStatePartitions = 1
+  val DefaultStatePartitions = 4
 
   /** Run `body` against a CHILD session (`newSession()`: own SQLConf +
     * catalog, shared SparkContext) whose shuffle width is `n`. The
@@ -94,11 +112,13 @@ object StreamIngest {
     *    inner stream-stream join emit rows in the batch they arrive).
     *    Measured: the extra batch cost 0.3-2.4s per drain — all of it
     *    offset-log + state-commit fixed I/O on zero rows.
-    *  - state partitions default to 1 (was 4, was 32): every partition
-    *    is a store INSTANCE paying per-batch delta + commit I/O whether
-    *    or not it holds state (a stream-stream join runs FOUR stores
-    *    per partition). The bounded oracle drains hold 10^2..10^5 rows
-    *    of state, where even one partition's compute is trivial; a
+    *  - state partitions default to [[DefaultStatePartitions]] (4 —
+    *    see its scaladoc for the 1 vs 4 vs 8 measurements): every
+    *    partition is a store INSTANCE paying per-batch delta + commit
+    *    I/O whether or not it holds state (a stream-stream join runs
+    *    FOUR stores per partition), but with the checkpoint on tmpfs
+    *    that cost is ~40 ms/partition and the binding constraint is
+    *    state-operator compute, which parallelizes with partitions. A
     *    throughput-sized production stream passes a higher value — the
     *    parameter is recorded in each query's own checkpoint.
     *  - the drain checkpoint (offsets/commits/state deltas: dozens of
@@ -111,7 +131,8 @@ object StreamIngest {
   private def withStatePartitions[A](spark: SparkSession, n: Int)(body: SparkSession => A): A = {
     val s = spark.newSession()
     graft.engine.GraftSession.tune(s)
-    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    val width = math.max(1, math.min(n, s.sparkContext.defaultParallelism))
+    s.conf.set("spark.sql.shuffle.partitions", width.toString)
     s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     val ck = scratchCheckpointDir()
     s.conf.set("spark.sql.streaming.checkpointLocation", ck.toString)
@@ -150,19 +171,21 @@ object StreamIngest {
     */
   def drainLog(spark: SparkSession, path: String): DataFrame = {
     val qname = "graft_log_drain_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    // stateless drain, but the offset/commit logs still pay dozens of
-    // small create+rename+fsync ops — run on a child session whose
-    // ephemeral checkpoint lives on the fastest local scratch (tmpfs
-    // when present) and is deleted when the drain returns, exactly like
-    // the stateful drains' withStatePartitions path (the child also
-    // scopes the memory-sink table, so sinks never accumulate across
-    // harness runs). A durable stream passes its own checkpointLocation
-    // and never enters this path.
-    val s = spark.newSession()
-    graft.engine.GraftSession.tune(s)
-    val ck = scratchCheckpointDir()
-    s.conf.set("spark.sql.streaming.checkpointLocation", ck.toString)
-    try {
+    // stateless drain on the SAME bounded-drain child-session shape as
+    // the stateful drains (withStatePartitions): ephemeral tmpfs
+    // checkpoint deleted on return, child-scoped memory-sink table (so
+    // sinks never accumulate across harness runs), and the narrow
+    // drain shuffle width — stateless, so no state store cares, but
+    // the returned frame's ORDER BY event_id range-sorts a memory-sink
+    // table whose rows already sit on the driver; at the session's
+    // analytic width (32) that sort paid ~0.4 s of pure task-scheduling
+    // on 10k rows (r16 probe: materialization 0.43 s of a 1.15 s
+    // query), at the drain width it is scheduling-free. r16 probe also
+    // pins the r15 child-session question (verdict #3): newSession +
+    // tune is 3-5 ms steady-state — the r15 driver-box regression was
+    // environment, not this path. A durable stream passes its own
+    // checkpointLocation and never enters this path.
+    withStatePartitions(spark, DefaultStatePartitions) { s =>
       // parallel replay: the drain re-sorts at the end, so it trades
       // nothing for the per-group width
       graft.engine.EsdbWriter.readLogStream(s, path, parallel = true)
@@ -172,7 +195,7 @@ object StreamIngest {
         .start()
         .awaitTermination()
       s.table(qname).orderBy("event_id")
-    } finally deleteQuietly(ck)
+    }
   }
 
   /** Directory containing (a link to) the single-file table, so the
