@@ -51,22 +51,56 @@ object TextOps {
   val IpRe = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
 
   /** PII scrub: count and redact emails / phone numbers / IPv4s in one
-    * projection — a scan-stage kernel (codegen regex, no shuffle, no
-    * UDF), the shape a 100 TB redaction pass needs. Counts are taken
-    * BEFORE redaction; replacements are typed placeholders so
-    * downstream tokenization sees a stable vocabulary.
+    * scan-stage pass (no shuffle), the shape a 100 TB redaction pass
+    * needs. Counts are taken BEFORE redaction; replacements are typed
+    * placeholders so downstream tokenization sees a stable vocabulary.
+    *
+    * Runs as a per-partition kernel over java.util.regex — the SAME
+    * engine the former six-expression form (3× regexp_count + a 3-deep
+    * regexp_replace nest) used, so semantics are bit-identical, but
+    * one pass per document instead of six independent expressions
+    * (r16, guide §1.2 per-task work): each regexp_* expression
+    * re-materialized the UTF8String into a fresh java String, and the
+    * email pattern ran twice (count + replace) over the same input.
+    * Here the document converts once, the email matcher counts and
+    * replaces in a single scan (its count input IS its replace input),
+    * and phone/IP counts run on the original while their replacements
+    * run on the already-redacted text exactly as the nested form did —
+    * 5 regex scans and 1 string materialization per doc vs 6 and 6.
     */
-  def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame =
-    docs.select(
-      col("doc_id"),
-      regexp_count(col(textCol), lit(EmailRe)).cast("long").as("n_emails"),
-      regexp_count(col(textCol), lit(PhoneRe)).cast("long").as("n_phones"),
-      regexp_count(col(textCol), lit(IpRe)).cast("long").as("n_ips"),
-      regexp_replace(regexp_replace(regexp_replace(col(textCol),
-        lit(EmailRe), lit("<EMAIL>")),
-        lit(PhoneRe), lit("<PHONE>")),
-        lit(IpRe), lit("<IP>")).as("clean_text"))
+  def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val sp = docs.sparkSession
+    import sp.implicits._
+    docs.select(col("doc_id"), col(textCol)).as[(Long, String)]
+      .mapPartitions { it =>
+        val email = java.util.regex.Pattern.compile(EmailRe)
+        val phone = java.util.regex.Pattern.compile(PhoneRe)
+        val ip = java.util.regex.Pattern.compile(IpRe)
+        def countAll(p: java.util.regex.Pattern, s: String): Long = {
+          val m = p.matcher(s)
+          var c = 0L
+          while (m.find()) c += 1
+          c
+        }
+        it.map { case (id, t) =>
+          // email: count and replace share one matcher pass (the
+          // replacement string has no $ or \, so appendReplacement
+          // treats it literally — same as regexp_replace did)
+          val em = email.matcher(t)
+          val buf = new java.lang.StringBuilder(t.length)
+          var nEmails = 0L
+          while (em.find()) { nEmails += 1; em.appendReplacement(buf, "<EMAIL>") }
+          val t1 = em.appendTail(buf).toString
+          val nPhones = countAll(phone, t)
+          val nIps = countAll(ip, t)
+          val clean = ip.matcher(phone.matcher(t1).replaceAll("<PHONE>"))
+            .replaceAll("<IP>")
+          (id, nEmails, nPhones, nIps, clean)
+        }
+      }
+      .toDF("doc_id", "n_emails", "n_phones", "n_ips", "clean_text")
       .orderBy("doc_id")
+  }
 
   /** Quality scoring: length / avg-token-length / stopword-density
     * signals, in fixed-point integers. Columns:
@@ -203,14 +237,56 @@ object TextOps {
     * Patterns are deliberately RE2/Java-common so the DuckDB oracle
     * replays them verbatim (with its explicit 'g' flag).
     */
-  def normalizeScrub(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id"),
-      trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), "  +", " "))
-        .as("norm_text"),
-      regexp_replace(regexp_replace(col("text"), "[A-Za-z0-9.]+@[A-Za-z0-9.]+", "<email>"),
-        "[0-9]+", "<num>").as("scrubbed"))
+  def normalizeScrub(docs: DataFrame): DataFrame = {
+    // Per-partition kernel form of
+    //   norm_text = trim(re_sub(re_sub(lower(text), '[^a-z0-9 ]', ' '), '  +', ' '))
+    //   scrubbed  = re_sub(re_sub(text, '[A-Za-z0-9.]+@[A-Za-z0-9.]+', '<email>'), '[0-9]+', '<num>')
+    // (r16, guide §1.2 per-task work). Only the email pattern needs a
+    // regex engine; the other three are single-char classes or runs
+    // whose greedy leftmost semantics a char loop reproduces exactly:
+    //  - '[^a-z0-9 ]'→' ' is per-code-unit, and the following '  +'
+    //    collapse + trim(' ') fuse with it into ONE pass (drop leading
+    //    spaces, emit one space per interior run, drop trailing);
+    //  - '[0-9]+'→'<num>' is maximal digit runs.
+    // lower() goes through UTF8String.toLowerCase — the same
+    // implementation the Catalyst Lower expression calls — so case
+    // mapping is bit-identical. The former 4-regex/6-materialization
+    // projection is 1 regex pass + 2 linear passes per document.
+    val sp = docs.sparkSession
+    import sp.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val email = java.util.regex.Pattern.compile("[A-Za-z0-9.]+@[A-Za-z0-9.]+")
+        it.map { case (id, t) =>
+          val lo = org.apache.spark.unsafe.types.UTF8String.fromString(t)
+            .toLowerCase.toString
+          val nb = new java.lang.StringBuilder(lo.length)
+          var pending = false
+          var i = 0
+          while (i < lo.length) {
+            val c = lo.charAt(i)
+            if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+              if (pending) { nb.append(' '); pending = false }
+              nb.append(c)
+            } else if (nb.length > 0) pending = true
+            i += 1
+          }
+          val t1 = email.matcher(t).replaceAll("<email>")
+          val sb = new java.lang.StringBuilder(t1.length)
+          var j = 0
+          while (j < t1.length) {
+            val c = t1.charAt(j)
+            if (c >= '0' && c <= '9') {
+              while (j < t1.length && t1.charAt(j) >= '0' && t1.charAt(j) <= '9') j += 1
+              sb.append("<num>")
+            } else { sb.append(c); j += 1 }
+          }
+          (id, nb.toString, sb.toString)
+        }
+      }
+      .toDF("doc_id", "norm_text", "scrubbed")
       .orderBy("doc_id")
+  }
 
   /** Benchmark decontamination: probe documents that share at least one
     * word `n`-gram with a benchmark/eval set — the standard pre-training
