@@ -490,7 +490,9 @@ object TextOps {
     * word. Returns the learned rules (merge_rank, lhs, rhs,
     * pair_count) — the artifact a tokenizer ships.
     */
-  def bpeTrain(docs: DataFrame, numMerges: Int = 8): DataFrame = {
+  def bpeTrain(docs: DataFrame, numMerges: Int = 8,
+               localVocabRows: Long = 1000000L,
+               localVocabSymbols: Long = 8000000L): DataFrame = {
     val sp = docs.sparkSession
     import sp.implicits._
     val words = docs
@@ -508,10 +510,21 @@ object TextOps {
     // (each distributed round was a full job + shuffle + take(1), pure
     // fixed cost at this table size; 30k-merge production runs would be
     // 30k sequential Spark jobs). The distributed path remains for
-    // synthetic vocabularies above the threshold; both compute the
-    // identical argmax ((count desc, pair asc) ties) and greedy merge.
-    val localVocabThreshold = 1000000L
-    if (words.count() <= localVocabThreshold) {
+    // vocabularies above the threshold; both compute the identical
+    // argmax ((count desc, pair asc) ties) and greedy merge.
+    //
+    // The guard is BYTE-aware, not row-only (r16, verdict #3 of r15):
+    // the collected table holds one per-char String per symbol
+    // (~50-100 heap bytes each), so a row cap alone would admit 1M
+    // long-word rows worth several GB on the driver. Both caps must
+    // hold: ≤ localVocabRows distinct words AND ≤ localVocabSymbols
+    // total symbols (8M symbols ≈ 0.5-1 GB heap — sized to the bench
+    // JVM's floor, overridable by callers with bigger drivers; the
+    // parity of the two branches is pinned by a spec that forces the
+    // distributed path with tiny thresholds).
+    val stats = words.toDF("s", "c")
+      .agg(count(lit(1)), coalesce(sum(size(col("s"))), lit(0L))).head()
+    if (stats.getLong(0) <= localVocabRows && stats.getLong(1) <= localVocabSymbols) {
       val local = words.collect()
       val rules = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
       var table: Array[(Array[String], Long)] = local

@@ -33,6 +33,28 @@ class SimilaritySpec extends SparkSpec {
     assert(top1(0)._2 >= 999999L)
   }
 
+  test("full-probe IVF equals brute force on a fixture with cosine ties (assignment independence)") {
+    // duplicated vectors give EXACT cosine ties: the winning order must
+    // resolve on neighbor_id alone, never on list assignment — this
+    // pins the r15 cheap-quantizer shortcut (nProbe >= nLists runs the
+    // quantizer at maxIter=1/random-init), whose correctness rests on
+    // probe keeping every (query, list) pair and topK tie-breaking on
+    // (cos desc, neighbor_id asc). If a later change makes full-probe
+    // results assignment-dependent, the tie rows here flip.
+    val base = embs.where(col("vec_id") < 60)
+    val dups = base.select((col("vec_id") + 1000).as("vec_id"), col("embedding"), col("label"))
+    val corpus = base.unionByName(dups)
+    val qs = corpus.where(col("vec_id") < 3)
+    val cols = Seq("query_id", "rank", "neighbor_id", "cos_x1e6")
+    val brute = Similarity.bruteTopK(corpus, qs, 10)
+      .select(cols.map(col): _*).collect().map(_.toSeq).toSeq
+    val full = graft.ops.Ivf.ivfTopK(corpus, qs, 10, nLists = 2, nProbe = 2)
+      .select(cols.map(col): _*).collect().map(_.toSeq).toSeq
+    assert(full == brute)
+    // every query's top-10 contains its duplicate partner at cos ≈ 1
+    assert(full.count(r => r(3).asInstanceOf[Long] >= 999999L) >= 3)
+  }
+
   test("IVF recall vs brute force is usable and deterministic") {
     val k = 10
     val brute = Similarity.bruteTopK(embs, queries, k)

@@ -164,6 +164,28 @@ class TextOpsSpec extends SparkSpec {
     assert(rules.head.getString(1) == "a" && rules.head.getString(2) == "b")
   }
 
+  test("bpeTrain distributed branch matches the driver-local branch (forced by tiny thresholds)") {
+    import spark.implicits._
+    // ties everywhere: same counts force the (count desc, lhs, rhs)
+    // order through both argmax implementations; multi-byte symbols
+    // (é) exercise the local branch's UTF-8 byte tie order against the
+    // distributed ORDER BY's BINARY string order
+    val docs = Seq(
+      (1L, "aaab aaab ab zz zz"),
+      (2L, "éz éz zz b a xy xy")
+    ).toDF("doc_id", "text")
+    def run(rows: Long, syms: Long) =
+      graft.ops.TextOps.bpeTrain(docs, numMerges = 6,
+        localVocabRows = rows, localVocabSymbols = syms).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val local = run(1000000L, 8000000L)
+    val distRows = run(0L, 8000000L)     // row cap forces distributed
+    val distSyms = run(1000000L, 0L)     // symbol (byte) cap forces distributed
+    assert(local.nonEmpty)
+    assert(distRows == local)
+    assert(distSyms == local)
+  }
+
   test("trainQualityClassifier: hand-checked batch-perceptron weights") {
     import spark.implicits._
     // dim=4, minTokens=1: "aa" hashes to (97*1 + 97*2) % 4 = 3; "b" to 98 % 4 = 2
