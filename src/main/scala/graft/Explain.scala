@@ -23,7 +23,8 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
       println(s"========== $n ==========")
-      val df = Queries.queries(n)(spark, "/root/testdata/sf0.01")
+      val df = Queries.queries(n)(spark,
+        sys.env.getOrElse("SPARK_GRAFT_EXPLAIN_DIR", "/root/testdata/sf0.01"))
       if (run) {
         df.collect(): Unit
         println(df.queryExecution.executedPlan.toString)

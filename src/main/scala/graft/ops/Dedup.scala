@@ -170,6 +170,12 @@ object Dedup {
                       bands: Int = 16, rowsPerBand: Int = 4,
                       bucketCap: Int = DefaultBucketCap): DataFrame =
     minhashNearDupsUnsorted(docs, threshold, bands, rowsPerBand, bucketCap)
+      // shield the verify stage (two signature joins + exact Jaccard
+      // over every candidate pair) from the output sort's
+      // range-sampling pass, which re-executes its child when no
+      // exchange sits in between (Dedup.embeddingNearDups has the full
+      // story): one narrow exchange of surviving pairs, verify runs once
+      .repartition(col("a"), col("b"))
       .orderBy("a", "b")
 
   /** [[minhashNearDups]] without the final global sort — the feed for
@@ -366,6 +372,10 @@ object Dedup {
           / (col("l.nrm") * col("r.nrm"))).as("cos"))
       .where(col("cos") >= threshold)
       .select(col("a"), col("b"), floor(col("cos") * 1000000).cast("long").as("cos_x1e6"))
+      // shield the O(n·m) nested loop from the output sort's range
+      // sampling pass (see embeddingNearDups above): exchange the
+      // narrow survivor rows once, so the scoring loop runs once
+      .repartition(col("a"), col("b"))
       .orderBy("a", "b")
   }
 
@@ -387,18 +397,35 @@ object Dedup {
     val l = b.as("l")
     val r = b.as("r")
     // a pair colliding in several tables is emitted exactly once by the
-    // first-colliding-table predicate — the post-join distinct() (an
-    // extra exchange + dedup aggregation of the surviving pair stream)
-    // is gone, and each pair costs exactly one dot product (r16, guide
-    // §2.4 remove shuffles outright)
+    // first-colliding-table predicate (five bitwise ops on the packed
+    // sigs) — the post-join distinct() (an extra exchange + dedup
+    // aggregation of the surviving pair stream) is gone (r16, guide
+    // §2.4 remove shuffles outright). The cosine threshold rides in
+    // the SAME join condition AFTER the cheap predicates: written as a
+    // downstream .where it was pushed into the join PREPENDED, so the
+    // dot product — the one expensive term — ran per collision row
+    // (up to `tables`× per pair); conjunct order here makes duplicate
+    // collisions die on the bit test before any dot runs. Boolean
+    // conjunction, so the surviving row set is identical either way.
+    val pairCos = Similarity.dot(col("l.embedding"), col("r.embedding")) /
+      (col("l.nrm") * col("r.nrm"))
     l.join(r, col("l.t") === col("r.t") && col("l.bucket") === col("r.bucket") &&
         col("l.vec_id") < col("r.vec_id") &&
-        Similarity.firstCollision(tables, col("l.t"), col("l.buckets"), col("r.buckets")))
+        Similarity.firstCollision(tables, bitsPerTable,
+          col("l.sig"), col("r.sig"), col("l.notmask")) &&
+        pairCos >= threshold)
       .select(col("l.vec_id").as("a"), col("r.vec_id").as("b"),
-        (Similarity.dot(col("l.embedding"), col("r.embedding"))
-          / (col("l.nrm") * col("r.nrm"))).as("cos"))
-      .where(col("cos") >= threshold)
-      .select(col("a"), col("b"), floor(col("cos") * 1000000).cast("long").as("cos_x1e6"))
+        floor(pairCos * 1000000).cast("long").as("cos_x1e6"))
+      // exchange the (narrow) survivor pairs BEFORE the output sort:
+      // a global sort's range partitioner first runs a SAMPLING job
+      // over its child, and with no shuffle in between that re-executes
+      // the whole candidate join — every bucket pair re-enumerated and
+      // re-scored a second time (the r15 distinct used to shield this
+      // by accident; measured +3.2s of a 6.9s query on the 10× corpus
+      // once the distinct was removed). A hash exchange of ~24-byte
+      // survivor rows is the cheapest shield: the sampler reads
+      // materialized shuffle output, the join pipeline runs once.
+      .repartition(col("a"), col("b"))
       .orderBy("a", "b")
   }
 }

@@ -56,6 +56,7 @@ object Embeddings {
         }
       }
       .toDF("vec_id", "maxabs_x1e9", "q_sum", "q_norm2", "q_min", "q_max")
+      .repartition(col("vec_id")) // sampling shield (see Dedup.embeddingNearDups)
       .orderBy("vec_id")
   }
 
@@ -210,7 +211,9 @@ object Embeddings {
         }
         (id, j, s)
       }
-    }.toDF("vec_id", "j", "y").orderBy("vec_id", "j")
+    }.toDF("vec_id", "j", "y")
+      .repartition(col("vec_id")) // sampling shield (see Dedup.embeddingNearDups)
+      .orderBy("vec_id", "j")
   }
 
   /** SemDeDup-style semantic near-duplicates: k-means-cluster the
@@ -254,6 +257,10 @@ object Embeddings {
         dot.as("dot"), col("l.n2").as("na2"), col("r.n2").as("nb2"))
       .where(col("dot") > 0 &&
         col("dot") * col("dot") * lit(25L) >= lit(4L) * col("na2") * col("nb2"))
+      // shield the per-cluster pair scoring from the output sort's
+      // range-sampling pass (Dedup.embeddingNearDups has the full
+      // story): one narrow exchange of survivors, the dot loop runs once
+      .repartition(col("a"), col("b"))
       .orderBy("a", "b")
   }
 }

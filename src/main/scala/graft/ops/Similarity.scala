@@ -56,10 +56,12 @@ object Similarity {
       if ((splitmix64(table.toLong * 1000003 + bit.toLong * 8191 + i) & 1L) == 0L) 1.0f else -1.0f
     }
 
-  /** (vec_id, embedding, t, bucket, buckets) rows across `tables` LSH
-    * tables — `bucket` is table t's key, `buckets` the row's key in
-    * EVERY table (the per-vector array computed once and shared by all
-    * t rows).
+  /** (vec_id, embedding, t, bucket, sig, notmask) rows across `tables`
+    * LSH tables — `bucket` is table t's key; `sig` packs the row's key
+    * in EVERY table into one long (cell i = bucket_i at bit offset
+    * bits·i, requires tables·bits ≤ 64); `notmask` has 1s at every bit
+    * of cells ≥ t (the row's own precomputed mask for
+    * [[firstCollision]]).
     *
     * Runs as a per-partition kernel with the hyperplanes precomputed in
     * the task closure: the expression form (tables × bits typedlit
@@ -69,14 +71,21 @@ object Similarity {
     * runtime of the small-query case. The kernel math is identical
     * (sequential double accumulation, sign bit per plane).
     *
-    * `buckets` exists for [[firstCollision]]: a candidate pair
-    * colliding in several tables must be emitted once, and the arrays
-    * let the join keep exactly the FIRST colliding table's row — no
-    * distinct / dedup exchange of the pair stream at all (r16, guide
-    * §2.4). Cost: `tables` extra longs per exploded row, dwarfed by the
-    * embedding payload already on it.
+    * `sig`/`notmask` exist for [[firstCollision]]: a candidate pair
+    * colliding in several tables must be emitted once, and the packed
+    * cells let the join keep exactly the FIRST colliding table's row —
+    * no distinct / dedup exchange of the pair stream at all (r16,
+    * guide §2.4). Two longs per exploded row, dwarfed by the embedding
+    * payload already on it. (A first form carried the bucket ARRAY and
+    * tested the tables cells as separate conjuncts — at 16 tables the
+    * 16-GetArrayItem join condition measured 3.6× slower than the
+    * distinct it replaced on the 10× corpus; the packed-scalar test is
+    * five bitwise ops regardless of table count.)
     */
   def withBuckets(embs: DataFrame, tables: Int = 8, bits: Int = 8, dims: Int = 64): DataFrame = {
+    require(tables > 0 && bits > 1 && tables * bits <= 64,
+      s"tables*bits must fit one packed long (got $tables x $bits); " +
+        "widen cells or split tables across two sig columns to go bigger")
     val sp = embs.sparkSession
     VectorFunctions.register(sp)
     import sp.implicits._
@@ -86,7 +95,7 @@ object Similarity {
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         it.flatMap { case (id, vec) =>
-          val barr = new Array[Long](tables)
+          var sig = 0L
           var t = 0
           while (t < tables) {
             var bucket = 0L
@@ -100,29 +109,50 @@ object Similarity {
               if (acc >= 0) bucket |= (1L << b)
               b += 1
             }
-            barr(t) = bucket
+            sig |= bucket << (bits * t)
             t += 1
           }
-          (0 until tables).iterator.map(t => (id, vec, t, barr(t), barr))
+          val cellMask = if (bits == 64) -1L else (1L << bits) - 1
+          val s = sig
+          (0 until tables).iterator.map { t =>
+            (id, vec, t, (s >>> (bits * t)) & cellMask, s, ~((1L << (bits * t)) - 1))
+          }
         }
       }
-      .toDF("vec_id", "embedding", "t", "bucket", "buckets")
+      .toDF("vec_id", "embedding", "t", "bucket", "sig", "notmask")
   }
 
-  /** TRUE iff table `t` is the FIRST table in which the two rows'
-    * bucket arrays collide: for every earlier table i < t the keys
-    * differ. Joining LSH sides on (t, bucket) and filtering with this
-    * predicate emits every colliding pair EXACTLY once — replacing the
-    * post-join `distinct()` (a full exchange + aggregation of the pair
-    * stream, in [[annTopK]]'s case keyed on the float vectors
-    * themselves) with a codegen'd per-row boolean over ≤ `tables`
-    * array cells. Both sides carry identical `t`; either's works.
+  /** TRUE iff table `t` is the FIRST table in which the two rows
+    * collide: no cell below t of the packed sigs is equal. Joining LSH
+    * sides on (t, bucket) and filtering with this predicate emits every
+    * colliding pair EXACTLY once — replacing the post-join `distinct()`
+    * (a full exchange + aggregation of the pair stream, in
+    * [[annTopK]]'s case keyed on the float vectors themselves) with
+    * five codegen'd bitwise ops, independent of the table count.
+    *
+    * Mechanics: x = lSig ^ rSig has a ZERO cell exactly where the two
+    * rows' buckets agree. `x | notmask` forces every cell ≥ t to
+    * non-zero (notmask is the row's own precomputed ≥t mask; both
+    * sides carry identical t, either's works), then the standard
+    * zero-cell probe — (v − ONES) & ~v & HIGHS, with ONES/HIGHS the
+    * per-cell LSB/MSB constants — is non-zero iff some cell < t is
+    * zero. Existence detection is exact for any cell width ≥ 2: with
+    * no zero cell every cell ≥ 1, so the subtraction never borrows and
+    * each result cell (orig−1)'s top bit survives `& ~v` only if orig
+    * had its top bit clear while orig−1 set it — impossible for
+    * orig ≥ 1 in a ≥2-bit cell; a zero cell borrows to 0xF… with the
+    * top bit set and ~v keeping it.
     */
-  private[ops] def firstCollision(tables: Int, t: Column,
-                                  lBuckets: Column, rBuckets: Column): Column =
-    (0 until tables).map { i =>
-      lit(i) >= t || lBuckets.getItem(i) =!= rBuckets.getItem(i)
-    }.reduce(_ && _)
+  private[ops] def firstCollision(tables: Int, bits: Int,
+                                  lSig: Column, rSig: Column,
+                                  notmask: Column): Column = {
+    var ones = 0L
+    var i = 0
+    while (i < tables) { ones |= 1L << (bits * i); i += 1 }
+    val highs = ones << (bits - 1)
+    val v = lSig.bitwiseXOR(rSig).bitwiseOR(notmask)
+    ((v - lit(ones)).bitwiseAND(bitwise_not(v)).bitwiseAND(lit(highs))) === 0L
+  }
 
   /** Per-query top-k of scored candidates via the [[graft.functions.TopKByScore]]
     * heap aggregate: map-side partial combine keeps k candidates per
@@ -169,11 +199,11 @@ object Similarity {
               tables: Int = 8, bits: Int = 4): DataFrame = {
     VectorFunctions.register(corpus.sparkSession)
     val cb = withBuckets(corpus, tables, bits).withColumn("cn", norm(col("embedding")))
-      .withColumnRenamed("buckets", "cbuckets")
+      .withColumnRenamed("sig", "csig").drop("notmask")
     val qb = broadcast(withBuckets(queries, tables, bits)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         norm(col("embedding")).as("qn"), col("t"), col("bucket"),
-        col("buckets").as("qbuckets")))
+        col("sig").as("qsig"), col("notmask")))
     // A (query, candidate) pair colliding in several tables must score
     // once. r15 deduped with a distinct over the full candidate row —
     // whose hash keys were the two FLOAT VECTORS themselves, so the
@@ -185,7 +215,7 @@ object Similarity {
     // top-k heap aggregate — one dot per pair, no dedup exchange.
     val scored = cb.join(qb, Seq("t", "bucket"))
       .where(col("query_id") =!= col("vec_id") &&
-        firstCollision(tables, col("t"), col("cbuckets"), col("qbuckets")))
+        firstCollision(tables, bits, col("csig"), col("qsig"), col("notmask")))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         (dot(col("qv"), col("embedding")) / (col("qn") * col("cn"))).as("cos"))
     topK(scored, k)

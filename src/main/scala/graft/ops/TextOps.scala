@@ -25,6 +25,7 @@ object TextOps {
       col("doc_id"),
       size(tokens(col("text"))).cast("long").as("n_tokens"),
       length(col("text")).cast("long").as("n_chars"))
+      .repartition(col("doc_id")) // sampling shield (see redactPii)
       .orderBy("doc_id")
 
   /** BPE-ish subword token count: runs of letters, runs of digits, and
@@ -99,6 +100,14 @@ object TextOps {
         }
       }
       .toDF("doc_id", "n_emails", "n_phones", "n_ips", "clean_text")
+      // shield the kernel from the output sort's range-sampling pass:
+      // a global sort with no exchange below it re-executes its whole
+      // child to sample sort keys, i.e. every regex pass ran TWICE per
+      // query (measured 0.86 → 0.63s best-of-4 at sf0.1 with the
+      // shield; Dedup.embeddingNearDups has the full story). One hash
+      // exchange, kernel runs once. Same pattern on every expensive
+      // per-document kernel below that ends in a presentation sort.
+      .repartition(col("doc_id"))
       .orderBy("doc_id")
   }
 
@@ -116,6 +125,7 @@ object TextOps {
       expr("length(replace(text, ' ', '')) * 100 div (length(text) - length(replace(text, ' ', '')) + 1)").as("avg_tok_len_x100"),
       expr("(length(text) - length(replace(text, 'the', ''))) div 3").as("hits_the"),
       expr("least(1000, ((length(text) - length(replace(text, 'the', ''))) div 3) * 1000 div (length(text) - length(replace(text, ' ', '')) + 1))").as("quality_x1000"))
+      .repartition(col("doc_id")) // sampling shield (see redactPii)
       .orderBy("doc_id")
 
   /** Corpus-trained unigram surprisal — the LM-perplexity quality
@@ -226,6 +236,7 @@ object TextOps {
         }
       }
       .toDF("doc_id", "lang_pred", "score_x1000")
+      .repartition(col("doc_id")) // sampling shield (see redactPii)
       .orderBy("doc_id")
   }
 
@@ -285,6 +296,7 @@ object TextOps {
         }
       }
       .toDF("doc_id", "norm_text", "scrubbed")
+      .repartition(col("doc_id")) // sampling shield (see redactPii)
       .orderBy("doc_id")
   }
 
@@ -364,12 +376,15 @@ object TextOps {
         }
       }
       .toDF("doc_id", "n_tokens", "n_distinct", "top_token_x1000", "dup_bigram_x1000")
+      .repartition(col("doc_id")) // sampling shield (see redactPii)
       .orderBy("doc_id")
   }
 
   /** Content fingerprint (md5 of the text) — the exact-dedup key. */
   def fingerprint(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), md5(col("text")).as("fp")).orderBy("doc_id")
+    docs.select(col("doc_id"), md5(col("text")).as("fp"))
+      .repartition(col("doc_id")) // sampling shield (see redactPii)
+      .orderBy("doc_id")
 
   /** Cross-document duplicated-span detection (the C4 "repeated
     * three-sentence span" / RefinedWeb exact-substring family, at token
@@ -473,6 +488,7 @@ object TextOps {
         }
       }
       .toDF("doc_id", "rolling_fp")
+      .repartition(col("doc_id")) // sampling shield (see redactPii)
       .orderBy("doc_id")
   }
 

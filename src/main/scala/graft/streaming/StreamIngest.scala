@@ -168,6 +168,14 @@ object StreamIngest {
     * drain reads `(−∞, head]` exactly once, the result must equal the
     * batch `EventLog.iterate` — which is how the correctness gate
     * oracles the streaming source.
+    *
+    * Lifetime: the drained rows live in a memory sink scoped to the
+    * drain's child session and stay reachable exactly as long as the
+    * returned DataFrame does — materialize (collect/write) and drop
+    * the reference to release them; a harness loop that retains many
+    * returned frames retains every drain's rows. Very large replays
+    * should go through a durable sink (parquet + caller-supplied
+    * checkpointLocation) instead of this bounded-drain path.
     */
   def drainLog(spark: SparkSession, path: String): DataFrame = {
     val qname = "graft_log_drain_" + java.util.UUID.randomUUID().toString.replace("-", "")
